@@ -1,0 +1,64 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The metric is total wall-clock over the headline set (22 TPC-H +
+extension ops), mirroring the reference's 22-query power-run metric
+(BASELINE.md). Each query is fully executed (count-consumed) so the
+measurement includes the whole plan, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from gizmosql_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("gizmosql-spark-bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footer caches with the cheapest query so
+    # per-query numbers measure execution, not first-touch JIT.
+    try:
+        qs["q06"](spark, sf_dir).count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # record failures as -1, keep going
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}")
+
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference configures its engine at startup (memory cap, thread
+count: /root/reference/src/duckdb/duckdb_server.cpp:2300-2322). The
+Spark analog is a session builder with the configs that matter at
+100 TB: AQE (runtime re-planning, skew-join handling, partition
+coalescing), Arrow-based Python interchange, parquet pushdown, and a
+shuffle-partition count sized to the cluster rather than the 200
+default.
+
+Local testing uses ``local[$SPARK_GRAFT_CPUS]`` (default 32); on a real
+cluster the same builder works — only ``master`` and the partition
+counts change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# One partition per core locally; on a 1000-executor cluster this would
+# be set to 2-3x total cores (and AQE coalesces down after shuffles).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Configs applied to every session. Each is chosen for 100 TB scale:
+#: - AQE: runtime join-strategy re-pick + skew splitting + partition
+#:   coalescing; this is what makes a static plan survive a 100x
+#:   scale-up without hand-tuning.
+#: - broadcast threshold 64 MB: TPC-H dims (region/nation/supplier/
+#:   customer/part) stay broadcast-able far beyond SF100, eliminating
+#:   the shuffle on the probe (lineitem/orders) side.
+#: - Arrow: columnar Python interchange (the reference streams Arrow
+#:   record batches; duckdb_statement.cpp:2301-2313).
+#: - UTC session timezone: the reference exports TIMESTAMP_TZ as UTC
+#:   µs (duckdb_statement.cpp:658-659); also required for the DuckDB
+#:   differential oracle.
+BASE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Timestamps in fixtures are ns; Spark stores µs. Reference also
+    # truncates ns→µs on ingest (duckdb_server.cpp:516-518).
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
+    "spark.default.parallelism": str(DEFAULT_CPUS),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.execution.pyspark.udf.faulthandler.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "gizmosql-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the process-wide SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; pass a cluster
+    URL for real deployments.
+    """
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{DEFAULT_CPUS}]"
+    )
+    for k, v in BASE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
