@@ -23,9 +23,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    from gizmosql_spark.operators import tpch
+    from gizmosql_spark.operators import events, relational, tpch
 
     out.update(tpch.QUERIES)
+    out.update(relational.QUERIES)
+    out.update(events.QUERIES)
     return out
 
 
@@ -33,7 +35,9 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL, keyed identically to ``queries()``."""
     out: dict[str, str] = {}
 
-    from gizmosql_spark.operators import tpch
+    from gizmosql_spark.operators import events, relational, tpch
 
     out.update(tpch.ORACLE)
+    out.update(relational.ORACLE)
+    out.update(events.ORACLE)
     return out

@@ -1,0 +1,150 @@
+"""Event-stream analytics (batch form of the streaming extension tier).
+
+The reference has **no** streaming operators (SURVEY §2C) — the
+``events`` fixture exists for the Phase-5 extension tier. These
+operators are the *batch-equivalent* forms: ``F.window`` tumbling
+aggregation and gaps-and-islands sessionization run identically over a
+bounded DataFrame and a stream (see gizmosql_spark/streaming/ for the
+readStream wiring); JSON extraction covers the §2E JSON family.
+
+Scale notes: sessionization is a window function partitioned by
+user_id — at 100 TB this shuffles once on user_id and never collects;
+skewed users are handled by AQE. The tumbling window agg is a plain
+hash aggregate on (bucket, type).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan with the ns→µs timestamp conversion.
+
+    The fixture stores TIMESTAMP(NANOS); Spark reads it as long ns
+    (spark.sql.legacy.parquet.nanosAsLong) and we convert with integer
+    division — same truncation the reference applies on ingest
+    (duckdb_server.cpp:516-518). The fixture's sub-µs digits are zero,
+    so this is lossless here.
+    """
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation (§2E JSON family:
+    get_json_object ≈ DuckDB json_extract)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation — identical code path works
+    under readStream + watermark (streaming/windows.py)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: gaps-and-islands
+    (lag + cumulative sum), the batch equivalent of
+    ``session_window(ts, '30 minutes')``."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sessions = e.withColumn("session_idx", F.sum(is_new).over(w_run))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+                "duration_sec"
+            ),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+QUERIES = {
+    "events_json": events_json,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+}
+
+ORACLE: dict[str, str] = {
+    "events_json": """
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+               count(*) AS n,
+               sum(value) AS total
+        FROM events
+        GROUP BY event_type, k_bucket
+        ORDER BY event_type, k_bucket
+    """,
+    "events_hourly": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n,
+               sum(value) AS total
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "events_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               sum(value) AS total_value,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
+        FROM sessions
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
+}

@@ -1,0 +1,316 @@
+"""Relational operator coverage beyond the TPC-H corpus.
+
+The reference advertises (and DuckDB provides) window functions,
+grouping sets/rollup/cube, set operations, PIVOT, UNNEST and VALUES
+(SURVEY §2C; capability flags in /root/reference/src/duckdb/
+duckdb_sql_info.cpp:350-355; PIVOT fallback duckdb_statement.cpp:1104;
+UNNEST usage duckdb_server.cpp:836-841; VALUES usage
+duckdb_server.cpp:1599-1601). Each operator here is a Spark-first
+implementation with a DuckDB oracle.
+
+All window orderings include a unique tiebreak key so results are
+deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- window functions -------------------------------------------------
+
+
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders per priority (row_number)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag per customer."""
+    o = _t(spark, sf_dir, "orders")
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_frame = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return (
+        o.filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice").over(w_frame).alias("running_spend"),
+            F.lag("o_totalprice").over(w_lag).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame: 3-row rolling price sum per supplier."""
+    l = _t(spark, sf_dir, "lineitem")
+    order_cols = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = Window.partitionBy("l_suppkey").orderBy(*order_cols).rowsBetween(-2, 0)
+    return (
+        l.filter(F.col("l_suppkey") < 5)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum("l_extendedprice").over(w).alias("rolling_price"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# --- grouping sets / rollup / cube ------------------------------------
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal labels."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the Spark SQL surface (per-nation, per-region,
+    grand total over supplier balances)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("gz_supplier")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("gz_nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("gz_region")
+    return spark.sql(
+        """
+        SELECT coalesce(n_name, '(all)') AS nation,
+               coalesce(r_name, '(all)') AS region,
+               count(*) AS n_suppliers,
+               sum(s_acctbal) AS total_bal
+        FROM gz_supplier
+        JOIN gz_nation ON s_nationkey = n_nationkey
+        JOIN gz_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+        ORDER BY nation, region
+        """
+    )
+
+
+# --- set operations ---------------------------------------------------
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT + UNION ALL over nation-key domains."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("src", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("src", F.lit("cust_only"))
+    return both.unionByName(cust_only).select("src", "nationkey").orderBy("src", "nationkey")
+
+
+# --- pivot ------------------------------------------------------------
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT linestatus counts per returnflag (direct-execution
+    fallback in the reference, duckdb_statement.cpp:1104)."""
+    l = _t(spark, sf_dir, "lineitem")
+    piv = l.groupBy("l_returnflag").pivot("l_linestatus", ["F", "O"]).count()
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+    ).orderBy("l_returnflag")
+
+
+# --- explode / unnest -------------------------------------------------
+
+
+def unnest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of an array column (UNNEST analog,
+    duckdb_server.cpp:836-841)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") < 20)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .select("vec_id", F.col("pos").cast("int").alias("pos"), "val")
+        .orderBy("vec_id", "pos")
+    )
+
+
+# --- VALUES inline table ----------------------------------------------
+
+
+def values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join against an inline VALUES table (the reference itself uses
+    VALUES for constant results, duckdb_server.cpp:1599-1601)."""
+    o = _t(spark, sf_dir, "orders")
+    weights = spark.createDataFrame(
+        [
+            ("1-URGENT", 1),
+            ("2-HIGH", 2),
+            ("3-MEDIUM", 3),
+            ("4-NOT SPECIFIED", 4),
+            ("5-LOW", 5),
+        ],
+        "o_p string, w int",
+    )
+    return (
+        o.join(F.broadcast(weights), o.o_orderpriority == weights.o_p)
+        .groupBy("o_orderpriority", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("w")
+    )
+
+
+QUERIES = {
+    "window_topk": window_topk,
+    "window_running": window_running,
+    "window_frame": window_frame,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "grouping_sets_agg": grouping_sets_agg,
+    "set_ops": set_ops,
+    "pivot_counts": pivot_counts,
+    "unnest_embeddings": unnest_embeddings,
+    "values_join": values_join,
+}
+
+ORACLE: dict[str, str] = {
+    "window_topk": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+              FROM orders) t
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, rn
+    """,
+    "window_running": """
+        SELECT o_custkey, o_orderkey,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+               lag(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey
+    """,
+    "window_frame": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_price
+        FROM lineitem
+        WHERE l_suppkey < 5
+        ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    "rollup_agg": """
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
+    "cube_agg": """
+        SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+               coalesce(o_orderpriority, '(all)') AS orderpriority,
+               count(*) AS n,
+               sum(o_totalprice) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY orderstatus, orderpriority
+    """,
+    "grouping_sets_agg": """
+        SELECT coalesce(n_name, '(all)') AS nation,
+               coalesce(r_name, '(all)') AS region,
+               count(*) AS n_suppliers,
+               sum(s_acctbal) AS total_bal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((n_name), (r_name), ())
+        ORDER BY nation, region
+    """,
+    "set_ops": """
+        SELECT 'both' AS src, nationkey
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              INTERSECT
+              SELECT s_nationkey FROM supplier) t1
+        UNION ALL
+        SELECT 'cust_only' AS src, nationkey
+        FROM (SELECT c_nationkey AS nationkey FROM customer
+              EXCEPT
+              SELECT s_nationkey FROM supplier) t2
+        ORDER BY src, nationkey
+    """,
+    "pivot_counts": """
+        SELECT l_returnflag,
+               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "unnest_embeddings": """
+        SELECT vec_id, CAST(idx - 1 AS INTEGER) AS pos, val
+        FROM (SELECT vec_id,
+                     unnest(embedding) AS val,
+                     unnest(range(1, len(embedding) + 1)) AS idx
+              FROM embeddings
+              WHERE vec_id < 20) t
+        WHERE idx <= 8
+        ORDER BY vec_id, pos
+    """,
+    "values_join": """
+        SELECT o_orderpriority, w, count(*) AS cnt
+        FROM orders
+        JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                     ('4-NOT SPECIFIED', 4), ('5-LOW', 5)) AS t(o_p, w)
+          ON o_orderpriority = o_p
+        GROUP BY o_orderpriority, w
+        ORDER BY w
+    """,
+}

@@ -45,9 +45,11 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Timestamps in fixtures are ns; Spark stores µs. Reference also
-    # truncates ns→µs on ingest (duckdb_server.cpp:516-518).
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # The events fixture stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects natively; read as long ns and convert at the scan
+    # (operators/events.py). The reference also truncates ns→µs on
+    # ingest (duckdb_server.cpp:516-518).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
     "spark.default.parallelism": str(DEFAULT_CPUS),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
