@@ -23,11 +23,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    from gizmosql_spark.operators import events, relational, tpch
+    from gizmosql_spark.operators import (
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        tpch,
+    )
 
     out.update(tpch.QUERIES)
     out.update(relational.QUERIES)
     out.update(events.QUERIES)
+    out.update(text.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
     return out
 
 
@@ -35,9 +47,21 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL, keyed identically to ``queries()``."""
     out: dict[str, str] = {}
 
-    from gizmosql_spark.operators import events, relational, tpch
+    from gizmosql_spark.operators import (
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        tpch,
+    )
 
     out.update(tpch.ORACLE)
     out.update(relational.ORACLE)
     out.update(events.ORACLE)
+    out.update(text.ORACLE)
+    out.update(dedup.ORACLE)
+    out.update(similarity.ORACLE)
+    out.update(multimodal.ORACLE)
     return out

@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines.
+
+Extension tier (SURVEY §7 Phase 5). Four strategies over ``documents``:
+
+- **exact**: md5-fingerprint groupBy — one shuffle on the hash; the
+  canonical keeper is min(doc_id) per group.
+- **MinHash + LSH**: shingle → 8 portable minhashes → 4 bands →
+  band-bucket join → Jaccard verification. The LSH band join bounds
+  candidate generation (no all-pairs blowup), which is what makes this
+  the 100 TB scale path.
+- **n-gram Jaccard**: exact Jaccard via an inverted shingle index
+  (postings self-join). Quadratic in bucket size — verification-tier at
+  scale; kept as the ground truth the LSH variant approximates.
+- **SimHash**: 64-bit simhash from per-token md5 bits via explode +
+  majority vote — near-dup fingerprint in one groupBy.
+
+Portability: "hashes" are md5 hex strings (lexicographic min), never
+engine hash functions, so DuckDB oracles reproduce results bit-for-bit.
+Embedding-cosine near-dup lives in similarity.py (shares the vector
+kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gizmosql_spark.operators.text import _NORM_SQL, _norm
+
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+JACCARD_THRESHOLD = 0.5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram shingles per document."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(_norm(F.col("text")), " ")
+    shingle_list = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(words) - 3),"
+            " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+        )
+    )
+    return (
+        d.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.explode(shingle_list).alias("shingle"))
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5; keeper =
+    min(doc_id) over the fingerprint partition (single shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(_norm(F.col("text")))
+    w = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper"))
+        .orderBy("doc_id")
+    )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_key): LSH band keys from 8 minhashes.
+
+    minhash_i = lexicographic min of md5("i:" || shingle) — portable
+    across engines, and a groupBy with 8 min() aggs = one shuffle.
+    """
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    minh = sh.groupBy("doc_id").agg(*aggs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}"))).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return minh.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join generates candidate
+    pairs, exact Jaccard over the shingle postings verifies them."""
+    sh = _shingles(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index.
+
+    Candidate = any shared shingle (postings self-join). Quadratic in
+    posting-list length — at 100 TB use dedup_minhash_lsh; this is the
+    exact ground truth for verification."""
+    sh = _shingles(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the shingle postings."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
+    return (
+        common.join(za, "a_id")
+        .join(zb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("cc").cast("double") / (F.col("sza") + F.col("szb") - F.col("cc"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from distinct-token md5 bits.
+
+    bit(p) of md5's first 16 hex digits, majority-voted across tokens;
+    output is the 64-char '0'/'1' signature string (portable — avoids
+    engine-specific 64-bit int semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split(_norm(F.col("text")), " "))).alias("tok"))
+        .withColumn("h", F.substring(F.md5("tok"), 1, 16))
+    )
+    bits = (
+        tokens.select("doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bitpos"))
+        .withColumn("hexpos", (F.col("bitpos") / 4).cast("int"))
+        .withColumn("digit", F.expr("instr('0123456789abcdef', substring(h, hexpos + 1, 1)) - 1"))
+        .withColumn("bit", F.expr("CAST(floor(digit / power(2, 3 - (bitpos % 4))) AS INT) % 2"))
+        .withColumn("sign", F.col("bit") * 2 - 1)
+    )
+    votes = bits.groupBy("doc_id", "bitpos").agg(F.sum("sign").alias("v"))
+    return (
+        votes.withColumn("bitchar", F.when(F.col("v") > 0, "1").otherwise("0"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bitpos", "bitchar"))),
+                    lambda x: x["bitchar"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+}
+
+# Shared SQL CTEs for shingling (DuckDB lists are 1-based).
+_SHINGLES_CTE = f"""
+    docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    wordlists AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM docs),
+    shingle_lists AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM wordlists WHERE len(ws) >= 3),
+    shingles AS (SELECT doc_id, unnest(sh) AS shingle FROM shingle_lists),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM shingle_lists)
+"""
+
+_VERIFY_SQL = f"""
+    common AS (
+        SELECT c.a_id, c.b_id, count(*) AS cc
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.a_id
+        JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+        GROUP BY c.a_id, c.b_id)
+    SELECT a_id, b_id,
+           CAST(cc AS DOUBLE) / (za.sz + zb.sz - cc) AS jaccard
+    FROM common
+    JOIN sizes za ON za.doc_id = a_id
+    JOIN sizes zb ON zb.doc_id = b_id
+    WHERE CAST(cc AS DOUBLE) / (za.sz + zb.sz - cc) >= {JACCARD_THRESHOLD}
+    ORDER BY a_id, b_id
+"""
+
+ORACLE: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT doc_id,
+               md5({_NORM_SQL}) AS fp,
+               min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS keeper,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS is_dup
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES))}
+            FROM shingles GROUP BY doc_id),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM minh"
+                for b in range(N_BANDS))}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+        {_VERIFY_SQL}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM shingles a
+            JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        {_VERIFY_SQL}
+    """,
+    "dedup_simhash": f"""
+        WITH docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        tokens AS (
+            SELECT DISTINCT doc_id,
+                   substr(md5(unnest(string_split(norm, ' '))), 1, 16) AS h
+            FROM docs),
+        bits AS (
+            SELECT doc_id, h, unnest(range(0, 64)) AS bitpos FROM tokens),
+        scored AS (
+            SELECT doc_id, bitpos,
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(floor(bitpos / 4) AS INTEGER) + 1, 1)) - 1) AS digit
+            FROM bits),
+        votes AS (
+            SELECT doc_id, bitpos,
+                   sum((CAST(floor(digit / power(2, 3 - (bitpos % 4))) AS INTEGER) % 2) * 2 - 1) AS v
+            FROM scored GROUP BY doc_id, bitpos)
+        SELECT doc_id,
+               string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
+        FROM votes
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,207 @@
+"""Text analysis operators for training-data pipelines.
+
+Extension tier beyond the reference (SURVEY §7 Phase 5): language ID,
+quality scoring, token counting, document fingerprinting over the
+``documents`` fixture. The reference's advertised string-function
+contract (JACCARD / LEVENSHTEIN / HAMMING / EDITDIST3,
+/root/reference/src/duckdb/duckdb_sql_info.cpp:159-162) seeds the
+similarity primitives; these operators compose them into
+pipeline-shaped queries.
+
+Every operator is pure column arithmetic over built-in JVM functions —
+no Python UDFs — so at 100 TB each is a single whole-stage-codegen scan
+with no shuffle (fingerprint dedup shuffles once on the hash).
+
+All formulas are engine-portable (identical results in DuckDB for the
+differential oracle): md5, regexp_extract_all counts, split-based token
+counts, and plain double arithmetic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# CJK unified ideographs range, built from codepoints so the identical
+# literal characters reach both regex engines (Java + RE2).
+_CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
+
+#: tiny per-language stopword inventories for the n-gram/stopword
+#: language-ID heuristic. Deterministic, same list in the oracle SQL.
+STOPWORDS = {
+    "en": r"\b(the|a|of|and|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|ein|zu)\b",
+    "fr": r"\b(le|les|et|est|une|dans|pour)\b",
+    "es": r"\b(el|los|y|es|una|en|por)\b",
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _norm(col: F.Column) -> F.Column:
+    """lower + trim + collapse whitespace (the canonical text form)."""
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: md5 over normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.length(norm).cast("int").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("int").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation signals combined
+    into a deterministic [0,1] score."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    n_tokens = F.size(F.split(norm, " ")).cast("double")
+    stop_hits = F.size(F.regexp_extract_all(norm, F.lit(STOPWORDS["en"]), 0)).cast("double")
+    punct_chars = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", "")).cast("double")
+    n_chars = F.length(norm).cast("double")
+    stop_ratio = stop_hits / n_tokens
+    punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1.0))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.4) * len_score + F.lit(0.4) * (F.lit(1.0) - punct_ratio) + F.lit(0.2) * stop_ratio,
+        ),
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/char-class language-ID heuristic.
+
+    Scores each language by stopword hits (CJK chars for zh) and takes
+    the argmax with a fixed priority order. The fixture's ``lang``
+    labels are synthetic (identical vocab across labels), so the
+    contract is determinism, not label recovery.
+    """
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    scores = {
+        k: F.size(F.regexp_extract_all(norm, F.lit(v), 0)).cast("int")
+        for k, v in STOPWORDS.items()
+    }
+    scores["zh"] = F.length(F.regexp_replace(norm, f"[^{_CJK}]", "")).cast("int")
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["fr"] == best, "fr")
+        .when(scores["es"] == best, "es")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("en_score"),
+        scores["de"].alias("de_score"),
+        scores["fr"].alias("fr_score"),
+        scores["es"].alias("es_score"),
+        scores["zh"].alias("zh_score"),
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "doc_fingerprint": doc_fingerprint,
+    "token_count": token_count,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+}
+
+_NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+ORACLE: dict[str, str] = {
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM_SQL}) AS fp,
+               CAST(length({_NORM_SQL}) AS INTEGER) AS norm_len
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "token_count": f"""
+        SELECT doc_id,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all({_NORM_SQL},
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE) AS n_tokens,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE) AS stop_hits,
+                   CAST(length(regexp_replace({_NORM_SQL}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       AS punct_chars,
+                   CAST(length({_NORM_SQL}) AS DOUBLE) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               stop_hits / n_tokens AS stopword_ratio,
+               punct_chars / greatest(n_chars, 1.0) AS punct_ratio,
+               greatest(0.0, least(1.0,
+                   0.4 * least(n_tokens / 100.0, 1.0)
+                   + 0.4 * (1.0 - punct_chars / greatest(n_chars, 1.0))
+                   + 0.2 * (stop_hits / n_tokens))) AS quality_score
+        FROM t
+        ORDER BY doc_id
+    """,
+    "lang_id": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(the|a|of|and|to|in|is)\\b')) AS INTEGER) AS en_score,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(der|die|das|und|ist|ein|zu)\\b')) AS INTEGER) AS de_score,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(le|les|et|est|une|dans|pour)\\b')) AS INTEGER) AS fr_score,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(el|los|y|es|una|en|por)\\b')) AS INTEGER) AS es_score,
+                   CAST(length(regexp_replace({_NORM_SQL},
+                        '[^{_CJK}]', '', 'g')) AS INTEGER) AS zh_score
+            FROM documents
+        )
+        SELECT doc_id, en_score, de_score, fr_score, es_score, zh_score,
+               CASE WHEN en_score = greatest(en_score, de_score, fr_score, es_score, zh_score) THEN 'en'
+                    WHEN de_score = greatest(en_score, de_score, fr_score, es_score, zh_score) THEN 'de'
+                    WHEN fr_score = greatest(en_score, de_score, fr_score, es_score, zh_score) THEN 'fr'
+                    WHEN es_score = greatest(en_score, de_score, fr_score, es_score, zh_score) THEN 'es'
+                    ELSE 'zh' END AS pred_lang
+        FROM s
+        ORDER BY doc_id
+    """,
+}

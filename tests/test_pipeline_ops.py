@@ -1,0 +1,70 @@
+"""Differential tests for training-data pipeline operators
+(text analysis, dedup, similarity search)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gizmosql_spark.operators import dedup, similarity, text
+from gizmosql_spark.testing import compare_to_oracle
+
+
+@pytest.mark.parametrize("name", sorted(text.QUERIES))
+def test_text_matches_oracle(spark, sf_dir, name):
+    compare_to_oracle(text.QUERIES[name](spark, sf_dir), text.ORACLE[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+def test_dedup_matches_oracle(spark, sf_dir, name):
+    compare_to_oracle(dedup.QUERIES[name](spark, sf_dir), dedup.ORACLE[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(similarity.QUERIES))
+def test_similarity_matches_oracle(spark, sf_dir, name):
+    compare_to_oracle(
+        similarity.QUERIES[name](spark, sf_dir), similarity.ORACLE[name], sf_dir
+    )
+
+
+def test_neardup_nonempty(spark, sf_dir):
+    # threshold chosen so the fixture yields pairs (not a trivial pass)
+    assert similarity.embedding_neardup(spark, sf_dir).count() > 0
+
+
+def test_lsh_buckets_distribute(spark, sf_dir):
+    # 8-bit buckets should spread vectors (not all in one bucket)
+    df = similarity.ann_lsh_buckets(spark, sf_dir)
+    assert df.select("bucket").distinct().count() > 10
+
+
+def test_multimodal_meta_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import multimodal
+
+    compare_to_oracle(
+        multimodal.multimodal_meta(spark, sf_dir),
+        multimodal.ORACLE["multimodal_meta"],
+        sf_dir,
+    )
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from gizmosql_spark.operators import multimodal
+
+    df = multimodal.multimodal_features(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 500
+    r0 = rows[0]
+    assert len(r0["features"]) == multimodal.N_FEATURES
+    assert abs(sum(r0["features"]) - 1.0) < 1e-6  # L1-normalized
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in multimodal.multimodal_features(spark, sf_dir).collect()}
+    assert again[0]["features"] == r0["features"]
+
+
+def test_decode_image_stub_raises(spark):
+    from gizmosql_spark.operators import multimodal
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
