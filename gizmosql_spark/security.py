@@ -1,0 +1,127 @@
+"""Admin-command gate + role-based statement checks.
+
+Re-expresses the reference's parser-based admin gate
+(/root/reference/src/duckdb/admin_command_guard.cpp: entry :393-409,
+classification :282-389, remote schemes :68-76, gated functions
+:107-120, dangerous settings :129-144) and the readonly-role write
+block (duckdb_statement.cpp:1080-1094) as fail-closed SQL
+classification. The reference walks DuckDB's parse tree; here
+classification is keyword/function matching over the literal-masked
+statement plus path-scheme rules — same observable policy, and Spark's
+own analyzer re-validates everything that passes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from gizmosql_spark.dialect import _mask_literals
+
+#: remote schemes allowed for non-admin reads (admin_command_guard.cpp:68-76)
+REMOTE_SCHEMES = (
+    "s3://", "s3a://", "s3n://", "gs://", "gcs://", "r2://",
+    "az://", "azure://", "abfs://", "abfss://",
+    "http://", "https://", "hf://",
+)
+
+#: statement openers only admins may run (admin_command_guard.cpp:282-389)
+_ADMIN_STMT_RE = re.compile(
+    r"^\s*(ATTACH|DETACH|INSTALL|LOAD|CHECKPOINT|EXPORT\s+DATABASE"
+    r"|IMPORT\s+DATABASE|CREATE\s+(?:OR\s+REPLACE\s+)?(?:PERSISTENT\s+)?SECRET"
+    r"|DROP\s+SECRET)\b",
+    re.IGNORECASE,
+)
+
+#: gated table functions when pointed at the local filesystem
+#: (admin_command_guard.cpp:107-120)
+_GATED_FN_RE = re.compile(
+    r"\b(read_parquet|parquet_scan|parquet_metadata|parquet_schema|read_csv_auto"
+    r"|read_csv|sniff_csv|read_json_auto|read_json|read_ndjson_auto|read_ndjson"
+    r"|read_text|read_blob|glob)\s*\(",
+    re.IGNORECASE,
+)
+
+#: dangerous global SETs for non-admins (admin_command_guard.cpp:129-144)
+_DANGEROUS_SET_RE = re.compile(
+    r"^\s*SET\s+(?:GLOBAL\s+)?(memory_limit|threads|temp_directory"
+    r"|extension_directory|allow_unsigned_extensions|enable_external_access)\b",
+    re.IGNORECASE,
+)
+
+_WRITE_STMT_RE = re.compile(
+    r"^\s*(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|TRUNCATE|REPLACE"
+    r"|COPY|CALL|VACUUM|ANALYZE|REFRESH|CACHE|UNCACHE|GRANT|REVOKE|MSCK)\b",
+    re.IGNORECASE,
+)
+
+_PATH_LITERAL_RE = re.compile(r"'([^']*)'")
+
+
+class CommandDenied(PermissionError):
+    pass
+
+
+def _is_remote(path: str) -> bool:
+    p = path.lower()
+    return any(p.startswith(s) for s in REMOTE_SCHEMES)
+
+
+def _local_paths(sql: str) -> list[str]:
+    """String literals that look like local filesystem paths."""
+    out = []
+    for lit in _PATH_LITERAL_RE.findall(sql):
+        looks_pathy = (
+            lit.startswith(("/", "./", "~", "../"))
+            or re.search(r"\.(parquet|csv|json|ndjson|txt|db|duckdb)$", lit, re.IGNORECASE)
+            or "*" in lit
+        )
+        if looks_pathy and not _is_remote(lit):
+            out.append(lit)
+    return out
+
+
+def check_admin_gate(sql: str, is_admin: bool) -> None:
+    """Raise CommandDenied if a non-admin statement is gated.
+
+    Mirrors ClassifyStatement (admin_command_guard.cpp:282-389):
+    admin-only statement classes, local-filesystem file functions and
+    replacement scans, and dangerous bare SETs. Remote object-store
+    paths pass (the reference's proven-remote rule)."""
+    if is_admin:
+        return
+    masked = _mask_literals(sql)
+    m = _ADMIN_STMT_RE.match(masked)
+    if m:
+        raise CommandDenied(f"statement requires admin role: {m.group(1).upper()}")
+    if _DANGEROUS_SET_RE.match(masked):
+        raise CommandDenied("setting requires admin role")
+    if _GATED_FN_RE.search(masked) or re.search(
+        r"(\bFROM\s+|\bJOIN\s+)'", sql, re.IGNORECASE
+    ):
+        local = _local_paths(sql)
+        if local:
+            raise CommandDenied(
+                f"local filesystem access requires admin role: {local[0]!r}"
+            )
+    if re.match(r"^\s*COPY\b", masked, re.IGNORECASE):
+        local = _local_paths(sql)
+        if local:
+            raise CommandDenied(
+                f"local COPY requires admin role: {local[0]!r}"
+            )
+
+
+def check_readonly(sql: str, role: str) -> None:
+    """Reject write statements for the readonly role
+    (duckdb_statement.cpp:1080-1094). TEMP VIEW creation is allowed
+    (session-local, like DuckDB temp schema writes)."""
+    if role != "readonly":
+        return
+    masked = _mask_literals(sql)
+    m = _WRITE_STMT_RE.match(masked)
+    if m and not re.match(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\b",
+        masked,
+        re.IGNORECASE,
+    ):
+        raise CommandDenied(f"readonly role may not execute {m.group(1).upper()}")

@@ -53,6 +53,9 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
     "spark.default.parallelism": str(DEFAULT_CPUS),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/gizmosql-warehouse"
+    ),
     "spark.ui.enabled": "false",
     "spark.sql.execution.pyspark.udf.faulthandler.enabled": "false",
 }

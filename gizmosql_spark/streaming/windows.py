@@ -1,0 +1,175 @@
+"""Structured Streaming extension tier.
+
+The reference has no streaming operators (SURVEY §2C: verified absent);
+this is fresh Spark-first design over the ``events`` fixture per the
+Phase-5 plan: watermarked tumbling/sliding windows, session windows,
+and a stateful custom operator via ``applyInPandasWithState``.
+
+The batch-equivalent semantics are verified differentially in
+operators/events.py (events_hourly / events_sessionize share the same
+expressions); these functions wire the *streaming* execution: parquet
+``readStream`` source → watermark → windowed state → sink. Tests drive
+them to completion with ``availableNow`` + memory sink, the local
+stand-in for a real Kafka/files source on a cluster.
+
+Scale notes: state size is bounded by the watermark (late data beyond
+10 minutes is dropped); keys partition across executors; sliding
+windows multiply state by window/slide ratio — all standard Structured
+Streaming scaling behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream. The fixture's ns timestamps are
+    read as long and converted, matching operators/events.load_events."""
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked sliding-window aggregation."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Native session windows (gap-based), the streaming form of the
+    batch gaps-and-islands sessionization in operators/events.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- custom stateful operator ----------------------------------------
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("count", LongType()), StructField("total", DoubleType())]
+)
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("count", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, total) across micro-batches — the
+    custom-stateful-operator pattern (applyInPandasWithState)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    count, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        count += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((count, total))
+    yield pd.DataFrame({"user_id": [key[0]], "count": [count], "total": [total]})
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Stateful per-user running totals via applyInPandasWithState."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=RUNNING_OUTPUT_SCHEMA,
+            stateStructType=RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming frame over all available input synchronously
+    (availableNow + memory sink); returns the sink contents. Local test
+    harness — a deployment would use a real sink + continuous trigger."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

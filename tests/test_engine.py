@@ -1,0 +1,266 @@
+"""Service-layer tests: sessions, settings, dialect shim, security
+gates, admission, prepared statements, ingest, health.
+
+Mirrors the reference's per-feature integration test layout (SURVEY §5:
+test_authentication / test_admin_command_guard / test_admission_controller
+/ test_kill_session / test_read_only_mode / test_bulk_ingest ...).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from gizmosql_spark import security
+from gizmosql_spark.admission import AdmissionController, QueueFullError
+from gizmosql_spark.dialect import (
+    KillCommand,
+    SetCommand,
+    classify_command,
+    extract_file_scans,
+    replace_pseudo_functions,
+)
+from gizmosql_spark.engine import Engine, ServerDraining, SessionClosed
+from gizmosql_spark.settings import SettingError, SettingsState
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark)
+
+
+@pytest.fixture()
+def session(engine):
+    sid = engine.create_session(role="admin")
+    yield sid
+    engine.close_session(sid)
+
+
+# --- dialect ----------------------------------------------------------
+
+
+def test_classify_set():
+    cmd = classify_command("SET engine.query_timeout = 5")
+    assert isinstance(cmd, SetCommand)
+    assert cmd.scope == "session" and cmd.name == "engine.query_timeout"
+    cmd = classify_command("set global gizmosql.max_concurrent_statements TO 3;")
+    assert isinstance(cmd, SetCommand)
+    assert cmd.scope == "global"
+    assert cmd.name == "engine.max_concurrent_statements"
+    assert classify_command("SELECT 1") is None
+    # plain Spark SET is not an engine command
+    assert classify_command("SET spark.sql.shuffle.partitions=8") is None
+
+
+def test_classify_kill():
+    cmd = classify_command("KILL SESSION 'abc-123'")
+    assert isinstance(cmd, KillCommand) and cmd.session_id == "abc-123"
+
+
+def test_pseudo_function_replacement():
+    out = replace_pseudo_functions(
+        "SELECT ENGINE_VERSION(), gizmosql_user() AS u", {"version": "9.9", "user": "bob"}
+    )
+    assert "'9.9'" in out and "'bob'" in out
+    # never rewrites inside string literals
+    out = replace_pseudo_functions(
+        "SELECT 'engine_version()' AS s", {"version": "9.9"}
+    )
+    assert out == "SELECT 'engine_version()' AS s"
+
+
+def test_extract_file_scans():
+    sql, scans = extract_file_scans(
+        "SELECT * FROM read_parquet('/tmp/x.parquet') JOIN '/tmp/y.csv' ON 1=1"
+    )
+    assert len(scans) == 2
+    assert scans[0][1] == "parquet" and scans[1][1] == "csv"
+    assert "read_parquet" not in sql and "'/tmp/y.csv'" not in sql
+
+
+# --- settings ---------------------------------------------------------
+
+
+def test_settings_scope_and_validation():
+    s = SettingsState()
+    assert s.set("engine.query_timeout", "7", "session", is_admin=False) == 7
+    with pytest.raises(SettingError):
+        s.set("engine.query_timeout", "-1", "session", is_admin=False)
+    with pytest.raises(SettingError):
+        s.set("engine.max_concurrent_statements", "2", "global", is_admin=False)
+    with pytest.raises(SettingError):
+        s.set("engine.nope", "1", "session", is_admin=True)
+
+
+# --- security gates ---------------------------------------------------
+
+
+def test_admin_gate_blocks_non_admin():
+    with pytest.raises(security.CommandDenied):
+        security.check_admin_gate("ATTACH '/tmp/x.db' AS x", is_admin=False)
+    with pytest.raises(security.CommandDenied):
+        security.check_admin_gate("SELECT * FROM read_csv('/etc/passwd')", is_admin=False)
+    with pytest.raises(security.CommandDenied):
+        security.check_admin_gate("COPY t TO '/tmp/out.csv'", is_admin=False)
+    # remote schemes pass (proven-remote rule)
+    security.check_admin_gate("SELECT * FROM read_parquet('s3://b/x.parquet')", False)
+    # admin passes everything
+    security.check_admin_gate("ATTACH '/tmp/x.db' AS x", is_admin=True)
+
+
+def test_readonly_blocks_writes():
+    with pytest.raises(security.CommandDenied):
+        security.check_readonly("INSERT INTO t VALUES (1)", "readonly")
+    with pytest.raises(security.CommandDenied):
+        security.check_readonly("DROP TABLE t", "readonly")
+    security.check_readonly("SELECT 1", "readonly")
+    security.check_readonly("CREATE TEMP VIEW v AS SELECT 1", "readonly")
+    security.check_readonly("INSERT INTO t VALUES (1)", "user")
+
+
+# --- admission --------------------------------------------------------
+
+
+def test_admission_fifo_cap():
+    ac = AdmissionController(max_concurrent=1, max_queued=1)
+    ac.acquire()
+    order = []
+
+    def waiter():
+        ac.acquire()
+        order.append("second")
+        ac.release()
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    time.sleep(0.1)
+    with pytest.raises(QueueFullError):
+        ac.acquire()  # queue already holds the waiter
+    ac.release()
+    t.join(5)
+    assert order == ["second"]
+
+
+# --- engine lifecycle -------------------------------------------------
+
+
+def test_engine_query_roundtrip(engine, session, sf_smoke):
+    res = engine.execute_sql(
+        session, f"SELECT count(*) AS n FROM parquet.`{sf_smoke}/nation.parquet`"
+    )
+    assert res.kind == "query"
+    assert res.df.schema.fieldNames() == ["n"]  # schema without execution
+    rows = engine.collect(session, res)
+    assert rows[0]["n"] == 25
+
+
+def test_engine_set_and_settings_view(engine, session):
+    res = engine.execute_sql(session, "SET engine.query_timeout = 30")
+    assert res.kind == "set"
+    res = engine.execute_sql(session, "SELECT * FROM engine_settings() WHERE name = 'engine.query_timeout'")
+    rows = engine.collect(session, res)
+    assert rows[0]["value"] == "30"
+
+
+def test_engine_pseudo_functions(engine, session):
+    res = engine.execute_sql(session, "SELECT ENGINE_CURRENT_SESSION() AS sid")
+    rows = engine.collect(session, res)
+    assert rows[0]["sid"] == session
+
+
+def test_engine_file_scan_rewrite(engine, session, sf_smoke):
+    res = engine.execute_sql(
+        session, f"SELECT count(*) AS n FROM read_parquet('{sf_smoke}/region.parquet')"
+    )
+    assert engine.collect(session, res)[0]["n"] == 5
+
+
+def test_prepared_statement_roundtrip(engine, session, sf_smoke):
+    ps = engine.prepare(
+        session,
+        f"SELECT n_name FROM parquet.`{sf_smoke}/nation.parquet` "
+        "WHERE n_nationkey = :key ORDER BY n_name",
+    )
+    assert ps.parameter_names == ["key"]
+    res = engine.execute_prepared(session, ps.handle, {"key": 3})
+    rows = engine.collect(session, res)
+    assert rows[0]["n_name"] == "NATION_3"
+    engine.close_prepared(session, ps.handle)
+    with pytest.raises(KeyError):
+        engine.execute_prepared(session, ps.handle, {"key": 3})
+
+
+def test_session_isolation_temp_views(engine, spark, sf_smoke):
+    s1 = engine.create_session()
+    s2 = engine.create_session()
+    engine.execute_sql(s1, "CREATE TEMP VIEW iso_check AS SELECT 1 AS x")
+    r1 = engine.execute_sql(s1, "SELECT * FROM iso_check")
+    assert engine.collect(s1, r1)[0]["x"] == 1
+    with pytest.raises(Exception):
+        engine.execute_sql(s2, "SELECT * FROM iso_check").df.collect()
+    engine.close_session(s1)
+    engine.close_session(s2)
+
+
+def test_kill_session_requires_admin(engine):
+    victim = engine.create_session()
+    user = engine.create_session(role="user")
+    with pytest.raises(security.CommandDenied):
+        engine.execute_sql(user, f"KILL SESSION '{victim}'")
+    admin = engine.create_session(role="admin")
+    res = engine.execute_sql(admin, f"KILL SESSION '{victim}'")
+    assert res.info["killed"] == "true"
+    with pytest.raises(SessionClosed):
+        engine.execute_sql(victim, "SELECT 1")
+    # idempotent
+    res = engine.execute_sql(admin, f"KILL SESSION '{victim}'")
+    assert res.info["killed"] == "false"
+    engine.close_session(user)
+    engine.close_session(admin)
+
+
+def test_readonly_session_rejects_writes(engine):
+    ro = engine.create_session(role="readonly")
+    with pytest.raises(security.CommandDenied):
+        engine.execute_sql(ro, "CREATE TABLE t_nope AS SELECT 1 AS x")
+    engine.close_session(ro)
+
+
+def test_ingest_modes(engine, session, spark):
+    import pandas as pd
+
+    spark.sql("DROP TABLE IF EXISTS ingest_t")
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    assert engine.ingest(session, "ingest_t", df, mode="create") == 3
+    # append aligns by name even with reordered columns
+    df2 = pd.DataFrame({"b": ["w"], "a": [4]})
+    assert engine.ingest(session, "ingest_t", df2, mode="append") == 1
+    rows = engine.collect(session, engine.execute_sql(session, "SELECT * FROM ingest_t ORDER BY a"))
+    assert [r["a"] for r in rows] == [1, 2, 3, 4]
+    assert rows[-1]["b"] == "w"
+    assert engine.ingest(session, "ingest_t", df, mode="replace") == 3
+    with pytest.raises(Exception):
+        engine.ingest(session, "ingest_t", df, mode="create")
+    spark.sql("DROP TABLE IF EXISTS ingest_t")
+
+
+def test_drain_rejects_new_work(spark):
+    eng = Engine(spark)
+    sid = eng.create_session()
+    eng.begin_drain()
+    with pytest.raises(ServerDraining):
+        eng.execute_sql(sid, "SELECT 1")
+    with pytest.raises(ServerDraining):
+        eng.create_session()
+
+
+def test_health_check(engine):
+    assert engine.health_check() is True
+
+
+def test_session_options(engine, session):
+    opts = engine.get_session_options(session)
+    assert opts["catalog"] == "spark_catalog"
+    assert opts["schema"] == "default"

@@ -1,0 +1,55 @@
+"""Structured Streaming tests: drive each streaming operator to
+completion over the events fixture and check against the batch
+equivalents (which are themselves oracle-verified in test_relational)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gizmosql_spark.operators import events as batch_events
+from gizmosql_spark.streaming import windows as sw
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    return sw.read_event_stream(spark, sf_dir)
+
+
+def test_tumbling_matches_batch(spark, sf_dir, event_stream):
+    out = sw.run_to_completion(sw.tumbling_counts(event_stream), "t_tumble")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in out.collect()
+    }
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in batch_events.events_hourly(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, total) in expect.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - total) < 1e-6
+
+
+def test_sliding_windows_run(event_stream):
+    out = sw.run_to_completion(sw.sliding_counts(event_stream), "t_slide")
+    rows = out.collect()
+    assert len(rows) > 0
+    # each event lands in window/slide = 4 sliding windows
+    total_n = sum(r["n"] for r in rows)
+    assert total_n == 10000 * 4
+
+
+def test_session_windows_match_batch_counts(spark, sf_dir, event_stream):
+    out = sw.run_to_completion(sw.session_windows(event_stream), "t_sess")
+    stream_sessions = out.count()
+    batch_sessions = batch_events.events_sessionize(spark, sf_dir).count()
+    assert stream_sessions == batch_sessions
+
+
+def test_stateful_running_totals(spark, event_stream):
+    out = sw.run_to_completion(sw.running_totals(event_stream), "t_state")
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert len(rows) > 0
+    total_events = sum(r["count"] for r in rows.values())
+    assert total_events == 10000
