@@ -98,10 +98,44 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each click, the most
+    recent purchase timestamp of the same user at or before it.
+
+    Implemented as the scalable union-and-carry pattern: tag both
+    streams, sort within the user partition, carry the last purchase
+    ts with a running max window — ONE shuffle on user_id, no
+    per-group Python, no merge_asof. Equivalent to DuckDB's
+    ASOF JOIN (oracle uses the correlated-max formulation to pin tie
+    semantics)."""
+    e = load_events(spark, sf_dir)
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+        # purchases sort before clicks at identical ts so `<=` holds
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("side"),
+    ).filter(F.col("event_type").isin("purchase", "click"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_purchase_ts", F.max("purchase_ts").over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "events_json": events_json,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
+    "events_asof_join": events_asof_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -146,5 +180,15 @@ ORACLE: dict[str, str] = {
         FROM sessions
         GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx
+    """,
+    "events_asof_join": """
+        SELECT c.event_id, c.user_id, c.ts,
+               (SELECT max(p.ts) FROM events p
+                WHERE p.user_id = c.user_id
+                  AND p.event_type = 'purchase'
+                  AND p.ts <= c.ts) AS last_purchase_ts
+        FROM events c
+        WHERE c.event_type = 'click'
+        ORDER BY c.event_id
     """,
 }

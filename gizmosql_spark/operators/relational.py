@@ -202,7 +202,30 @@ def values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a banding dimension: quantity bands
+    via inequality-only join conditions. Catalyst plans the broadcast
+    nested-loop; band count is tiny so cost stays linear in the fact
+    side (the general range-join recipe: bucketize + equi-join when
+    bands are dense)."""
+    l = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        l.join(
+            F.broadcast(bands),
+            (l.l_quantity >= bands.lo) & (l.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("total"))
+        .orderBy("band")
+    )
+
+
 QUERIES = {
+    "range_band_join": range_band_join,
     "window_topk": window_topk,
     "window_running": window_running,
     "window_frame": window_frame,
@@ -216,6 +239,15 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "range_band_join": """
+        SELECT band, count(*) AS n, sum(l_extendedprice) AS total
+        FROM lineitem
+        JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0),
+                     ('high', 30.0, 51.0)) AS b(band, lo, hi)
+          ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+        ORDER BY band
+    """,
     "window_topk": """
         SELECT o_orderpriority, o_orderkey, o_totalprice, rn
         FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,

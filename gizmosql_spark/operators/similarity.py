@@ -86,17 +86,70 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", bucket.alias("bucket")).orderBy("vec_id")
 
 
+N_BLOCKS = 8
+
+_PAIR_SCHEMA = "a_id long, b_id long, cos_sim double"
+
+
+def _block_neardup_fn(key, pdf):
+    """One block-pair task: numpy GEMM over unit vectors → pairs ≥
+    threshold. Runs fully executor-side; at 100 TB each block pair is
+    one task and block size is chosen to fit executor memory."""
+    import numpy as np
+    import pandas as pd
+
+    ba, bb = key
+    left = pdf[pdf["side"] == 0]
+    right = pdf[pdf["side"] == 1]
+    if len(left) == 0 or len(right) == 0:
+        return pd.DataFrame(columns=["a_id", "b_id", "cos_sim"])
+    A = np.vstack(left["unit"].to_numpy())
+    B = np.vstack(right["unit"].to_numpy())
+    M = A @ B.T
+    ai, bi = np.nonzero(np.round(M, 6) >= NEARDUP_THRESHOLD)
+    a_ids = left["vec_id"].to_numpy()[ai]
+    b_ids = right["vec_id"].to_numpy()[bi]
+    cos = np.round(M[ai, bi], 6)
+    if ba == bb:
+        # same vectors on both sides: keep each unordered pair once
+        mask = a_ids < b_ids
+        a_ids, b_ids, cos = a_ids[mask], b_ids[mask], cos[mask]
+    else:
+        # distinct blocks: each unordered pair appears once; normalize
+        # orientation (the lower vec_id may live in the higher block)
+        lo = np.minimum(a_ids, b_ids)
+        b_ids = np.maximum(a_ids, b_ids)
+        a_ids = lo
+    return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "cos_sim": cos})
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs embedding-cosine near-dup (exact ground truth; use
-    ann_lsh_buckets as the blocking key at scale)."""
+    """All-pairs embedding-cosine near-dup via blocked GEMM.
+
+    Vectors are unit-normalized once (JVM expressions), then fanned out
+    to block pairs and multiplied with numpy inside applyInPandas — the
+    canonical distributed brute-force: O(n²/B²) tasks, BLAS inside each.
+    Exact semantics (same result as the SQL oracle); use
+    ann_lsh_buckets as the blocking key to go sub-quadratic at scale."""
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
-    cos = F.expr(_COS_EXPR.format(a="a_emb", b="b_emb"))
+    norm = F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v))")
+    unit = F.expr("transform(emb, x -> x / _norm)")
+    ev = (
+        e.withColumn("_norm", norm)
+        .withColumn("unit", unit)
+        .withColumn("blk", (F.col("vec_id") % N_BLOCKS).cast("int"))
+        .select("vec_id", "unit", "blk")
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(N_BLOCKS) for b in range(N_BLOCKS) if a <= b],
+        "ba int, bb int",
+    )
+    left = ev.join(F.broadcast(pairs), ev.blk == pairs.ba).withColumn("side", F.lit(0))
+    right = ev.join(F.broadcast(pairs), ev.blk == pairs.bb).withColumn("side", F.lit(1))
+    both = left.unionByName(right)
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.round(cos, 6).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        both.groupBy("ba", "bb")
+        .applyInPandas(_block_neardup_fn, _PAIR_SCHEMA)
         .orderBy("a_id", "b_id")
     )
 

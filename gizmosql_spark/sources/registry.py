@@ -1,0 +1,94 @@
+"""File sources & sinks (SURVEY §2D).
+
+The reference exposes DuckDB's file functions — read_parquet/read_csv*/
+read_json*/read_text/read_blob with glob support
+(/root/reference/src/duckdb/admin_command_guard.cpp:107-115) — and COPY
+TO for export (:348-381). Spark analogs, with schema/options mapped:
+
+- globs are native to every Spark reader
+- ``_auto`` variants ≈ ``inferSchema``/``multiLine`` options
+- read_text → one row per line (``spark.read.text``); read_blob →
+  ``binaryFile`` datasource (path/length/content columns)
+- COPY t TO 'path' (FORMAT x) → ``df.write.format(x).save(path)``
+- object-store schemes (s3a://, gs://, abfss://, …) ride the Hadoop FS
+  connectors on a real cluster — same API, different URI.
+
+parquet_metadata/parquet_schema analogs expose footer info via the
+reader's schema (no data scan).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """read_parquet('glob') — vectorized scan, pushdown-capable."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, header: bool = True, infer: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """read_csv_auto analog: header + schema inference by default."""
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, multiline: bool = False) -> DataFrame:
+    """read_json_auto / read_ndjson_auto analog (ndjson is the default
+    line-delimited mode; multiline=True for single-document files)."""
+    return spark.read.option("multiLine", multiline).json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """read_text analog: one row per line, column ``value``."""
+    return spark.read.text(path)
+
+
+def read_blob(spark: SparkSession, path: str) -> DataFrame:
+    """read_blob analog: binaryFile source → (path, modificationTime,
+    length, content)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def parquet_schema(spark: SparkSession, path: str) -> DataFrame:
+    """parquet_schema analog: column name/type rows from the footer
+    (schema resolution only — no data scan)."""
+    schema = spark.read.parquet(path).schema
+    rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in schema.fields]
+    return spark.createDataFrame(rows, "column_name string, column_type string, nullable boolean")
+
+
+def copy_to(df: DataFrame, path: str, fmt: str = "parquet",
+            mode: str = "overwrite", **options) -> None:
+    """COPY <query> TO 'path' (FORMAT fmt) analog."""
+    writer = df.write.mode(mode).format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def export_database(spark: SparkSession, out_dir: str, tables: list[str] | None = None) -> dict[str, int]:
+    """EXPORT DATABASE analog: every (or named) catalog table → parquet
+    under out_dir; returns per-table row counts."""
+    names = tables or [t.name for t in spark.catalog.listTables() if not t.isTemporary]
+    counts = {}
+    for name in names:
+        df = spark.table(name)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
+        counts[name] = df.count()
+    return counts
+
+
+def import_database(spark: SparkSession, in_dir: str, tables: list[str]) -> None:
+    """IMPORT DATABASE analog: parquet dirs → managed tables."""
+    for name in tables:
+        spark.read.parquet(f"{in_dir}/{name}").write.mode("overwrite").saveAsTable(name)

@@ -1,0 +1,80 @@
+"""Sources/sinks + metadata surface tests (SURVEY §2A/§2D)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from gizmosql_spark import catalog, sql_info
+from gizmosql_spark.sources import registry as src
+
+
+def test_read_parquet_glob(spark, sf_smoke):
+    df = src.read_parquet(spark, f"{sf_smoke}/nation.parquet")
+    assert df.count() == 25
+
+
+def test_csv_json_text_blob_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id", "concat('row', id) AS name")
+    src.copy_to(df, out + ".csv", fmt="csv", header=True)
+    back = src.read_csv(spark, out + ".csv")
+    assert back.count() == 5 and set(back.columns) == {"id", "name"}
+
+    src.copy_to(df, out + ".json", fmt="json")
+    assert src.read_json(spark, out + ".json").count() == 5
+
+    src.copy_to(df.selectExpr("name"), out + ".txt", fmt="text")
+    assert src.read_text(spark, out + ".txt").count() == 5
+
+    blobs = src.read_blob(spark, out + ".csv")
+    assert "content" in blobs.columns and blobs.count() >= 1
+
+
+def test_parquet_schema_no_scan(spark, sf_smoke):
+    df = src.parquet_schema(spark, f"{sf_smoke}/region.parquet")
+    rows = {r["column_name"]: r["column_type"] for r in df.collect()}
+    assert rows["r_regionkey"] == "int"
+    assert rows["r_name"] == "string"
+
+
+def test_export_import_database(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS exp_t")
+    spark.range(10).write.saveAsTable("exp_t")
+    counts = src.export_database(spark, str(tmp_path / "exp"), ["exp_t"])
+    assert counts == {"exp_t": 10}
+    spark.sql("DROP TABLE exp_t")
+    src.import_database(spark, str(tmp_path / "exp"), ["exp_t"])
+    assert spark.table("exp_t").count() == 10
+    spark.sql("DROP TABLE exp_t")
+
+
+def test_sql_info(spark):
+    info = sql_info.get_sql_info(spark)
+    assert info["SQL_OUTER_JOINS_SUPPORT_LEVEL"] == "FULL"
+    assert info["SQL_CORRELATED_SUBQUERIES_SUPPORTED"] is True
+    assert "abs" in info["SQL_SUPPORTED_FUNCTIONS"]
+    subset = sql_info.get_sql_info(spark, keys=["SQL_CATALOG_TERM"])
+    assert subset == {"SQL_CATALOG_TERM": "catalog"}
+
+
+def test_xdbc_type_info(spark):
+    df = sql_info.get_xdbc_type_info(spark)
+    names = [r["type_name"] for r in df.collect()]
+    assert "BIGINT" in names and "TIMESTAMP" in names
+    only_ts = sql_info.get_xdbc_type_info(spark, data_type=93)
+    assert only_ts.count() == 2
+
+
+def test_catalog_metadata(spark, sf_smoke):
+    catalog.register_tables(spark, sf_smoke, ("nation", "region"))
+    cats = [r["catalog_name"] for r in catalog.get_catalogs(spark).collect()]
+    assert "spark_catalog" in cats
+    tables = catalog.get_tables(spark, name_pattern="nati%").collect()
+    assert any(t["table_name"] == "nation" for t in tables)
+    assert all(t["table_type"] == "LOCAL TEMPORARY" for t in tables)
+    with_schema = catalog.get_tables(spark, "nation", include_schema=True).collect()
+    assert "n_nationkey" in with_schema[0]["table_schema_json"]
+    types = [r["table_type"] for r in catalog.get_table_types(spark).collect()]
+    assert types == ["BASE TABLE", "LOCAL TEMPORARY", "VIEW"]
