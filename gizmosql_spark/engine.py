@@ -280,6 +280,44 @@ class Engine:
             raise err
         return out["rows"]
 
+    def collect_arrow(self, session_id: str, result: StatementResult,
+                      timeout: float | None = None):
+        """Materialize as a pyarrow Table — the Arrow-stream result path
+        (reference: RecordBatchStream over gRPC,
+        duckdb_statement_batch_reader.cpp:68-85; here ``df.toArrow()``
+        with the same admission/watchdog wrapping as ``collect``)."""
+        st = self._session(session_id)
+        if timeout is None:
+            timeout = float(st.settings.get("engine.query_timeout", self.global_settings) or 0)
+        bypass = bool(st.settings.get("engine.bypass_queue", self.global_settings))
+        if not bypass:
+            self._admission.acquire()
+        st.statement_seq += 1
+        sc = self.spark.sparkContext
+        out: dict[str, Any] = {}
+
+        def _run():
+            sc.setJobGroup(st.session_id, f"stmt-{st.statement_seq}", interruptOnCancel=True)
+            try:
+                out["table"] = result.df.toArrow()
+            except Exception as e:
+                out["error"] = e
+
+        try:
+            worker = threading.Thread(target=_run, daemon=True)
+            worker.start()
+            worker.join(timeout if timeout and timeout > 0 else None)
+            if worker.is_alive():
+                sc.cancelJobGroup(st.session_id)
+                worker.join(10)
+                raise StatementTimeout(f"statement exceeded {timeout}s")
+        finally:
+            if not bypass:
+                self._admission.release()
+        if "error" in out:
+            raise out["error"]
+        return out["table"]
+
     # --- prepared statements (§3.2) -----------------------------------
 
     def prepare(self, session_id: str, sql: str) -> PreparedStatement:

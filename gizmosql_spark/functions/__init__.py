@@ -61,6 +61,24 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
 
 def _pandas_gap_udfs():
     """Built lazily: pandas_udf needs an active SparkSession."""
+    import unicodedata
+
+    @pandas_udf("string")
+    def strip_accents_(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: "".join(
+                c for c in unicodedata.normalize("NFD", v)
+                if unicodedata.category(c) != "Mn"
+            )
+            if v is not None
+            else None
+        )
+
+    @pandas_udf("string")
+    def nfc_normalize_(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
 
     @pandas_udf("double")
     def gamma_(x: pd.Series) -> pd.Series:
@@ -79,7 +97,13 @@ def _pandas_gap_udfs():
             ]
         )
 
-    return {"gamma": gamma_, "lgamma": lgamma_, "nextafter": nextafter_}
+    return {
+        "gamma": gamma_,
+        "lgamma": lgamma_,
+        "nextafter": nextafter_,
+        "strip_accents": strip_accents_,
+        "nfc_normalize": nfc_normalize_,
+    }
 
 
 def register_all(spark: SparkSession) -> None:

@@ -124,16 +124,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
-    cand = (
+    # one shuffle: the postings self-join on shingle IS the common
+    # count — no candidate materialization + re-join needed
+    common = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.count(F.lit(1)).alias("cc"))
     )
-    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("szb"))
+    return (
+        common.join(za, "a_id")
+        .join(zb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("cc").cast("double") / (F.col("sza") + F.col("szb") - F.col("cc"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Property-based differential testing: randomized filter/agg queries
+must agree between Spark and DuckDB over the same parquet.
+
+Extends the reference's fixed-corpus oracle gate with generated
+predicates (the reference relies on DuckDB upstream for randomized
+coverage; here the oracle IS DuckDB, so divergence = our bug)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF = "/root/testdata/sf0.01"
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_STR_COLS = ["l_returnflag", "l_linestatus"]
+_OPS = ["<", "<=", ">", ">=", "="]
+
+_predicate = st.one_of(
+    st.tuples(st.sampled_from(_NUM_COLS), st.sampled_from(_OPS),
+              st.floats(0.0, 60.0, allow_nan=False).map(lambda v: round(v, 2))).map(
+        lambda t: f"{t[0]} {t[1]} {t[2]}"
+    ),
+    st.tuples(st.sampled_from(_STR_COLS), st.sampled_from(["F", "O", "A", "R", "N"])).map(
+        lambda t: f"{t[0]} = '{t[1]}'"
+    ),
+)
+
+_predicates = st.lists(_predicate, min_size=1, max_size=3)
+_joiners = st.sampled_from([" AND ", " OR "])
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df.createOrReplaceTempView("li_prop")
+    return df
+
+
+@given(preds=_predicates, joiner=_joiners)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_filter_count_sum_agree(spark, ddb, sdf, preds, joiner):
+    where = joiner.join(preds)
+    q = (
+        "SELECT count(*) AS n, sum(l_quantity) AS s, min(l_extendedprice) AS mn "
+        f"FROM {{t}} WHERE {where}"
+    )
+    got = spark.sql(q.format(t="li_prop")).collect()[0]
+    want = ddb.execute(q.format(t="lineitem")).fetchone()
+    assert got["n"] == want[0], where
+    if want[1] is None:
+        assert got["s"] is None, where
+    else:
+        assert got["s"] == pytest.approx(want[1], rel=1e-9), where
+    if want[2] is None:
+        assert got["mn"] is None, where
+    else:
+        assert got["mn"] == pytest.approx(want[2], rel=1e-9), where
