@@ -27,6 +27,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gizmosql_spark.operators import loader
+
 from gizmosql_spark.operators.text import _NORM_SQL, _norm
 
 N_HASHES = 8
@@ -35,7 +37,7 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return loader.table(spark, sf_dir, name)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from gizmosql_spark.operators import loader
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -45,7 +47,7 @@ except ImportError:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return loader.table(spark, sf_dir, name)
 
 
 def with_blob(spark: SparkSession, sf_dir: str) -> DataFrame:

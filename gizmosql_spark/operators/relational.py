@@ -19,9 +19,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gizmosql_spark.operators import loader
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return loader.table(spark, sf_dir, name)
 
 
 # --- window functions -------------------------------------------------
@@ -224,8 +226,40 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (§2E numeric family): stddev/variance/
+    correlation/covariance per group — all JVM-native partial aggs."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd_price"),
+            F.var_samp("l_quantity").alias("var_qty"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            F.covar_samp("l_discount", "l_tax").alias("cov_disc_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median/p90) per group — Spark's
+    ``percentile`` matches DuckDB's ``quantile_cont`` definition."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_price"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 QUERIES = {
     "range_band_join": range_band_join,
+    "stats_agg": stats_agg,
+    "percentile_agg": percentile_agg,
     "window_topk": window_topk,
     "window_running": window_running,
     "window_frame": window_frame,
@@ -247,6 +281,24 @@ ORACLE: dict[str, str] = {
           ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band
         ORDER BY band
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               stddev_samp(l_extendedprice) AS sd_price,
+               var_samp(l_quantity) AS var_qty,
+               corr(l_quantity, l_extendedprice) AS corr_qty_price,
+               covar_samp(l_discount, l_tax) AS cov_disc_tax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "percentile_agg": """
+        SELECT l_linestatus,
+               quantile_cont(l_extendedprice, 0.5) AS p50_price,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
     """,
     "window_topk": """
         SELECT o_orderpriority, o_orderkey, o_totalprice, rn

@@ -26,6 +26,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gizmosql_spark.operators import loader
+
 N_PLANES = 8
 DIM = 64
 NEARDUP_THRESHOLD = 0.4
@@ -42,7 +44,7 @@ _COS_EXPR = (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return loader.table(spark, sf_dir, name)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

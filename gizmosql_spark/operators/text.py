@@ -24,6 +24,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gizmosql_spark.operators import loader
+
 # CJK unified ideographs range, built from codepoints so the identical
 # literal characters reach both regex engines (Java + RE2).
 _CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
@@ -39,7 +41,7 @@ STOPWORDS = {
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return loader.table(spark, sf_dir, name)
 
 
 def _norm(col: F.Column) -> F.Column:
