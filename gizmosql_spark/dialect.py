@@ -59,6 +59,11 @@ _SET_RE = re.compile(
 _KILL_RE = re.compile(
     r"^\s*KILL\s+SESSION\s+'?([0-9a-fA-F-]+)'?\s*;?\s*$", re.IGNORECASE
 )
+_TXN_RE = re.compile(
+    r"^\s*(BEGIN(?:\s+TRANSACTION)?|START\s+TRANSACTION|COMMIT|ROLLBACK|ABORT)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -73,10 +78,15 @@ class KillCommand:
     session_id: str
 
 
+@dataclass
+class TxnCommand:
+    action: str  # "begin" | "commit" | "rollback"
+
+
 def classify_command(sql: str):
     """Detect engine-level commands that never reach Spark.
 
-    Returns SetCommand | KillCommand | None (plain SQL).
+    Returns SetCommand | KillCommand | TxnCommand | None (plain SQL).
     """
     m = _SET_RE.match(sql)
     if m:
@@ -87,7 +97,75 @@ def classify_command(sql: str):
     m = _KILL_RE.match(sql)
     if m:
         return KillCommand(m.group(1))
+    m = _TXN_RE.match(sql)
+    if m:
+        word = m.group(1).split()[0].upper()
+        action = {"BEGIN": "begin", "START": "begin", "COMMIT": "commit",
+                  "ROLLBACK": "rollback", "ABORT": "rollback"}[word]
+        return TxnCommand(action)
     return None
+
+
+#: target-table extraction for DML statements (affected-count + txn
+#: tracking; the reference reads counts from DuckDB's 1x1 BIGINT
+#: convention, duckdb_statement.cpp:2341-2380 — Spark returns no count,
+#: so the engine measures the target table instead)
+_DML_TARGET_RE = re.compile(
+    r"^\s*(?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|DELETE\s+FROM"
+    r"|UPDATE|MERGE\s+INTO)\s+([A-Za-z_][\w.]*|`[^`]+`)",
+    re.IGNORECASE,
+)
+
+
+def dml_target(sql: str) -> str | None:
+    """Target table of an INSERT/DELETE/UPDATE/MERGE, else None."""
+    m = _DML_TARGET_RE.match(_mask_literals(sql))
+    if not m:
+        return None
+    return m.group(1).strip("`")
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on top-level semicolons.
+
+    Quote-aware (single/double quotes with '' escaping) and skips
+    ``--`` line comments — the client-side splitter the reference uses
+    for init SQL (gizmosql_library.cpp:122-157)."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        c = script[i]
+        if c in ("'", '"'):
+            quote = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(script[i])
+                if script[i] == quote:
+                    if i + 1 < n and script[i + 1] == quote:
+                        buf.append(script[i + 1])
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+        elif c == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1
+        elif c == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts
 
 
 # --- pseudo-function replacement --------------------------------------

@@ -35,10 +35,13 @@ from gizmosql_spark.admission import AdmissionController
 from gizmosql_spark.dialect import (
     KillCommand,
     SetCommand,
+    TxnCommand,
     classify_command,
+    dml_target,
     extract_file_scans,
     replace_pseudo_functions,
     rewrite_settings_function,
+    split_statements,
 )
 from gizmosql_spark.session import get_spark
 from gizmosql_spark.settings import (
@@ -83,12 +86,30 @@ class StatementResult:
 
 
 @dataclass
+class Transaction:
+    """Session-scoped transaction over managed tables.
+
+    The reference runs BEGIN/COMMIT/ROLLBACK on the per-session DuckDB
+    connection (duckdb_server.cpp:1987-2014). Core Spark has no
+    multi-statement ACID, so the engine provides rollback by
+    snapshotting each managed table the first time the transaction
+    writes it (created tables are simply dropped on rollback). On a
+    lakehouse deployment the same API maps to Delta/Iceberg snapshots
+    instead of table copies (SURVEY §7 hard part 3)."""
+
+    txn_id: str
+    #: table -> backup table name, or None when the table did not exist
+    backups: dict[str, str | None] = field(default_factory=dict)
+
+
+@dataclass
 class SessionState:
     session_id: str
     role: str
     spark: SparkSession
     settings: SettingsState = field(default_factory=SettingsState)
     prepared: dict[str, PreparedStatement] = field(default_factory=dict)
+    txn: Transaction | None = None
     closed: bool = False
     killed: bool = False
     statement_seq: int = 0
@@ -222,6 +243,12 @@ class Engine:
         if isinstance(cmd, KillCommand):
             ok = self.kill_session(cmd.session_id, by=session_id)
             return StatementResult("kill", info={"killed": str(ok).lower()})
+        if isinstance(cmd, TxnCommand):
+            if cmd.action == "begin":
+                self.begin_transaction(session_id)
+            else:
+                self.end_transaction(session_id, commit=cmd.action == "commit")
+            return StatementResult("txn", info={"action": cmd.action})
 
         security.check_admin_gate(sql, st.is_admin)
         security.check_readonly(sql, st.role)
@@ -234,10 +261,97 @@ class Engine:
         for view, fmt, path in scans:
             st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
 
+        target = dml_target(sql)
+        if target is not None:
+            # DML path: runs eagerly inside spark.sql(). Affected count
+            # is measured as the table's row-count delta — count() on a
+            # managed parquet table is row-group metadata only, no scan
+            # (the reference reads DuckDB's changes() convention,
+            # duckdb_statement.cpp:2341-2380).
+            if st.txn is not None:
+                self._txn_snapshot(st, target)
+            before = self._table_count(st, target)
+            df = st.spark.sql(sql)
+            self._refresh_everywhere(target)
+            after = self._table_count(st, target)
+            affected = abs(after - before) if before is not None else None
+            return StatementResult("update", df=df, affected_rows=affected)
+
         df = st.spark.sql(sql)
         if df.isStreaming or df.schema.fields:
             return StatementResult("query", df=df)
         return StatementResult("update", df=df, affected_rows=None)
+
+    def execute_script(self, session_id: str,
+                       script: str) -> list[StatementResult]:
+        """Run a multi-statement script (the reference splits init SQL
+        client-side, gizmosql_library.cpp:122-157)."""
+        return [
+            self.execute_sql(session_id, stmt)
+            for stmt in split_statements(script)
+        ]
+
+    def cancel(self, session_id: str) -> None:
+        """CancelQuery / CancelFlightInfo: interrupt the session's
+        in-flight statements (duckdb_server.cpp:2016-2042)."""
+        st = self._session(session_id)
+        self._cancel_session_jobs(st)
+
+    # --- transactions (duckdb_server.cpp:1987-2014) -------------------
+
+    def _table_count(self, st: SessionState, table: str) -> int | None:
+        try:
+            return st.spark.table(table).count()
+        except Exception:
+            return None
+
+    def _txn_snapshot(self, st: SessionState, table: str) -> None:
+        """Snapshot a managed table the first time the open transaction
+        writes it (lakehouse deployments use Delta/Iceberg snapshots
+        instead of copies)."""
+        txn = st.txn
+        if txn is None or table in txn.backups:
+            return
+        if not st.spark.catalog.tableExists(table):
+            txn.backups[table] = None
+            return
+        backup = f"{table}__txn_{txn.txn_id}"
+        st.spark.table(table).write.mode("overwrite").saveAsTable(backup)
+        txn.backups[table] = backup
+
+    def begin_transaction(self, session_id: str) -> str:
+        st = self._session(session_id)
+        if st.txn is not None:
+            raise RuntimeError("transaction already open on this session")
+        st.txn = Transaction(uuid.uuid4().hex[:12])
+        return st.txn.txn_id
+
+    def end_transaction(self, session_id: str, commit: bool) -> None:
+        st = self._session(session_id)
+        txn = st.txn
+        if txn is None:
+            raise RuntimeError("no open transaction on this session")
+        st.txn = None
+        for table, backup in txn.backups.items():
+            if commit:
+                if backup is not None:
+                    st.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+            elif backup is None:
+                st.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            else:
+                st.spark.table(backup).write.mode("overwrite").saveAsTable(table)
+                self._refresh_everywhere(table)
+                st.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+
+    def _refresh_everywhere(self, table: str) -> None:
+        """Invalidate a table's relation cache in every session — the
+        cache is per-SparkSession, so an overwrite in one session would
+        otherwise leave stale file listings in the others."""
+        for sp in [self.spark] + [s.spark for s in self.sessions.values()]:
+            try:
+                sp.catalog.refreshTable(table)
+            except Exception:
+                pass
 
     def collect(self, session_id: str, result: StatementResult,
                 timeout: float | None = None) -> list:
@@ -361,6 +475,8 @@ class Engine:
         st = self._session(session_id)
         if st.role == "readonly":
             raise security.CommandDenied("readonly role may not ingest")
+        if st.txn is not None:
+            self._txn_snapshot(st, table)
         df = data if isinstance(data, DataFrame) else st.spark.createDataFrame(data)
         n = df.count()
         if mode == "create":
@@ -372,6 +488,7 @@ class Engine:
             df.select(*target_cols).write.mode("append").saveAsTable(table)
         else:
             raise ValueError(f"unknown ingest mode: {mode}")
+        self._refresh_everywhere(table)
         return n
 
     # --- metadata + health (§2A) --------------------------------------

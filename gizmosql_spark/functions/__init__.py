@@ -56,6 +56,64 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "(x DOUBLE) RETURNS DOUBLE",
         "CASE WHEN x >= 0 THEN ceil(x / 2) * 2 ELSE floor(x / 2) * 2 END",
     ),
+    # --- DuckDB dialect aliases (duckdb_sql_info.cpp:106-186) ---------
+    # 1-based list access; negative indexes count from the end
+    "list_element": (
+        "(l ARRAY<STRING>, i INT) RETURNS STRING",
+        "element_at(l, i)",
+    ),
+    "list_extract": (
+        "(l ARRAY<STRING>, i INT) RETURNS STRING",
+        "element_at(l, i)",
+    ),
+    "array_extract": (
+        "(l ARRAY<STRING>, i INT) RETURNS STRING",
+        "element_at(l, i)",
+    ),
+    # list_slice / array_slice: 1-based inclusive bounds
+    "list_slice": (
+        "(l ARRAY<STRING>, b INT, e INT) RETURNS ARRAY<STRING>",
+        "slice(l, b, e - b + 1)",
+    ),
+    # split-family aliases over Spark's split()
+    "str_split": (
+        "(s STRING, sep STRING) RETURNS ARRAY<STRING>",
+        "split(s, CASE WHEN sep = '' THEN '(?!^)(?!$)' ELSE regexp_replace(sep,"
+        r" '([\\.\\^\\$\\*\\+\\?\\(\\)\\[\\]\\{\\}\\|\\\\])', '\\\\$1') END)",
+    ),
+    "string_to_array": (
+        "(s STRING, sep STRING) RETURNS ARRAY<STRING>",
+        "str_split(s, sep)",
+    ),
+    "str_split_regex": (
+        "(s STRING, pat STRING) RETURNS ARRAY<STRING>",
+        "split(s, pat)",
+    ),
+    "regexp_split_to_array": (
+        "(s STRING, pat STRING) RETURNS ARRAY<STRING>",
+        "split(s, pat)",
+    ),
+    # prefix/suffix predicates
+    "prefix": (
+        "(s STRING, p STRING) RETURNS BOOLEAN",
+        "startswith(s, p)",
+    ),
+    "suffix": (
+        "(s STRING, p STRING) RETURNS BOOLEAN",
+        "endswith(s, p)",
+    ),
+    # date shortcuts (duckdb_sql_info.cpp:178-186)
+    "today": ("() RETURNS DATE", "current_date()"),
+    "yesterday": ("() RETURNS DATE", "date_sub(current_date(), 1)"),
+    "tomorrow": ("() RETURNS DATE", "date_add(current_date(), 1)"),
+    # strftime/strptime in DuckDB argument order
+    "strftime": (
+        "(ts TIMESTAMP, fmt STRING) RETURNS STRING",
+        # translate the most common C-style codes to Java SimpleDateFormat
+        "date_format(ts, replace(replace(replace(replace(replace(replace("
+        "replace(fmt, '%Y', 'yyyy'), '%m', 'MM'), '%d', 'dd'),"
+        " '%H', 'HH'), '%M', 'mm'), '%S', 'ss'), '%f', 'SSSSSS'))",
+    ),
 }
 
 

@@ -135,11 +135,37 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the §2E string-similarity contract end-to-end: the
+    advertised JACCARD/HAMMING/LEVENSHTEIN/EDITDIST3/PREFIX/SUFFIX/
+    STR_SPLIT/LIST_ELEMENT surface (duckdb_sql_info.cpp:106-170),
+    registered by :mod:`gizmosql_spark.functions` as JVM SQL UDFs and
+    checked value-for-value against DuckDB's native implementations."""
+    from gizmosql_spark import functions as gf
+
+    gf.register_all(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT doc_id,
+               jaccard(source, lang) AS jacc,
+               hamming(substr(md5(text), 1, 16), substr(md5(text), 17, 16)) AS ham,
+               levenshtein(source, lang) AS lev,
+               editdist3(lang, 'en') AS ed3,
+               prefix(text, 'key') AS pref,
+               suffix(source, 'l') AS suff,
+               list_element(str_split(text, ' '), 2) AS second_token,
+               CAST(size(str_split(source, '')) AS INTEGER) AS n_src_chars
+        FROM documents
+        ORDER BY doc_id
+    """)
+
+
 QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
+    "string_funcs": string_funcs,
 }
 
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
@@ -180,6 +206,19 @@ ORACLE: dict[str, str] = {
                    + 0.4 * (1.0 - punct_chars / greatest(n_chars, 1.0))
                    + 0.2 * (stop_hits / n_tokens))) AS quality_score
         FROM t
+        ORDER BY doc_id
+    """,
+    "string_funcs": """
+        SELECT doc_id,
+               jaccard(source, lang) AS jacc,
+               CAST(hamming(substr(md5(text), 1, 16), substr(md5(text), 17, 16)) AS INTEGER) AS ham,
+               CAST(levenshtein(source, lang) AS INTEGER) AS lev,
+               CAST(editdist3(lang, 'en') AS INTEGER) AS ed3,
+               prefix(text, 'key') AS pref,
+               suffix(source, 'l') AS suff,
+               list_element(str_split(text, ' '), 2) AS second_token,
+               CAST(len(str_split(source, '')) AS INTEGER) AS n_src_chars
+        FROM documents
         ORDER BY doc_id
     """,
     "lang_id": f"""

@@ -264,3 +264,97 @@ def test_session_options(engine, session):
     opts = engine.get_session_options(session)
     assert opts["catalog"] == "spark_catalog"
     assert opts["schema"] == "default"
+
+
+# --- transactions / script / cancel / DML counts ----------------------
+
+
+def test_split_statements():
+    from gizmosql_spark.dialect import split_statements
+
+    stmts = split_statements(
+        "CREATE TEMP VIEW v AS SELECT 1; -- a comment; with semicolon\n"
+        "SELECT 'a;b' AS s;\nSELECT 2"
+    )
+    assert len(stmts) == 3
+    assert stmts[1] == "SELECT 'a;b' AS s"
+
+
+def test_classify_txn():
+    from gizmosql_spark.dialect import TxnCommand, classify_command
+
+    for sql, action in [
+        ("BEGIN", "begin"),
+        ("begin transaction;", "begin"),
+        ("START TRANSACTION", "begin"),
+        ("COMMIT", "commit"),
+        ("ROLLBACK;", "rollback"),
+        ("ABORT", "rollback"),
+    ]:
+        cmd = classify_command(sql)
+        assert isinstance(cmd, TxnCommand) and cmd.action == action
+    assert classify_command("BEGIN WORK NOW") is None
+
+
+def test_dml_target():
+    from gizmosql_spark.dialect import dml_target
+
+    assert dml_target("INSERT INTO t SELECT 1") == "t"
+    assert dml_target("insert overwrite table db.t values (1)") == "db.t"
+    assert dml_target("DELETE FROM t WHERE x = 1") == "t"
+    assert dml_target("UPDATE t SET x = 2") == "t"
+    assert dml_target("SELECT * FROM t") is None
+
+
+def test_transaction_rollback_restores_table(engine, session, spark):
+    spark.sql("DROP TABLE IF EXISTS txn_demo")
+    engine.execute_sql(session, "CREATE TABLE txn_demo AS SELECT 1 AS x")
+    try:
+        engine.execute_sql(session, "BEGIN")
+        r = engine.execute_sql(session, "INSERT INTO txn_demo VALUES (2)")
+        assert r.kind == "update" and r.affected_rows == 1
+        assert spark.table("txn_demo").count() == 2
+        engine.execute_sql(session, "ROLLBACK")
+        assert spark.table("txn_demo").count() == 1
+        # committed txn keeps the write and clears the backup
+        engine.execute_sql(session, "BEGIN")
+        engine.execute_sql(session, "INSERT INTO txn_demo VALUES (3)")
+        engine.execute_sql(session, "COMMIT")
+        assert spark.table("txn_demo").count() == 2
+        assert not [
+            t for t in spark.catalog.listTables() if "__txn_" in t.name
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS txn_demo")
+
+
+def test_transaction_rollback_drops_created_table(engine, session, spark):
+    spark.sql("DROP TABLE IF EXISTS txn_new")
+    sid = session
+    engine.execute_sql(sid, "BEGIN")
+    engine.ingest(sid, "txn_new", spark.range(3).toDF("x"), mode="create")
+    assert spark.catalog.tableExists("txn_new")
+    engine.execute_sql(sid, "ROLLBACK")
+    assert not spark.catalog.tableExists("txn_new")
+
+
+def test_nested_transaction_rejected(engine, session):
+    engine.execute_sql(session, "BEGIN")
+    with pytest.raises(RuntimeError):
+        engine.begin_transaction(session)
+    engine.execute_sql(session, "ROLLBACK")
+    with pytest.raises(RuntimeError):
+        engine.end_transaction(session, commit=True)
+
+
+def test_execute_script(engine, session):
+    results = engine.execute_script(
+        session,
+        "SET engine.query_timeout = 9; SELECT 1 AS one; SELECT 2 AS two",
+    )
+    assert [r.kind for r in results] == ["set", "query", "query"]
+    assert results[1].df.collect()[0].one == 1
+
+
+def test_cancel_noop_on_idle_session(engine, session):
+    engine.cancel(session)  # no in-flight statement: must not raise
