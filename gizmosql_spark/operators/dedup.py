@@ -41,7 +41,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram shingles per document."""
+    """(doc_id, shingle) distinct word-3-gram shingles per document.
+
+    The raw text is repartitioned across all cores before the
+    shingle explode: document fixtures arrive as few (locally: one)
+    parquet files, and the explode is the CPU-dense step — without the
+    spread it runs on as many tasks as there are input files. The
+    shuffle moves only (doc_id, text)-sized rows, far smaller than the
+    exploded output it parallelizes."""
     d = _t(spark, sf_dir, "documents")
     words = F.split(_norm(F.col("text")), " ")
     shingle_list = F.array_distinct(
@@ -51,7 +58,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.select("doc_id", words.alias("words"))
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 3)
         .select("doc_id", F.explode(shingle_list).alias("shingle"))
     )
@@ -99,8 +108,13 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket join generates candidate
-    pairs, exact Jaccard over the shingle postings verifies them."""
-    sh = _shingles(spark, sf_dir)
+    pairs, exact Jaccard over the shingle postings verifies them.
+
+    The shingle index feeds four plan subtrees (minhash aggs, both
+    sides of the verify join, sizes); persisting it computes the
+    explode once — the standard MinHash-pipeline materialization point
+    (at cluster scale: MEMORY_AND_DISK, spilling per-executor)."""
+    sh = _shingles(spark, sf_dir).persist()
     bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -123,7 +137,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate = any shared shingle (postings self-join). Quadratic in
     posting-list length — at 100 TB use dedup_minhash_lsh; this is the
     exact ground truth for verification."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     # one shuffle: the postings self-join on shingle IS the common
@@ -192,7 +206,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific 64-bit int semantics)."""
     d = _t(spark, sf_dir, "documents")
     tokens = (
-        d.select("doc_id", F.explode(F.array_distinct(F.split(_norm(F.col("text")), " "))).alias("tok"))
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(F.split(_norm(F.col("text")), " "))).alias("tok"))
         .withColumn("h", F.substring(F.md5("tok"), 1, 16))
     )
     bits = (

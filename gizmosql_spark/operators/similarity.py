@@ -142,13 +142,19 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("blk", (F.col("vec_id") % N_BLOCKS).cast("int"))
         .select("vec_id", "unit", "blk")
     )
-    pairs = spark.createDataFrame(
-        [(a, b) for a in range(N_BLOCKS) for b in range(N_BLOCKS) if a <= b],
-        "ba int, bb int",
+    # fan each vector out to its block pairs with one explode (a vector
+    # in block k is the left side of pairs (k, b>=k) and the right side
+    # of pairs (a<=k, k)) — one pass over the data, no joins
+    fan = F.expr(
+        f"concat("
+        f" transform(sequence(blk, {N_BLOCKS - 1}),"
+        f"  b -> struct(blk AS ba, b AS bb, 0 AS side)),"
+        f" transform(sequence(0, blk),"
+        f"  a -> struct(a AS ba, blk AS bb, 1 AS side)))"
     )
-    left = ev.join(F.broadcast(pairs), ev.blk == pairs.ba).withColumn("side", F.lit(0))
-    right = ev.join(F.broadcast(pairs), ev.blk == pairs.bb).withColumn("side", F.lit(1))
-    both = left.unionByName(right)
+    both = ev.select(
+        "vec_id", "unit", F.explode(fan).alias("p")
+    ).select("vec_id", "unit", "p.ba", "p.bb", "p.side")
     return (
         both.groupBy("ba", "bb")
         .applyInPandas(_block_neardup_fn, _PAIR_SCHEMA)
