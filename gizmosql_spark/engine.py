@@ -43,11 +43,16 @@ from gizmosql_spark.dialect import (
     rewrite_settings_function,
     split_statements,
 )
+from gizmosql_spark.querylog import QueryLog
 from gizmosql_spark.session import get_spark
 from gizmosql_spark.settings import (
     SETTINGS_SCHEMA,
     SettingsState,
     settings_rows,
+)
+from gizmosql_spark.system_catalog import (
+    SystemCatalog,
+    check_system_catalog_write,
 )
 
 __version__ = "0.1.0"
@@ -135,6 +140,8 @@ class Engine:
         self._lock = threading.Lock()
         self._admission = AdmissionController()
         self.draining = False
+        self.system_catalog = SystemCatalog()
+        self.query_log = QueryLog()
 
     # --- session lifecycle (GetClientSession / CloseSession,
     # duckdb_server.cpp:957-1079, :2111-2130) -------------------------
@@ -250,9 +257,29 @@ class Engine:
                 self.end_transaction(session_id, commit=cmd.action == "commit")
             return StatementResult("txn", info={"action": cmd.action})
 
-        security.check_admin_gate(sql, st.is_admin)
-        security.check_readonly(sql, st.role)
+        t_start = time.perf_counter()
+        try:
+            security.check_admin_gate(sql, st.is_admin)
+            security.check_readonly(sql, st.role)
+            check_system_catalog_write(sql)
+        except Exception:
+            self.query_log.record(
+                session_id, sql, "denied",
+                (time.perf_counter() - t_start) * 1000)
+            raise
+        self.system_catalog.observe_statement(sql)
+        try:
+            result = self._run_statement(st, sql)
+        except Exception:
+            self.query_log.record(
+                session_id, sql, "error",
+                (time.perf_counter() - t_start) * 1000)
+            raise
+        self.query_log.record(
+            session_id, sql, "ok", (time.perf_counter() - t_start) * 1000)
+        return result
 
+    def _run_statement(self, st: SessionState, sql: str) -> StatementResult:
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
         sql, used_settings = rewrite_settings_function(sql)
         if used_settings:
@@ -281,6 +308,12 @@ class Engine:
         if df.isStreaming or df.schema.fields:
             return StatementResult("query", df=df)
         return StatementResult("update", df=df, affected_rows=None)
+
+    def refresh_system_views(self) -> None:
+        """Publish/refresh ``global_temp.engine_index_info`` and
+        ``global_temp.engine_view_definition`` (the reference's
+        ``_gizmosql_system`` catalog, system_catalog.cpp:5-62)."""
+        self.system_catalog.publish(self.spark)
 
     def execute_script(self, session_id: str,
                        script: str) -> list[StatementResult]:

@@ -358,3 +358,75 @@ def test_execute_script(engine, session):
 
 def test_cancel_noop_on_idle_session(engine, session):
     engine.cancel(session)  # no in-flight statement: must not raise
+
+
+# --- system catalog / query log / BY NAME -----------------------------
+
+
+def test_insert_by_name_native(engine, session, spark):
+    """INSERT INTO ... BY NAME (duckdb_server.cpp:1956-1957) is native
+    Spark SQL; pin the column-alignment contract."""
+    spark.sql("DROP TABLE IF EXISTS byname_t")
+    try:
+        engine.execute_sql(session, "CREATE TABLE byname_t (a INT, b STRING)")
+        r = engine.execute_sql(
+            session, "INSERT INTO byname_t BY NAME SELECT 'x' AS b, 1 AS a"
+        )
+        assert r.affected_rows == 1
+        assert spark.table("byname_t").collect()[0].a == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS byname_t")
+
+
+def test_system_catalog_views(engine, session, spark):
+    from gizmosql_spark.constraints import tpch_constraints
+
+    engine.system_catalog.registry = tpch_constraints()
+    engine.execute_sql(
+        session, "CREATE OR REPLACE TEMP VIEW syscat_v AS SELECT 1 AS x"
+    )
+    engine.refresh_system_views()
+    idx = spark.table("global_temp.engine_index_info")
+    assert idx.filter("table_name = 'lineitem'").count() >= 2  # composite pk
+    vd = spark.table("global_temp.engine_view_definition")
+    row = vd.filter("view_name = 'syscat_v'").collect()
+    assert len(row) == 1 and "SELECT 1" in row[0].view_definition
+
+
+def test_system_catalog_readonly(engine, session):
+    with pytest.raises(PermissionError):
+        engine.execute_sql(
+            session, "DROP VIEW global_temp.engine_index_info"
+        )
+
+
+def test_query_log_redaction(engine, session):
+    try:
+        engine.execute_sql(
+            session,
+            "CREATE OR REPLACE TEMP VIEW ql_v AS SELECT 'SECRET ''hunter2''' AS c",
+        )
+    except Exception:
+        pass
+    engine.execute_sql(session, "SELECT 1 AS ok_col")
+    entries = engine.query_log.entries()
+    assert entries[-1].status == "ok" and "SELECT 1" in entries[-1].sql
+    user_sid = engine.create_session(role="user")
+    try:
+        with pytest.raises(security.CommandDenied):
+            engine.execute_sql(user_sid, "ATTACH 'x.db' AS other")
+        assert engine.query_log.entries()[-1].status == "denied"
+    finally:
+        engine.close_session(user_sid)
+
+
+def test_redact_sql():
+    from gizmosql_spark.querylog import redact_sql_for_logs
+
+    out = redact_sql_for_logs(
+        "CREATE SECRET s (TYPE S3, KEY_ID 'AKIA123', SECRET 'shh',"
+        " PASSWORD 'pw'); COPY t TO 's3://u:topsecret@b/x'"
+    )
+    assert "AKIA123" not in out and "shh" not in out and "pw" not in out
+    assert "topsecret" not in out
+    assert "[REDACTED]" in out
