@@ -256,8 +256,123 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (advertised SQL_OUTER_JOINS_SUPPORT_LEVEL=FULL,
+    duckdb_sql_info.cpp:353; not exercised by the TPC-H corpus):
+    per-nation customer counts vs supplier counts, nations appearing on
+    either side."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("nk") % 3 == 0)
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("nk") % 2 == 0)
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            "nk",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nk")
+    )
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins — the physical forms Catalyst picks
+    for EXISTS / NOT EXISTS (queries/h04.sql, h21/h22.sql)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    with_big = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("status")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_big_order").alias("status")
+    )
+    return with_big.unionByName(without).orderBy("c_custkey")
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/ntile analytic functions over per-user event sequences
+    (§2C window row: ranking/analytic set via duckdb_functions())."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ts = F.timestamp_micros(F.expr("ts div 1000")) if dict(
+        e.dtypes
+    ).get("ts") == "bigint" else F.col("ts")
+    e = e.withColumn("ts", ts)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.lead("value", 1).over(w).alias("next_value"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value", 1).over(w), F.lit(0.0)), 6
+            ).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2E date/time family driven end-to-end: date_trunc / date_part /
+    last_day / dayofweek / dayofyear / weekofyear / datediff / months
+    (duckdb_sql_info.cpp:178-186)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_part(F.lit("year"), d).cast("int").alias("yr"),
+        F.date_part(F.lit("quarter"), d).cast("int").alias("qtr"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("woy"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).cast("int").alias("days_to_cutoff"),
+    ).orderBy("o_orderkey")
+
+
+def numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2E numeric family driven end-to-end (duckdb_sql_info.cpp:
+    96-104): abs/ceil/floor/round/sqrt/ln/log10/exp/sign/mod/power/
+    greatest/least as one projection."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    x = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(x - 30000).alias("abs_v"),
+        F.ceil(q).cast("long").alias("ceil_q"),
+        F.floor(q / 7).cast("long").alias("floor_q7"),
+        F.round(F.sqrt(x), 6).alias("sqrt_x"),
+        F.round(F.log(x), 6).alias("ln_x"),
+        F.round(F.log10(x), 6).alias("log10_x"),
+        F.round(F.exp(q / 50), 6).alias("exp_q"),
+        F.signum(x - 30000).cast("int").alias("sign_v"),
+        (F.col("l_partkey") % 97).alias("mod_97"),
+        F.round(F.pow(q, F.lit(2)), 6).alias("q_sq"),
+        F.greatest(q, F.col("l_discount") * 100).alias("gr"),
+        F.least(q, F.col("l_tax") * 100).alias("ls"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 QUERIES = {
     "range_band_join": range_band_join,
+    "full_outer_join": full_outer_join,
+    "semi_anti_join": semi_anti_join,
+    "window_lag_lead": window_lag_lead,
+    "datetime_funcs": datetime_funcs,
+    "numeric_funcs": numeric_funcs,
     "stats_agg": stats_agg,
     "percentile_agg": percentile_agg,
     "window_topk": window_topk,
@@ -281,6 +396,75 @@ ORACLE: dict[str, str] = {
           ON l_quantity >= lo AND l_quantity < hi
         GROUP BY band
         ORDER BY band
+    """,
+    "full_outer_join": """
+        WITH c AS (
+            SELECT c_nationkey AS nk, count(*) AS n_cust
+            FROM customer GROUP BY c_nationkey HAVING c_nationkey % 3 = 0),
+        s AS (
+            SELECT s_nationkey AS nk, count(*) AS n_supp
+            FROM supplier GROUP BY s_nationkey HAVING s_nationkey % 2 = 0)
+        SELECT coalesce(c.nk, s.nk) AS nk,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        ORDER BY nk
+    """,
+    "semi_anti_join": """
+        SELECT c_custkey, 'has_big_order' AS status
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        UNION ALL
+        SELECT c_custkey, 'no_big_order' AS status
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        ORDER BY c_custkey
+    """,
+    "window_lag_lead": """
+        SELECT user_id, event_id,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(value - coalesce(lag(value, 1) OVER w, 0.0), 6) AS delta
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+    """,
+    "datetime_funcs": """
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate) AS month_start,
+               CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+               CAST(date_part('quarter', o_orderdate) AS INTEGER) AS qtr,
+               last_day(o_orderdate) AS month_end,
+               CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+               CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS INTEGER)
+                   AS days_to_cutoff
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
+    """,
+    "numeric_funcs": """
+        SELECT l_orderkey, l_linenumber,
+               abs(l_extendedprice - 30000) AS abs_v,
+               CAST(ceil(l_quantity) AS BIGINT) AS ceil_q,
+               CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
+               round(sqrt(l_extendedprice), 6) AS sqrt_x,
+               round(ln(l_extendedprice), 6) AS ln_x,
+               round(log10(l_extendedprice), 6) AS log10_x,
+               round(exp(l_quantity / 50), 6) AS exp_q,
+               CAST(sign(l_extendedprice - 30000) AS INTEGER) AS sign_v,
+               l_partkey % 97 AS mod_97,
+               round(power(l_quantity, 2), 6) AS q_sq,
+               greatest(l_quantity, l_discount * 100) AS gr,
+               least(l_quantity, l_tax * 100) AS ls
+        FROM lineitem
+        WHERE l_orderkey < 500
+        ORDER BY l_orderkey, l_linenumber
     """,
     "stats_agg": """
         SELECT l_returnflag,
