@@ -83,6 +83,25 @@ class TxnCommand:
     action: str  # "begin" | "commit" | "rollback"
 
 
+@dataclass
+class IndexCommand:
+    action: str  # "create" | "drop"
+    name: str
+    table: str | None = None
+    columns: tuple[str, ...] = ()
+
+
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_]\w*)\s+ON\s+([A-Za-z_][\w.]*)\s*\(([^)]+)\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def classify_command(sql: str):
     """Detect engine-level commands that never reach Spark.
 
@@ -103,6 +122,13 @@ def classify_command(sql: str):
         action = {"BEGIN": "begin", "START": "begin", "COMMIT": "commit",
                   "ROLLBACK": "rollback", "ABORT": "rollback"}[word]
         return TxnCommand(action)
+    m = _CREATE_INDEX_RE.match(sql)
+    if m:
+        cols = tuple(c.strip().strip('"`') for c in m.group(3).split(","))
+        return IndexCommand("create", m.group(1), m.group(2), cols)
+    m = _DROP_INDEX_RE.match(sql)
+    if m:
+        return IndexCommand("drop", m.group(1))
     return None
 
 

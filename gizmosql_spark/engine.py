@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from gizmosql_spark import security
 from gizmosql_spark.admission import AdmissionController
 from gizmosql_spark.dialect import (
+    IndexCommand,
     KillCommand,
     SetCommand,
     TxnCommand,
@@ -256,6 +257,21 @@ class Engine:
             else:
                 self.end_transaction(session_id, commit=cmd.action == "commit")
             return StatementResult("txn", info={"action": cmd.action})
+        if isinstance(cmd, IndexCommand):
+            # CREATE/DROP INDEX (tests/test_v1_22_features.py:52-54 in
+            # the reference): Spark has no secondary indexes — recorded
+            # as engine metadata, surfaced via engine_index_info
+            # (SURVEY §2C DDL row).
+            security.check_readonly(sql, st.role)
+            reg = self.system_catalog.registry
+            if cmd.action == "create":
+                reg.declare_index(cmd.table, cmd.name, *cmd.columns)
+            else:
+                for table, idx in list(reg.indexes.items()):
+                    idx.pop(cmd.name, None)
+            return StatementResult(
+                "update", affected_rows=0, info={"index": cmd.name}
+            )
 
         t_start = time.perf_counter()
         try:

@@ -133,14 +133,48 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2E JSON family end-to-end: from_json (typed parse), json_tuple
+    (string extraction), to_json (serialize) with a parse-back
+    round-trip — the Spark analogs of DuckDB's JSON extension
+    (autoloaded at gizmosql_library.cpp:817)."""
+    e = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    parsed = F.from_json("props", "k INT")
+    roundtrip = F.get_json_object(
+        F.to_json(F.struct("user_id", "event_type")), "$.event_type"
+    )
+    return (
+        e.select(
+            "event_id",
+            parsed.getField("k").alias("k_parsed"),
+            F.get_json_object("props", "$.k").alias("k_str"),
+            roundtrip.alias("type_roundtrip"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "events_json": events_json,
+    "json_funcs": json_funcs,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
 }
 
 ORACLE: dict[str, str] = {
+    "json_funcs": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_parsed,
+               json_extract_string(props, '$.k') AS k_str,
+               json_extract_string(
+                   to_json(struct_pack(user_id := user_id,
+                                       event_type := event_type)),
+                   '$.event_type') AS type_roundtrip
+        FROM events
+        WHERE event_id < 2000
+        ORDER BY event_id
+    """,
     "events_json": """
         SELECT event_type,
                CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,

@@ -430,3 +430,27 @@ def test_redact_sql():
     assert "AKIA123" not in out and "shh" not in out and "pw" not in out
     assert "topsecret" not in out
     assert "[REDACTED]" in out
+
+
+def test_create_drop_index(engine, session, spark):
+    """CREATE INDEX maps to engine metadata (Spark has no secondary
+    indexes; reference test_v1_22_features.py:52-54)."""
+    r = engine.execute_sql(
+        session, "CREATE INDEX idx_t ON orders (o_orderdate, o_custkey)"
+    )
+    assert r.kind == "update" and r.info["index"] == "idx_t"
+    assert engine.system_catalog.registry.indexes["orders"]["idx_t"] == (
+        "o_orderdate",
+        "o_custkey",
+    )
+    engine.execute_sql(session, "DROP INDEX idx_t")
+    assert "idx_t" not in engine.system_catalog.registry.indexes.get("orders", {})
+
+
+def test_readonly_cannot_create_index(engine):
+    sid = engine.create_session(role="readonly")
+    try:
+        with pytest.raises(security.CommandDenied):
+            engine.execute_sql(sid, "CREATE INDEX i ON t (c)")
+    finally:
+        engine.close_session(sid)
