@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tpch,
     )
 
+    from gizmosql_spark.streaming import windows as streaming_windows
+
     out.update(tpch.QUERIES)
     out.update(relational.QUERIES)
     out.update(events.QUERIES)
@@ -40,6 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
+    out.update(streaming_windows.QUERIES)
     return out
 
 
@@ -57,6 +60,8 @@ def oracle_sql() -> dict[str, str]:
         tpch,
     )
 
+    from gizmosql_spark.streaming import windows as streaming_windows
+
     out.update(tpch.ORACLE)
     out.update(relational.ORACLE)
     out.update(events.ORACLE)
@@ -64,4 +69,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
     out.update(multimodal.ORACLE)
+    out.update(streaming_windows.ORACLE)
     return out

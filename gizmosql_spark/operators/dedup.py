@@ -235,8 +235,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    MinHash-LSH verified pair graph, labels = min doc_id per component.
+
+    Iterative min-label propagation (the dedup-pipeline standard for
+    grouping near-dup pairs before keeper selection): each round every
+    node takes the min of its own and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup components are shallow,
+    so a handful. Each round is one shuffled join + aggregate; labels
+    are localCheckpoint()ed so lineage stays flat (at cluster scale:
+    checkpoint to reliable storage). The convergence probe collects a
+    single scalar per round, not data."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    # propagate only over nodes that appear in the pair graph — at
+    # 100 TB the graph is a sliver of the corpus (most docs are
+    # singletons) and must not ride through every iteration
+    labels = (
+        edges.select(F.col("a_id").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(20):
+        prop = (
+            edges.join(labels, edges["a_id"] == labels["id"])
+            .groupBy(F.col("b_id").alias("nid"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(prop, labels["id"] == prop["nid"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, docs["doc_id"] == labels["id"], "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
@@ -272,6 +326,48 @@ _VERIFY_SQL = f"""
 """
 
 ORACLE: dict[str, str] = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        minh AS (
+            SELECT doc_id,
+                   {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES))}
+            FROM shingles GROUP BY doc_id),
+        bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM minh"
+                for b in range(N_BANDS))}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+        common AS (
+            SELECT c.a_id, c.b_id, count(*) AS cc
+            FROM cand c
+            JOIN shingles sa ON sa.doc_id = c.a_id
+            JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+            GROUP BY c.a_id, c.b_id),
+        pairs AS (
+            SELECT a_id, b_id
+            FROM common
+            JOIN sizes za ON za.doc_id = a_id
+            JOIN sizes zb ON zb.doc_id = b_id
+            WHERE CAST(cc AS DOUBLE) / (za.sz + zb.sz - cc) >= {JACCARD_THRESHOLD}),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION ALL
+            SELECT b_id, a_id FROM pairs),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS label FROM documents
+            UNION
+            SELECT e.dst AS id, r.label
+            FROM reach r JOIN edges e ON e.src = r.id)
+        SELECT id AS doc_id, min(label) AS cluster_id
+        FROM reach
+        GROUP BY id
+        ORDER BY doc_id
+    """,
     "dedup_exact": f"""
         SELECT doc_id,
                md5({_NORM_SQL}) AS fp,

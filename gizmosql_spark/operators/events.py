@@ -154,8 +154,46 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users reaching view → click → purchase
+    strictly in time order. Each stage is a per-user min-timestamp
+    aggregate joined to the previous stage — three hash aggregations
+    shuffling on user_id (AQE coalesces the tiny stage frames), no
+    windows, no collects."""
+    e = load_events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    step = lambda df, i, name: df.agg(F.count(F.lit(1)).alias("n_users")).select(  # noqa: E731
+        F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+    )
+    return (
+        step(v, 1, "view")
+        .unionAll(step(c, 2, "click"))
+        .unionAll(step(p, 3, "purchase"))
+        .orderBy("step")
+    )
+
+
 QUERIES = {
     "events_json": events_json,
+    "events_funnel": events_funnel,
     "json_funcs": json_funcs,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -163,6 +201,25 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT 2 AS step, 'click' AS step_name, count(*) AS n_users FROM c
+        UNION ALL
+        SELECT 3 AS step, 'purchase' AS step_name, count(*) AS n_users FROM p
+        ORDER BY step
+    """,
     "json_funcs": """
         SELECT event_id,
                CAST(json_extract(props, '$.k') AS INTEGER) AS k_parsed,

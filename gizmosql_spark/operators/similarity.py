@@ -162,9 +162,75 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _ivf_assign(e: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, cent_sim): nearest-centroid assignment.
+
+    Centroids are the vectors with vec_id 1..N_CENTROIDS (deterministic
+    stand-in for a k-means fit — at scale centroids come from a sampled
+    fit and are still a tiny broadcast table). The centroid table
+    broadcast-joins against every vector; argmax via row_number on
+    round(cos, 6) with cent_id tie-break keeps ranking engine-portable."""
+    from pyspark.sql import Window
+
+    cent = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+    cos = F.round(F.expr(_COS_EXPR.format(a="emb", b="cemb")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_sim"), "cent_id")
+    return (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", cos.alias("cent_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: inverted-file search over centroid cells.
+
+    Vectors are bucketed by nearest centroid (the inverted lists); the
+    query probes its N_PROBE nearest cells and scores exactly only
+    inside them. At 100 TB the lists are the partitioning key, so a
+    probe touches ~n_probe/k of the data instead of all of it —
+    ann_bruteforce_topk is the exact baseline this approximates."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    assign = _ivf_assign(e)
+    cent = e.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    qcos = F.round(F.expr(_COS_EXPR.format(a="q_emb", b="cemb")), 6)
+    wq = Window.orderBy(F.desc("q_sim"), "cent_id")
+    probes = (
+        cent.join(F.broadcast(q))
+        .select("cent_id", qcos.alias("q_sim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("cent_id")
+    )
+    cos = F.round(F.expr(_COS_EXPR.format(a="emb", b="q_emb")), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(assign.select("vec_id", "cent_id"), "vec_id")
+        .join(F.broadcast(probes), "cent_id")
+        .join(F.broadcast(q))
+        .select("vec_id", "cent_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_ivf": ann_ivf,
     "embedding_neardup": embedding_neardup,
 }
 
@@ -199,6 +265,40 @@ ORACLE: dict[str, str] = {
         SELECT vec_id, {_LSH_BIT_SQL} AS bucket
         FROM embeddings
         ORDER BY vec_id
+    """,
+    "ann_ivf": f"""
+        WITH cent AS (
+            SELECT vec_id AS cent_id, embedding AS cemb
+            FROM embeddings WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT e.vec_id, c.cent_id,
+                   round({_COS_SQL.format(a="e.embedding", b="c.cemb", dim=DIM)}, 6)
+                       AS cent_sim
+            FROM embeddings e CROSS JOIN cent c),
+        assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cent_sim DESC, cent_id) AS rn
+                FROM scored) WHERE rn = 1),
+        probes AS (
+            SELECT cent_id FROM (
+                SELECT c.cent_id,
+                       row_number() OVER (ORDER BY
+                           round({_COS_SQL.format(a="q.q_emb", b="c.cemb", dim=DIM)}, 6)
+                               DESC, c.cent_id) AS rn
+                FROM cent c CROSS JOIN q) WHERE rn <= {N_PROBE})
+        SELECT e.vec_id, a.cent_id,
+               round({_COS_SQL.format(a="e.embedding", b="q.q_emb", dim=DIM)}, 6)
+                   AS cos_sim
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN probes p ON p.cent_id = a.cent_id
+        CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT {TOP_K}
     """,
     "embedding_neardup": f"""
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

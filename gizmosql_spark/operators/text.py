@@ -160,8 +160,45 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document.
+
+    tf = term_count / doc_len; idf = ln((N + 1) / (df + 1));
+    ranked by round(tfidf, 6) DESC, term ASC so tie-breaks are
+    engine-portable. One explode + two hash aggregations + a window —
+    at 100 TB the term aggregation is the classic map-side-combined
+    wordcount shuffle and the doc-count is a broadcast 1-row frame."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term"))
+    )
+    tc = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doc_len = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df_ = tokens.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        (F.col("tc") / F.col("doc_len"))
+        * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        tc.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
     "doc_fingerprint": doc_fingerprint,
+    "tfidf_top_terms": tfidf_top_terms,
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
@@ -171,6 +208,31 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "tfidf_top_terms": f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents
+        ),
+        tc AS (SELECT doc_id, term, count(*) AS tc FROM tokens GROUP BY doc_id, term),
+        doc_len AS (SELECT doc_id, count(*) AS doc_len FROM tokens GROUP BY doc_id),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tc.doc_id, tc.term,
+                   round((CAST(tc.tc AS DOUBLE) / doc_len.doc_len)
+                         * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tc
+            JOIN doc_len ON doc_len.doc_id = tc.doc_id
+            JOIN df ON df.term = tc.term
+            CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 3
+        ORDER BY doc_id, rank
+    """,
     "doc_fingerprint": f"""
         SELECT doc_id,
                md5({_NORM_SQL}) AS fp,

@@ -173,3 +173,91 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+# --- driver-contract entries -----------------------------------------
+#
+# Each runs the *streaming* plan (readStream → watermark → windowed
+# state → memory sink) to completion over the bounded fixture and
+# returns the sink as a DataFrame, so the differential gate verifies
+# streaming execution itself — the fixture arrives as one file, hence
+# one deterministic micro-batch and no watermark drops.
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked tumbling-window counts, driven to
+    completion (oracle: the batch 1-hour bucket aggregation)."""
+    out = run_to_completion(
+        tumbling_counts(read_event_stream(spark, sf_dir)), "q_stream_tumbling"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming native session windows (30-minute gap), driven to
+    completion (oracle: batch gaps-and-islands; session_end is the
+    last event + gap by session-window definition)."""
+    out = run_to_completion(
+        session_windows(read_event_stream(spark, sf_dir)), "q_stream_session"
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven to
+    completion — per-user running totals equal the batch aggregate
+    after the final micro-batch."""
+    out = run_to_completion(
+        running_totals(read_event_stream(spark, sf_dir)), "q_stream_running"
+    )
+    return out.orderBy("user_id")
+
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling,
+    "stream_session_windows": stream_session_windows,
+    "stream_running_totals": stream_running_totals,
+}
+
+ORACLE: dict[str, str] = {
+    "stream_tumbling": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               count(*) AS n,
+               sum(value) AS total
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "stream_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+            FROM flagged
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events,
+               sum(value) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_idx
+        ORDER BY user_id, session_start
+    """,
+    "stream_running_totals": """
+        SELECT user_id, count(*) AS count, sum(value) AS total
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}

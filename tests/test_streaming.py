@@ -53,3 +53,12 @@ def test_stateful_running_totals(spark, event_stream):
     assert len(rows) > 0
     total_events = sum(r["count"] for r in rows.values())
     assert total_events == 10000
+
+
+@pytest.mark.parametrize("name", sorted(sw.QUERIES))
+def test_streaming_contract_matches_oracle(spark, sf_dir, name):
+    """The driver-contract streaming entries run the full streaming
+    plan to completion and must hash-match the batch DuckDB oracle."""
+    from gizmosql_spark.testing import compare_to_oracle
+
+    compare_to_oracle(sw.QUERIES[name](spark, sf_dir), sw.ORACLE[name], sf_dir)
