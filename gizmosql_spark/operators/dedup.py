@@ -273,7 +273,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the convergence probe below is the one
+            # job that materializes it — keeps one action per round
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

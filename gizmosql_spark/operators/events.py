@@ -154,6 +154,22 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 VARIANT coverage (Spark 4 VariantType = the engine-side
+    answer to DuckDB's VARIANT, which the reference exports as opaque
+    binary — duckdb_statement.cpp:698-706): parse_json into a variant,
+    typed variant_get extraction, try_variant_get on a missing path."""
+    e = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        F.is_variant_null(F.parse_json(F.lit("null"))).alias("null_probe"),
+    ).orderBy("event_id")
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: users reaching view → click → purchase
     strictly in time order. Each stage is a per-user min-timestamp
@@ -191,9 +207,36 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the custom Python DataSource (sources/pydatasource.py):
+    partition-parallel deterministic generator read through the planner
+    (``spark.read.format("synthetic_events")``), aggregated per type.
+    The oracle regenerates the same LCG rows with DuckDB ``range()``."""
+    from gizmosql_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 10000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "events_json": events_json,
+    "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
+    "variant_funcs": variant_funcs,
     "json_funcs": json_funcs,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -201,6 +244,35 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "pyds_synthetic_agg": """
+        WITH gen AS (
+            SELECT i AS event_id,
+                   (1103515245 * i + 12345) % 2147483648 AS h
+            FROM range(0, 10000) t(i)
+        ), ev AS (
+            SELECT event_id,
+                   h % 97 AS user_id,
+                   CASE h % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                              WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+                   (h % 10000) / 100.0 AS value
+            FROM gen
+        )
+        SELECT event_type, count(*) AS n, sum(value) AS total,
+               count(DISTINCT user_id) AS n_users
+        FROM ev
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "variant_funcs": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_int,
+               TRUE AS null_probe
+        FROM events
+        WHERE event_id < 2000
+        ORDER BY event_id
+    """,
     "events_funnel": """
         WITH v AS (
             SELECT user_id, min(ts) AS t1 FROM events

@@ -78,3 +78,47 @@ def test_catalog_metadata(spark, sf_smoke):
     assert "n_nationkey" in with_schema[0]["table_schema_json"]
     types = [r["table_type"] for r in catalog.get_table_types(spark).collect()]
     assert types == ["BASE TABLE", "LOCAL TEMPORARY", "VIEW"]
+
+
+def test_python_datasource_batch(spark):
+    """Custom Python DataSource: planner-integrated, partition-parallel."""
+    from gizmosql_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 100)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert len(rows) == 100
+    # deterministic generator contract
+    h = (1103515245 * 7 + 12345) % 2**31
+    assert rows[7]["user_id"] == h % 97
+    assert rows[7]["value"] == (h % 10000) / 100.0
+
+
+def test_python_datasource_stream(spark):
+    """The same source as a streaming reader: fixed-size micro-batches
+    driven to completion cover all rows exactly once."""
+    from gizmosql_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    s = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 500)
+        .option("batchSize", 100)
+        .load()
+    )
+    q = (
+        s.writeStream.format("memory")
+        .queryName("t_pyds_stream")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM t_pyds_stream").collect()[0]
+    assert got["c"] == 500 and got["d"] == 500
