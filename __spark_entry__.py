@@ -28,6 +28,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events,
         multimodal,
         relational,
+        scale,
         similarity,
         text,
         tpch,
@@ -43,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(multimodal.QUERIES)
     out.update(streaming_windows.QUERIES)
+    out.update(scale.QUERIES)
     return out
 
 
@@ -55,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
         events,
         multimodal,
         relational,
+        scale,
         similarity,
         text,
         tpch,
@@ -70,4 +73,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE)
     out.update(multimodal.ORACLE)
     out.update(streaming_windows.ORACLE)
+    out.update(scale.ORACLE)
     return out

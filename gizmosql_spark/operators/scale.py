@@ -1,0 +1,150 @@
+"""Scale-pattern operators: the shuffle-engineering techniques that
+keep plans healthy at 100 TB, packaged as first-class verified queries.
+
+The reference delegates all of this to DuckDB's single-node engine; on
+a cluster the equivalents are explicit data layout and shuffle control:
+
+- **salted aggregation**: two-stage groupBy with a deterministic salt
+  key splitting hot groups across reducers before the final combine.
+  With AQE skew handling this matters for *aggregation* skew, which
+  AQE's skew-join splitting does not cover.
+- **bucketed co-located join**: both sides written bucketed+sorted on
+  the join key, so the sort-merge join reads pre-shuffled buckets and
+  the only exchange left in the plan is the final small aggregate.
+  This is the Spark analog of DuckDB's shared-nothing hash join being
+  "free" on one node — at 100 TB bucket layout is the difference
+  between re-shuffling the fact table per query and never shuffling it.
+
+Both produce results identical to their naive formulations, which is
+exactly what the DuckDB oracles assert.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gizmosql_spark.operators import loader
+
+N_SALT = 16
+N_BUCKETS = 8
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return loader.table(spark, sf_dir, name)
+
+
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: stage 1 groups by (key, salt) —
+    spreading any hot key over N_SALT reducers — stage 2 combines the
+    partials. sum/count recombine exactly; avg is derived after."""
+    li = _t(spark, sf_dir, "lineitem")
+    salt = (F.col("l_orderkey") % N_SALT).alias("salt")
+    partial = (
+        li.groupBy("l_returnflag", salt)
+        .agg(
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum("l_extendedprice").alias("p_price"),
+            F.count(F.lit(1)).alias("p_n"),
+        )
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("p_qty").alias("sum_qty"),
+            F.sum("p_price").alias("sum_price"),
+            F.sum("p_n").alias("n_rows"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+def _bucket_table_name(sf_dir: str, base: str) -> str:
+    token = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"bkt_{base}_{token}"
+
+
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """A managed-table dir left by an earlier process (the in-memory
+    catalog forgets tables across restarts) blocks re-creation —
+    remove it when the catalog has no such table."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and customer bucketed+sorted on the join key
+    (idempotent per sf_dir; reused across queries in the session)."""
+    to, tc = _bucket_table_name(sf_dir, "orders"), _bucket_table_name(sf_dir, "customer")
+    if not spark.catalog.tableExists(to):
+        _clear_stale_location(spark, to)
+        (
+            _t(spark, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(to)
+        )
+    if not spark.catalog.tableExists(tc):
+        _clear_stale_location(spark, tc)
+        (
+            _t(spark, sf_dir, "customer")
+            .write.bucketBy(N_BUCKETS, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(tc)
+        )
+    return to, tc
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables: the merge hint keeps the
+    sort-merge strategy, and because both sides are bucketed on the key
+    no Exchange feeds the join (tests/test_plans.py pins that)."""
+    to, tc = bucketed_tables(spark, sf_dir)
+    o = spark.table(to)
+    c = spark.table(tc)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES = {
+    "salted_agg": salted_agg,
+    "bucketed_join": bucketed_join,
+}
+
+ORACLE: dict[str, str] = {
+    "salted_agg": """
+        SELECT l_returnflag,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_price,
+               count(*) AS n_rows,
+               sum(l_quantity) / count(*) AS avg_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "bucketed_join": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               sum(o.o_totalprice) AS total_price
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+}
