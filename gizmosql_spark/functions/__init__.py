@@ -106,6 +106,30 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "today": ("() RETURNS DATE", "current_date()"),
     "yesterday": ("() RETURNS DATE", "date_sub(current_date(), 1)"),
     "tomorrow": ("() RETURNS DATE", "date_add(current_date(), 1)"),
+    # --- spatial mini-surface (docs/geometry.md: ST_Point/ST_X/ST_Y/
+    # ST_Distance/ST_Contains subset; full GEOMETRY needs Sedona) ------
+    "st_point": (
+        "(x DOUBLE, y DOUBLE) RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "named_struct('x', x, 'y', y)",
+    ),
+    "st_x": ("(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE", "p.x"),
+    "st_y": ("(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE", "p.y"),
+    "st_distance": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS DOUBLE",
+        "sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))",
+    ),
+    "st_dwithin": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,"
+        " d DOUBLE) RETURNS BOOLEAN",
+        "st_distance(a, b) <= d",
+    ),
+    # point-in-envelope containment (bbox as xmin/ymin/xmax/ymax)
+    "st_contains_bbox": (
+        "(xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE,"
+        " p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BOOLEAN",
+        "p.x >= xmin AND p.x <= xmax AND p.y >= ymin AND p.y <= ymax",
+    ),
     # strftime/strptime in DuckDB argument order
     "strftime": (
         "(ts TIMESTAMP, fmt STRING) RETURNS STRING",

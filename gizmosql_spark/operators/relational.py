@@ -366,8 +366,36 @@ def numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+def spatial_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial mini-surface (§2E spatial family; the reference ships
+    100+ ST_* via DuckDB's spatial extension — docs/geometry.md). The
+    portable subset here models points as STRUCT<x,y> SQL UDFs
+    (functions/: st_point/st_x/st_y/st_distance/st_dwithin/
+    st_contains_bbox) — JVM expressions, whole-stage codegen; the
+    oracle inlines the identical arithmetic."""
+    from gizmosql_spark import functions as gf
+
+    gf.register_all(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp")
+    return spark.sql("""
+        SELECT event_id,
+               round(st_distance(st_point(value, CAST(user_id AS DOUBLE)),
+                                 st_point(50D, 50D)), 6) AS dist,
+               st_dwithin(st_point(value, CAST(user_id AS DOUBLE)),
+                          st_point(50D, 50D), 25D) AS within_25,
+               st_contains_bbox(0D, 0D, 50D, 50D,
+                                st_point(value, CAST(user_id AS DOUBLE))) AS in_bbox,
+               st_x(st_point(value, CAST(user_id AS DOUBLE))) AS px,
+               st_y(st_point(value, CAST(user_id AS DOUBLE))) AS py
+        FROM events_sp
+        WHERE event_id < 2000
+        ORDER BY event_id
+    """)
+
+
 QUERIES = {
     "range_band_join": range_band_join,
+    "spatial_funcs": spatial_funcs,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -388,6 +416,20 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "spatial_funcs": """
+        SELECT event_id,
+               round(sqrt((value - 50) * (value - 50)
+                          + (user_id - 50.0) * (user_id - 50.0)), 6) AS dist,
+               sqrt((value - 50) * (value - 50)
+                    + (user_id - 50.0) * (user_id - 50.0)) <= 25 AS within_25,
+               value >= 0 AND value <= 50
+                   AND user_id >= 0 AND user_id <= 50 AS in_bbox,
+               value AS px,
+               CAST(user_id AS DOUBLE) AS py
+        FROM events
+        WHERE event_id < 2000
+        ORDER BY event_id
+    """,
     "range_band_join": """
         SELECT band, count(*) AS n, sum(l_extendedprice) AS total
         FROM lineitem
