@@ -119,6 +119,10 @@ class SessionState:
     closed: bool = False
     killed: bool = False
     statement_seq: int = 0
+    username: str = "anonymous"
+    #: catalog ACL patterns from token claims; None = unrestricted
+    read_catalogs: list[str] | None = None
+    write_catalogs: list[str] | None = None
 
     @property
     def is_admin(self) -> bool:
@@ -143,15 +147,43 @@ class Engine:
         self.draining = False
         self.system_catalog = SystemCatalog()
         self.query_log = QueryLog()
+        # auth (gizmosql_security.cpp analog): basic credentials mint
+        # signed tokens; sessions created from a token inherit its
+        # role + catalog ACL claims
+        from gizmosql_spark.auth import UserRegistry
+
+        self.token_secret = uuid.uuid4().hex
+        self.users = UserRegistry()
 
     # --- session lifecycle (GetClientSession / CloseSession,
     # duckdb_server.cpp:957-1079, :2111-2130) -------------------------
 
-    def create_session(self, role: str = "user") -> str:
+    def add_user(self, username: str, password: str, role: str = "user",
+                 read_catalogs: list[str] | None = None,
+                 write_catalogs: list[str] | None = None) -> None:
+        self.users.add_user(username, password, role, read_catalogs, write_catalogs)
+
+    def authenticate(self, username: str, password: str) -> str:
+        """Basic credentials → signed bearer token
+        (gizmosql_security.cpp:263-295 mint-on-first-auth flow)."""
+        return self.users.authenticate(self.token_secret, username, password)
+
+    def create_session(self, role: str = "user", token: str | None = None) -> str:
+        """New session; a bearer token overrides ``role`` with its
+        verified claims (role + catalog ACLs) — client-asserted roles
+        are never trusted when a token is presented."""
         if self.draining:
             raise ServerDraining("server is draining; retry elsewhere")
         sid = str(uuid.uuid4())
         st = SessionState(sid, role, self.spark.newSession())
+        if token is not None:
+            from gizmosql_spark.auth import verify_token
+
+            claims = verify_token(self.token_secret, token)
+            st.role = claims["role"]
+            st.username = claims.get("sub", "anonymous")
+            st.read_catalogs = claims.get("read_catalogs")
+            st.write_catalogs = claims.get("write_catalogs")
         with self._lock:
             self.sessions[sid] = st
         return sid
@@ -232,7 +264,7 @@ class Engine:
             "current_instance": self.instance_id,
             "current_cluster": "local",
             "version": __version__,
-            "user": st.role,
+            "user": st.username,
             "role": st.role,
             "edition": self.edition,
         }
@@ -277,6 +309,9 @@ class Engine:
         try:
             security.check_admin_gate(sql, st.is_admin)
             security.check_readonly(sql, st.role)
+            security.check_catalog_access(
+                sql, st.read_catalogs, st.write_catalogs, dml_target(sql)
+            )
             check_system_catalog_write(sql)
         except Exception:
             self.query_log.record(

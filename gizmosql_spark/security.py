@@ -125,3 +125,56 @@ def check_readonly(sql: str, role: str) -> None:
         re.IGNORECASE,
     ):
         raise CommandDenied(f"readonly role may not execute {m.group(1).upper()}")
+
+
+# --- catalog permissions (Enterprise tier) ---------------------------
+#
+# The reference checks the prepared statement's read_databases /
+# modified_databases property sets against per-catalog ACLs carried in
+# JWT claims, with wildcard patterns
+# (catalog_permissions_handler.cpp; check sites
+# duckdb_statement.cpp:1052-1077). Here the referenced catalogs are the
+# explicit three-part identifiers plus the session's current catalog,
+# checked against fnmatch-style patterns. None = unrestricted (the
+# non-Enterprise default).
+
+_THREE_PART_RE = re.compile(
+    r"\b([A-Za-z_][\w]*)\s*\.\s*[A-Za-z_][\w]*\s*\.\s*[A-Za-z_][\w]*"
+)
+
+DEFAULT_CATALOG = "spark_catalog"
+
+
+def catalog_allowed(patterns: list[str] | None, catalog: str) -> bool:
+    import fnmatch
+
+    if patterns is None:
+        return True
+    return any(fnmatch.fnmatchcase(catalog.lower(), p.lower()) for p in patterns)
+
+
+def check_catalog_access(
+    sql: str,
+    read_catalogs: list[str] | None,
+    write_catalogs: list[str] | None,
+    write_target: str | None,
+) -> None:
+    """Raise CommandDenied when the statement touches a catalog outside
+    the session's ACL. Reads: every referenced catalog (three-part
+    identifiers; unqualified names resolve to the current catalog).
+    Writes: the DML/DDL target's catalog."""
+    if read_catalogs is None and write_catalogs is None:
+        return
+    masked = _mask_literals(sql)
+    referenced = {m.group(1) for m in _THREE_PART_RE.finditer(masked)}
+    referenced = {c for c in referenced if c.lower() not in ("global_temp",)}
+    for cat in referenced or {DEFAULT_CATALOG}:
+        if not catalog_allowed(read_catalogs, cat):
+            raise CommandDenied(f"catalog not readable by this session: {cat}")
+    if write_target is not None:
+        parts = write_target.split(".")
+        target_cat = parts[0] if len(parts) == 3 else DEFAULT_CATALOG
+        if not catalog_allowed(write_catalogs, target_cat):
+            raise CommandDenied(
+                f"catalog not writable by this session: {target_cat}"
+            )
