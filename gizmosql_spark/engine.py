@@ -154,6 +154,10 @@ class Engine:
 
         self.token_secret = uuid.uuid4().hex
         self.users = UserRegistry()
+        #: captured execution profiles (engine.capture_query_profile;
+        #: the reference harvests DuckDB's JSON profile per execution,
+        #: duckdb_statement.cpp:1884-1909, :2210-2221)
+        self.query_profiles: list[dict[str, Any]] = []
 
     # --- session lifecycle (GetClientSession / CloseSession,
     # duckdb_server.cpp:957-1079, :2111-2130) -------------------------
@@ -476,7 +480,37 @@ class Engine:
             if st.killed or "cancelled" in str(err).lower():
                 raise StatementCancelled(str(err))
             raise err
+        self._maybe_capture_profile(st, result)
         return out["rows"]
+
+    def _maybe_capture_profile(self, st: SessionState,
+                               result: StatementResult) -> None:
+        if not bool(
+            st.settings.get("engine.capture_query_profile", self.global_settings)
+        ):
+            return
+        try:
+            plan = result.df._sc._jvm.PythonSQLUtils.explainString(
+                result.df._jdf.queryExecution(), "formatted"
+            )
+        except Exception:
+            plan = ""
+        self.query_profiles.append(
+            {
+                "session_id": st.session_id,
+                "statement_seq": st.statement_seq,
+                "query_tag": str(
+                    st.settings.get("engine.query_tag", self.global_settings) or ""
+                ),
+                "plan": plan,
+            }
+        )
+
+    def last_profile(self, session_id: str) -> dict[str, Any] | None:
+        for p in reversed(self.query_profiles):
+            if p["session_id"] == session_id:
+                return p
+        return None
 
     def collect_arrow(self, session_id: str, result: StatementResult,
                       timeout: float | None = None):

@@ -106,14 +106,11 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs: band-bucket join generates candidate
-    pairs, exact Jaccard over the shingle postings verifies them.
-
-    The shingle index feeds four plan subtrees (minhash aggs, both
-    sides of the verify join, sizes); persisting it computes the
-    explode once — the standard MinHash-pipeline materialization point
-    (at cluster scale: MEMORY_AND_DISK, spilling per-executor)."""
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (a_id, b_id, jaccard),
+    persisted — shared by dedup_minhash_lsh and dedup_clusters, so the
+    band join + Jaccard verification runs once per dataset (Spark's
+    cache manager unifies the identical canonical plans)."""
     sh = _shingles(spark, sf_dir).persist()
     bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
@@ -128,7 +125,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+    return _verify_jaccard(cand, sh).persist()
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket join generates candidate
+    pairs, exact Jaccard over the shingle postings verifies them.
+
+    The shingle index feeds four plan subtrees (minhash aggs, both
+    sides of the verify join, sizes); persisting it computes the
+    explode once — the standard MinHash-pipeline materialization point
+    (at cluster scale: MEMORY_AND_DISK, spilling per-executor)."""
+    return _lsh_pairs(spark, sf_dir).orderBy("a_id", "b_id")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,7 +255,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     are localCheckpoint()ed so lineage stays flat (at cluster scale:
     checkpoint to reliable storage). The convergence probe collects a
     single scalar per round, not data."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    pairs = _lsh_pairs(spark, sf_dir).select("a_id", "b_id")
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()

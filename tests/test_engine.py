@@ -454,3 +454,13 @@ def test_readonly_cannot_create_index(engine):
             engine.execute_sql(sid, "CREATE INDEX i ON t (c)")
     finally:
         engine.close_session(sid)
+
+
+def test_query_profile_capture(engine, session):
+    engine.execute_sql(session, "SET engine.capture_query_profile = true")
+    res = engine.execute_sql(session, "SELECT 1 AS one")
+    engine.collect(session, res)
+    prof = engine.last_profile(session)
+    assert prof is not None
+    assert "Physical Plan" in prof["plan"]
+    engine.execute_sql(session, "SET engine.capture_query_profile = false")
