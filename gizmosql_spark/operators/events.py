@@ -75,6 +75,20 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window (15-minute slide) aggregation in batch —
+    Spark's window(slide) fans each event into window/slide = 4 buckets
+    before the hash aggregate; the oracle materializes the same fan-out
+    with an explicit k = 0..3 cross join."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: gaps-and-islands
     (lag + cumulative sum), the batch equivalent of
@@ -239,6 +253,7 @@ QUERIES = {
     "variant_funcs": variant_funcs,
     "json_funcs": json_funcs,
     "events_hourly": events_hourly,
+    "events_sliding": events_sliding,
     "events_sessionize": events_sessionize,
     "events_asof_join": events_asof_join,
 }
@@ -319,6 +334,16 @@ ORACLE: dict[str, str] = {
                count(*) AS n,
                sum(value) AS total
         FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "events_sliding": """
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+                   AS window_start,
+               event_type,
+               count(*) AS n
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
         GROUP BY window_start, event_type
         ORDER BY window_start, event_type
     """,

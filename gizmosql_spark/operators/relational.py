@@ -393,9 +393,38 @@ def spatial_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2E array/struct/map family (LIST construction + extraction,
+    duckdb_server.cpp:674-697 type contract; higher-order transforms):
+    size/element_at/array_max/min/slice/sort_array/aggregate plus map
+    and struct extraction — all JVM higher-order expressions."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("emb").cast("int").alias("n_dims"),
+            F.round(F.element_at("emb", 1), 6).alias("first_v"),
+            F.round(F.array_max("emb"), 6).alias("max_v"),
+            F.round(F.array_min("emb"), 6).alias("min_v"),
+            F.round(
+                F.expr("aggregate(slice(emb, 1, 8), 0D, (a, v) -> a + v)"), 6
+            ).alias("sum8"),
+            F.round(F.element_at(F.sort_array("emb"), 3), 6).alias("third_smallest"),
+            F.element_at(
+                F.create_map(F.lit("label"), F.col("label")), "label"
+            ).alias("label_via_map"),
+            F.struct("vec_id", "label").getField("label").alias("label_via_struct"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "range_band_join": range_band_join,
     "spatial_funcs": spatial_funcs,
+    "array_funcs": array_funcs,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -416,6 +445,23 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "array_funcs": """
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(emb) AS INTEGER) AS n_dims,
+               round(emb[1], 6) AS first_v,
+               round(list_max(emb), 6) AS max_v,
+               round(list_min(emb), 6) AS min_v,
+               round(list_sum(emb[1:8]), 6) AS sum8,
+               round(list_sort(emb)[3], 6) AS third_smallest,
+               label AS label_via_map,
+               label AS label_via_struct
+        FROM e
+        ORDER BY vec_id
+    """,
     "spatial_funcs": """
         SELECT event_id,
                round(sqrt((value - 50) * (value - 50)

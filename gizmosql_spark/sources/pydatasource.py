@@ -46,6 +46,27 @@ def _row(i: int) -> tuple:
     return (i, h % 97, EVENT_TYPES[h % 4], (h % 10000) / 100.0)
 
 
+def _arrow_batch(start: int, end: int):
+    """Vectorized range generation as one Arrow batch — the fast read
+    path (a reader may yield RecordBatches instead of tuples; ~100x
+    less per-row Python overhead)."""
+    import numpy as np
+    import pyarrow as pa
+
+    i = np.arange(start, end, dtype=np.int64)
+    h = (_LCG_A * i + _LCG_C) % _LCG_M
+    types = np.array(EVENT_TYPES)[h % 4]
+    return pa.record_batch(
+        [
+            pa.array(i),
+            pa.array(h % 97),
+            pa.array(types),
+            pa.array((h % 10000) / 100.0),
+        ],
+        names=["event_id", "user_id", "event_type", "value"],
+    )
+
+
 class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
@@ -64,9 +85,8 @@ class SyntheticEventsReader(DataSourceReader):
             _RangePartition(s, min(s + step, n)) for s in range(0, n, max(step, 1))
         ]
 
-    def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            yield _row(i)
+    def read(self, partition: _RangePartition) -> Iterator:
+        yield _arrow_batch(partition.start, partition.end)
 
 
 class SyntheticEventsStreamReader(DataSourceStreamReader):
