@@ -67,40 +67,65 @@ def _bucket_table_name(sf_dir: str, base: str) -> str:
     return f"bkt_{base}_{token}"
 
 
-def _clear_stale_location(spark: SparkSession, table: str) -> None:
-    """A managed-table dir left by an earlier process (the in-memory
-    catalog forgets tables across restarts) blocks re-creation —
-    remove it when the catalog has no such table."""
+def _warehouse_path(spark: SparkSession, table: str) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    return f"{wh}/{table.lower()}"
+
+
+def _reattach_bucketed(spark: SparkSession, table: str, key: str) -> bool:
+    """Re-register a bucketed layout written by an earlier process.
+
+    The in-memory catalog forgets tables across restarts, but the
+    bucketed files keep their bucket-id filenames — an external table
+    with the same CLUSTERED BY spec reads them shuffle-free. This is
+    the point of bucketing at 100 TB: lay the fact table out once,
+    reuse it from every later session."""
+    import os
+
+    path = _warehouse_path(spark, table)
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        return False
+    try:
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in spark.read.parquet(path).schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {table} ({ddl}) USING parquet"
+            f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO {N_BUCKETS} BUCKETS"
+            f" LOCATION '{path}'"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str, base: str, key: str) -> str:
     import shutil
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
-    if wh:
-        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    t = _bucket_table_name(sf_dir, base)
+    if spark.catalog.tableExists(t):
+        return t
+    if _reattach_bucketed(spark, t, key):
+        return t
+    shutil.rmtree(_warehouse_path(spark, t), ignore_errors=True)
+    (
+        _t(spark, sf_dir, base)
+        .write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(t)
+    )
+    return t
 
 
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders and customer bucketed+sorted on the join key
-    (idempotent per sf_dir; reused across queries in the session)."""
-    to, tc = _bucket_table_name(sf_dir, "orders"), _bucket_table_name(sf_dir, "customer")
-    if not spark.catalog.tableExists(to):
-        _clear_stale_location(spark, to)
-        (
-            _t(spark, sf_dir, "orders")
-            .write.bucketBy(N_BUCKETS, "o_custkey")
-            .sortBy("o_custkey")
-            .mode("overwrite")
-            .saveAsTable(to)
-        )
-    if not spark.catalog.tableExists(tc):
-        _clear_stale_location(spark, tc)
-        (
-            _t(spark, sf_dir, "customer")
-            .write.bucketBy(N_BUCKETS, "c_custkey")
-            .sortBy("c_custkey")
-            .mode("overwrite")
-            .saveAsTable(tc)
-        )
-    return to, tc
+    """orders and customer bucketed+sorted on the join key — written
+    once, re-attached shuffle-free by later processes."""
+    return (
+        _ensure_bucketed(spark, sf_dir, "orders", "o_custkey"),
+        _ensure_bucketed(spark, sf_dir, "customer", "c_custkey"),
+    )
 
 
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:

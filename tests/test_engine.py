@@ -464,3 +464,20 @@ def test_query_profile_capture(engine, session):
     assert prof is not None
     assert "Physical Plan" in prof["plan"]
     engine.execute_sql(session, "SET engine.capture_query_profile = false")
+
+
+def test_cli_run_statement_and_repl(engine, session):
+    """CLI shell (reference src/client analog): statement rendering,
+    meta commands, REPL loop over an in-process engine."""
+    import io
+
+    from gizmosql_spark import cli
+
+    out = cli.run_statement(engine, session, "SELECT 1 AS a, 'x' AS b")
+    assert "a" in out and "x" in out and "(1 rows)" in out
+    out = cli.run_statement(engine, session, "SET engine.query_timeout = 5")
+    assert "engine.query_timeout=5" in out
+    stdin = io.StringIO("SELECT 2 AS two;\n\\q\n")
+    stdout = io.StringIO()
+    cli.repl(engine, session, stdin=stdin, stdout=stdout)
+    assert "two" in stdout.getvalue()
