@@ -184,6 +184,26 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def time_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.2 TIME/INTERVAL hazard coverage: Spark has no TIME type, so
+    time-of-day travels as micros-since-midnight (the documented
+    widening); INTERVAL arithmetic, week truncation, epoch extraction
+    and day names over the ns→µs-truncated event timestamps."""
+    e = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        (F.unix_micros("ts") % 86_400_000_000).alias("time_micros"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2025-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        F.last_day(F.col("ts").cast("date")).alias("last_dom"),
+    ).orderBy("event_id")
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: users reaching view → click → purchase
     strictly in time order. Each stage is a per-user min-timestamp
@@ -251,6 +271,7 @@ QUERIES = {
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "variant_funcs": variant_funcs,
+    "time_interval_funcs": time_interval_funcs,
     "json_funcs": json_funcs,
     "events_hourly": events_hourly,
     "events_sliding": events_sliding,
@@ -277,6 +298,20 @@ ORACLE: dict[str, str] = {
         FROM ev
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "time_interval_funcs": """
+        SELECT event_id,
+               epoch_us(ts) % 86400000000 AS time_micros,
+               ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+               CAST(date_diff('day', DATE '2025-01-01', CAST(ts AS DATE))
+                    AS INTEGER) AS days_since,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+               dayname(ts) AS day_name,
+               last_day(CAST(ts AS DATE)) AS last_dom
+        FROM events
+        WHERE event_id < 2000
+        ORDER BY event_id
     """,
     "variant_funcs": """
         SELECT event_id,
