@@ -334,11 +334,29 @@ class Engine:
             session_id, sql, "ok", (time.perf_counter() - t_start) * 1000)
         return result
 
+    _QUERY_LOG_FN_RE = __import__("re").compile(
+        r"\bengine_query_log\s*\(\s*\)", __import__("re").IGNORECASE
+    )
+
     def _run_statement(self, st: SessionState, sql: str) -> StatementResult:
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
         sql, used_settings = rewrite_settings_function(sql)
         if used_settings:
             self._register_settings_view(st)
+        if self._QUERY_LOG_FN_RE.search(sql):
+            # engine_query_log() table function: the redacted statement
+            # ring as a queryable view (reference: query-log telemetry,
+            # gizmosql_logging.cpp)
+            sql = self._QUERY_LOG_FN_RE.sub("engine_query_log", sql)
+            rows = [
+                (e.session_id, e.sql, e.status, float(e.elapsed_ms), float(e.at))
+                for e in self.query_log.entries()
+            ]
+            st.spark.createDataFrame(
+                rows,
+                "session_id string, sql string, status string,"
+                " elapsed_ms double, at double",
+            ).createOrReplaceTempView("engine_query_log")
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:
             st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
@@ -634,3 +652,43 @@ class Engine:
             return self.spark.sql("SELECT 1").collect()[0][0] == 1
         except Exception:
             return False
+
+    def start_health_monitor(self, interval_seconds: float = 5.0) -> None:
+        """Background heartbeat with staleness detection — the
+        reference runs its --health-check-query on a thread and reports
+        stale when the last success ages out (health_service.cpp,
+        wiring gizmosql_library.cpp:1010-1052)."""
+        if getattr(self, "_health_stop", None) is not None:
+            return
+        self._health_stop = threading.Event()
+        self._health_last_ok: float | None = None
+        self._health_interval = interval_seconds
+
+        def _loop():
+            while not self._health_stop.wait(0.0 if self._health_last_ok is None
+                                            else interval_seconds):
+                if self.health_check():
+                    self._health_last_ok = time.time()
+
+        self._health_thread = threading.Thread(target=_loop, daemon=True)
+        self._health_thread.start()
+
+    def stop_health_monitor(self) -> None:
+        stop = getattr(self, "_health_stop", None)
+        if stop is not None:
+            stop.set()
+            self._health_thread.join(5)
+            self._health_stop = None
+
+    def health_status(self) -> dict[str, Any]:
+        """Live + staleness view of the monitor (stale when the last
+        success is older than 3 heartbeat intervals)."""
+        last_ok = getattr(self, "_health_last_ok", None)
+        if last_ok is None:
+            return {"healthy": False, "stale": True, "last_ok_age_s": None}
+        age = time.time() - last_ok
+        return {
+            "healthy": True,
+            "stale": age > 3 * getattr(self, "_health_interval", 5.0),
+            "last_ok_age_s": age,
+        }

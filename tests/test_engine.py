@@ -481,3 +481,39 @@ def test_cli_run_statement_and_repl(engine, session):
     stdout = io.StringIO()
     cli.repl(engine, session, stdin=stdin, stdout=stdout)
     assert "two" in stdout.getvalue()
+
+
+def test_query_log_table_function(engine, session):
+    engine.execute_sql(session, "SELECT 42 AS marker_q")
+    res = engine.execute_sql(
+        session,
+        "SELECT status, sql FROM engine_query_log() WHERE sql LIKE '%marker_q%'",
+    )
+    rows = engine.collect(session, res)
+    assert any(r["status"] == "ok" for r in rows)
+
+
+def test_query_log_redaction_in_view(engine, session):
+    try:
+        engine.execute_sql(
+            session, "SELECT 'x' AS c /* PASSWORD 'hunter2' */"
+        )
+    except Exception:
+        pass
+    res = engine.execute_sql(
+        session, "SELECT sql FROM engine_query_log() WHERE sql LIKE '%PASSWORD%'"
+    )
+    for r in engine.collect(session, res):
+        assert "hunter2" not in r["sql"]
+
+
+def test_health_monitor(engine):
+    import time as _t
+
+    engine.start_health_monitor(interval_seconds=0.5)
+    deadline = _t.time() + 15
+    while _t.time() < deadline and not engine.health_status()["healthy"]:
+        _t.sleep(0.2)
+    status = engine.health_status()
+    engine.stop_health_monitor()
+    assert status["healthy"] and not status["stale"]
