@@ -147,8 +147,39 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join: the (potentially skewed) fact side carries a
+    deterministic salt, the dimension side is replicated across all
+    salt values, and the join runs on (key, salt) — splitting any hot
+    key over N_SALT reducers. AQE's skew-join split handles this
+    adaptively; explicit salting is the static fallback when a key is
+    so hot a single post-split partition still overflows. Results are
+    identical to the unsalted join (the oracle)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", (F.col("l_linenumber") % N_SALT).alias("salt")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    replicated = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    return (
+        li.join(
+            replicated,
+            (li["l_orderkey"] == replicated["o_orderkey"])
+            & (li["salt"] == replicated["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "salted_agg": salted_agg,
+    "salted_join": salted_join,
     "bucketed_join": bucketed_join,
 }
 
@@ -162,6 +193,15 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """,
+    "salted_join": """
+        SELECT o.o_orderpriority,
+               count(*) AS n_items,
+               sum(l.l_extendedprice) AS total_price
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
     """,
     "bucketed_join": """
         SELECT c.c_mktsegment,
