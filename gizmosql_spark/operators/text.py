@@ -196,9 +196,49 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline (the composed form a
+    training-data run actually executes): quality-score filter →
+    exact-dedup keeper selection → per-source survival stats. One scan
+    feeds the scoring, one shuffle dedups, one aggregates — the whole
+    pipeline is three stages at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    n_tokens = F.size(F.split(norm, " ")).cast("double")
+    punct_chars = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", "")).cast("double")
+    n_chars = F.length(norm).cast("double")
+    stop_hits = F.size(F.regexp_extract_all(norm, F.lit(STOPWORDS["en"]), 0)).cast("double")
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.4) * (F.lit(1.0) - punct_chars / F.greatest(n_chars, F.lit(1.0)))
+            + F.lit(0.2) * (stop_hits / n_tokens),
+        ),
+    )
+    scored = d.select(
+        "doc_id", "source", F.md5(norm).alias("fp"), score.alias("q")
+    ).filter(F.col("q") >= 0.5)
+    keeper = Window.partitionBy("fp")
+    kept = (
+        scored.withColumn("keeper", F.min("doc_id").over(keeper))
+        .filter(F.col("doc_id") == F.col("keeper"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "tfidf_top_terms": tfidf_top_terms,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
@@ -208,6 +248,32 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "pipeline_clean_corpus": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   md5({_NORM_SQL}) AS fp,
+                   greatest(0.0, least(1.0,
+                       0.4 * least(CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE) / 100.0, 1.0)
+                       + 0.4 * (1.0 - CAST(length(regexp_replace({_NORM_SQL}, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                / greatest(CAST(length({_NORM_SQL}) AS DOUBLE), 1.0))
+                       + 0.2 * (CAST(len(regexp_extract_all({_NORM_SQL},
+                            '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE)
+                                / CAST(len(string_split({_NORM_SQL}, ' ')) AS DOUBLE)))) AS q
+            FROM documents
+        ), filtered AS (
+            SELECT * FROM scored WHERE q >= 0.5
+        ), kept AS (
+            SELECT * FROM (
+                SELECT doc_id, source, q,
+                       min(doc_id) OVER (PARTITION BY fp) AS keeper
+                FROM filtered)
+            WHERE doc_id = keeper
+        )
+        SELECT source, count(*) AS n_kept, round(avg(q), 6) AS avg_quality
+        FROM kept
+        GROUP BY source
+        ORDER BY source
+    """,
     "tfidf_top_terms": f"""
         WITH tokens AS (
             SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term

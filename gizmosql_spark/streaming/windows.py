@@ -213,10 +213,60 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream (for streaming dedup)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on the text fingerprint —
+    the incremental form of dedup_exact (first arrival wins; state is
+    the fingerprint set, bounded by withWatermark in a real deployment;
+    the emitted fingerprint *set* is deterministic either way)."""
+    s = read_document_stream(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    out = run_to_completion(
+        s.select(fp.alias("fp")).dropDuplicates(["fp"]), "q_stream_dedup"
+    )
+    return out.orderBy("fp")
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream joins a static (broadcast)
+    dimension — the canonical enrichment topology; the static side is
+    re-read per micro-batch, the stream side never shuffles."""
+    tiers = spark.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+    s = read_event_stream(spark, sf_dir)
+    joined = s.join(F.broadcast(tiers), "user_id")
+    agg = (
+        joined.withWatermark("ts", "10 minutes")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    return run_to_completion(agg, "q_stream_static_join").orderBy("tier")
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_session_windows": stream_session_windows,
     "stream_running_totals": stream_running_totals,
+    "stream_dedup": stream_dedup,
+    "stream_static_join": stream_static_join,
 }
 
 ORACLE: dict[str, str] = {
@@ -259,5 +309,17 @@ ORACLE: dict[str, str] = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "stream_dedup": r"""
+        SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+        ORDER BY fp
+    """,
+    "stream_static_join": """
+        SELECT user_id % 3 AS tier, count(*) AS n, sum(value) AS total
+        FROM events
+        WHERE user_id < 1000
+        GROUP BY tier
+        ORDER BY tier
     """,
 }
