@@ -363,6 +363,24 @@ class Engine:
 
         target = dml_target(sql)
         if target is not None:
+            from gizmosql_spark import dml
+
+            upd = dml.parse_update(sql)
+            dele = dml.parse_delete(sql)
+            if upd is not None or dele is not None:
+                # UPDATE/DELETE on managed parquet tables: Spark only
+                # supports these on Delta/Iceberg — emulate copy-on-
+                # write at the engine layer (dml.py)
+                if st.txn is not None:
+                    self._txn_snapshot(st, target)
+                if upd is not None:
+                    _, assignments, where = upd
+                    affected = dml.apply_update(st.spark, target, assignments, where)
+                else:
+                    _, where = dele
+                    affected = dml.apply_delete(st.spark, target, where)
+                self._refresh_everywhere(target)
+                return StatementResult("update", affected_rows=affected)
             # DML path: runs eagerly inside spark.sql(). Affected count
             # is measured as the table's row-count delta — count() on a
             # managed parquet table is row-group metadata only, no scan

@@ -517,3 +517,63 @@ def test_health_monitor(engine):
     status = engine.health_status()
     engine.stop_health_monitor()
     assert status["healthy"] and not status["stale"]
+
+
+def test_update_delete_on_managed_parquet(engine):
+    """UPDATE/DELETE emulation (copy-on-write) on managed parquet
+    tables — reference parity via DuckDB's native DML."""
+    sid = engine.create_session(role="admin")
+    try:
+        engine.execute_sql(sid, "DROP TABLE IF EXISTS t_dml_emul")
+        engine.execute_sql(
+            sid,
+            "CREATE TABLE t_dml_emul AS "
+            "SELECT id, CAST(id * 10 AS DOUBLE) AS v FROM range(10)",
+        )
+        res = engine.execute_sql(
+            sid, "UPDATE t_dml_emul SET v = v + 1 WHERE id >= 7"
+        )
+        assert res.affected_rows == 3
+        rows = {
+            r["id"]: r["v"]
+            for r in engine.collect(
+                sid, engine.execute_sql(sid, "SELECT * FROM t_dml_emul")
+            )
+        }
+        assert rows[7] == 71.0 and rows[0] == 0.0
+        res = engine.execute_sql(sid, "DELETE FROM t_dml_emul WHERE id < 5")
+        assert res.affected_rows == 5
+        res = engine.execute_sql(
+            sid, "SELECT count(*) AS n FROM t_dml_emul"
+        )
+        assert engine.collect(sid, res)[0]["n"] == 5
+        # multi-assignment update, no WHERE (all rows)
+        res = engine.execute_sql(
+            sid, "UPDATE t_dml_emul SET v = 0, id = id + 100"
+        )
+        assert res.affected_rows == 5
+        res = engine.execute_sql(
+            sid, "SELECT min(id) AS mn, sum(v) AS sv FROM t_dml_emul"
+        )
+        row = engine.collect(sid, res)[0]
+        assert row["mn"] == 105 and row["sv"] == 0.0
+        engine.execute_sql(sid, "DROP TABLE t_dml_emul")
+    finally:
+        engine.close_session(sid)
+
+
+def test_update_rolls_back_in_transaction(engine):
+    sid = engine.create_session(role="admin")
+    try:
+        engine.execute_sql(sid, "DROP TABLE IF EXISTS t_dml_txn")
+        engine.execute_sql(
+            sid, "CREATE TABLE t_dml_txn AS SELECT id FROM range(4)"
+        )
+        engine.execute_sql(sid, "BEGIN")
+        engine.execute_sql(sid, "DELETE FROM t_dml_txn WHERE id > 0")
+        engine.execute_sql(sid, "ROLLBACK")
+        res = engine.execute_sql(sid, "SELECT count(*) AS n FROM t_dml_txn")
+        assert engine.collect(sid, res)[0]["n"] == 4
+        engine.execute_sql(sid, "DROP TABLE t_dml_txn")
+    finally:
+        engine.close_session(sid)
