@@ -122,3 +122,89 @@ def _overwrite_via_stage(spark: SparkSession, table: str, post: DataFrame) -> No
         spark.table(stage).write.mode("overwrite").insertInto(table, overwrite=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+# --- MERGE INTO (upsert) ---------------------------------------------
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ON\s+(.*?)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*"
+    r"(?:\(([^)]*)\))?\s*VALUES\s*\((.*?)\))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_merge(sql: str):
+    m = _MERGE_RE.match(sql)
+    if not m:
+        return None
+    table, t_alias, using, s_alias, on, set_clause, ins_cols, ins_vals = m.groups()
+    assignments = []
+    for part in _split_top_level(set_clause):
+        col, _, expr = part.partition("=")
+        if not expr:
+            return None
+        assignments.append((col.strip().strip("`"), expr.strip()))
+    insert = None
+    if ins_vals is not None:
+        cols = [c.strip().strip("`") for c in ins_cols.split(",")] if ins_cols else None
+        insert = (cols, [v.strip() for v in _split_top_level(ins_vals)])
+    return table, t_alias, using, s_alias, on, assignments, insert
+
+
+def apply_merge(spark: SparkSession, parsed) -> int:
+    """Copy-on-write MERGE (upsert): matched target rows take the
+    UPDATE SET image, unmatched source rows become INSERTs. Errors if
+    a target row matches multiple source rows (standard MERGE
+    cardinality rule). Returns rows updated + inserted."""
+    table, t_alias, using, s_alias, on, assignments, insert = parsed
+    tgt = spark.table(table).alias(t_alias or "tgt")
+    src_df = (
+        spark.sql(using[1:-1]) if using.startswith("(") else spark.table(using)
+    ).alias(s_alias or "src")
+    cond = F.expr(on)
+
+    joined = tgt.join(src_df.withColumn("__m", F.lit(1)), cond, "left")
+    n_tgt = tgt.count()
+    if joined.count() > n_tgt:
+        raise ValueError("MERGE: a target row matched multiple source rows")
+    n_matched = joined.filter(F.col("__m").isNotNull()).count()
+
+    assigned = dict(assignments)
+    tname = t_alias or "tgt"
+    post = joined.select(
+        *[
+            F.when(F.col("__m").isNotNull(), F.expr(assigned[f.name]))
+            .otherwise(F.col(f"{tname}.{f.name}"))
+            .cast(f.dataType)
+            .alias(f.name)
+            if f.name in assigned
+            else F.col(f"{tname}.{f.name}").alias(f.name)
+            for f in spark.table(table).schema.fields
+        ]
+    )
+
+    n_inserted = 0
+    if insert is not None:
+        cols, vals = insert
+        schema = spark.table(table).schema
+        cols = cols or [f.name for f in schema.fields]
+        unmatched = src_df.join(tgt, cond, "left_anti")
+        exprs = dict(zip(cols, vals))
+        ins_df = unmatched.select(
+            *[
+                F.expr(exprs[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in exprs
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        n_inserted = ins_df.count()
+        post = post.unionByName(ins_df)
+
+    _overwrite_via_stage(spark, table, post)
+    return n_matched + n_inserted

@@ -365,6 +365,13 @@ class Engine:
         if target is not None:
             from gizmosql_spark import dml
 
+            mrg = dml.parse_merge(sql)
+            if mrg is not None:
+                if st.txn is not None:
+                    self._txn_snapshot(st, target)
+                affected = dml.apply_merge(st.spark, mrg)
+                self._refresh_everywhere(target)
+                return StatementResult("update", affected_rows=affected)
             upd = dml.parse_update(sql)
             dele = dml.parse_delete(sql)
             if upd is not None or dele is not None:

@@ -577,3 +577,37 @@ def test_update_rolls_back_in_transaction(engine):
         engine.execute_sql(sid, "DROP TABLE t_dml_txn")
     finally:
         engine.close_session(sid)
+
+
+def test_merge_into_upsert(engine):
+    """MERGE INTO emulation: matched rows update, unmatched insert."""
+    sid = engine.create_session(role="admin")
+    try:
+        engine.execute_sql(sid, "DROP TABLE IF EXISTS t_merge_tgt")
+        engine.execute_sql(
+            sid,
+            "CREATE TABLE t_merge_tgt AS "
+            "SELECT id, CAST(id AS DOUBLE) AS v FROM range(5)",
+        )
+        res = engine.execute_sql(
+            sid,
+            "MERGE INTO t_merge_tgt t USING "
+            "(SELECT id * 2 AS id, 99.0 AS v FROM range(4)) s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)",
+        )
+        # matches: s.id in {0,2,4,6} ∩ t.id {0..4} = {0,2,4} → 3 updates
+        # unmatched source: {6} → 1 insert
+        assert res.affected_rows == 4
+        rows = {
+            r["id"]: r["v"]
+            for r in engine.collect(
+                sid, engine.execute_sql(sid, "SELECT * FROM t_merge_tgt")
+            )
+        }
+        assert rows[0] == 99.0 and rows[2] == 99.0 and rows[6] == 99.0
+        assert rows[1] == 1.0 and len(rows) == 6
+        engine.execute_sql(sid, "DROP TABLE t_merge_tgt")
+    finally:
+        engine.close_session(sid)
