@@ -16,8 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+_CONFD: set[int] = set()
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the fixture contract depends on, applied
+    defensively in case the caller's session wasn't built by
+    gizmosql_spark.session.get_spark: ns-timestamp parquet reads
+    (events fixture) and the UTC session timezone the oracles assume
+    (the reference exports TIMESTAMP_TZ as UTC µs)."""
+    if id(spark) in _CONFD:
+        return
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    _CONFD.add(id(spark))
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     key = (id(spark), sf_dir, name)
     df = _CACHE.get(key)
     if df is None:

@@ -52,6 +52,9 @@ EVENT_SCHEMA = StructType(
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream. The fixture's ns timestamps are
     read as long and converted, matching operators/events.load_events."""
+    from gizmosql_spark.operators.loader import ensure_session_confs
+
+    ensure_session_confs(spark)
     raw_schema = StructType(
         [
             StructField("event_id", LongType()),
