@@ -177,10 +177,48 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written partitioned by event date — the layout that makes
+    time-range queries prune files instead of scanning the corpus."""
+    from gizmosql_spark.operators.events import load_events
+
+    t = _bucket_table_name(sf_dir, "events_bydate")
+    if spark.catalog.tableExists(t):
+        return t
+    import shutil
+
+    shutil.rmtree(_warehouse_path(spark, t), ignore_errors=True)
+    (
+        load_events(spark, sf_dir)
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .saveAsTable(t)
+    )
+    return t
+
+
+def partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over a date-partitioned layout: the filter resolves
+    at planning time to a partition-directory listing — the scan never
+    opens files outside the day (tests pin PartitionFilters in the
+    plan). At 100 TB this is the difference between reading one day
+    and reading three years."""
+    t = _ensure_partitioned_events(spark, sf_dir)
+    return (
+        spark.table(t)
+        .filter(F.col("event_date") == "2024-01-05")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "salted_agg": salted_agg,
     "salted_join": salted_join,
     "bucketed_join": bucketed_join,
+    "partition_pruned_agg": partition_pruned_agg,
 }
 
 ORACLE: dict[str, str] = {
@@ -202,6 +240,13 @@ ORACLE: dict[str, str] = {
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
+    """,
+    "partition_pruned_agg": """
+        SELECT event_type, count(*) AS n, sum(value) AS total
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "bucketed_join": """
         SELECT c.c_mktsegment,

@@ -39,3 +39,13 @@ def test_salted_agg_two_stage(spark, sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_shipdate" not in read_schema
     assert "l_quantity" in read_schema
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    df = scale.partition_pruned_agg(spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    # the date predicate must appear as a partition filter, not a data
+    # filter over all files
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "event_date" in pf_line
