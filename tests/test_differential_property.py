@@ -69,3 +69,44 @@ def test_filter_count_sum_agree(spark, ddb, sdf, preds, joiner):
         assert got["mn"] is None, where
     else:
         assert got["mn"] == pytest.approx(want[2], rel=1e-9), where
+
+
+@pytest.fixture(scope="module")
+def ddb2():
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def joined_views(spark):
+    spark.read.parquet(f"{SF}/lineitem.parquet").createOrReplaceTempView("li_prop2")
+    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView("ord_prop2")
+
+
+_GROUPS = ["l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus"]
+
+
+@given(preds=_predicates, grp=st.sampled_from(_GROUPS))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_join_groupby_agree(spark, ddb2, joined_views, preds, grp):
+    """Randomized join + group-by: per-group counts and sums must agree
+    between the Catalyst plan and DuckDB."""
+    where = " AND ".join(preds)
+    q = (
+        f"SELECT {grp} AS g, count(*) AS n, sum(l_extendedprice) AS s "
+        f"FROM {{li}} JOIN {{o}} ON l_orderkey = o_orderkey "
+        f"WHERE {where} GROUP BY {grp} ORDER BY g"
+    )
+    got = spark.sql(q.format(li="li_prop2", o="ord_prop2")).collect()
+    want = ddb2.execute(q.format(li="lineitem", o="orders")).fetchall()
+    assert len(got) == len(want), where
+    for g_row, w_row in zip(got, want):
+        assert g_row["g"] == w_row[0], where
+        assert g_row["n"] == w_row[1], where
+        assert g_row["s"] == pytest.approx(w_row[2], rel=1e-9), where
