@@ -326,3 +326,98 @@ ORACLE: dict[str, str] = {
         ORDER BY tier
     """,
 }
+
+
+# --- transformWithStateInPandas (Spark 4 stateful processor API) -----
+
+
+def _user_stats_processor():
+    """Per-user event statistics via the Spark 4 StatefulProcessor API
+    (value state + composite types) — the successor to
+    applyInPandasWithState, with explicit state variables. Built lazily
+    so importing this module never requires the API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "count LONG, total DOUBLE, max_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+            count, total, max_v = (
+                self._state.get() if self._state.exists() else (0, 0.0, float("-inf"))
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+                max_v = max(max_v, float(pdf["value"].max()))
+            self._state.update((count, total, max_v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "count": [count],
+                    "total": [total],
+                    "max_value": [max_v],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStats()
+
+
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("count", LongType()),
+        StructField("total", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def user_stats_tws(events: DataFrame) -> DataFrame:
+    """Stateful per-user stats via transformWithStateInPandas."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_user_stats_processor(),
+        outputStructType=USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the StatefulProcessor pipeline driven to
+    completion; final per-user stats equal the batch aggregate."""
+    out = run_to_completion(
+        user_stats_tws(read_event_stream(spark, sf_dir)), "q_stream_user_stats"
+    )
+    return out.orderBy("user_id")
+
+
+def tws_available() -> bool:
+    """transformWithState's Python driver worker needs protobuf —
+    absent in this container, so the operator registers only where the
+    dependency exists (environment rule: gate behind an import-try)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if tws_available():  # pragma: no cover - protobuf absent here
+    QUERIES["stream_user_stats"] = stream_user_stats
+    ORACLE["stream_user_stats"] = """
+        SELECT user_id, count(*) AS count, sum(value) AS total,
+               max(value) AS max_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """

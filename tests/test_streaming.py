@@ -62,3 +62,10 @@ def test_streaming_contract_matches_oracle(spark, sf_dir, name):
     from gizmosql_spark.testing import compare_to_oracle
 
     compare_to_oracle(sw.QUERIES[name](spark, sf_dir), sw.ORACLE[name], sf_dir)
+
+
+@pytest.mark.skipif(not sw.tws_available(), reason="protobuf unavailable")
+def test_transform_with_state(spark, sf_dir):
+    out = sw.stream_user_stats(spark, sf_dir)
+    total = sum(r["count"] for r in out.collect())
+    assert total == 10000
