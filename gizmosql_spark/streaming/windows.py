@@ -3,7 +3,9 @@
 The reference has no streaming operators (SURVEY §2C: verified absent);
 this is fresh Spark-first design over the ``events`` fixture per the
 Phase-5 plan: watermarked tumbling/sliding windows, session windows,
-and a stateful custom operator via ``applyInPandasWithState``.
+streaming dedup, stream-static joins, and custom stateful operators
+via ``applyInPandasWithState`` and (where protobuf exists)
+``transformWithStateInPandas``.
 
 The batch-equivalent semantics are verified differentially in
 operators/events.py (events_hourly / events_sessionize share the same
