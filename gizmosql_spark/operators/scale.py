@@ -214,11 +214,56 @@ def partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SPLIT_FILES = 64
+
+
+def _ensure_manyfile_events(spark: SparkSession, sf_dir: str) -> str:
+    """events split into N_SPLIT_FILES parquet files — the many-file
+    corpus shape of the reference's One Trillion Row Challenge
+    (read_parquet('...1trc/*.parquet') over 100k files,
+    docs/one_trillion_row_challenge.md:15-21)."""
+    import os
+
+    t = _bucket_table_name(sf_dir, "events_manyfile")
+    path = _warehouse_path(spark, t)
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        from gizmosql_spark.operators.events import load_events
+
+        load_events(spark, sf_dir).repartition(N_SPLIT_FILES).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def manyfile_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1TRC-shaped aggregation: min/max/avg per key over a glob of many
+    parquet files in one scan. File listing parallelizes on the driver,
+    files pack into splits via maxPartitionBytes, and the aggregate is
+    partial+final — the same plan shape that handles 100k files / 1e12
+    rows in the reference's headline run."""
+    path = _ensure_manyfile_events(spark, sf_dir)
+    df = spark.read.parquet(f"{path}/*.parquet")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "salted_agg": salted_agg,
     "salted_join": salted_join,
     "bucketed_join": bucketed_join,
     "partition_pruned_agg": partition_pruned_agg,
+    "manyfile_scan_agg": manyfile_scan_agg,
 }
 
 ORACLE: dict[str, str] = {
@@ -240,6 +285,16 @@ ORACLE: dict[str, str] = {
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
+    """,
+    "manyfile_scan_agg": """
+        SELECT event_type,
+               min(value) AS min_v,
+               max(value) AS max_v,
+               round(avg(value), 6) AS avg_v,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
     """,
     "partition_pruned_agg": """
         SELECT event_type, count(*) AS n, sum(value) AS total
