@@ -638,9 +638,19 @@ class Engine:
             raise security.CommandDenied("readonly role may not ingest")
         if st.txn is not None:
             self._txn_snapshot(st, table)
+        if not isinstance(data, DataFrame):
+            import pyarrow as pa
+
+            if isinstance(data, pa.RecordBatchReader):
+                data = data.read_all()
+            elif not isinstance(data, pa.Table) and hasattr(data, "__iter__") \
+                    and not hasattr(data, "columns"):
+                batches = list(data)
+                if batches and isinstance(batches[0], pa.RecordBatch):
+                    data = pa.Table.from_batches(batches)
         df = data if isinstance(data, DataFrame) else st.spark.createDataFrame(data)
         n = df.count()
-        if mode == "create":
+        if mode in ("create", "fail"):
             df.write.mode("errorifexists").saveAsTable(table)
         elif mode == "replace":
             df.write.mode("overwrite").saveAsTable(table)

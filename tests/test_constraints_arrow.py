@@ -65,3 +65,26 @@ def test_strip_accents_nfc(spark):
     want = duckdb.sql("SELECT strip_accents('âbcdé') AS sa").fetchall()[0][0]
     assert row["sa"] == want == "abcde"
     assert row["n"] == "café"
+
+
+def test_ingest_record_batch_reader(spark):
+    """Arrow stream ingest: a RecordBatchReader (the ADBC adbc_ingest
+    wire shape) lands as a managed table with verified counts."""
+    import pyarrow as pa
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    tbl = pa.table({"k": list(range(50)), "v": [float(i) * 0.5 for i in range(50)]})
+    reader = pa.RecordBatchReader.from_batches(tbl.schema, tbl.to_batches(max_chunksize=16))
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_ing_reader")
+    n = eng.ingest(sid, "t_ing_reader", reader, mode="create")
+    assert n == 50
+    res = eng.execute_sql(sid, "SELECT count(*) AS c, sum(v) AS s FROM t_ing_reader")
+    row = eng.collect(sid, res)[0]
+    assert row["c"] == 50 and abs(row["s"] - sum(i * 0.5 for i in range(50))) < 1e-9
+    # batch-iterable form
+    n = eng.ingest(sid, "t_ing_reader", iter(tbl.to_batches(max_chunksize=8)), mode="append")
+    assert n == 50
+    res = eng.execute_sql(sid, "SELECT count(*) AS c FROM t_ing_reader")
+    assert eng.collect(sid, res)[0]["c"] == 100
+    eng.execute_sql(sid, "DROP TABLE t_ing_reader")
