@@ -68,6 +68,8 @@ def arrow_to_spark(dt: pa.DataType) -> T.DataType:
         return T.LongType()  # micros-since-midnight (no Spark TimeType)
     if pa.types.is_duration(dt):
         return T.DayTimeIntervalType()
+    if pa.types.is_interval(dt):  # month_day_nano
+        return T.CalendarIntervalType()
     if pa.types.is_fixed_size_list(dt):
         return T.ArrayType(arrow_to_spark(dt.value_type))
     if pa.types.is_list(dt) or pa.types.is_large_list(dt):
@@ -108,10 +110,18 @@ def spark_to_arrow(dt: T.DataType) -> pa.DataType:
         return pa.float64()
     if isinstance(dt, T.DecimalType):
         return pa.decimal128(dt.precision, dt.scale)
-    if isinstance(dt, T.StringType):
+    if isinstance(dt, (T.StringType, T.CharType, T.VarcharType)):
         return pa.string()
     if isinstance(dt, T.BinaryType):
         return pa.binary()
+    if isinstance(dt, T.VariantType):
+        # VARIANT exports as opaque binary, clients cast to JSON — the
+        # reference's contract (duckdb_statement.cpp:698-706)
+        return pa.binary()
+    if isinstance(dt, T.CalendarIntervalType):
+        return pa.month_day_nano_interval()
+    if isinstance(dt, T.YearMonthIntervalType):
+        return pa.month_day_nano_interval()
     if isinstance(dt, T.DateType):
         return pa.date32()
     if isinstance(dt, T.TimestampType):

@@ -75,3 +75,18 @@ def test_ingest_roundtrip_through_spark(spark):
     assert back.num_rows == 3
     assert back.column("i").to_pylist() == [1, 2, None]
     assert back.column("arr").to_pylist() == [[1, 2], [], None]
+
+
+def test_variant_interval_char_mappings():
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from gizmosql_spark.types import arrow_to_spark, spark_to_arrow
+
+    assert spark_to_arrow(T.VariantType()) == pa.binary()
+    assert spark_to_arrow(T.CalendarIntervalType()) == pa.month_day_nano_interval()
+    assert spark_to_arrow(T.CharType(10)) == pa.string()
+    assert spark_to_arrow(T.VarcharType(10)) == pa.string()
+    assert isinstance(
+        arrow_to_spark(pa.month_day_nano_interval()), T.CalendarIntervalType
+    )
