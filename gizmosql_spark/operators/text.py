@@ -135,6 +135,47 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: characteristic character-trigrams per language (tiny deterministic
+#: profiles for the n-gram language-ID heuristic; same lists inline in
+#: the oracle SQL)
+NGRAM_PROFILES = {
+    "en": ["the", "ing", "ion", "and", "ent"],
+    "de": ["der", "sch", "ein", "ich", "und"],
+    "fr": ["les", "ent", "que", "ais", "our"],
+    "es": ["los", "ado", "que", "cio", "nte"],
+}
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID: score = total occurrences of each
+    language's characteristic trigrams in the normalized text, argmax
+    with fixed priority. Complements the stopword heuristic (lang_id)
+    with the classic n-gram-profile method — still pure JVM regex
+    counting, one scan, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    scores = {
+        lang: sum(
+            (F.size(F.split(norm, tri)) - 1 for tri in tris),
+            F.lit(0),
+        ).cast("int")
+        for lang, tris in NGRAM_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["fr"] == best, "fr")
+        .when(scores["es"] == best, "es")
+        .otherwise("en")
+    )
+    return d.select(
+        "doc_id",
+        *[scores[lang].alias(f"{lang}_tri") for lang in NGRAM_PROFILES],
+        pred.alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the §2E string-similarity contract end-to-end: the
     advertised JACCARD/HAMMING/LEVENSHTEIN/EDITDIST3/PREFIX/SUFFIX/
@@ -245,6 +286,7 @@ QUERIES = {
     "token_count": token_count,
     "text_quality": text_quality,
     "lang_id": lang_id,
+    "lang_id_ngram": lang_id_ngram,
     "string_funcs": string_funcs,
 }
 
@@ -350,6 +392,33 @@ ORACLE: dict[str, str] = {
                list_element(str_split(text, ' '), 2) AS second_token,
                CAST(len(str_split(source, '')) AS INTEGER) AS n_src_chars
         FROM documents
+        ORDER BY doc_id
+    """,
+    "lang_id_ngram": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   {", ".join(
+                       "("
+                       + " + ".join(
+                           f"(len(string_split({_NORM_SQL}, '{tri}')) - 1)"
+                           for tri in tris
+                       )
+                       + f") AS {lang}_tri"
+                       for lang, tris in NGRAM_PROFILES.items()
+                   )}
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(en_tri AS INTEGER) AS en_tri,
+               CAST(de_tri AS INTEGER) AS de_tri,
+               CAST(fr_tri AS INTEGER) AS fr_tri,
+               CAST(es_tri AS INTEGER) AS es_tri,
+               CASE WHEN en_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'en'
+                    WHEN de_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'de'
+                    WHEN fr_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'fr'
+                    WHEN es_tri = greatest(en_tri, de_tri, fr_tri, es_tri) THEN 'es'
+                    ELSE 'en' END AS pred_lang
+        FROM s
         ORDER BY doc_id
     """,
     "lang_id": f"""
