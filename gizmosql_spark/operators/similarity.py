@@ -227,10 +227,38 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_QUERY_BATCH = 3
+BATCH_TOP_K = 5
+
+
+def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-k neighbors for a whole batch of query vectors
+    in one plan — queries broadcast against the corpus, ranked with a
+    per-query window. The per-query LIMIT generalizes to arbitrary
+    batch sizes (this is how a retrieval pipeline scores a shard)."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    cos = F.round(F.expr(_COS_EXPR.format(a="emb", b="q_emb")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf": ann_ivf,
+    "ann_topk_batch": ann_topk_batch,
     "embedding_neardup": embedding_neardup,
 }
 
@@ -265,6 +293,23 @@ ORACLE: dict[str, str] = {
         SELECT vec_id, {_LSH_BIT_SQL} AS bucket
         FROM embeddings
         ORDER BY vec_id
+    """,
+    "ann_topk_batch": f"""
+        WITH q AS (
+            SELECT vec_id AS q_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < {N_QUERY_BATCH}),
+        scored AS (
+            SELECT q.q_id, e.vec_id,
+                   round({_COS_SQL.format(a="e.embedding", b="q.q_emb", dim=DIM)}, 6)
+                       AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= {BATCH_TOP_K}
+        ORDER BY q_id, rank
     """,
     "ann_ivf": f"""
         WITH cent AS (
