@@ -148,6 +148,37 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(cust_only).select("src", "nationkey").orderBy("src", "nationkey")
 
 
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops: INTERSECT ALL / EXCEPT ALL preserve
+    duplicates (advertised UNION+set-op surface,
+    duckdb_sql_info.cpp:355)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    ia = c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("op", F.lit("intersect_all"))
+    ea = c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("op", F.lit("except_all"))
+    return ia.unionByName(ea).select("op", "nationkey", "n").orderBy("op", "nationkey")
+
+
+def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL ordering semantics: explicit NULLS FIRST/LAST on a nullable
+    sort key (the reference advertises SQL_NULLS_SORTED_AT_END,
+    duckdb_sql_info.cpp:226-227 — here both directions are pinned
+    explicitly so Spark and DuckDB agree)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    nullable = F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select("o_orderkey", nullable.alias("maybe_price"))
+        .orderBy(
+            F.col("maybe_price").asc_nulls_last(), F.col("o_orderkey").asc()
+        )
+        .limit(50)
+    )
+
+
 # --- pivot ------------------------------------------------------------
 
 
@@ -425,6 +456,8 @@ QUERIES = {
     "range_band_join": range_band_join,
     "spatial_funcs": spatial_funcs,
     "array_funcs": array_funcs,
+    "set_ops_all": set_ops_all,
+    "null_ordering": null_ordering,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -445,6 +478,31 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "set_ops_all": """
+        WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+             s AS (SELECT s_nationkey AS nationkey FROM supplier),
+        ia AS (
+            SELECT 'intersect_all' AS op, nationkey, count(*) AS n
+            FROM (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s)
+            GROUP BY nationkey),
+        ea AS (
+            SELECT 'except_all' AS op, nationkey, count(*) AS n
+            FROM (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+            GROUP BY nationkey)
+        SELECT op, nationkey, n FROM ia
+        UNION ALL
+        SELECT op, nationkey, n FROM ea
+        ORDER BY op, nationkey
+    """,
+    "null_ordering": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice END AS maybe_price
+        FROM orders
+        WHERE o_orderkey < 400
+        ORDER BY maybe_price ASC NULLS LAST, o_orderkey ASC
+        LIMIT 50
+    """,
     "array_funcs": """
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
