@@ -179,6 +179,46 @@ def null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE; DuckDB native): a
+    generated day spine LEFT-joined to events — the gap-filling
+    calendar pattern, fully declarative on both engines."""
+    from gizmosql_spark.operators.events import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events_rc")
+    return spark.sql("""
+        WITH RECURSIVE days(d) AS (
+            SELECT DATE '2024-01-01'
+            UNION ALL
+            SELECT date_add(d, 1) FROM days WHERE d < DATE '2024-01-10'
+        )
+        SELECT d, count(e.event_id) AS n
+        FROM days LEFT JOIN events_rc e ON CAST(e.ts AS DATE) = d
+        GROUP BY d
+        ORDER BY d
+    """)
+
+
+def lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by balance per
+    nation — the per-group top-k as a lateral (DuckDB and Spark share
+    the syntax; Catalyst decorrelates to a ranked window)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation_lat n,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer_lat
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+    """)
+
+
 # --- pivot ------------------------------------------------------------
 
 
@@ -458,6 +498,8 @@ QUERIES = {
     "array_funcs": array_funcs,
     "set_ops_all": set_ops_all,
     "null_ordering": null_ordering,
+    "recursive_cte": recursive_cte,
+    "lateral_join": lateral_join,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -478,6 +520,29 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "recursive_cte": """
+        WITH RECURSIVE days(d) AS (
+            SELECT DATE '2024-01-01'
+            UNION ALL
+            SELECT d + 1 FROM days WHERE d < DATE '2024-01-10'
+        )
+        SELECT d, count(e.event_id) AS n
+        FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+        GROUP BY d
+        ORDER BY d
+    """,
+    "lateral_join": """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal
+            FROM customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name
+            LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+    """,
     "set_ops_all": """
         WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
              s AS (SELECT s_nationkey AS nationkey FROM supplier),
