@@ -299,3 +299,54 @@ def rewrite_settings_function(sql: str) -> tuple[str, bool]:
     statement, mirroring duckdb_statement.cpp:1636-1704)."""
     out, n = _SETTINGS_FN_RE.subn("engine_settings", sql)
     return out, n > 0
+
+
+def _find_top_level(masked: str, keyword: str, start: int = 0) -> int | None:
+    """Offset of ``keyword`` at paren-depth 0 (case-insensitive,
+    word-bounded) in a literal-masked statement, or None."""
+    depth = 0
+    pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    i = start
+    while i < len(masked):
+        ch = masked[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(masked, i)
+            if m:
+                return i
+        i += 1
+    return None
+
+
+def rewrite_qualify(sql: str) -> str:
+    """DuckDB's QUALIFY clause → standard Spark SQL (SURVEY §7 hard
+    part 6: dialect permissiveness). The window predicate moves into
+    the select list as ``__qualify`` and an outer
+    ``SELECT * EXCEPT (__qualify) … WHERE __qualify`` filters on it —
+    semantically QUALIFY exactly (filter after windows).
+
+    Handles the common single-SELECT shape; statements without a
+    top-level QUALIFY pass through untouched."""
+    masked = _mask_literals(sql)
+    q_idx = _find_top_level(masked, "QUALIFY")
+    if q_idx is None:
+        return sql
+    end = len(sql)
+    for kw in ("ORDER\\s+BY", "LIMIT"):
+        j = _find_top_level(masked, kw, q_idx + 7)
+        if j is not None and j < end:
+            end = j
+    pred = sql[q_idx + len("QUALIFY"):end].strip()
+    suffix = sql[end:]
+    head = sql[:q_idx].rstrip()
+    from_idx = _find_top_level(_mask_literals(head), "FROM")
+    if from_idx is None:
+        return sql
+    inner = f"{head[:from_idx].rstrip()}, ({pred}) AS __qualify {head[from_idx:]}"
+    return (
+        f"SELECT * EXCEPT (__qualify) FROM ({inner}) __qualify_q"
+        f" WHERE __qualify {suffix}"
+    )

@@ -611,3 +611,24 @@ def test_merge_into_upsert(engine):
         engine.execute_sql(sid, "DROP TABLE t_merge_tgt")
     finally:
         engine.close_session(sid)
+
+
+def test_qualify_rewrite(engine, session, sf_smoke):
+    """DuckDB QUALIFY dialect-ism runs through the engine (rewritten
+    to a windowed subquery + filter)."""
+    res = engine.execute_sql(
+        session,
+        f"""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM read_parquet('{sf_smoke}/orders.parquet')
+        QUALIFY row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        ORDER BY o_orderpriority, o_totalprice DESC
+        """,
+    )
+    rows = engine.collect(session, res)
+    assert len(rows) == 10  # 5 priorities x top-2
+    prios = [r["o_orderpriority"] for r in rows]
+    assert prios == sorted(prios)
+    assert set(res.df.columns) == {"o_orderpriority", "o_orderkey", "o_totalprice"}
