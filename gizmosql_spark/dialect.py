@@ -350,3 +350,19 @@ def rewrite_qualify(sql: str) -> str:
         f"SELECT * EXCEPT (__qualify) FROM ({inner}) __qualify_q"
         f" WHERE __qualify {suffix}"
     )
+
+
+_EXCLUDE_RE = re.compile(
+    r"(\*\s*)EXCLUDE\s*(\(([^)]*)\)|([A-Za-z_][\w]*))", re.IGNORECASE
+)
+
+
+def rewrite_exclude(sql: str) -> str:
+    """DuckDB's ``SELECT * EXCLUDE (cols)`` → Spark's
+    ``SELECT * EXCEPT (cols)`` (both paren and bare single-column
+    forms)."""
+    def _sub(m: re.Match) -> str:
+        cols = m.group(3) if m.group(3) is not None else m.group(4)
+        return f"{m.group(1)}EXCEPT ({cols})"
+
+    return _EXCLUDE_RE.sub(_sub, sql)

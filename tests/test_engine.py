@@ -632,3 +632,18 @@ def test_qualify_rewrite(engine, session, sf_smoke):
     prios = [r["o_orderpriority"] for r in rows]
     assert prios == sorted(prios)
     assert set(res.df.columns) == {"o_orderpriority", "o_orderkey", "o_totalprice"}
+
+
+def test_exclude_rewrite(engine, session, sf_smoke):
+    res = engine.execute_sql(
+        session,
+        f"SELECT * EXCLUDE (r_name) FROM read_parquet('{sf_smoke}/region.parquet')",
+    )
+    rows = engine.collect(session, res)
+    assert len(rows) == 5
+    assert set(res.df.columns) == {"r_regionkey"}
+    res = engine.execute_sql(
+        session,
+        f"SELECT * EXCLUDE r_name FROM read_parquet('{sf_smoke}/region.parquet')",
+    )
+    assert set(res.df.columns) == {"r_regionkey"}
