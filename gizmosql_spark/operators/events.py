@@ -204,6 +204,24 @@ def time_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users counted per (cohort day, day offset) — the standard
+    retention triangle. Two hash aggregations and one broadcast-able
+    join on user_id; no windows, no collects."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(cohort, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: users reaching view → click → purchase
     strictly in time order. Each stage is a per-user min-timestamp
@@ -270,6 +288,7 @@ QUERIES = {
     "events_json": events_json,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "variant_funcs": variant_funcs,
     "time_interval_funcs": time_interval_funcs,
     "json_funcs": json_funcs,
@@ -298,6 +317,16 @@ ORACLE: dict[str, str] = {
         FROM ev
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "events_retention": """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        cohort AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, e.d) AS INTEGER) AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM e JOIN cohort c ON c.user_id = e.user_id
+        GROUP BY c.cohort_day, day_offset
+        ORDER BY c.cohort_day, day_offset
     """,
     "time_interval_funcs": """
         SELECT event_id,

@@ -279,8 +279,35 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second §2E string/bit batch (duckdb_sql_info.cpp:96-170):
+    ascii/chr/repeat/reverse/lpad/rpad/left/right/strpos/translate,
+    base64 + hex roundtrips, bit_count and xor — all native JVM
+    expressions with exact DuckDB equivalents."""
+    d = _t(spark, sf_dir, "documents")
+    src = F.col("source")
+    return d.select(
+        "doc_id",
+        F.ascii(src).cast("int").alias("first_cp"),
+        F.chr(F.lit(65) + (F.col("doc_id") % 26)).alias("letter"),
+        F.repeat(F.substring(src, 1, 2), 3).alias("rep"),
+        F.reverse(src).alias("rev"),
+        F.lpad(src, 12, ".").alias("lp"),
+        F.rpad(src, 12, ".").alias("rp"),
+        F.substring(src, 1, 3).alias("l3"),
+        F.expr("right(source, 3)").alias("r3"),
+        F.instr(src, "a").cast("int").alias("pos_a"),
+        F.translate(src, "aeiou", "AEIOU").alias("tr"),
+        F.base64(F.encode(src, "UTF-8")).alias("b64"),
+        F.lower(F.hex(F.encode(src, "UTF-8"))).alias("hx"),
+        F.bit_count(F.col("doc_id")).cast("int").alias("bits"),
+        F.col("doc_id").bitwiseXOR(F.lit(255)).alias("xored"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "doc_fingerprint": doc_fingerprint,
+    "string_funcs2": string_funcs2,
     "tfidf_top_terms": tfidf_top_terms,
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "token_count": token_count,
@@ -293,6 +320,25 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "string_funcs2": """
+        SELECT doc_id,
+               CAST(ascii(substr(source, 1, 1)) AS INTEGER) AS first_cp,
+               chr(CAST(65 + (doc_id % 26) AS INTEGER)) AS letter,
+               repeat(substr(source, 1, 2), 3) AS rep,
+               reverse(source) AS rev,
+               lpad(source, 12, '.') AS lp,
+               rpad(source, 12, '.') AS rp,
+               substr(source, 1, 3) AS l3,
+               right(source, 3) AS r3,
+               CAST(strpos(source, 'a') AS INTEGER) AS pos_a,
+               translate(source, 'aeiou', 'AEIOU') AS tr,
+               to_base64(encode(source)) AS b64,
+               lower(hex(encode(source))) AS hx,
+               CAST(bit_count(doc_id) AS INTEGER) AS bits,
+               xor(doc_id, 255) AS xored
+        FROM documents
+        ORDER BY doc_id
+    """,
     "pipeline_clean_corpus": f"""
         WITH scored AS (
             SELECT doc_id, source,
