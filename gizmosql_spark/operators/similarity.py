@@ -254,8 +254,44 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_expr() -> F.Column:
+    bits = []
+    for j in range(N_PLANES):
+        w = (
+            f"transform(sequence(0, {DIM - 1}),"
+            f" d -> ((1103515245L * ({j}L * {DIM} + d) + 12345L) % 1000000) / 1000000.0 - 0.5)"
+        )
+        dot = f"aggregate(zip_with(emb, {w}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup: hyperplane-LSH buckets as the
+    blocking key, exact cosine verification inside each bucket — the
+    100 TB path that embedding_neardup (exact blocked GEMM) bounds.
+    Candidate pairs shrink from O(n²) to Σ bucket² ≈ n²/2^planes; the
+    bucket join shuffles on the 8-bit key, AQE splits any hot bucket."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr())
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "bucket"
+    )
+    cos = F.round(F.expr(_COS_EXPR.format(a="a_emb", b="b_emb")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": ann_bruteforce_topk,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_ivf": ann_ivf,
     "ann_topk_batch": ann_topk_batch,
@@ -293,6 +329,18 @@ ORACLE: dict[str, str] = {
         SELECT vec_id, {_LSH_BIT_SQL} AS bucket
         FROM embeddings
         ORDER BY vec_id
+    """,
+    "embedding_neardup_lsh": f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_LSH_BIT_SQL} AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round({_COS_SQL.format(a="a.embedding", b="b.embedding", dim=DIM)}, 6)
+                   AS cos_sim
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding", dim=DIM)}, 6)
+              >= {NEARDUP_THRESHOLD}
+        ORDER BY a_id, b_id
     """,
     "ann_topk_batch": f"""
         WITH q AS (
