@@ -72,3 +72,14 @@ def test_whole_stage_codegen_after_execution(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "*(1) Filter" in executed
     assert "*(1) HashAggregate" in executed or "*(2) HashAggregate" in executed
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE folds the 32 static shuffle partitions down for small data
+    (the runtime re-plan the 100 TB design leans on)."""
+    df = tpch.q01(spark, sf_dir)
+    df.collect()
+    final = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "AQEShuffleRead" in final and "coalesced" in final

@@ -69,3 +69,21 @@ def test_transform_with_state(spark, sf_dir):
     out = sw.stream_user_stats(spark, sf_dir)
     total = sum(r["count"] for r in out.collect())
     assert total == 10000
+
+
+def test_stream_ingest_to_table(spark, sf_dir):
+    """Streaming ingestion sink: readStream -> managed table via
+    toTable with exactly-once file tracking (checkpointed)."""
+    import uuid
+
+    ckpt = f"/tmp/gizmosql-warehouse/_ckpt_{uuid.uuid4().hex[:10]}"
+    spark.sql("DROP TABLE IF EXISTS t_stream_sink")
+    q = (
+        sw.read_event_stream(spark, sf_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .toTable("t_stream_sink")
+    )
+    q.awaitTermination()
+    assert spark.table("t_stream_sink").count() == 10000
+    spark.sql("DROP TABLE t_stream_sink")
