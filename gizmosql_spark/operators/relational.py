@@ -80,6 +80,46 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-family coverage: dense_rank / percent_rank /
+    cume_dist / ntile / first_value / last_value over one window."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    w_frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("int").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first_value("o_orderkey").over(w_frame).alias("top_key"),
+        F.last_value("o_orderkey").over(w_frame).alias("bottom_key"),
+    ).orderBy("o_orderkey")
+
+
+def agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-function breadth: count_if, bool_and/bool_or, FILTER
+    clause aggregates, median, and ordered string aggregation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_agg")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 100000) AS n_big,
+               bool_or(o_orderstatus = 'F') AS any_f,
+               bool_and(o_totalprice > 0) AS all_pos,
+               sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS open_total,
+               median(o_totalprice) AS med_price,
+               array_join(slice(array_sort(collect_list(CAST(o_orderkey AS STRING))), 1, 5), ',')
+                   AS first_keys
+        FROM orders_agg
+        WHERE o_orderkey < 2000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
 # --- grouping sets / rollup / cube ------------------------------------
 
 
@@ -500,6 +540,8 @@ QUERIES = {
     "null_ordering": null_ordering,
     "recursive_cte": recursive_cte,
     "lateral_join": lateral_join,
+    "window_rank_funcs": window_rank_funcs,
+    "agg_funcs": agg_funcs,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -520,6 +562,37 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "window_rank_funcs": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER w AS INTEGER) AS drank,
+               round(percent_rank() OVER w, 6) AS prank,
+               round(cume_dist() OVER w, 6) AS cdist,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               first_value(o_orderkey) OVER wf AS top_key,
+               last_value(o_orderkey) OVER wf AS bottom_key
+        FROM orders
+        WHERE o_orderkey < 300
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey
+    """,
+    "agg_funcs": """
+        SELECT o_orderpriority,
+               count_if(o_totalprice > 100000) AS n_big,
+               bool_or(o_orderstatus = 'F') AS any_f,
+               bool_and(o_totalprice > 0) AS all_pos,
+               sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS open_total,
+               median(o_totalprice) AS med_price,
+               array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR)))[1:5], ',')
+                   AS first_keys
+        FROM orders
+        WHERE o_orderkey < 2000
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "recursive_cte": """
         WITH RECURSIVE days(d) AS (
             SELECT DATE '2024-01-01'
