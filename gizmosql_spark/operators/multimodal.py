@@ -121,9 +121,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(_feature_batches, FEATURE_SCHEMA).orderBy("doc_id")
 
 
+def doc_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text rows (documents) against their vector
+    rows (embeddings, vec_id = doc_id), aggregated per embedding label
+    — the text×vector linkage a curation pipeline runs constantly.
+    Equi-join on the id, per-label hash aggregate; the vector norm is a
+    JVM higher-order fold."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>),"
+            " x -> x * x), 0D, (acc, v) -> acc + v))"
+        ).alias("norm"),
+    )
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "doc_embedding_stats": doc_embedding_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -137,4 +165,19 @@ ORACLE: dict[str, str] = {
     """,
     # multimodal_features: intentionally no oracle (mapInPandas feature
     # extraction is not SQL-expressible) → driver rows-only check.
+    "doc_embedding_stats": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x * x))) AS norm
+            FROM embeddings
+        )
+        SELECT e.label,
+               count(*) AS n,
+               round(avg(d.n_chars), 6) AS avg_chars,
+               round(avg(e.norm), 6) AS avg_norm
+        FROM documents d JOIN e ON e.vec_id = d.doc_id
+        GROUP BY e.label
+        ORDER BY e.label
+    """,
 }
