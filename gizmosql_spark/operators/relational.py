@@ -581,7 +581,7 @@ ORACLE: dict[str, str] = {
     """,
     "agg_funcs": """
         SELECT o_orderpriority,
-               count_if(o_totalprice > 100000) AS n_big,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
                bool_or(o_orderstatus = 'F') AS any_f,
                bool_and(o_totalprice > 0) AS all_pos,
                sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS open_total,
