@@ -120,6 +120,26 @@ def agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal fidelity (SURVEY §7 hard part 1): exact DECIMAL(15,2)
+    aggregation — sums/min/max stay in decimal arithmetic end-to-end
+    (no float drift), with both engines' differing intermediate
+    precisions normalized by the explicit output casts."""
+    l = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(15,2)")
+    return (
+        l.select("l_returnflag", price.alias("p"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p").cast("decimal(38,2)").alias("sum_price"),
+            F.min("p").cast("decimal(15,2)").alias("min_price"),
+            F.max("p").cast("decimal(15,2)").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- grouping sets / rollup / cube ------------------------------------
 
 
@@ -542,6 +562,7 @@ QUERIES = {
     "lateral_join": lateral_join,
     "window_rank_funcs": window_rank_funcs,
     "agg_funcs": agg_funcs,
+    "decimal_agg": decimal_agg,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -562,6 +583,21 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "decimal_agg": """
+        WITH l AS (
+            SELECT l_returnflag,
+                   CAST(l_extendedprice AS DECIMAL(15,2)) AS p
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(sum(p) AS DECIMAL(38,2)) AS sum_price,
+               CAST(min(p) AS DECIMAL(15,2)) AS min_price,
+               CAST(max(p) AS DECIMAL(15,2)) AS max_price,
+               count(*) AS n
+        FROM l
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "window_rank_funcs": """
         SELECT o_orderkey, o_orderpriority,
                CAST(dense_rank() OVER w AS INTEGER) AS drank,
