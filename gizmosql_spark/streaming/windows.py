@@ -159,13 +159,15 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_to_completion(stream_df: DataFrame, query_name: str,
+                      output_mode: str | None = None) -> DataFrame:
     """Drive a streaming frame over all available input synchronously
     (availableNow + memory sink); returns the sink contents. Local test
     harness — a deployment would use a real sink + continuous trigger."""
     spark = stream_df.sparkSession
+    mode = output_mode or ("complete" if _has_agg(stream_df) else "update")
     q = (
-        stream_df.writeStream.outputMode("complete" if _has_agg(stream_df) else "update")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
@@ -399,6 +401,62 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_stats_tws(read_event_stream(spark, sf_dir)), "q_stream_user_stats"
     )
     return out.orderBy("user_id")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the same user's
+    purchases within the following hour — both sides watermarked, the
+    event-time bound caps the join state (the canonical two-stream
+    topology). Oracle: the identical interval join in batch."""
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = run_to_completion(
+        joined.select("click_id", "purchase_id", "c_user", "c_ts", "p_ts"),
+        "q_stream_stream_join",
+        output_mode="append",
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
+QUERIES["stream_stream_join"] = stream_stream_join
+ORACLE["stream_stream_join"] = """
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id AS c_user,
+           c.ts AS c_ts,
+           p.ts AS p_ts
+    FROM events c
+    JOIN events p ON p.user_id = c.user_id
+               AND p.event_type = 'purchase'
+               AND p.ts > c.ts
+               AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    ORDER BY click_id, purchase_id
+"""
 
 
 def tws_available() -> bool:
