@@ -222,6 +222,24 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: per-type mean/stddev
+    broadcast back onto the stream of rows, flagging |z| > 2.5 — the
+    scan-aggregate-rejoin shape of large-scale data validation."""
+    e = load_events(spark, sf_dir)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: users reaching view → click → purchase
     strictly in time order. Each stage is a per-user min-timestamp
@@ -289,6 +307,7 @@ QUERIES = {
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_retention": events_retention,
+    "events_anomaly": events_anomaly,
     "variant_funcs": variant_funcs,
     "time_interval_funcs": time_interval_funcs,
     "json_funcs": json_funcs,
@@ -317,6 +336,17 @@ ORACLE: dict[str, str] = {
         FROM ev
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "events_anomaly": """
+        WITH stats AS (
+            SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - s.mu) / s.sd, 6) AS z
+        FROM events e JOIN stats s ON s.event_type = e.event_type
+        WHERE abs(round((e.value - s.mu) / s.sd, 6)) > 2.5
+        ORDER BY e.event_id
     """,
     "events_retention": """
         WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
