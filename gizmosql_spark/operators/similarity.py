@@ -272,7 +272,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path that embedding_neardup (exact blocked GEMM) bounds.
     Candidate pairs shrink from O(n²) to Σ bucket² ≈ n²/2^planes; the
     bucket join shuffles on the 8-bit key, AQE splits any hot bucket."""
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr())
+    # persist the bucketed frame: both join branches read it, so the
+    # 8-plane projection runs once (at scale buckets are materialized
+    # as a column in the table layout and reused across queries)
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr()).persist()
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "bucket"
     )
