@@ -305,8 +305,37 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: PII-ish patterns kept to regex constructs with identical semantics
+#: in Java regex (Spark) and RE2 (DuckDB): literal classes, +, {m,n}
+_PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "longnum": r"[0-9]{9,}",
+}
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-data cleaning staple): count and
+    redact email/URL/long-number patterns per document; the redacted
+    text is fingerprinted so the oracle verifies the actual rewrite,
+    not just the counts. Pure JVM regex — one scan, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    red = norm
+    for name, pat in _PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name}>")
+    counts = [
+        F.size(F.regexp_extract_all(norm, F.lit(pat), 0)).cast("int").alias(f"n_{name}")
+        for name, pat in _PII_PATTERNS.items()
+    ]
+    return d.select(
+        "doc_id", *counts, F.md5(red).alias("redacted_fp")
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "doc_fingerprint": doc_fingerprint,
+    "text_redact_pii": text_redact_pii,
     "string_funcs2": string_funcs2,
     "tfidf_top_terms": tfidf_top_terms,
     "pipeline_clean_corpus": pipeline_clean_corpus,
@@ -320,6 +349,21 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "text_redact_pii": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({_NORM_SQL},
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all({_NORM_SQL},
+                    'https?://[^\\s]+')) AS INTEGER) AS n_url,
+               CAST(len(regexp_extract_all({_NORM_SQL},
+                    '[0-9]{{9,}}')) AS INTEGER) AS n_longnum,
+               md5(regexp_replace(regexp_replace(regexp_replace({_NORM_SQL},
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<email>', 'g'),
+                   'https?://[^\\s]+', '<url>', 'g'),
+                   '[0-9]{{9,}}', '<longnum>', 'g')) AS redacted_fp
+        FROM documents
+        ORDER BY doc_id
+    """,
     "string_funcs2": """
         SELECT doc_id,
                CAST(ascii(substr(source, 1, 1)) AS INTEGER) AS first_cp,
