@@ -294,6 +294,26 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): lineitem's numeric measures melted into
+    (metric, value) rows, aggregated per metric — both engines share
+    the SQL-standard UNPIVOT clause."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_up")
+    return spark.sql("""
+        SELECT metric,
+               count(*) AS n,
+               round(sum(val), 2) AS total,
+               round(avg(val), 6) AS mean
+        FROM (
+            SELECT l_orderkey, metric, val
+            FROM lineitem_up
+            UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        )
+        GROUP BY metric
+        ORDER BY metric
+    """)
+
+
 # --- explode / unnest -------------------------------------------------
 
 
@@ -563,6 +583,7 @@ QUERIES = {
     "window_rank_funcs": window_rank_funcs,
     "agg_funcs": agg_funcs,
     "decimal_agg": decimal_agg,
+    "unpivot_metrics": unpivot_metrics,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -583,6 +604,19 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "unpivot_metrics": """
+        SELECT metric,
+               count(*) AS n,
+               round(sum(val), 2) AS total,
+               round(avg(val), 6) AS mean
+        FROM (
+            SELECT l_orderkey, metric, val
+            FROM lineitem
+            UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        )
+        GROUP BY metric
+        ORDER BY metric
+    """,
     "decimal_agg": """
         WITH l AS (
             SELECT l_returnflag,
