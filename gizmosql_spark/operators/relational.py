@@ -294,6 +294,20 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (DuckDB-popularized shorthand, native in Spark 4):
+    grouping keys inferred from the non-aggregate select items."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gba
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
 def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide → long): lineitem's numeric measures melted into
     (metric, value) rows, aggregated per metric — both engines share
@@ -584,6 +598,7 @@ QUERIES = {
     "agg_funcs": agg_funcs,
     "decimal_agg": decimal_agg,
     "unpivot_metrics": unpivot_metrics,
+    "group_by_all": group_by_all,
     "full_outer_join": full_outer_join,
     "semi_anti_join": semi_anti_join,
     "window_lag_lead": window_lag_lead,
@@ -604,6 +619,14 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "group_by_all": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus
+    """,
     "unpivot_metrics": """
         SELECT metric,
                count(*) AS n,
