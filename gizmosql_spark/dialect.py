@@ -366,3 +366,53 @@ def rewrite_exclude(sql: str) -> str:
         return f"{m.group(1)}EXCEPT ({cols})"
 
     return _EXCLUDE_RE.sub(_sub, sql)
+
+
+_DISTINCT_ON_RE = re.compile(
+    r"^(\s*SELECT\s+)DISTINCT\s+ON\s*\(", re.IGNORECASE
+)
+
+
+def rewrite_distinct_on(sql: str) -> str:
+    """DuckDB/Postgres ``SELECT DISTINCT ON (keys) …`` → a ranked
+    window: one row per key group, ordered by the statement's ORDER BY
+    (falling back to the keys themselves). Spark has no DISTINCT ON;
+    the rewrite is the standard row_number() formulation."""
+    m = _DISTINCT_ON_RE.match(sql)
+    if not m:
+        return sql
+    masked = _mask_literals(sql)
+    # extract the paren-balanced key list
+    start = masked.index("(", m.end(1))
+    depth, i = 0, start
+    while i < len(masked):
+        if masked[i] == "(":
+            depth += 1
+        elif masked[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    keys = sql[start + 1:i]
+    rest = sql[i + 1:]
+    rest_masked = masked[i + 1:]
+    ob = _find_top_level(rest_masked, r"ORDER\s+BY")
+    if ob is not None:
+        body, order_clause = rest[:ob], rest[ob:]
+        order_exprs = re.sub(r"^ORDER\s+BY\s+", "", order_clause.strip(),
+                             flags=re.IGNORECASE).rstrip(";")
+    else:
+        body, order_clause = rest, ""
+        order_exprs = keys
+    from_idx = _find_top_level(_mask_literals(body), "FROM")
+    if from_idx is None:
+        return sql
+    inner = (
+        f"SELECT {body[:from_idx].strip()},"
+        f" row_number() OVER (PARTITION BY {keys} ORDER BY {order_exprs})"
+        f" AS __don_rn {body[from_idx:]}"
+    )
+    return (
+        f"SELECT * EXCEPT (__don_rn) FROM ({inner}) __don_q"
+        f" WHERE __don_rn = 1 {order_clause}"
+    )

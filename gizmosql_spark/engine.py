@@ -339,10 +339,15 @@ class Engine:
     )
 
     def _run_statement(self, st: SessionState, sql: str) -> StatementResult:
-        from gizmosql_spark.dialect import rewrite_exclude, rewrite_qualify
+        from gizmosql_spark.dialect import (
+            rewrite_distinct_on,
+            rewrite_exclude,
+            rewrite_qualify,
+        )
 
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
         sql = rewrite_qualify(sql)
+        sql = rewrite_distinct_on(sql)
         sql = rewrite_exclude(sql)
         sql, used_settings = rewrite_settings_function(sql)
         if used_settings:

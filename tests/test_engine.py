@@ -647,3 +647,31 @@ def test_exclude_rewrite(engine, session, sf_smoke):
         f"SELECT * EXCLUDE r_name FROM read_parquet('{sf_smoke}/region.parquet')",
     )
     assert set(res.df.columns) == {"r_regionkey"}
+
+
+def test_distinct_on_rewrite(engine, session, sf_smoke):
+    """DuckDB/Postgres DISTINCT ON dialect-ism: one row per key,
+    picked by the ORDER BY."""
+    res = engine.execute_sql(
+        session,
+        f"""
+        SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey, o_totalprice
+        FROM read_parquet('{sf_smoke}/orders.parquet')
+        ORDER BY o_orderpriority, o_totalprice DESC
+        """,
+    )
+    rows = engine.collect(session, res)
+    assert len(rows) == 5  # one per priority
+    assert set(res.df.columns) == {"o_orderpriority", "o_orderkey", "o_totalprice"}
+    # each row carries its priority's max total price
+    import duckdb
+
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT o_orderpriority, max(o_totalprice) FROM "
+            f"read_parquet('{sf_smoke}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        assert abs(r["o_totalprice"] - want[r["o_orderpriority"]]) < 1e-9
