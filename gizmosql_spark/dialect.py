@@ -207,6 +207,10 @@ PSEUDO_FUNCTIONS = (
     "user",
     "role",
     "edition",
+    # instrumentation trio (duckdb_statement.cpp:242-249)
+    "instrumentation_enabled",
+    "instrumentation_catalog",
+    "instrumentation_schema",
 )
 
 

@@ -271,6 +271,17 @@ class Engine:
             "user": st.username,
             "role": st.role,
             "edition": self.edition,
+            # instrumentation is an Enterprise feature in the reference;
+            # query_profiles is this engine's equivalent store
+            "instrumentation_enabled": str(
+                bool(
+                    st.settings.get(
+                        "engine.capture_query_profile", self.global_settings
+                    )
+                )
+            ).lower(),
+            "instrumentation_catalog": "spark_catalog",
+            "instrumentation_schema": "default",
         }
 
     def execute_sql(self, session_id: str, sql: str) -> StatementResult:

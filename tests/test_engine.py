@@ -675,3 +675,14 @@ def test_distinct_on_rewrite(engine, session, sf_smoke):
     )
     for r in rows:
         assert abs(r["o_totalprice"] - want[r["o_orderpriority"]]) < 1e-9
+
+
+def test_instrumentation_pseudo_functions(engine, session):
+    res = engine.execute_sql(
+        session,
+        "SELECT ENGINE_INSTRUMENTATION_ENABLED() AS en,"
+        " GIZMOSQL_INSTRUMENTATION_CATALOG() AS cat",
+    )
+    row = engine.collect(session, res)[0]
+    assert row["en"] in ("true", "false")
+    assert row["cat"] == "spark_catalog"
