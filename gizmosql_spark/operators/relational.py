@@ -586,9 +586,50 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def numeric_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2E numeric family, second batch (duckdb_sql_info.cpp:96-104):
+    cbrt/radians/degrees/factorial/pi/atan2/cot/log2 — all JVM-native
+    on both engines."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    q = F.col("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.cbrt(q), 6).alias("cbrt_q"),
+        F.round(F.radians(q), 6).alias("rad_q"),
+        F.round(F.degrees(q / 10), 6).alias("deg_q"),
+        F.factorial(F.col("l_linenumber")).alias("fact_ln"),
+        F.round(F.lit(None).cast("double") + 0, 6).alias("null_probe"),
+        F.round(F.atan2(q, F.col("l_discount") + 1), 6).alias("atan2_v"),
+        F.round(F.cot(q / 100 + 1), 6).alias("cot_v"),
+        F.round(F.log2(q + 1), 6).alias("log2_q"),
+        F.round(F.lit(3.141592653589793), 6).alias("pi_v"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2E date/time second batch: strftime/strptime round-trip (the
+    DuckDB argument-order contract), quarter/ISO fields, make_date."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    roundtrip = F.to_timestamp(F.date_format(d, fmt), fmt)
+    return o.select(
+        "o_orderkey",
+        roundtrip.alias("ts_roundtrip"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_part(F.lit("DAYOFWEEK_ISO"), d).cast("int").alias("isodow"),
+        F.date_part(F.lit("YEAROFWEEK"), d).cast("int").alias("isoyear"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_first"),
+        F.trunc(d, "quarter").alias("quarter_start"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     "range_band_join": range_band_join,
     "spatial_funcs": spatial_funcs,
+    "numeric_funcs2": numeric_funcs2,
+    "datetime_funcs2": datetime_funcs2,
     "array_funcs": array_funcs,
     "set_ops_all": set_ops_all,
     "null_ordering": null_ordering,
@@ -619,6 +660,35 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "numeric_funcs2": """
+        SELECT l_orderkey, l_linenumber,
+               round(cbrt(l_quantity), 6) AS cbrt_q,
+               round(radians(l_quantity), 6) AS rad_q,
+               round(degrees(l_quantity / 10), 6) AS deg_q,
+               CAST(factorial(CAST(l_linenumber AS INTEGER)) AS BIGINT) AS fact_ln,
+               CAST(NULL AS DOUBLE) AS null_probe,
+               round(atan2(l_quantity, l_discount + 1), 6) AS atan2_v,
+               round(cot(l_quantity / 100 + 1), 6) AS cot_v,
+               round(log2(l_quantity + 1), 6) AS log2_q,
+               round(pi(), 6) AS pi_v
+        FROM lineitem
+        WHERE l_orderkey < 300
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "datetime_funcs2": """
+        SELECT o_orderkey,
+               strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                        '%Y-%m-%d %H:%M:%S') AS ts_roundtrip,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+               CAST(isoyear(o_orderdate) AS INTEGER) AS isoyear,
+               make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER), 1) AS month_first,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+        FROM orders
+        WHERE o_orderkey < 2000
+        ORDER BY o_orderkey
+    """,
     "group_by_all": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n,
