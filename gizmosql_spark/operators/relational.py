@@ -369,16 +369,48 @@ def values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QTY_BANDS = [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)]
+
+
+def _band_expr(col, bands):
+    """Dense non-overlapping ``[lo, hi)`` bands are a *projection*, not
+    a join: fold the band table into a CASE expression so band
+    assignment stays inside whole-stage codegen (no
+    BroadcastNestedLoopJoin, no per-row multi-predicate join probe).
+    At 100 TB this is the difference between a pure scan pipeline and a
+    nested-loop over every row x band."""
+    expr = None
+    for name, lo, hi in bands:
+        cond = (col >= F.lit(lo)) & (col < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
 def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range (theta) join against a banding dimension: quantity bands
-    via inequality-only join conditions. Catalyst plans the broadcast
-    nested-loop; band count is tiny so cost stays linear in the fact
-    side (the general range-join recipe: bucketize + equi-join when
-    bands are dense)."""
+    """Range (theta) "join" against a dense banding dimension, planned
+    as a banding *expression* + hash aggregate (scan-only pipeline).
+    ``range_band_join_sparse`` keeps the genuine join formulation for
+    sparse/overlapping bands where a projection can't express the
+    semantics."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.select(_band_expr(F.col("l_quantity"), _QTY_BANDS).alias("band"), "l_extendedprice")
+        .where(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("total"))
+        .orderBy("band")
+    )
+
+
+def range_band_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join formulation of banding — the documented variant for
+    sparse or overlapping bands (a row may match 0 or 2+ bands, which a
+    CASE projection cannot express). Catalyst plans a broadcast
+    nested-loop; cost is linear in the fact side x band count, so keep
+    the band table tiny or pre-bucketize to an equi-join."""
     l = _t(spark, sf_dir, "lineitem")
     bands = spark.createDataFrame(
-        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0)],
-        "band string, lo double, hi double",
+        _QTY_BANDS, "band string, lo double, hi double"
     )
     return (
         l.join(
