@@ -151,6 +151,40 @@ def dml_target(sql: str) -> str | None:
     return m.group(1).strip("`")
 
 
+#: write-DDL target extraction — the reference carries these statement
+#: classes in modified_databases and ACL-checks them exactly like DML
+#: (catalog_permissions_handler.cpp check sites)
+_DDL_TARGET_RE = re.compile(
+    r"^\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?TABLE(?:\s+IF\s+NOT\s+EXISTS)?"
+    r"|REPLACE\s+TABLE"
+    r"|DROP\s+TABLE(?:\s+IF\s+EXISTS)?"
+    r"|ALTER\s+TABLE"
+    r"|TRUNCATE(?:\s+TABLE)?"
+    r"|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW(?:\s+IF\s+NOT\s+EXISTS)?"
+    r"|DROP\s+VIEW(?:\s+IF\s+EXISTS)?"
+    r")\s+([A-Za-z_][\w.]*|`[^`]+`)",
+    re.IGNORECASE,
+)
+
+_TEMP_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:GLOBAL\s+)?TEMP(?:ORARY)?\s+VIEW",
+    re.IGNORECASE,
+)
+
+
+def ddl_write_target(sql: str) -> str | None:
+    """Target of a write DDL (CREATE/DROP/ALTER/TRUNCATE/REPLACE TABLE,
+    CREATE/DROP VIEW), else None. TEMP views are session-local state,
+    not a catalog write, and are excluded."""
+    masked = _mask_literals(sql)
+    if _TEMP_VIEW_RE.match(masked):
+        return None
+    m = _DDL_TARGET_RE.match(masked)
+    if not m:
+        return None
+    return m.group(1).strip("`")
+
+
 def split_statements(script: str) -> list[str]:
     """Split a multi-statement script on top-level semicolons.
 

@@ -115,12 +115,21 @@ def apply_delete(spark: SparkSession, table: str, where: str | None) -> int:
 
 def _overwrite_via_stage(spark: SparkSession, table: str, post: DataFrame) -> None:
     """Stage the post-image, then overwrite the target from the stage —
-    never reads the files it is replacing mid-write."""
+    never reads the files it is replacing mid-write.
+
+    The final overwrite must be STATIC: under dynamic
+    partitionOverwriteMode, insertInto only replaces partitions present
+    in the post-image, so a DELETE that empties a partition of a
+    partitioned table would silently leave its rows in place."""
     stage = f"_dml_stage_{uuid.uuid4().hex[:12]}"
     post.write.mode("overwrite").saveAsTable(stage)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
     try:
+        spark.conf.set(mode_key, "static")
         spark.table(stage).write.mode("overwrite").insertInto(table, overwrite=True)
     finally:
+        spark.conf.set(mode_key, prev)
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 

@@ -38,6 +38,7 @@ from gizmosql_spark.dialect import (
     SetCommand,
     TxnCommand,
     classify_command,
+    ddl_write_target,
     dml_target,
     extract_file_scans,
     replace_pseudo_functions,
@@ -324,9 +325,19 @@ class Engine:
         try:
             security.check_admin_gate(sql, st.is_admin)
             security.check_readonly(sql, st.role)
-            security.check_catalog_access(
-                sql, st.read_catalogs, st.write_catalogs, dml_target(sql)
-            )
+            if st.read_catalogs is not None or st.write_catalogs is not None:
+                try:
+                    current_cat = st.spark.catalog.currentCatalog()
+                except Exception:
+                    current_cat = security.DEFAULT_CATALOG
+                # write DDL (CREATE/DROP/ALTER/TRUNCATE TABLE, views)
+                # is ACL-checked like DML — the reference tracks these
+                # in modified_databases
+                security.check_catalog_access(
+                    sql, st.read_catalogs, st.write_catalogs,
+                    dml_target(sql) or ddl_write_target(sql),
+                    current_catalog=current_cat,
+                )
             check_system_catalog_write(sql)
         except Exception:
             self.query_log.record(
@@ -720,8 +731,12 @@ class Engine:
         self._health_interval = interval_seconds
 
         def _loop():
-            while not self._health_stop.wait(0.0 if self._health_last_ok is None
-                                            else interval_seconds):
+            # only the very first iteration runs immediately; an
+            # unhealthy engine must not hot-loop SELECT 1 with no
+            # backoff while waiting for its first success
+            first = True
+            while not self._health_stop.wait(0.0 if first else interval_seconds):
+                first = False
                 if self.health_check():
                     self._health_last_ok = time.time()
 

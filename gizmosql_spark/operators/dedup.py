@@ -109,23 +109,31 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified MinHash-LSH near-dup pairs (a_id, b_id, jaccard),
     persisted — shared by dedup_minhash_lsh and dedup_clusters, so the
-    band join + Jaccard verification runs once per dataset (Spark's
-    cache manager unifies the identical canonical plans)."""
-    sh = _shingles(spark, sf_dir).persist()
-    bands = _minhash_bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    band join + Jaccard verification runs once per dataset. Both
+    persists go through the keyed registry (loader.keyed_persist) so
+    repeated calls in a long-lived session reuse one cached frame
+    rather than stacking new ones."""
+
+    def _build() -> DataFrame:
+        sh = loader.keyed_persist(
+            spark, f"dedup.shingles:{sf_dir}",
+            lambda: _shingles(spark, sf_dir))
+        bands = _minhash_bands(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
-    return _verify_jaccard(cand, sh).persist()
+        return _verify_jaccard(cand, sh)
+
+    return loader.keyed_persist(spark, f"dedup.lsh_pairs:{sf_dir}", _build)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +153,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate = any shared shingle (postings self-join). Quadratic in
     posting-list length — at 100 TB use dedup_minhash_lsh; this is the
     exact ground truth for verification."""
-    sh = _shingles(spark, sf_dir).persist()
+    sh = loader.keyed_persist(
+        spark, f"dedup.shingles:{sf_dir}", lambda: _shingles(spark, sf_dir))
     a = sh.alias("a")
     b = sh.alias("b")
     # one shuffle: the postings self-join on shingle IS the common

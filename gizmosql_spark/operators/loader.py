@@ -38,6 +38,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _CONFD.add(id(spark))
 
 
+_PERSISTED: dict[tuple[int, str], DataFrame] = {}
+
+
+def keyed_persist(spark: SparkSession, key: str, builder) -> DataFrame:
+    """Persist-once registry for intermediate frames shared across
+    queries (shingle postings, LSH buckets, term counts). Repeated
+    calls reuse the one cached frame instead of stacking a new
+    ``persist()`` per call — a long-lived session would otherwise
+    accumulate cached partitions without bound."""
+    k = (id(spark), key)
+    df = _PERSISTED.get(k)
+    if df is None:
+        df = builder().persist()
+        _PERSISTED[k] = df
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     key = (id(spark), sf_dir, name)

@@ -274,8 +274,11 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join shuffles on the 8-bit key, AQE splits any hot bucket."""
     # persist the bucketed frame: both join branches read it, so the
     # 8-plane projection runs once (at scale buckets are materialized
-    # as a column in the table layout and reused across queries)
-    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr()).persist()
+    # as a column in the table layout and reused across queries);
+    # keyed registry so repeat calls share one cached copy
+    e = loader.keyed_persist(
+        spark, f"similarity.emb_bucketed:{sf_dir}",
+        lambda: _emb(spark, sf_dir).withColumn("bucket", _bucket_expr()))
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "bucket"
     )

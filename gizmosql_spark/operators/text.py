@@ -218,7 +218,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one explode + one (doc, term) aggregation; doc lengths and
     # document frequencies derive from the persisted tc frame instead
     # of re-running the explode per branch (3x scan -> 1x at scale)
-    tc = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc")).persist()
+    tc = loader.keyed_persist(
+        spark, f"text.term_counts:{sf_dir}",
+        lambda: tokens.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tc")))
     doc_len = tc.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
     df_ = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))

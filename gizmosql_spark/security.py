@@ -138,11 +138,34 @@ def check_readonly(sql: str, role: str) -> None:
 # checked against fnmatch-style patterns. None = unrestricted (the
 # non-Enterprise default).
 
-_THREE_PART_RE = re.compile(
-    r"\b([A-Za-z_][\w]*)\s*\.\s*[A-Za-z_][\w]*\s*\.\s*[A-Za-z_][\w]*"
+# A bare three-part-dotted regex would also match qualified struct
+# access (``SELECT e.props.k FROM events e`` → alias 'e' read as a
+# catalog) and spuriously deny ACL-restricted sessions. Catalog
+# references are therefore only recognized in table positions — after
+# FROM / JOIN / INTO / UPDATE / TABLE keywords, plus comma
+# continuations of a FROM list.
+_QUAL3 = r"(?:[A-Za-z_][\w]*)\s*\.\s*(?:[A-Za-z_][\w]*)\s*\.\s*(?:[A-Za-z_][\w]*)"
+_TABLE_POS_RE = re.compile(
+    r"\b(?:FROM|JOIN|INTO|UPDATE|TABLE)\s+(" + _QUAL3 + r")", re.IGNORECASE
 )
+_COMMA_CONT_RE = re.compile(r"\s*,\s*(" + _QUAL3 + r")")
 
 DEFAULT_CATALOG = "spark_catalog"
+
+
+def _referenced_catalogs(masked: str) -> set[str]:
+    """Catalogs of three-part table identifiers in table positions."""
+    cats: set[str] = set()
+    for m in _TABLE_POS_RE.finditer(masked):
+        cats.add(m.group(1).split(".")[0].strip())
+        pos = m.end()
+        while True:
+            c = _COMMA_CONT_RE.match(masked, pos)
+            if c is None:
+                break
+            cats.add(c.group(1).split(".")[0].strip())
+            pos = c.end()
+    return cats
 
 
 def catalog_allowed(patterns: list[str] | None, catalog: str) -> bool:
@@ -158,22 +181,23 @@ def check_catalog_access(
     read_catalogs: list[str] | None,
     write_catalogs: list[str] | None,
     write_target: str | None,
+    current_catalog: str = DEFAULT_CATALOG,
 ) -> None:
     """Raise CommandDenied when the statement touches a catalog outside
     the session's ACL. Reads: every referenced catalog (three-part
-    identifiers; unqualified names resolve to the current catalog).
-    Writes: the DML/DDL target's catalog."""
+    table identifiers; unqualified names resolve to the session's
+    current catalog). Writes: the DML/DDL target's catalog."""
     if read_catalogs is None and write_catalogs is None:
         return
     masked = _mask_literals(sql)
-    referenced = {m.group(1) for m in _THREE_PART_RE.finditer(masked)}
+    referenced = _referenced_catalogs(masked)
     referenced = {c for c in referenced if c.lower() not in ("global_temp",)}
-    for cat in referenced or {DEFAULT_CATALOG}:
+    for cat in referenced or {current_catalog}:
         if not catalog_allowed(read_catalogs, cat):
             raise CommandDenied(f"catalog not readable by this session: {cat}")
     if write_target is not None:
         parts = write_target.split(".")
-        target_cat = parts[0] if len(parts) == 3 else DEFAULT_CATALOG
+        target_cat = parts[0] if len(parts) == 3 else current_catalog
         if not catalog_allowed(write_catalogs, target_cat):
             raise CommandDenied(
                 f"catalog not writable by this session: {target_cat}"

@@ -102,3 +102,65 @@ def test_catalog_acl_enforced(engine):
     with pytest.raises(security.CommandDenied):
         engine.execute_sql(sid, "INSERT INTO t_acl VALUES (1)")
     engine.close_session(sid)
+
+
+def test_ddl_write_target_extraction():
+    from gizmosql_spark.dialect import ddl_write_target
+
+    assert ddl_write_target("CREATE TABLE prod.db.t AS SELECT 1") == "prod.db.t"
+    assert ddl_write_target("CREATE OR REPLACE TABLE t2 (a INT)") == "t2"
+    assert ddl_write_target("DROP TABLE IF EXISTS prod.db.t") == "prod.db.t"
+    assert ddl_write_target("ALTER TABLE t ADD COLUMN c INT") == "t"
+    assert ddl_write_target("TRUNCATE TABLE prod.db.t") == "prod.db.t"
+    assert ddl_write_target("DROP VIEW v1") == "v1"
+    # TEMP views are session-local, not a catalog write
+    assert ddl_write_target("CREATE TEMP VIEW v AS SELECT 1") is None
+    assert ddl_write_target("CREATE OR REPLACE TEMPORARY VIEW v AS SELECT 1") is None
+    assert ddl_write_target("SELECT * FROM t") is None
+
+
+def test_catalog_acl_gates_ddl(engine):
+    """CREATE TABLE AS / DROP TABLE against a non-writable catalog are
+    denied just like DML (reference: modified_databases covers DDL)."""
+    tok = engine.authenticate("carol", "x")
+    sid = engine.create_session(token=tok)
+    with pytest.raises(security.CommandDenied):
+        engine.execute_sql(sid, "CREATE TABLE t_ddl_acl AS SELECT 1 AS a")
+    with pytest.raises(security.CommandDenied):
+        engine.execute_sql(sid, "DROP TABLE IF EXISTS spark_catalog.default.x")
+    with pytest.raises(security.CommandDenied):
+        engine.execute_sql(sid, "TRUNCATE TABLE some_table")
+    # TEMP VIEW creation stays allowed (session-local)
+    engine.execute_sql(sid, "CREATE OR REPLACE TEMP VIEW v_acl AS SELECT 1 AS a")
+    engine.close_session(sid)
+
+
+def test_struct_field_access_not_a_catalog_ref():
+    """Qualified struct access (alias.col.field) must not parse as a
+    catalog reference — it used to spuriously deny ACL'd sessions."""
+    # alias 'e' is not a catalog: allowed
+    security.check_catalog_access(
+        "SELECT e.props.k FROM events e",
+        read_catalogs=["spark_catalog"], write_catalogs=None,
+        write_target=None,
+    )
+    # real three-part reference in FROM position: denied
+    with pytest.raises(security.CommandDenied):
+        security.check_catalog_access(
+            "SELECT * FROM prod.db.t",
+            read_catalogs=["spark_catalog"], write_catalogs=None,
+            write_target=None,
+        )
+    # comma continuation of a FROM list is still caught
+    with pytest.raises(security.CommandDenied):
+        security.check_catalog_access(
+            "SELECT * FROM spark_catalog.default.a, prod.db.t",
+            read_catalogs=["spark_catalog"], write_catalogs=None,
+            write_target=None,
+        )
+    # JOIN position caught, struct access in SELECT list ignored
+    security.check_catalog_access(
+        "SELECT a.b.c FROM t1 a JOIN spark_catalog.default.t2 b ON a.id = b.id",
+        read_catalogs=["spark_catalog"], write_catalogs=None,
+        write_target=None,
+    )
