@@ -44,6 +44,7 @@ _PRIORITY = [
     "datetime_funcs",
     "array_funcs",
     "spatial_funcs",
+    "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier)
     # events / JSON
     "events_json",
     "events_asof_join",

@@ -194,3 +194,7 @@ def register_all(spark: SparkSession) -> None:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
     for name, fn in _pandas_gap_udfs().items():
         spark.udf.register(name, fn)
+    # WKB/GeoArrow geometry tier builds on the struct st_* surface
+    from gizmosql_spark.geo import register_geo
+
+    register_geo(spark)

@@ -1,0 +1,215 @@
+"""GEOMETRY over WKB — the GeoArrow-shaped wire contract.
+
+The reference serves DuckDB-spatial GEOMETRY columns and exports them
+as GeoArrow: WKB bytes in a Binary field carrying
+``ARROW:extension:name = geoarrow.wkb`` metadata so GeoPandas reads
+them without conversion (/root/reference/docs/geometry.md:1-60,
+/root/reference/tests/test_geoarrow.py:24-66).
+
+Spark has no extension type system, so the engine's model is:
+
+- **in-engine GEOMETRY** = the ``STRUCT<x: DOUBLE, y: DOUBLE>`` the
+  existing ``st_*`` mini-surface computes with (JVM codegen math);
+- **wire GEOMETRY** = standard little-endian point WKB (21 bytes:
+  byte-order ``01``, geom-type ``1``, x, y as IEEE-754 doubles) in a
+  ``BINARY`` column;
+- the bridge is a pair of Arrow-vectorized Pandas UDFs
+  (``st_aswkb`` / ``st_geomfromwkb``) — numpy views over the Arrow
+  buffers, no per-row Python in the 21-byte layout;
+- ``attach_geoarrow_metadata`` stamps GeoArrow field metadata onto
+  result tables at the Arrow boundary (``Engine.collect_arrow``), the
+  exact point the reference attaches its GeoArrow schema.
+
+WKT parse/print (``st_geomfromtext`` / ``st_astext``) are pure JVM
+expressions (regex + formatting) — no Python.
+
+At 100 TB the codec cost is the Arrow transfer itself: both UDFs are
+O(rows) numpy reshapes, no shuffle, applied only at the wire boundary
+or where a user explicitly materializes WKB.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+#: GeoArrow extension metadata for WKB-encoded geometry fields
+GEOARROW_EXTENSION_NAME = b"geoarrow.wkb"
+#: CRS metadata: the reference exports lon/lat WGS84 by default
+GEOARROW_EXTENSION_METADATA = b'{"crs": "OGC:CRS84"}'
+
+_WKB_POINT_LE = 0x01
+_WKB_HEADER_LE = struct.pack("<BI", 1, _WKB_POINT_LE)  # 01 01000000
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    """One little-endian point WKB (host-side helper for tests)."""
+    return struct.pack("<BIdd", 1, _WKB_POINT_LE, x, y)
+
+
+def _encode_batch(x: pd.Series, y: pd.Series) -> pd.Series:
+    """Vectorized (x, y) -> 21-byte WKB: one numpy buffer, no per-row
+    struct.pack."""
+    n = len(x)
+    out = np.empty((n, 21), dtype=np.uint8)
+    out[:, 0:5] = np.frombuffer(_WKB_HEADER_LE, dtype=np.uint8)
+    out[:, 5:13] = (
+        np.ascontiguousarray(x.to_numpy(dtype=np.float64))
+        .view(np.uint8).reshape(n, 8))
+    out[:, 13:21] = (
+        np.ascontiguousarray(y.to_numpy(dtype=np.float64))
+        .view(np.uint8).reshape(n, 8))
+    rows = out.tobytes()
+    xmask = x.isna().to_numpy()
+    ymask = y.isna().to_numpy()
+    return pd.Series(
+        [None if (xmask[i] or ymask[i]) else rows[21 * i: 21 * i + 21]
+         for i in range(n)],
+        dtype=object)
+
+
+def _decode_batch(wkb: pd.Series) -> pd.DataFrame:
+    """Vectorized WKB -> (x, y); handles both byte orders; non-point
+    or malformed values decode to NULL."""
+    xs: list[float | None] = []
+    ys: list[float | None] = []
+    for b in wkb:
+        if b is None or len(b) < 21:
+            xs.append(None)
+            ys.append(None)
+            continue
+        order = "<" if b[0] == 1 else ">"
+        (gtype,) = struct.unpack_from(order + "I", b, 1)
+        if gtype != _WKB_POINT_LE:
+            xs.append(None)
+            ys.append(None)
+            continue
+        gx, gy = struct.unpack_from(order + "dd", b, 5)
+        xs.append(gx)
+        ys.append(gy)
+    return pd.DataFrame({"x": xs, "y": ys})
+
+
+def _pandas_geo_udfs():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def st_aswkb_xy_(x: pd.Series, y: pd.Series) -> pd.Series:
+        return _encode_batch(x, y)
+
+    @pandas_udf("struct<x: double, y: double>")
+    def st_geomfromwkb_(wkb: pd.Series) -> pd.DataFrame:
+        return _decode_batch(wkb)
+
+    return {"st_aswkb_xy": st_aswkb_xy_, "st_geomfromwkb": st_geomfromwkb_}
+
+
+#: JVM-side geometry SQL (registered on top of the struct mini-surface
+#: in functions/__init__.py)
+_GEO_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
+    # struct -> WKB via the vectorized encoder
+    "st_aswkb": (
+        "(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BINARY",
+        "st_aswkb_xy(p.x, p.y)",
+    ),
+    # WKT print/parse: pure JVM string ops
+    "st_astext": (
+        "(p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS STRING",
+        "CASE WHEN p IS NULL THEN NULL ELSE"
+        " concat('POINT (', format_number(p.x, '0.######'), ' ',"
+        " format_number(p.y, '0.######'), ')') END",
+    ),
+    "st_geomfromtext": (
+        "(t STRING) RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "CASE WHEN t RLIKE '^\\\\s*POINT\\\\s*\\\\(' THEN named_struct("
+        "'x', CAST(regexp_extract(t,"
+        " 'POINT\\\\s*\\\\(\\\\s*([-0-9.eE+]+)\\\\s+([-0-9.eE+]+)', 1) AS DOUBLE),"
+        "'y', CAST(regexp_extract(t,"
+        " 'POINT\\\\s*\\\\(\\\\s*([-0-9.eE+]+)\\\\s+([-0-9.eE+]+)', 2) AS DOUBLE))"
+        " ELSE NULL END",
+    ),
+    # direct accessors over WKB (decode + project)
+    "st_x_wkb": (
+        "(b BINARY) RETURNS DOUBLE", "st_geomfromwkb(b).x"),
+    "st_y_wkb": (
+        "(b BINARY) RETURNS DOUBLE", "st_geomfromwkb(b).y"),
+    "st_distance_wkb": (
+        "(a BINARY, b BINARY) RETURNS DOUBLE",
+        "st_distance(st_geomfromwkb(a), st_geomfromwkb(b))",
+    ),
+}
+
+_REGISTERED: set[int] = set()
+
+
+def register_geo(spark) -> None:
+    """Idempotent per session; requires functions.register_all first
+    (st_distance et al. live there)."""
+    if id(spark) in _REGISTERED:
+        return
+    for name, fn in _pandas_geo_udfs().items():
+        spark.udf.register(name, fn)
+    for name, (sig, body) in _GEO_SQL_FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+    _REGISTERED.add(id(spark))
+
+
+# --- GeoArrow export at the Arrow boundary ---------------------------
+
+
+def _looks_like_wkb(col: pa.ChunkedArray, sample: int = 16) -> bool:
+    """True when the first non-null values carry a plausible WKB
+    header (byte order 0/1, geometry type 1..7) — the auto-detect
+    standing in for a real GEOMETRY type tag."""
+    seen = 0
+    for chunk in col.chunks:
+        for v in chunk:
+            if v.is_valid:
+                b = v.as_py()
+                if (len(b) < 5 or b[0] not in (0, 1)):
+                    return False
+                order = "<" if b[0] == 1 else ">"
+                (gtype,) = struct.unpack_from(order + "I", b, 1)
+                if not 1 <= gtype <= 7:
+                    return False
+                seen += 1
+                if seen >= sample:
+                    return seen > 0
+    return seen > 0
+
+
+def attach_geoarrow_metadata(
+    table: pa.Table, geometry_columns: Iterable[str] | None = None
+) -> pa.Table:
+    """Stamp ``geoarrow.wkb`` extension metadata onto geometry fields.
+
+    With ``geometry_columns=None``, binary columns are auto-detected
+    by WKB header inspection of the already-materialized values (the
+    reference knows from the DuckDB type; Spark erases it to BINARY).
+    """
+    fields = []
+    changed = False
+    for i, field in enumerate(table.schema):
+        is_geo = False
+        if pa.types.is_binary(field.type) or pa.types.is_large_binary(field.type):
+            if geometry_columns is not None:
+                is_geo = field.name in set(geometry_columns)
+            else:
+                is_geo = _looks_like_wkb(table.column(i))
+        if is_geo:
+            md = dict(field.metadata or {})
+            md[b"ARROW:extension:name"] = GEOARROW_EXTENSION_NAME
+            md[b"ARROW:extension:metadata"] = GEOARROW_EXTENSION_METADATA
+            fields.append(field.with_metadata(md))
+            changed = True
+        else:
+            fields.append(field)
+    if not changed:
+        return table
+    return pa.Table.from_arrays(
+        table.columns, schema=pa.schema(fields, metadata=table.schema.metadata))

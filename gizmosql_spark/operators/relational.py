@@ -590,6 +590,33 @@ def spatial_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOMETRY over WKB (geo.py; reference docs/geometry.md): encode
+    points to 21-byte WKB, decode back, and parse WKT — all verified
+    numerically. The oracle computes the same coordinates directly, so
+    a hash match proves the codec is bit-exact lossless. The WKB bytes
+    themselves are covered by tests/test_geo.py (byte layout +
+    GeoArrow metadata), since DuckDB's spatial extension cannot be
+    installed offline here."""
+    from gizmosql_spark import functions as gf
+
+    gf.register_all(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_wkb")
+    return spark.sql("""
+        SELECT event_id,
+               st_x_wkb(st_aswkb(st_point(value, CAST(user_id AS DOUBLE)))) AS wx,
+               st_y_wkb(st_aswkb(st_point(value, CAST(user_id AS DOUBLE)))) AS wy,
+               round(st_distance_wkb(
+                   st_aswkb(st_point(value, CAST(user_id AS DOUBLE))),
+                   st_aswkb(st_point(50D, 50D))), 6) AS wdist,
+               st_x(st_geomfromtext(
+                   concat('POINT (', CAST(user_id AS STRING), ' 7)'))) AS tx
+        FROM events_wkb
+        WHERE event_id < 1000
+        ORDER BY event_id
+    """)
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2E array/struct/map family (LIST construction + extraction,
     duckdb_server.cpp:674-697 type contract; higher-order transforms):
@@ -660,6 +687,7 @@ def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "range_band_join": range_band_join,
     "spatial_funcs": spatial_funcs,
+    "spatial_wkb": spatial_wkb,
     "numeric_funcs2": numeric_funcs2,
     "datetime_funcs2": datetime_funcs2,
     "array_funcs": array_funcs,
@@ -865,6 +893,17 @@ ORACLE: dict[str, str] = {
                CAST(user_id AS DOUBLE) AS py
         FROM events
         WHERE event_id < 2000
+        ORDER BY event_id
+    """,
+    "spatial_wkb": """
+        SELECT event_id,
+               value AS wx,
+               CAST(user_id AS DOUBLE) AS wy,
+               round(sqrt((value - 50) * (value - 50)
+                          + (user_id - 50.0) * (user_id - 50.0)), 6) AS wdist,
+               CAST(user_id AS DOUBLE) AS tx
+        FROM events
+        WHERE event_id < 1000
         ORDER BY event_id
     """,
     "range_band_join": """
