@@ -155,6 +155,13 @@ class Engine:
 
         self.token_secret = uuid.uuid4().hex
         self.users = UserRegistry()
+        # persistent table catalog: manifest over the warehouse dir,
+        # re-attaching tables from earlier processes (warehouse.py —
+        # the DuckLake/ATTACH analog, docs/ducklake.md)
+        from gizmosql_spark.warehouse import WarehouseCatalog
+
+        self.warehouse = WarehouseCatalog(self.spark)
+        self.warehouse.reattach_all(self.spark)
         #: captured execution profiles (engine.capture_query_profile;
         #: the reference harvests DuckDB's JSON profile per execution,
         #: duckdb_statement.cpp:1884-1909, :2210-2221)
@@ -345,6 +352,9 @@ class Engine:
                 (time.perf_counter() - t_start) * 1000)
             raise
         self.system_catalog.observe_statement(sql)
+        write_target = dml_target(sql) or ddl_write_target(sql)
+        if write_target is not None:
+            self.warehouse.prepare_write(st.spark, write_target)
         try:
             result = self._run_statement(st, sql)
         except Exception:
@@ -352,6 +362,11 @@ class Engine:
                 session_id, sql, "error",
                 (time.perf_counter() - t_start) * 1000)
             raise
+        if write_target is not None:
+            # keep the persistent manifest in step with catalog writes
+            # (record() no-ops for temp views; resolves to forget()
+            # when the table no longer exists, e.g. after DROP)
+            self.warehouse.record(st.spark, write_target)
         self.query_log.record(
             session_id, sql, "ok", (time.perf_counter() - t_start) * 1000)
         return result
@@ -622,7 +637,12 @@ class Engine:
                 self._admission.release()
         if "error" in out:
             raise out["error"]
-        return out["table"]
+        # GeoArrow export: stamp geometry (WKB) binary columns with
+        # extension metadata at the Arrow boundary, like the reference
+        # (docs/geometry.md; only binary columns are even inspected)
+        from gizmosql_spark.geo import attach_geoarrow_metadata
+
+        return attach_geoarrow_metadata(out["table"])
 
     # --- prepared statements (§3.2) -----------------------------------
 
@@ -681,6 +701,7 @@ class Engine:
                     data = pa.Table.from_batches(batches)
         df = data if isinstance(data, DataFrame) else st.spark.createDataFrame(data)
         n = df.count()
+        self.warehouse.prepare_write(st.spark, table)
         if mode in ("create", "fail"):
             df.write.mode("errorifexists").saveAsTable(table)
         elif mode == "replace":
@@ -691,6 +712,7 @@ class Engine:
         else:
             raise ValueError(f"unknown ingest mode: {mode}")
         self._refresh_everywhere(table)
+        self.warehouse.record(st.spark, table)
         return n
 
     # --- metadata + health (§2A) --------------------------------------

@@ -1,0 +1,199 @@
+"""Persistent warehouse catalog — tables survive process restarts.
+
+The reference's storage is a DuckDB database file: tables created by
+one server process exist for the next, and ATTACH adds further
+catalogs (/root/reference/docs/ducklake.md:1-50; ATTACH gate
+admin_command_guard.cpp:291-294). Spark's in-memory catalog
+(``spark.sql.catalogImplementation=in-memory``) forgets every table at
+process exit while the warehouse directory keeps the data — the worst
+of both: data without metadata, and LOCATION_ALREADY_EXISTS on the
+next same-name write.
+
+``WarehouseCatalog`` closes that gap the lakehouse way: a JSON
+manifest (``_catalog.json`` in the warehouse dir) records every
+engine-managed table (schema DDL, location, format, bucket spec).  On
+engine start ``reattach_all`` re-registers manifest tables as external
+tables over their existing files — bucketed layouts re-attach with
+their CLUSTERED BY spec and stay shuffle-free, generalizing
+operators/scale._reattach_bucketed. On a real deployment the same
+seam is where Hive Metastore / Delta / Iceberg / Unity plug in; the
+manifest is the minimal self-contained stand-in (it IS the DuckLake
+idea: catalog state in a tiny transactional store next to parquet).
+
+Writes go through ``record``/``forget`` (Engine calls them after
+ingest/DDL/DML); ``prepare_write`` clears stale directories that have
+neither catalog nor manifest entries (crash leftovers) so saveAsTable
+cannot trip over them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+import threading
+import time
+
+from pyspark.sql import SparkSession
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def warehouse_dir(spark: SparkSession) -> str:
+    return spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+
+
+class WarehouseCatalog:
+    """JSON-manifest table registry over the Spark warehouse dir."""
+
+    def __init__(self, spark: SparkSession, manifest_path: str | None = None):
+        self.dir = warehouse_dir(spark)
+        self.manifest_path = manifest_path or os.path.join(
+            self.dir, "_catalog.json")
+        self._lock = threading.Lock()
+
+    # --- manifest IO (atomic rename, crash-safe) ----------------------
+
+    def _load(self) -> dict[str, dict]:
+        try:
+            with open(self.manifest_path, encoding="utf-8") as f:
+                data = json.load(f)
+            return data.get("tables", {})
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _save(self, tables: dict[str, dict]) -> None:
+        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(self.manifest_path), suffix=".json")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump({"version": 1, "tables": tables}, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+
+    def tables(self) -> dict[str, dict]:
+        with self._lock:
+            return self._load()
+
+    # --- describe helpers ---------------------------------------------
+
+    @staticmethod
+    def _describe(spark: SparkSession, table: str) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            key = (row["col_name"] or "").strip()
+            if key:
+                out[key] = (row["data_type"] or "").strip()
+        return out
+
+    def record(self, spark: SparkSession, table: str) -> None:
+        """Upsert a table's manifest entry (no-op for temp views /
+        unknown names — e.g. a DROP that already ran)."""
+        if not _IDENT_RE.match(table or ""):
+            return
+        name = table.split(".")[-1].lower()
+        try:
+            if not spark.catalog.tableExists(table):
+                self.forget(table)
+                return
+            # temp views have no files to persist
+            t = next((t for t in spark.catalog.listTables()
+                      if t.name.lower() == name), None)
+            if t is not None and t.isTemporary:
+                return
+            d = self._describe(spark, table)
+            location = d.get("Location", "").removeprefix("file:")
+            if not location:
+                return
+            schema_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.table(table).schema.fields)
+            entry: dict[str, object] = {
+                "schema": schema_ddl,
+                "location": location,
+                "format": (d.get("Provider") or "parquet").lower(),
+                "recorded_at": time.time(),
+            }
+            if d.get("Num Buckets"):
+                entry["num_buckets"] = int(d["Num Buckets"])
+                entry["bucket_columns"] = [
+                    c.strip(" `")
+                    for c in d.get("Bucket Columns", "").strip("[]").split(",")
+                    if c.strip(" `")]
+                entry["sort_columns"] = [
+                    c.strip(" `")
+                    for c in d.get("Sort Columns", "").strip("[]").split(",")
+                    if c.strip(" `")]
+        except Exception:
+            return
+        with self._lock:
+            tables = self._load()
+            tables[name] = entry
+            self._save(tables)
+
+    def forget(self, table: str) -> None:
+        name = table.split(".")[-1].lower()
+        with self._lock:
+            tables = self._load()
+            if tables.pop(name, None) is not None:
+                self._save(tables)
+
+    # --- restart paths ------------------------------------------------
+
+    def reattach_all(self, spark: SparkSession) -> list[str]:
+        """Re-register manifest tables missing from the in-memory
+        catalog as external tables over their surviving files. Entries
+        whose files are gone are dropped from the manifest."""
+        attached: list[str] = []
+        with self._lock:
+            tables = self._load()
+            dirty = False
+            for name, entry in list(tables.items()):
+                loc = entry.get("location")
+                if not loc or not os.path.exists(loc):
+                    tables.pop(name)
+                    dirty = True
+                    continue
+                try:
+                    if spark.catalog.tableExists(name):
+                        continue
+                    clause = ""
+                    if entry.get("num_buckets"):
+                        bcols = ", ".join(entry["bucket_columns"])
+                        scols = ", ".join(
+                            entry.get("sort_columns") or entry["bucket_columns"])
+                        clause = (
+                            f" CLUSTERED BY ({bcols}) SORTED BY ({scols})"
+                            f" INTO {entry['num_buckets']} BUCKETS")
+                    spark.sql(
+                        f"CREATE TABLE {name} ({entry['schema']})"
+                        f" USING {entry.get('format', 'parquet')}{clause}"
+                        f" LOCATION '{loc}'")
+                    attached.append(name)
+                except Exception:
+                    continue
+            if dirty:
+                self._save(tables)
+        return attached
+
+    def prepare_write(self, spark: SparkSession, table: str) -> None:
+        """Pre-saveAsTable conflict resolution: a warehouse directory
+        with neither a catalog entry nor a manifest entry is a crash
+        leftover — remove it so the write cannot hit
+        LOCATION_ALREADY_EXISTS."""
+        name = table.split(".")[-1].lower()
+        if "/" in table or not _IDENT_RE.match(table or ""):
+            return
+        try:
+            if spark.catalog.tableExists(table):
+                return
+        except Exception:
+            return
+        with self._lock:
+            if name in self._load():
+                return  # reattachable — let the caller's mode decide
+        stale = os.path.join(self.dir, name)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
