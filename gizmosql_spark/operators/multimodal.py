@@ -6,14 +6,16 @@ as Arrow-batched Pandas functions via ``mapInPandas`` (the
 vectorized-UDF slow path, used only where JVM expressions can't
 express the semantics — per the UDF guidance in SURVEY §2C).
 
-The container has no image/audio codecs, so actual decode is STUBBED:
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` behind
-an import-try, and ``extract_features`` computes a deterministic
-byte-histogram "embedding" so the Spark-side plumbing — schema,
-partition-parallel mapInPandas, Arrow batch shape — is real and tested.
-
-The fixture has no true media blobs; ``with_blob`` materializes the
-documents' UTF-8 bytes as the stand-in payload column.
+Image decode is REAL: pure-stdlib BMP + PNG codecs in
+gizmosql_spark/imaging.py (all five PNG filters, zlib inflate). The
+fixture has no true media blobs, so ``with_image_blob`` fabricates
+deterministic per-document images whose pixel values are closed-form
+functions of (doc_id, x, y) — which lets a plain-SQL DuckDB oracle
+verify the decoded statistics exactly: the full encode→decode→
+aggregate pipeline is differentially checked, not rows-only.
+``with_blob`` (text bytes as payload) remains the generic
+binary-column contract. PIL-style codecs (JPEG et al.) remain
+env-gated in ``decode_image_external``.
 """
 
 from __future__ import annotations
@@ -27,15 +29,14 @@ from pyspark.sql import functions as F
 
 from gizmosql_spark.operators import loader
 from pyspark.sql.types import (
-    ArrayType,
-    FloatType,
+    BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
-
-N_FEATURES = 8
 
 try:  # codec libraries are absent in this container — decode is gated
     from PIL import Image  # noqa: F401
@@ -72,51 +73,100 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Decode an image payload. STUB: codec libs are not installed in
-    this environment; the real implementation would decode via PIL
-    inside the mapInPandas batches below."""
+def decode_image_external(payload: bytes):  # pragma: no cover - gated
+    """Decode via an external codec library (JPEG/WebP/...). Gated:
+    PIL is not installed in this container; PNG/BMP decode inline via
+    gizmosql_spark.imaging instead."""
     if not _HAS_PIL:
-        raise NotImplementedError("image codecs unavailable in this container")
+        raise NotImplementedError("external image codecs unavailable")
     raise NotImplementedError("wire PIL decode here when codecs are available")
+
+
+def with_image_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a fabricated image payload per row (PNG for even
+    doc_id, BMP for odd; pixels are closed-form in (doc_id, x, y) —
+    imaging.synth_image). Encoding runs partition-parallel in an
+    Arrow-batched mapInPandas; at deployment this column is the real
+    media blob read from storage."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("content_type", StringType()),
+        ]
+    )
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gizmosql_spark import imaging
+
+        for pdf in it:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [imaging.synth_image(int(d)) for d in ids],
+                    "content_type": [
+                        "image/png" if d % 2 == 0 else "image/bmp"
+                        for d in ids
+                    ],
+                }
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(_encode, schema)
 
 
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("n_bytes", IntegerType()),
-        StructField("features", ArrayType(FloatType())),
+        StructField("fmt", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
     ]
 )
 
 
 def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extractor: deterministic 8-bin byte
-    histogram, L1-normalized — the stand-in for a real decoder+encoder.
-    Runs per partition; no driver-side data movement."""
+    """Arrow-batched decode + feature extraction: real PNG/BMP decode
+    (imaging.decode_image) followed by per-channel statistics. Runs
+    per partition; no driver-side data movement."""
+    from gizmosql_spark import imaging
+
     for pdf in it:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             buf = bytes(payload)
-            hist = [0] * N_FEATURES
-            for byte in buf:
-                hist[byte % N_FEATURES] += 1
-            total = float(sum(hist)) or 1.0
+            px = imaging.decode_image(buf).astype("float64")
+            h, w, _ = px.shape
             rows.append(
                 {
                     "doc_id": doc_id,
-                    "n_bytes": len(buf),
-                    "features": [h / total for h in hist],
+                    "fmt": imaging.image_format(buf),
+                    "width": w,
+                    "height": h,
+                    "n_px": h * w,
+                    "mean_r": round(float(px[:, :, 0].mean()), 6),
+                    "mean_g": round(float(px[:, :, 1].mean()), 6),
+                    "mean_b": round(float(px[:, :, 2].mean()), 6),
                 }
             )
-        yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "features"])
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "fmt", "width", "height", "n_px",
+                     "mean_r", "mean_g", "mean_b"],
+        )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-parallel feature extraction over binary payloads via
-    mapInPandas (Arrow transfer, no per-row pickling). Non-SQL
-    expressible → rows-only correctness check (no oracle entry)."""
-    b = with_blob(spark, sf_dir)
+    """Partition-parallel image decode + feature extraction over binary
+    payloads via mapInPandas (Arrow transfer, no per-row pickling).
+    Differentially verified: the oracle reproduces every decoded
+    statistic in closed form from (doc_id, x, y) arithmetic."""
+    b = with_image_blob(spark, sf_dir)
     return b.mapInPandas(_feature_batches, FEATURE_SCHEMA).orderBy("doc_id")
 
 
@@ -162,8 +212,27 @@ ORACLE: dict[str, str] = {
         FROM documents
         ORDER BY doc_id
     """,
-    # multimodal_features: intentionally no oracle (mapInPandas feature
-    # extraction is not SQL-expressible) → driver rows-only check.
+    # multimodal_features: the fabricated images' pixels are closed-form
+    # in (doc_id, x, y), so the oracle reproduces every decoded statistic
+    # without touching an image — a hash match proves the PNG/BMP
+    # encode→decode→aggregate pipeline end to end.
+    "multimodal_features": """
+        WITH g AS (SELECT gx.x AS x, gy.y AS y
+                   FROM generate_series(0, 7) gx(x),
+                        generate_series(0, 5) gy(y))
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+               CAST(4 + d.doc_id % 5 AS INTEGER) AS width,
+               CAST(3 + d.doc_id % 4 AS INTEGER) AS height,
+               CAST(count(*) AS BIGINT) AS n_px,
+               round(avg((7 * d.doc_id + 3 * g.x + 5 * g.y) % 256), 6) AS mean_r,
+               round(avg((11 * d.doc_id + g.x + 2 * g.y) % 256), 6) AS mean_g,
+               round(avg((13 * d.doc_id + 4 * g.x + g.y) % 256), 6) AS mean_b
+        FROM documents d
+        JOIN g ON g.x < 4 + d.doc_id % 5 AND g.y < 3 + d.doc_id % 4
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
     "doc_embedding_stats": """
         WITH e AS (
             SELECT vec_id, label,

@@ -47,24 +47,34 @@ def test_multimodal_meta_matches_oracle(spark, sf_dir):
     )
 
 
-def test_multimodal_features_deterministic(spark, sf_dir):
+def test_multimodal_features_matches_oracle(spark, sf_dir):
+    """Real PNG/BMP decode verified against closed-form arithmetic —
+    the image pipeline is differential-checked, not rows-only."""
     from gizmosql_spark.operators import multimodal
 
-    df = multimodal.multimodal_features(spark, sf_dir)
-    rows = {r["doc_id"]: r for r in df.collect()}
+    compare_to_oracle(
+        multimodal.multimodal_features(spark, sf_dir),
+        multimodal.ORACLE["multimodal_features"],
+        sf_dir,
+    )
+
+
+def test_multimodal_features_shape(spark, sf_dir):
+    from gizmosql_spark.operators import multimodal
+
+    rows = {r["doc_id"]: r for r in
+            multimodal.multimodal_features(spark, sf_dir).collect()}
     assert len(rows) == 500
     r0 = rows[0]
-    assert len(r0["features"]) == multimodal.N_FEATURES
-    assert abs(sum(r0["features"]) - 1.0) < 1e-6  # L1-normalized
-    # deterministic across runs
-    again = {r["doc_id"]: r for r in multimodal.multimodal_features(spark, sf_dir).collect()}
-    assert again[0]["features"] == r0["features"]
+    assert r0["fmt"] == "png" and rows[1]["fmt"] == "bmp"
+    assert r0["n_px"] == r0["width"] * r0["height"]
+    assert 0.0 <= r0["mean_r"] <= 255.0
 
 
-def test_decode_image_stub_raises(spark):
+def test_decode_image_external_gated(spark):
     from gizmosql_spark.operators import multimodal
 
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+        multimodal.decode_image_external(b"\xff\xd8\xff")  # JPEG magic
