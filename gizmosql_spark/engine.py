@@ -90,6 +90,8 @@ class StatementResult:
     df: DataFrame | None = None
     affected_rows: int | None = None
     info: dict[str, str] = field(default_factory=dict)
+    #: instrumentation key (sql_statements.statement_id)
+    statement_id: str | None = None
 
 
 @dataclass
@@ -137,7 +139,8 @@ class Engine:
     """One Engine per server process; sessions hang off it."""
 
     def __init__(self, spark: SparkSession | None = None,
-                 instance_id: str | None = None, edition: str = "community"):
+                 instance_id: str | None = None, edition: str = "community",
+                 access_log_path: str | None = None):
         self.spark = spark or get_spark("gizmosql-spark-engine")
         self.instance_id = instance_id or str(uuid.uuid4())
         self.edition = edition
@@ -148,6 +151,16 @@ class Engine:
         self.draining = False
         self.system_catalog = SystemCatalog()
         self.query_log = QueryLog()
+        # instrumentation tables + access log sink
+        # (session_instrumentation.md / access_log_middleware.cpp)
+        from gizmosql_spark.instrumentation import (
+            AccessLog,
+            InstrumentationStore,
+        )
+
+        self.access_log = AccessLog(path=access_log_path)
+        self.instr = InstrumentationStore()
+        self.instr.instance_started(self.instance_id, __version__, edition)
         # auth (gizmosql_security.cpp analog): basic credentials mint
         # signed tokens; sessions created from a token inherit its
         # role + catalog ACL claims
@@ -155,6 +168,9 @@ class Engine:
 
         self.token_secret = uuid.uuid4().hex
         self.users = UserRegistry()
+        #: optional JWKS key-set verification (auth.JwksManager);
+        #: when set, bearer tokens carrying a kid verify against it
+        self.jwks = None
         # persistent table catalog: manifest over the warehouse dir,
         # re-attaching tables from earlier processes (warehouse.py —
         # the DuckLake/ATTACH analog, docs/ducklake.md)
@@ -180,6 +196,25 @@ class Engine:
         (gizmosql_security.cpp:263-295 mint-on-first-auth flow)."""
         return self.users.authenticate(self.token_secret, username, password)
 
+    def use_jwks(self, jwks_path: str, refresh_interval_s: float = 300.0):
+        """Enable JWKS key-set verification for bearer tokens
+        (jwks_manager.cpp analog; local key file, rotation via
+        re-write)."""
+        from gizmosql_spark.auth import JwksManager
+
+        self.jwks = JwksManager(jwks_path, refresh_interval_s)
+        return self.jwks
+
+    def verify_bearer(self, token: str) -> dict:
+        """Verified claims for a bearer token: tokens carrying a kid
+        header verify against the JWKS key set when one is configured;
+        plain tokens verify against the engine secret."""
+        from gizmosql_spark.auth import token_kid, verify_token
+
+        if self.jwks is not None and token_kid(token) is not None:
+            return self.jwks.verify(token)
+        return verify_token(self.token_secret, token)
+
     def create_session(self, role: str = "user", token: str | None = None) -> str:
         """New session; a bearer token overrides ``role`` with its
         verified claims (role + catalog ACLs) — client-asserted roles
@@ -189,15 +224,16 @@ class Engine:
         sid = str(uuid.uuid4())
         st = SessionState(sid, role, self.spark.newSession())
         if token is not None:
-            from gizmosql_spark.auth import verify_token
-
-            claims = verify_token(self.token_secret, token)
+            claims = self.verify_bearer(token)
             st.role = claims["role"]
             st.username = claims.get("sub", "anonymous")
             st.read_catalogs = claims.get("read_catalogs")
             st.write_catalogs = claims.get("write_catalogs")
         with self._lock:
             self.sessions[sid] = st
+        self.instr.session_started(
+            sid, self.instance_id, st.username, st.role,
+            auth_method="token" if token is not None else "asserted")
         return sid
 
     def _session(self, session_id: str) -> SessionState:
@@ -215,6 +251,8 @@ class Engine:
         self._cancel_session_jobs(st)
         with self._lock:
             self.sessions.pop(session_id, None)
+        self.instr.session_ended(
+            session_id, "killed" if st.killed else "closed")
 
     def kill_session(self, session_id: str, by: str) -> bool:
         """KILL SESSION admin op (kill_session_handler.cpp; killed-set
@@ -346,33 +384,59 @@ class Engine:
                     current_catalog=current_cat,
                 )
             check_system_catalog_write(sql)
-        except Exception:
-            self.query_log.record(
-                session_id, sql, "denied",
-                (time.perf_counter() - t_start) * 1000)
+        except Exception as exc:
+            elapsed = (time.perf_counter() - t_start) * 1000
+            self.query_log.record(session_id, sql, "denied", elapsed)
+            self.instr.statement(
+                session_id, sql, "execute_sql", False, str(exc))
+            self.access_log.record(
+                "execute_sql", identity=st.username, status="DENIED",
+                duration_ms=elapsed, detail=sql)
             raise
         self.system_catalog.observe_statement(sql)
         write_target = dml_target(sql) or ddl_write_target(sql)
         if write_target is not None:
             self.warehouse.prepare_write(st.spark, write_target)
+        stmt_id = self.instr.statement(session_id, sql, "execute_sql", True)
         try:
             result = self._run_statement(st, sql)
-        except Exception:
-            self.query_log.record(
-                session_id, sql, "error",
-                (time.perf_counter() - t_start) * 1000)
+        except Exception as exc:
+            elapsed = (time.perf_counter() - t_start) * 1000
+            self.query_log.record(session_id, sql, "error", elapsed)
+            self.instr.execution(
+                stmt_id, "error", duration_ms=elapsed, error=str(exc))
+            self.access_log.record(
+                "execute_sql", identity=st.username, status="ERROR",
+                duration_ms=elapsed, detail=sql)
             raise
         if write_target is not None:
             # keep the persistent manifest in step with catalog writes
             # (record() no-ops for temp views; resolves to forget()
             # when the table no longer exists, e.g. after DROP)
             self.warehouse.record(st.spark, write_target)
-        self.query_log.record(
-            session_id, sql, "ok", (time.perf_counter() - t_start) * 1000)
+        elapsed = (time.perf_counter() - t_start) * 1000
+        self.query_log.record(session_id, sql, "ok", elapsed)
+        result.statement_id = stmt_id
+        if result.kind != "query":
+            # eager statements executed inside _run_statement; lazy
+            # queries record their execution when collected
+            self.instr.execution(
+                stmt_id, "success", duration_ms=elapsed,
+                rows_fetched=result.affected_rows)
+        self.access_log.record(
+            "execute_sql", identity=st.username, status="OK",
+            duration_ms=elapsed, detail=sql)
         return result
 
     _QUERY_LOG_FN_RE = __import__("re").compile(
         r"\bengine_query_log\s*\(\s*\)", __import__("re").IGNORECASE
+    )
+    _ACCESS_LOG_FN_RE = __import__("re").compile(
+        r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
+    )
+    _INSTR_VIEW_RE = __import__("re").compile(
+        r"\bengine_(?:instr_\w+|active_sessions|session_activity)\b",
+        __import__("re").IGNORECASE,
     )
 
     def _run_statement(self, st: SessionState, sql: str) -> StatementResult:
@@ -403,6 +467,23 @@ class Engine:
                 "session_id string, sql string, status string,"
                 " elapsed_ms double, at double",
             ).createOrReplaceTempView("engine_query_log")
+        if self._ACCESS_LOG_FN_RE.search(sql):
+            # engine_access_log() table function: the per-call access
+            # log (method/peer/identity/status/duration, redacted) as
+            # a queryable view (access_log_middleware.cpp analog)
+            from gizmosql_spark.instrumentation import AccessLog
+
+            sql = self._ACCESS_LOG_FN_RE.sub("engine_access_log", sql)
+            st.spark.createDataFrame(
+                self.access_log.entries() or [
+                    (0.0, "", "", "", "", 0.0, "")],
+                AccessLog.SCHEMA,
+            ).filter("method <> ''").createOrReplaceTempView(
+                "engine_access_log")
+        if self._INSTR_VIEW_RE.search(sql):
+            # instrumentation views refresh on reference
+            # (session_instrumentation.md read-only views)
+            self.instr.publish(self.spark)
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:
             st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
@@ -539,8 +620,11 @@ class Engine:
         if timeout is None:
             timeout = float(st.settings.get("engine.query_timeout", self.global_settings) or 0)
         bypass = bool(st.settings.get("engine.bypass_queue", self.global_settings))
+        t_enqueue = time.perf_counter()
         if not bypass:
             self._admission.acquire()
+        queue_wait_ms = (time.perf_counter() - t_enqueue) * 1000
+        t_exec = time.perf_counter()
         st.statement_seq += 1
         group = st.session_id
         sc = self.spark.sparkContext
@@ -553,6 +637,14 @@ class Engine:
             except Exception as e:  # surfaced below
                 out["error"] = e
 
+        def _record(status: str, rows: int | None = None,
+                    error: str | None = None) -> None:
+            if result.statement_id is not None:
+                self.instr.execution(
+                    result.statement_id, status, queue_wait_ms=queue_wait_ms,
+                    duration_ms=(time.perf_counter() - t_exec) * 1000,
+                    rows_fetched=rows, error=error)
+
         try:
             worker = threading.Thread(target=_run, daemon=True)
             worker.start()
@@ -560,6 +652,7 @@ class Engine:
             if worker.is_alive():
                 sc.cancelJobGroup(group)
                 worker.join(10)
+                _record("timeout", error=f"exceeded {timeout}s")
                 raise StatementTimeout(f"statement exceeded {timeout}s")
         finally:
             if not bypass:
@@ -567,9 +660,12 @@ class Engine:
         if "error" in out:
             err = out["error"]
             if st.killed or "cancelled" in str(err).lower():
+                _record("cancelled", error=str(err))
                 raise StatementCancelled(str(err))
+            _record("error", error=str(err))
             raise err
         self._maybe_capture_profile(st, result)
+        _record("success", rows=len(out["rows"]))
         return out["rows"]
 
     def _maybe_capture_profile(self, st: SessionState,
@@ -636,7 +732,14 @@ class Engine:
             if not bypass:
                 self._admission.release()
         if "error" in out:
+            if result.statement_id is not None:
+                self.instr.execution(
+                    result.statement_id, "error", error=str(out["error"]))
             raise out["error"]
+        if result.statement_id is not None:
+            self.instr.execution(
+                result.statement_id, "success",
+                rows_fetched=out["table"].num_rows)
         # GeoArrow export: stamp geometry (WKB) binary columns with
         # extension metadata at the Arrow boundary, like the reference
         # (docs/geometry.md; only binary columns are even inspected)
@@ -701,7 +804,8 @@ class Engine:
                     data = pa.Table.from_batches(batches)
         df = data if isinstance(data, DataFrame) else st.spark.createDataFrame(data)
         n = df.count()
-        self.warehouse.prepare_write(st.spark, table)
+        self.warehouse.prepare_write(st.spark, table,
+                                     overwrite=mode == "replace")
         if mode in ("create", "fail"):
             df.write.mode("errorifexists").saveAsTable(table)
         elif mode == "replace":

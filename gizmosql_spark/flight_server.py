@@ -117,14 +117,37 @@ class _AuthMiddlewareFactory(flight.ServerMiddlewareFactory):
                 return _AuthMiddleware(claims, token, minted=True)
             if value.lower().startswith("bearer "):
                 token = value[7:]
-                from gizmosql_spark.auth import verify_token
-
-                claims = verify_token(self.engine.token_secret, token)
+                claims = self.engine.verify_bearer(token)
                 return _AuthMiddleware(claims, token, minted=False)
         except AuthError as e:
             raise flight.FlightUnauthenticatedError(str(e))
         raise flight.FlightUnauthenticatedError(
             "unsupported authorization scheme")
+
+
+class _AccessLogMiddleware(flight.ServerMiddleware):
+    """Per-RPC access log record (access_log_middleware.cpp: method,
+    status, duration emitted at CallCompleted)."""
+
+    def __init__(self, engine: Engine, method: str):
+        self.engine = engine
+        self.method = method
+        self._t0 = time.perf_counter()
+
+    def call_completed(self, exception):
+        self.engine.access_log.record(
+            f"flight.{self.method}",
+            status="ERROR" if exception is not None else "OK",
+            duration_ms=(time.perf_counter() - self._t0) * 1000,
+            detail=str(exception) if exception is not None else "")
+
+
+class _AccessLogMiddlewareFactory(flight.ServerMiddlewareFactory):
+    def __init__(self, engine: Engine):
+        self.engine = engine
+
+    def start_call(self, info, headers):
+        return _AccessLogMiddleware(self.engine, str(info.method))
 
 
 #: tickets expire if the client never fetches them
@@ -140,7 +163,12 @@ class FlightEngineServer(flight.FlightServerBase):
         self.engine = engine or Engine()
         self._auth_factory = _AuthMiddlewareFactory(self.engine, require_auth)
         super().__init__(
-            location, middleware={"auth": self._auth_factory}, **kwargs)
+            location,
+            middleware={
+                "auth": self._auth_factory,
+                "accesslog": _AccessLogMiddlewareFactory(self.engine),
+            },
+            **kwargs)
         self._location = location
         #: ticket id -> (created_at, session_id, StatementResult)
         self._tickets: dict[str, tuple[float, str, StatementResult]] = {}

@@ -178,18 +178,41 @@ class WarehouseCatalog:
                 self._save(tables)
         return attached
 
-    def prepare_write(self, spark: SparkSession, table: str) -> None:
-        """Pre-saveAsTable conflict resolution: a warehouse directory
-        with neither a catalog entry nor a manifest entry is a crash
-        leftover — remove it so the write cannot hit
-        LOCATION_ALREADY_EXISTS."""
+    def prepare_write(self, spark: SparkSession, table: str,
+                      overwrite: bool = False) -> None:
+        """Pre-saveAsTable conflict resolution.
+
+        - A warehouse directory with neither a catalog entry nor a
+          manifest entry is a crash leftover — removed, so the write
+          cannot hit LOCATION_ALREADY_EXISTS.
+        - With ``overwrite=True``, a re-attached EXTERNAL table living
+          inside the warehouse dir is dropped and its files cleared:
+          ``saveAsTable(overwrite)`` drops an external table WITHOUT
+          deleting its files, then collides with them creating the
+          managed replacement at the same default location."""
         name = table.split(".")[-1].lower()
         if "/" in table or not _IDENT_RE.match(table or ""):
             return
         try:
-            if spark.catalog.tableExists(table):
-                return
+            exists = spark.catalog.tableExists(table)
         except Exception:
+            return
+        if exists:
+            if not overwrite:
+                return
+            try:
+                d = self._describe(spark, table)
+            except Exception:
+                return
+            location = d.get("Location", "").removeprefix("file:")
+            is_ours = os.path.realpath(location).startswith(
+                os.path.realpath(self.dir) + os.sep) if location else False
+            if d.get("Type", "").upper() == "EXTERNAL" and is_ours:
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {table}")
+                except Exception:
+                    return
+                shutil.rmtree(location, ignore_errors=True)
             return
         with self._lock:
             if name in self._load():

@@ -164,3 +164,98 @@ def test_struct_field_access_not_a_catalog_ref():
         read_catalogs=["spark_catalog"], write_catalogs=None,
         write_target=None,
     )
+
+
+# --- JWKS key-set verification + rotation (jwks_manager.cpp analog) --
+
+
+def test_jwks_verify_and_rotate(tmp_path):
+    import os as _os
+
+    jwks_path = str(tmp_path / "jwks.json")
+    key_a, key_b = _os.urandom(32), _os.urandom(32)
+    auth.write_jwks(jwks_path, {"key-a": key_a})
+    mgr = auth.JwksManager(jwks_path)
+    assert mgr.kids() == ["key-a"]
+
+    tok_a = auth.mint_token(key_a, "u", "user", kid="key-a")
+    assert mgr.verify(tok_a)["sub"] == "u"
+
+    # rotate: key-a retired, key-b current (mtime change forces reload)
+    auth.write_jwks(jwks_path, {"key-b": key_b})
+    _os.utime(jwks_path, (0, 0))  # ensure mtime differs from cached
+    tok_b = auth.mint_token(key_b, "u", "admin", kid="key-b")
+    assert mgr.verify(tok_b)["role"] == "admin"
+    # stale kid now rejected (refresh-on-miss finds it gone)
+    with pytest.raises(auth.AuthError):
+        mgr.verify(tok_a)
+
+
+def test_jwks_refresh_on_miss(tmp_path):
+    """A token minted with a kid the manager has not seen triggers a
+    forced refresh (the reference's cache-miss-then-refetch path)."""
+    import os as _os
+
+    jwks_path = str(tmp_path / "jwks.json")
+    key_a, key_b = _os.urandom(32), _os.urandom(32)
+    auth.write_jwks(jwks_path, {"key-a": key_a})
+    mgr = auth.JwksManager(jwks_path, refresh_interval_s=10_000)
+    assert mgr.kids() == ["key-a"]
+    # add key-b behind the manager's back, same refresh window
+    auth.write_jwks(jwks_path, {"key-a": key_a, "key-b": key_b})
+    tok_b = auth.mint_token(key_b, "v", "user", kid="key-b")
+    assert mgr.verify(tok_b)["sub"] == "v"
+
+
+def test_jwks_requires_kid(tmp_path):
+    jwks_path = str(tmp_path / "jwks.json")
+    auth.write_jwks(jwks_path, {"key-a": b"s" * 32})
+    mgr = auth.JwksManager(jwks_path)
+    with pytest.raises(auth.AuthError):
+        mgr.verify(auth.mint_token("whatever", "u", "user"))  # no kid
+
+
+def test_jwks_skips_malformed_keys(tmp_path):
+    import json as _json
+
+    jwks_path = str(tmp_path / "jwks.json")
+    with open(jwks_path, "w") as f:
+        _json.dump({"keys": [
+            {"kty": "oct", "k": "AAAA"},                     # no kid
+            {"kty": "RSA", "kid": "rsa-1", "n": "x"},        # unsupported
+            {"kty": "oct", "kid": "good", "alg": "HS256",
+             "k": "c2VjcmV0LXNlY3JldC1zZWNyZXQ"},
+        ]}, f)
+    mgr = auth.JwksManager(jwks_path)
+    assert mgr.kids() == ["good"]
+
+
+def test_engine_jwks_session_flow(engine, tmp_path):
+    """A session created from a JWKS-verified token carries its role +
+    catalog ACL claims; after rotation the old token is refused."""
+    import os as _os
+
+    jwks_path = str(tmp_path / "jwks.json")
+    key = _os.urandom(32)
+    auth.write_jwks(jwks_path, {"ops-1": key})
+    engine.use_jwks(jwks_path)
+    try:
+        tok = auth.mint_token(
+            key, "ops", "admin", kid="ops-1",
+            extra_claims={"read_catalogs": ["spark_catalog"]})
+        sid = engine.create_session(token=tok)
+        st = engine.sessions[sid]
+        assert st.role == "admin" and st.username == "ops"
+        assert st.read_catalogs == ["spark_catalog"]
+        engine.close_session(sid)
+        # rotate the key set: the minted token dies with its kid
+        auth.write_jwks(jwks_path, {"ops-2": _os.urandom(32)})
+        _os.utime(jwks_path, (0, 0))
+        with pytest.raises(auth.AuthError):
+            engine.create_session(token=tok)
+        # engine-secret tokens (no kid) still verify
+        basic_tok = engine.authenticate("alice", "wonderland")
+        sid2 = engine.create_session(token=basic_tok)
+        engine.close_session(sid2)
+    finally:
+        engine.jwks = None

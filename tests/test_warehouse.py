@@ -112,3 +112,40 @@ print("CHILD_OK")
     sid = eng.create_session(role="admin")
     eng.execute_sql(sid, "DROP TABLE t_wh_restart")
     eng.close_session(sid)
+
+
+def test_replace_over_reattached_external_table(spark):
+    """ingest replace over a table that was re-attached as EXTERNAL
+    (post-restart) must rewrite it cleanly: saveAsTable(overwrite)
+    drops external tables without deleting files, which otherwise
+    collides with the managed replacement at the same location."""
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    spark.sql("DROP TABLE IF EXISTS t_wh_ext")
+    n = eng.ingest(sid, "t_wh_ext", spark.range(4).toDF("id"),
+                   mode="create")
+    assert n == 4
+    entry = eng.warehouse.tables()["t_wh_ext"]
+    # simulate the restart: drop catalog entry only, re-attach external
+    spark.sql("DROP TABLE t_wh_ext")  # managed drop deletes files...
+    import os
+
+    os.makedirs(entry["location"], exist_ok=True)
+    spark.range(4).toDF("id").write.mode("overwrite").parquet(
+        entry["location"])
+    spark.sql(
+        f"CREATE TABLE t_wh_ext (`id` bigint) USING parquet"
+        f" LOCATION '{entry['location']}'")
+    d = {r["col_name"].strip(): (r["data_type"] or "").strip()
+         for r in spark.sql("DESCRIBE FORMATTED t_wh_ext").collect()
+         if r["col_name"]}
+    assert d.get("Type", "").upper() == "EXTERNAL"
+    # replace must succeed and leave a readable table
+    n2 = eng.ingest(sid, "t_wh_ext",
+                    spark.sql("SELECT id * 10 AS id FROM range(3)"),
+                    mode="replace")
+    assert n2 == 3
+    got = sorted(r["id"] for r in spark.table("t_wh_ext").collect())
+    assert got == [0, 10, 20]
+    eng.execute_sql(sid, "DROP TABLE t_wh_ext")
+    eng.close_session(sid)
