@@ -326,6 +326,64 @@ def extract_file_scans(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
     return out, scans
 
 
+# --- remote-engine scans over Arrow Flight (adbc_scanner analog,
+# docs/adbc_scanner_duckdb.md:60-120) --------------------------------
+
+_FLIGHT_SCAN_RE = re.compile(
+    r"\bflight_scan\s*\(\s*'([^']+)'\s*,\s*'((?:[^']|'')*)'"
+    r"(?:\s*,\s*'([^']*)')?(?:\s*,\s*'([^']*)')?\s*\)",
+    re.IGNORECASE,
+)
+
+
+def extract_flight_scans(
+    sql: str,
+) -> tuple[str, list[tuple[str, str, str, str | None, str | None]]]:
+    """Rewrite ``flight_scan('uri', 'query' [, user, password])`` table
+    functions to named views. Returns (rewritten_sql, [(view, uri,
+    remote_sql, user, password), ...]); the caller fetches each remote
+    result and registers it before execution."""
+    scans: list[tuple[str, str, str, str | None, str | None]] = []
+
+    def _sub(m: re.Match) -> str:
+        uri, rsql, user, pw = m.groups()
+        rsql = rsql.replace("''", "'")
+        view = f"flight_scan_{len(scans)}_" + re.sub(
+            r"[^A-Za-z0-9]", "_", uri).strip("_")
+        scans.append((view, uri, rsql, user, pw))
+        return view
+
+    return _FLIGHT_SCAN_RE.sub(_sub, sql), scans
+
+
+_ATTACH_FLIGHT_RE = re.compile(
+    r"^\s*ATTACH\s+'((?:grpc|grpc\+tls)://[^']+)'\s+AS\s+([A-Za-z_]\w*)"
+    r"\s*\(\s*TYPE\s+(?:flight|adbc)\s*"
+    r"(?:,\s*USER\s+'([^']*)'\s*)?(?:,\s*PASSWORD\s+'([^']*)'\s*)?\)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETACH_RE = re.compile(
+    r"^\s*DETACH\s+(?:DATABASE\s+)?([A-Za-z_]\w*)\s*;?\s*$", re.IGNORECASE)
+
+
+def parse_attach_flight(sql: str):
+    """``ATTACH 'grpc://…' AS alias (TYPE flight [, USER …, PASSWORD
+    …])`` → (alias, uri, user, password), else None. The reference's
+    ADBC attach carries credentials in a SECRET scoped to the uri; the
+    inline clause is this engine's stand-in."""
+    m = _ATTACH_FLIGHT_RE.match(sql)
+    if not m:
+        return None
+    uri, alias, user, pw = m.groups()
+    return alias, uri, user, pw
+
+
+def parse_detach(sql: str) -> str | None:
+    m = _DETACH_RE.match(sql)
+    return m.group(1) if m else None
+
+
 _SETTINGS_FN_RE = re.compile(
     r"\b(?:engine_settings|gizmosql_settings)\s*\(\s*\)", re.IGNORECASE
 )

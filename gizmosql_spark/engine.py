@@ -41,6 +41,9 @@ from gizmosql_spark.dialect import (
     ddl_write_target,
     dml_target,
     extract_file_scans,
+    extract_flight_scans,
+    parse_attach_flight,
+    parse_detach,
     replace_pseudo_functions,
     rewrite_settings_function,
     split_statements,
@@ -126,6 +129,10 @@ class SessionState:
     #: catalog ACL patterns from token claims; None = unrestricted
     read_catalogs: list[str] | None = None
     write_catalogs: list[str] | None = None
+    #: remote engines attached over Flight: alias -> (uri, user, pw)
+    #: (adbc_scanner ATTACH analog)
+    attached: dict[str, tuple[str, str | None, str | None]] = field(
+        default_factory=dict)
 
     @property
     def is_admin(self) -> bool:
@@ -393,6 +400,21 @@ class Engine:
                 "execute_sql", identity=st.username, status="DENIED",
                 duration_ms=elapsed, detail=sql)
             raise
+        # ATTACH/DETACH of remote Flight engines (adbc_scanner analog;
+        # reaches here only for admins — the admin gate above blocks
+        # ATTACH/DETACH for everyone else)
+        att = parse_attach_flight(sql)
+        if att is not None:
+            alias, uri, user, pw = att
+            st.attached[alias] = (uri, user, pw)
+            self.query_log.record(
+                session_id, sql, "ok", (time.perf_counter() - t_start) * 1000)
+            return StatementResult("set", info={"attached": alias})
+        det = parse_detach(sql)
+        if det is not None and det in st.attached:
+            st.attached.pop(det)
+            return StatementResult("set", info={"detached": det})
+
         self.system_catalog.observe_statement(sql)
         write_target = dml_target(sql) or ddl_write_target(sql)
         if write_target is not None:
@@ -487,6 +509,36 @@ class Engine:
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:
             st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
+
+        # remote-engine scans (flight_scan table function + attached
+        # Flight catalogs) — admin-only, like ATTACH itself; results
+        # are re-fetched per statement so reads are never stale
+        sql, fscans = extract_flight_scans(sql)
+        if fscans and not st.is_admin:
+            raise security.CommandDenied(
+                "flight_scan requires admin role")
+        if fscans or st.attached:
+            from gizmosql_spark.sources.flight_scan import flight_scan_df
+
+            for view, uri, rsql, user, pw in fscans:
+                flight_scan_df(
+                    st.spark, uri, rsql, user=user, password=pw
+                ).createOrReplaceTempView(view)
+            for alias, (uri, user, pw) in st.attached.items():
+                pat = __import__("re").compile(
+                    rf"\b(FROM|JOIN)\s+{alias}\s*\.\s*([A-Za-z_]\w*)",
+                    __import__("re").IGNORECASE)
+
+                def _sub(m, _alias=alias, _uri=uri, _user=user, _pw=pw):
+                    tbl = m.group(2)
+                    view = f"{_alias}__{tbl}"
+                    flight_scan_df(
+                        st.spark, _uri, f"SELECT * FROM {tbl}",
+                        user=_user, password=_pw,
+                    ).createOrReplaceTempView(view)
+                    return f"{m.group(1)} {view}"
+
+                sql = pat.sub(_sub, sql)
 
         target = dml_target(sql)
         if target is not None:

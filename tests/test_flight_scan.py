@@ -1,0 +1,193 @@
+"""Remote-engine federation tests (adbc_scanner analog,
+docs/adbc_scanner_duckdb.md): flight_scan() table function, ATTACH
+'grpc://…' (TYPE flight) with per-statement re-fetch, role gating, and
+TLS transport with a self-signed certificate."""
+
+from __future__ import annotations
+
+import io
+import json
+import subprocess
+
+import pytest
+
+from gizmosql_spark import security
+from gizmosql_spark.engine import Engine
+from gizmosql_spark.flight_server import FlightEngineServer
+
+
+@pytest.fixture(scope="module")
+def remote(spark):
+    """A 'remote' engine+server holding a managed table."""
+    eng = Engine(spark=spark)
+    eng.add_user("fed", "pw", role="admin")
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_remote_inv")
+    eng.execute_sql(
+        sid,
+        "CREATE TABLE t_remote_inv AS"
+        " SELECT id AS item_id, id * 100 AS qty FROM range(6)")
+    srv = FlightEngineServer(engine=eng, location="grpc://127.0.0.1:0")
+    yield eng, srv, f"grpc://127.0.0.1:{srv.port}"
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_remote_inv")
+    eng.close_session(sid)
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def local(spark):
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    yield eng, sid
+    eng.close_session(sid)
+
+
+def test_flight_scan_table_function(remote, local):
+    _, _, uri = remote
+    eng, sid = local
+    res = eng.execute_sql(sid, f"""
+        SELECT sum(qty) AS total, count(*) AS n
+        FROM flight_scan('{uri}',
+                         'SELECT * FROM t_remote_inv', 'fed', 'pw')
+    """)
+    row = eng.collect(sid, res)[0]
+    assert (row["total"], row["n"]) == (1500, 6)
+
+
+def test_flight_scan_joins_local(remote, local):
+    """Federated join: remote scan against a local inline table."""
+    _, _, uri = remote
+    eng, sid = local
+    res = eng.execute_sql(sid, f"""
+        SELECT r.item_id, r.qty, l.name
+        FROM flight_scan('{uri}',
+             'SELECT * FROM t_remote_inv WHERE item_id < 2',
+             'fed', 'pw') r
+        JOIN (VALUES (0, 'zero'), (1, 'one')) AS l(item_id, name)
+          ON r.item_id = l.item_id
+        ORDER BY r.item_id
+    """)
+    rows = eng.collect(sid, res)
+    assert [(r["item_id"], r["name"]) for r in rows] == [
+        (0, "zero"), (1, "one")]
+
+
+def test_flight_scan_requires_admin(remote, local):
+    _, _, uri = remote
+    eng, _ = local
+    user_sid = eng.create_session(role="user")
+    with pytest.raises(security.CommandDenied):
+        eng.execute_sql(
+            user_sid,
+            f"SELECT * FROM flight_scan('{uri}', 'SELECT 1', 'fed', 'pw')")
+    eng.close_session(user_sid)
+
+
+def test_attach_flight_catalog(remote, local):
+    _, _, uri = remote
+    eng, sid = local
+    res = eng.execute_sql(
+        sid,
+        f"ATTACH '{uri}' AS rmt (TYPE flight, USER 'fed', PASSWORD 'pw')")
+    assert res.info == {"attached": "rmt"}
+    rows = eng.collect(sid, eng.execute_sql(sid, """
+        SELECT item_id, qty FROM rmt.t_remote_inv
+        WHERE qty >= 300 ORDER BY item_id
+    """))
+    assert [r["item_id"] for r in rows] == [3, 4, 5]
+    # DETACH removes resolution
+    eng.execute_sql(sid, "DETACH rmt")
+    with pytest.raises(Exception):
+        eng.collect(sid, eng.execute_sql(
+            sid, "SELECT * FROM rmt.t_remote_inv"))
+
+
+def test_attach_requires_admin(remote, local):
+    _, _, uri = remote
+    eng, _ = local
+    user_sid = eng.create_session(role="user")
+    with pytest.raises(security.CommandDenied):
+        eng.execute_sql(
+            user_sid, f"ATTACH '{uri}' AS nope (TYPE flight)")
+    eng.close_session(user_sid)
+
+
+def test_attach_sees_fresh_remote_data(remote, local):
+    """Attached reads re-fetch per statement — never stale."""
+    remote_eng, _, uri = remote
+    eng, sid = local
+    eng.execute_sql(
+        sid,
+        f"ATTACH '{uri}' AS live (TYPE flight, USER 'fed', PASSWORD 'pw')")
+    n0 = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT count(*) AS n FROM live.t_remote_inv"))[0]["n"]
+    rsid = remote_eng.create_session(role="admin")
+    remote_eng.execute_sql(
+        rsid, "INSERT INTO t_remote_inv VALUES (99, 9900)")
+    n1 = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT count(*) AS n FROM live.t_remote_inv"))[0]["n"]
+    assert n1 == n0 + 1
+    remote_eng.close_session(rsid)
+    eng.execute_sql(sid, "DETACH live")
+
+
+def test_tls_flight_server(spark, tmp_path):
+    """TLS transport (reference gizmosql_security.cpp TLS paths): a
+    self-signed cert via the openssl CLI, grpc+tls listener, client
+    pinning the cert; plaintext connection to the TLS port fails."""
+    cert = tmp_path / "server.crt"
+    key = tmp_path / "server.key"
+    proc = subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=localhost",
+         "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1"],
+        capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.skip(f"openssl unavailable: {proc.stderr[:200]}")
+
+    import pyarrow.flight as flight
+
+    eng = Engine(spark=spark)
+    eng.add_user("tls", "pw", role="admin")
+    srv = FlightEngineServer(
+        engine=eng, location="grpc+tls://127.0.0.1:0",
+        tls_certificates=[(cert.read_bytes(), key.read_bytes())])
+    try:
+        client = flight.FlightClient(
+            f"grpc+tls://127.0.0.1:{srv.port}",
+            tls_root_certs=cert.read_bytes())
+        import base64
+
+        opts = flight.FlightCallOptions(headers=[
+            (b"authorization",
+             b"Basic " + base64.b64encode(b"tls:pw"))])
+        results = list(client.do_action(
+            flight.Action("health_check", b"{}"), options=opts))
+        assert json.loads(results[0].body.to_pybytes())["healthy"] is True
+        client.close()
+        # plaintext against the TLS port must fail
+        plain = flight.FlightClient(f"grpc://127.0.0.1:{srv.port}")
+        with pytest.raises(flight.FlightError):
+            list(plain.do_action(
+                flight.Action("health_check", b"{}"),
+                options=flight.FlightCallOptions(
+                    headers=[(b"authorization",
+                              b"Basic " + base64.b64encode(b"tls:pw"))],
+                    timeout=5)))
+        plain.close()
+    finally:
+        srv.shutdown()
+
+
+def test_cli_connects_over_tls_scan(remote):
+    """flight_scan via the CLI's FlightConnection shares the wire."""
+    from gizmosql_spark import cli
+
+    _, _, uri = remote
+    conn = cli.FlightConnection(uri, "fed", "pw")
+    out = io.StringIO()
+    sh = cli.Shell(conn, cli.ShellConfig(mode="csv"), stdout=out)
+    sh.execute("SELECT count(*) AS n FROM t_remote_inv")
+    assert out.getvalue().strip().splitlines()[-1].isdigit()
+    conn.close()
