@@ -95,6 +95,9 @@ class StatementResult:
     info: dict[str, str] = field(default_factory=dict)
     #: instrumentation key (sql_statements.statement_id)
     statement_id: str | None = None
+    #: trace context (telemetry.py; collect spans parent onto these)
+    trace_id: str | None = None
+    root_span_id: str | None = None
 
 
 @dataclass
@@ -147,7 +150,8 @@ class Engine:
 
     def __init__(self, spark: SparkSession | None = None,
                  instance_id: str | None = None, edition: str = "community",
-                 access_log_path: str | None = None):
+                 access_log_path: str | None = None,
+                 otlp_trace_path: str | None = None):
         self.spark = spark or get_spark("gizmosql-spark-engine")
         self.instance_id = instance_id or str(uuid.uuid4())
         self.edition = edition
@@ -168,6 +172,14 @@ class Engine:
         self.access_log = AccessLog(path=access_log_path)
         self.instr = InstrumentationStore()
         self.instr.instance_started(self.instance_id, __version__, edition)
+        # OTel-shaped tracing/metrics (gizmosql_telemetry.cpp analog;
+        # OTLP/JSON to a file sink — HTTP POST is a deploy-time swap)
+        from gizmosql_spark.telemetry import Telemetry
+
+        self.telemetry = Telemetry(
+            path=otlp_trace_path,
+            resource_attributes={"service.instance.id": self.instance_id,
+                                 "service.version": __version__})
         # auth (gizmosql_security.cpp analog): basic credentials mint
         # signed tokens; sessions created from a token inherit its
         # role + catalog ACL claims
@@ -421,7 +433,11 @@ class Engine:
             self.warehouse.prepare_write(st.spark, write_target)
         stmt_id = self.instr.statement(session_id, sql, "execute_sql", True)
         try:
-            result = self._run_statement(st, sql)
+            with self.telemetry.span(
+                "statement.execute", session=session_id,
+                user=st.username) as sp:
+                result = self._run_statement(st, sql)
+                sp.set_attribute("statement.kind", result.kind)
         except Exception as exc:
             elapsed = (time.perf_counter() - t_start) * 1000
             self.query_log.record(session_id, sql, "error", elapsed)
@@ -430,6 +446,8 @@ class Engine:
             self.access_log.record(
                 "execute_sql", identity=st.username, status="ERROR",
                 duration_ms=elapsed, detail=sql)
+            self.telemetry.add_counter(
+                "engine.statements_total", status="error")
             raise
         if write_target is not None:
             # keep the persistent manifest in step with catalog writes
@@ -439,6 +457,8 @@ class Engine:
         elapsed = (time.perf_counter() - t_start) * 1000
         self.query_log.record(session_id, sql, "ok", elapsed)
         result.statement_id = stmt_id
+        result.trace_id = sp.trace_id
+        result.root_span_id = sp.span_id
         if result.kind != "query":
             # eager statements executed inside _run_statement; lazy
             # queries record their execution when collected
@@ -448,6 +468,7 @@ class Engine:
         self.access_log.record(
             "execute_sql", identity=st.username, status="OK",
             duration_ms=elapsed, detail=sql)
+        self.telemetry.add_counter("engine.statements_total", status="ok")
         return result
 
     _QUERY_LOG_FN_RE = __import__("re").compile(
@@ -696,6 +717,19 @@ class Engine:
                     result.statement_id, status, queue_wait_ms=queue_wait_ms,
                     duration_ms=(time.perf_counter() - t_exec) * 1000,
                     rows_fetched=rows, error=error)
+            # child span onto the statement's trace (collect phase)
+            with self.telemetry.span(
+                "statement.collect", trace_id=result.trace_id,
+                parent_id=result.root_span_id, session=st.session_id,
+                queue_wait_ms=queue_wait_ms) as sp:
+                sp.set_attribute("status", status)
+                if rows is not None:
+                    sp.set_attribute("rows", rows)
+                if error is not None:
+                    sp.set_error(error)
+            if rows is not None:
+                self.telemetry.add_counter(
+                    "engine.rows_fetched_total", float(rows))
 
         try:
             worker = threading.Thread(target=_run, daemon=True)
