@@ -191,3 +191,66 @@ def test_cli_connects_over_tls_scan(remote):
     sh.execute("SELECT count(*) AS n FROM t_remote_inv")
     assert out.getvalue().strip().splitlines()[-1].isdigit()
     conn.close()
+
+
+def test_mtls_flight_server(spark, tmp_path):
+    """mTLS (reference --mtls flags, gizmosql_security.cpp): server
+    requires a client certificate signed by the trusted CA; a client
+    without one is rejected."""
+    import base64
+
+    def ossl(*args):
+        p = subprocess.run(["openssl", *args], capture_output=True, text=True)
+        if p.returncode != 0:
+            pytest.skip(f"openssl failed: {p.stderr[:200]}")
+
+    ca_key, ca_crt = tmp_path / "ca.key", tmp_path / "ca.crt"
+    sv_key, sv_csr, sv_crt = (tmp_path / "s.key", tmp_path / "s.csr",
+                              tmp_path / "s.crt")
+    cl_key, cl_csr, cl_crt = (tmp_path / "c.key", tmp_path / "c.csr",
+                              tmp_path / "c.crt")
+    ext = tmp_path / "san.cnf"
+    ext.write_text("subjectAltName=DNS:localhost,IP:127.0.0.1\n")
+    ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-keyout",
+         str(ca_key), "-out", str(ca_crt), "-days", "1", "-subj", "/CN=test-ca")
+    ossl("req", "-newkey", "rsa:2048", "-nodes", "-keyout", str(sv_key),
+         "-out", str(sv_csr), "-subj", "/CN=localhost")
+    ossl("x509", "-req", "-in", str(sv_csr), "-CA", str(ca_crt), "-CAkey",
+         str(ca_key), "-CAcreateserial", "-out", str(sv_crt), "-days", "1",
+         "-extfile", str(ext))
+    ossl("req", "-newkey", "rsa:2048", "-nodes", "-keyout", str(cl_key),
+         "-out", str(cl_csr), "-subj", "/CN=mtls-client")
+    ossl("x509", "-req", "-in", str(cl_csr), "-CA", str(ca_crt), "-CAkey",
+         str(ca_key), "-CAcreateserial", "-out", str(cl_crt), "-days", "1")
+
+    import pyarrow.flight as flight
+
+    eng = Engine(spark=spark)
+    eng.add_user("m", "pw", role="admin")
+    srv = FlightEngineServer(
+        engine=eng, location="grpc+tls://127.0.0.1:0",
+        tls_certificates=[(sv_crt.read_bytes(), sv_key.read_bytes())],
+        verify_client=True, root_certificates=ca_crt.read_bytes())
+    try:
+        opts = flight.FlightCallOptions(headers=[
+            (b"authorization", b"Basic " + base64.b64encode(b"m:pw"))],
+            timeout=10)
+        good = flight.FlightClient(
+            f"grpc+tls://127.0.0.1:{srv.port}",
+            tls_root_certs=ca_crt.read_bytes(),
+            cert_chain=cl_crt.read_bytes(),
+            private_key=cl_key.read_bytes())
+        results = list(good.do_action(
+            flight.Action("health_check", b"{}"), options=opts))
+        assert json.loads(results[0].body.to_pybytes())["healthy"] is True
+        good.close()
+        # no client cert -> handshake refused
+        bad = flight.FlightClient(
+            f"grpc+tls://127.0.0.1:{srv.port}",
+            tls_root_certs=ca_crt.read_bytes())
+        with pytest.raises(flight.FlightError):
+            list(bad.do_action(
+                flight.Action("health_check", b"{}"), options=opts))
+        bad.close()
+    finally:
+        srv.shutdown()
