@@ -60,6 +60,8 @@ _PRIORITY = [
     "ann_ivf",
     # multimodal
     "multimodal_meta",
+    # sampling / dataset splitting
+    "dataset_split",
     # streaming
     "stream_tumbling",
     # scale patterns
@@ -77,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events,
         multimodal,
         relational,
+        sampling,
         scale,
         similarity,
         text,
@@ -92,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(dedup.QUERIES)
     merged.update(similarity.QUERIES)
     merged.update(multimodal.QUERIES)
+    merged.update(sampling.QUERIES)
     merged.update(streaming_windows.QUERIES)
     merged.update(scale.QUERIES)
 
@@ -114,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         events,
         multimodal,
         relational,
+        sampling,
         scale,
         similarity,
         text,
@@ -129,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
     out.update(multimodal.ORACLE)
+    out.update(sampling.ORACLE)
     out.update(streaming_windows.ORACLE)
     out.update(scale.ORACLE)
     return out

@@ -32,6 +32,11 @@ class QueueWaitTimeout(AdmissionError):
 class AdmissionStats:
     executing: int
     queued: int
+    peak_executing: int = 0
+    peak_queued: int = 0
+    total_admitted: int = 0
+    total_rejected: int = 0
+    total_timeouts: int = 0
 
 
 class AdmissionController:
@@ -49,10 +54,20 @@ class AdmissionController:
         self.max_concurrent = max_concurrent
         self.max_queued = max_queued
         self.max_wait_seconds = max_wait_seconds
+        # queue-depth telemetry (statement_queuing.md: depth metrics)
+        self._peak_executing = 0
+        self._peak_queued = 0
+        self._total_admitted = 0
+        self._total_rejected = 0
+        self._total_timeouts = 0
 
     def stats(self) -> AdmissionStats:
         with self._lock:
-            return AdmissionStats(self._executing, len(self._queue))
+            return AdmissionStats(
+                self._executing, len(self._queue),
+                self._peak_executing, self._peak_queued,
+                self._total_admitted, self._total_rejected,
+                self._total_timeouts)
 
     def acquire(self) -> None:
         if self.max_concurrent <= 0:
@@ -62,12 +77,14 @@ class AdmissionController:
                 self._executing >= self.max_concurrent
                 and len(self._queue) >= self.max_queued
             ):
+                self._total_rejected += 1
                 raise QueueFullError(
                     f"admission queue full ({self.max_queued} waiting)"
                 )
             ticket = self._next_ticket
             self._next_ticket += 1
             self._queue.append(ticket)
+            self._peak_queued = max(self._peak_queued, len(self._queue))
             deadline = (
                 None
                 if self.max_wait_seconds <= 0
@@ -83,6 +100,7 @@ class AdmissionController:
                 timeout = None if deadline is None else deadline - waited
                 if timeout is not None and timeout <= 0:
                     self._queue.remove(ticket)
+                    self._total_timeouts += 1
                     self._cv.notify_all()
                     raise QueueWaitTimeout(
                         f"waited > {self.max_wait_seconds}s for admission"
@@ -94,6 +112,8 @@ class AdmissionController:
                 waited += _time.monotonic() - t0
             self._queue.popleft()
             self._executing += 1
+            self._peak_executing = max(self._peak_executing, self._executing)
+            self._total_admitted += 1
             self._cv.notify_all()
 
     def release(self) -> None:

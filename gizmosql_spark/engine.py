@@ -477,6 +477,9 @@ class Engine:
     _ACCESS_LOG_FN_RE = __import__("re").compile(
         r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
     )
+    _ADMISSION_FN_RE = __import__("re").compile(
+        r"\bengine_admission_stats\s*\(\s*\)", __import__("re").IGNORECASE
+    )
     _INSTR_VIEW_RE = __import__("re").compile(
         r"\bengine_(?:instr_\w+|active_sessions|session_activity)\b",
         __import__("re").IGNORECASE,
@@ -523,6 +526,21 @@ class Engine:
                 AccessLog.SCHEMA,
             ).filter("method <> ''").createOrReplaceTempView(
                 "engine_access_log")
+        if self._ADMISSION_FN_RE.search(sql):
+            # engine_admission_stats(): statement-queue depth metrics
+            # (reference statement_queuing.md depth/peak telemetry)
+            s = self._admission.stats()
+            sql = self._ADMISSION_FN_RE.sub("engine_admission_stats", sql)
+            st.spark.createDataFrame(
+                [(s.executing, s.queued, s.peak_executing, s.peak_queued,
+                  s.total_admitted, s.total_rejected, s.total_timeouts,
+                  self._admission.max_concurrent,
+                  self._admission.max_queued)],
+                "executing int, queued int, peak_executing int,"
+                " peak_queued int, total_admitted bigint,"
+                " total_rejected bigint, total_timeouts bigint,"
+                " max_concurrent int, max_queued int",
+            ).createOrReplaceTempView("engine_admission_stats")
         if self._INSTR_VIEW_RE.search(sql):
             # instrumentation views refresh on reference
             # (session_instrumentation.md read-only views)

@@ -150,3 +150,24 @@ def test_flight_rpc_access_logged(spark):
         srv.shutdown()
     methods = [e[1] for e in eng.access_log.entries()]
     assert any(m.startswith("flight.") for m in methods), methods
+
+
+def test_admission_stats_table_function(engine):
+    """Queue-depth metrics (statement_queuing.md analog): peaks and
+    totals visible through engine_admission_stats()."""
+    sid = engine.create_session(role="admin")
+    engine.execute_sql(sid, "SET GLOBAL engine.max_concurrent_statements = 2")
+    try:
+        for _ in range(3):
+            engine.collect(sid, engine.execute_sql(sid, "SELECT 1 AS x"))
+        rows = engine.collect(sid, engine.execute_sql(
+            sid, "SELECT * FROM engine_admission_stats()"))
+        r = rows[0]
+        assert r["max_concurrent"] == 2
+        assert r["total_admitted"] >= 3
+        assert r["peak_executing"] >= 1
+        assert r["executing"] >= 0 and r["queued"] >= 0
+    finally:
+        engine.execute_sql(
+            sid, "SET GLOBAL engine.max_concurrent_statements = 0")
+        engine.close_session(sid)

@@ -78,3 +78,37 @@ def test_decode_image_external_gated(spark):
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image_external(b"\xff\xd8\xff")  # JPEG magic
+
+
+def test_sampling_operators_match_oracle(spark, sf_dir):
+    """Deterministic split/sample/head: md5-threshold selection is a
+    pure row-key function — identical membership on every engine."""
+    from gizmosql_spark.operators import sampling
+
+    for name in ("dataset_split", "stratified_sample", "grouped_head"):
+        compare_to_oracle(
+            sampling.QUERIES[name](spark, sf_dir),
+            sampling.ORACLE[name],
+            sf_dir,
+        )
+
+
+def test_dataset_split_proportions(spark, sf_dir):
+    from gizmosql_spark.operators import sampling
+
+    rows = {r["split"]: r["n_docs"]
+            for r in sampling.dataset_split(spark, sf_dir).collect()}
+    total = sum(rows.values())
+    assert 0.75 <= rows["train"] / total <= 0.85
+    assert rows["test"] > 0 and rows["val"] > 0
+
+
+def test_grouped_head_is_stable(spark, sf_dir):
+    from gizmosql_spark.operators import sampling
+
+    a = sampling.grouped_head(spark, sf_dir).collect()
+    b = sampling.grouped_head(
+        spark.newSession() if hasattr(spark, "newSession") else spark,
+        sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["rk"] <= sampling.GROUP_K for r in a)
