@@ -262,6 +262,30 @@ class FlightEngineServer(flight.FlightServerBase):
                     [flight.FlightEndpoint(
                         json.dumps({"ticket": tid}).encode(), [])],
                     1, tbl.nbytes)
+            n_parts = int(cmd.get("partitions", 1) or 1)
+            if n_parts > 1:
+                # partitioned result: materialize now and hand out one
+                # ticket per slice — N endpoints that N client tasks
+                # stream in parallel (the Flight multi-endpoint scale
+                # path; the reference's server is single-endpoint too,
+                # its parallel readers rely on the same contract)
+                table = self._wrap_errors(
+                    self.engine.collect_arrow, sid, result)
+                n_parts = max(1, min(n_parts, max(table.num_rows, 1)))
+                # balanced split: first (rows % n) slices get one extra
+                base, extra = divmod(table.num_rows, n_parts)
+                endpoints, off = [], 0
+                for i in range(n_parts):
+                    size = base + (1 if i < extra else 0)
+                    chunk = StatementResult("query_rows", df=None)
+                    chunk.arrow_table = table.slice(off, size)
+                    off += size
+                    tid = self._store_ticket(sid, chunk)
+                    endpoints.append(flight.FlightEndpoint(
+                        json.dumps({"ticket": tid}).encode(), []))
+                return flight.FlightInfo(
+                    table.schema, descriptor, endpoints,
+                    table.num_rows, table.nbytes)
             schema = _spark_to_arrow_schema(result.df)
             tid = self._store_ticket(sid, result)
             return flight.FlightInfo(

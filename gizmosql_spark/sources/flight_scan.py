@@ -102,3 +102,62 @@ def flight_scan_df(spark: SparkSession, uri: str, sql: str,
     if table.num_rows == 0 and not table.schema.names:
         return spark.range(0)
     return spark.createDataFrame(table)
+
+
+def flight_scan_distributed(spark: SparkSession, uri: str, sql: str,
+                            user: str | None = None,
+                            password: str | None = None,
+                            partitions: int = 8) -> DataFrame:
+    """Executor-parallel remote scan: the server splits the result
+    into ``partitions`` endpoints; each Spark task opens its own
+    DoGet and streams one slice — no driver-side materialization of
+    the data, N sockets in parallel. This is how ADBC/Flight parallel
+    readers scale a 100 TB pull; the single-endpoint
+    ``flight_scan_df`` remains the small-result fast path."""
+    import pyarrow.flight as flight
+
+    client = flight.FlightClient(uri)
+    try:
+        opts = _options(user, password, None)
+        results = list(client.do_action(
+            flight.Action("create_session", b"{}"), options=opts))
+        sid = json.loads(results[0].body.to_pybytes())["session"]
+        desc = flight.FlightDescriptor.for_command(json.dumps(
+            {"type": "statement_query", "session": sid, "sql": sql,
+             "partitions": partitions}).encode())
+        info = client.get_flight_info(desc, options=opts)
+        tickets = [ep.ticket.ticket for ep in info.endpoints]
+        arrow_schema = info.schema
+        # partitioned results are materialized server-side; the
+        # session is no longer needed to redeem tickets
+        list(client.do_action(
+            flight.Action("close_session",
+                          json.dumps({"session": sid}).encode()),
+            options=opts))
+    finally:
+        client.close()
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schema = from_arrow_schema(arrow_schema)
+    tdf = spark.createDataFrame(
+        [(t,) for t in tickets], "ticket binary"
+    ).repartition(len(tickets))
+
+    def _read(batches):
+        import pyarrow.flight as fl
+
+        for pdf in batches:
+            for tk in pdf["ticket"]:
+                cl = fl.FlightClient(uri)
+                try:
+                    tbl = cl.do_get(
+                        fl.Ticket(bytes(tk)),
+                        options=_options(user, password, None),
+                    ).read_all()
+                finally:
+                    cl.close()
+                for batch in tbl.to_batches():
+                    yield batch.to_pandas()
+
+    return tdf.mapInPandas(_read, schema)

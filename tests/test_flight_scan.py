@@ -254,3 +254,54 @@ def test_mtls_flight_server(spark, tmp_path):
         bad.close()
     finally:
         srv.shutdown()
+
+
+def test_flight_scan_distributed(remote, local, spark):
+    """Multi-endpoint scale path: server slices the result into N
+    tickets, each Spark task streams one slice via its own DoGet."""
+    from gizmosql_spark.sources.flight_scan import (
+        fetch, flight_scan_distributed)
+
+    _, _, uri = remote
+    df = flight_scan_distributed(
+        spark, uri,
+        "SELECT item_id, qty FROM t_remote_inv WHERE item_id < 6",
+        user="fed", password="pw", partitions=3)
+    assert df.rdd.getNumPartitions() == 3
+    rows = sorted((r["item_id"], r["qty"]) for r in df.collect())
+    assert rows == [(i, i * 100) for i in range(6)]
+    # agrees with the single-endpoint fetch
+    single = fetch(uri, "SELECT sum(qty) AS s FROM t_remote_inv"
+                        " WHERE item_id < 6", user="fed", password="pw")
+    assert single.column("s")[0].as_py() == sum(q for _, q in rows)
+
+
+def test_flight_info_multi_endpoint(remote):
+    """partitions=N in the statement command yields N endpoints whose
+    tickets each redeem one slice, concatenating to the full result."""
+    import pyarrow.flight as flight
+
+    from gizmosql_spark.sources.flight_scan import _options
+
+    _, _, uri = remote
+    client = flight.FlightClient(uri)
+    try:
+        opts = _options("fed", "pw", None)
+        sid = json.loads(list(client.do_action(
+            flight.Action("create_session", b"{}"),
+            options=opts))[0].body.to_pybytes())["session"]
+        desc = flight.FlightDescriptor.for_command(json.dumps(
+            {"type": "statement_query", "session": sid,
+             "sql": "SELECT item_id FROM t_remote_inv"
+                    " WHERE item_id < 6 ORDER BY item_id",
+             "partitions": 4}).encode())
+        info = client.get_flight_info(desc, options=opts)
+        assert len(info.endpoints) == 4
+        got = []
+        for ep in info.endpoints:
+            got.extend(
+                client.do_get(ep.ticket, options=opts)
+                .read_all().column("item_id").to_pylist())
+        assert got == list(range(6))
+    finally:
+        client.close()
