@@ -351,16 +351,13 @@ def values_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join against an inline VALUES table (the reference itself uses
     VALUES for constant results, duckdb_server.cpp:1599-1601)."""
     o = _t(spark, sf_dir, "orders")
-    weights = spark.createDataFrame(
-        [
-            ("1-URGENT", 1),
-            ("2-HIGH", 2),
-            ("3-MEDIUM", 3),
-            ("4-NOT SPECIFIED", 4),
-            ("5-LOW", 5),
-        ],
-        "o_p string, w int",
-    )
+    # SQL VALUES → LocalRelation, entirely JVM-side (a Python-list
+    # createDataFrame pays ~0.5 s of driver-side conversion per call)
+    weights = spark.sql("""
+        SELECT * FROM VALUES
+            ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+            ('4-NOT SPECIFIED', 4), ('5-LOW', 5) AS t(o_p, w)
+    """)
     return (
         o.join(F.broadcast(weights), o.o_orderpriority == weights.o_p)
         .groupBy("o_orderpriority", "w")

@@ -159,6 +159,17 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+#: State-store partition count for streaming queries. Baked into the
+#: checkpoint at query start, so it is a first-run sizing decision:
+#: match it to stateful-key cardinality / executor count on a real
+#: cluster (hundreds at 100 TB), keep it small at test scale — each
+#: partition materializes a state-store instance per micro-batch, so
+#: 32 stores over a few thousand rows is pure constant overhead
+#: (measured 3-4x on the bounded fixtures).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str | None = None) -> DataFrame:
     """Drive a streaming frame over all available input synchronously
@@ -166,14 +177,20 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
     harness — a deployment would use a real sink + continuous trigger."""
     spark = stream_df.sparkSession
     mode = output_mode or ("complete" if _has_agg(stream_df) else "update")
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    part_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, prev)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
