@@ -62,6 +62,10 @@ _PRIORITY = [
     "multimodal_meta",
     # sampling / dataset splitting
     "dataset_split",
+    # training-corpus prep
+    "decontaminate_ngram",
+    "sequence_pack",
+    "embedding_quantize",
     # streaming
     "stream_tumbling",
     # scale patterns
@@ -84,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity,
         text,
         tpch,
+        training,
     )
 
     from gizmosql_spark.streaming import windows as streaming_windows
@@ -96,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(similarity.QUERIES)
     merged.update(multimodal.QUERIES)
     merged.update(sampling.QUERIES)
+    merged.update(training.QUERIES)
     merged.update(streaming_windows.QUERIES)
     merged.update(scale.QUERIES)
 
@@ -123,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         text,
         tpch,
+        training,
     )
 
     from gizmosql_spark.streaming import windows as streaming_windows
@@ -135,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLE)
     out.update(multimodal.ORACLE)
     out.update(sampling.ORACLE)
+    out.update(training.ORACLE)
     out.update(streaming_windows.ORACLE)
     out.update(scale.ORACLE)
     return out

@@ -1,0 +1,244 @@
+"""Training-corpus preparation operators: benchmark decontamination,
+sequence packing, and embedding quantization.
+
+Extension tier (SURVEY §7 Phase 5 family) — the steps an LLM
+training-data pipeline runs after dedup/quality filtering:
+
+- **decontaminate_ngram**: flag training documents that share any
+  8-gram with an evaluation set (the standard n-gram-overlap
+  decontamination used for public benchmarks). The eval-side n-gram
+  set is tiny relative to the corpus, so the membership probe is a
+  BROADCAST semi-join against a distinct eval-gram set — at 100 TB
+  the corpus side stays a pure scan pipeline (tokenize → n-grams →
+  explode → broadcast probe → partial-agg count), no full shuffle.
+- **sequence_pack**: concat-and-chunk packing of documents into
+  fixed token-budget training sequences (budget 512 here): cumulative
+  token count within each source stream, sequence id =
+  floor(cum_before / budget). Window cumsum is PARTITIONED by source
+  — the 100 TB form of global packing is range-partition + two-pass
+  prefix-sum, which this per-stream formulation parallelizes for
+  free (streams pack independently; real pipelines pack per shard).
+- **embedding_quantize**: symmetric per-vector int8 quantization
+  (scale = max|x| / 127) with reconstruction-error stats per label.
+  All JVM higher-order functions (aggregate/transform/zip_with) —
+  scan-only, no shuffle until the final tiny group-agg. Rounding is
+  ``floor(x/scale + 0.5)`` so ties break identically on every engine
+  (SQL ``round`` half-away/half-even semantics differ).
+
+All three are differentially verified against DuckDB oracles; numeric
+folds run in list-index order on both engines, so doubles agree
+bit-for-bit before the final display rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gizmosql_spark.operators import loader
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return loader.table(spark, sf_dir, name)
+
+
+#: eval-set stand-in: every 50th document (deterministic, ~2%)
+_EVAL_MOD = 50
+_NGRAM = 8
+_PACK_BUDGET = 512
+
+
+def _doc_ngrams(d: DataFrame, n: int) -> DataFrame:
+    """(doc_id, gram) pairs of word n-grams, distinct per document.
+    Tokenize + slice stay inside whole-stage codegen (higher-order
+    functions over the token array, no Python)."""
+    base = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        # guard BEFORE building the index sequence: a negative end
+        # would make sequence() count downward
+        .where(F.size("t") >= n)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
+    )
+    return base.select("doc_id", F.explode(grams).alias("gram")).distinct()
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decontamination report: how many training docs share
+    an 8-gram with the eval split, and the worst offender count."""
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = (
+        _doc_ngrams(d.where(is_eval), _NGRAM)
+        .select("gram").distinct()
+    )
+    train_grams = _doc_ngrams(d.where(~is_eval), _NGRAM)
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        d.where(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("shared_ngrams"), F.lit(0)).alias("shared"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum((F.col("shared") > 0).cast("bigint")).alias("n_contaminated"),
+            F.max("shared").alias("max_shared_ngrams"),
+        )
+        .orderBy("source")
+    )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing summary: documents stream into
+    512-token training sequences per source; report each source's
+    sequence count and fill statistics."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    packed = (
+        d.select("source", "doc_id", toks.alias("n_tokens"))
+        .select(
+            "source", "doc_id", "n_tokens",
+            ((F.coalesce(cum, F.lit(0)) - F.col("n_tokens"))
+             / _PACK_BUDGET).cast("bigint").alias("seq_id"),
+        )
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sequences"),
+            F.round(F.avg("n_docs"), 6).alias("avg_docs_per_seq"),
+            F.max("n_docs").alias("max_docs_per_seq"),
+        )
+        .orderBy("source")
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization quality per label: mean squared
+    reconstruction error (scaled 1e6 for display) and mean scale."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ) / F.lit(127.0)
+    )
+    def _err(x):
+        deq = F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        return (x - deq) * (x - deq)
+
+    sqerr = F.aggregate(
+        F.transform(F.col("v"), _err), F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", v.alias("v"))
+        .select("label", "v", scale.alias("scale"))
+        .select(
+            "label", "scale",
+            (sqerr / F.size(F.col("v"))).alias("mse"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.col("mse")) * 1e6, 6).alias("avg_mse_1e6"),
+            F.round(F.avg("scale") * 1e6, 6).alias("avg_scale_1e6"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "decontaminate_ngram": decontaminate_ngram,
+    "sequence_pack": sequence_pack,
+    "embedding_quantize": embedding_quantize,
+}
+
+ORACLE = {
+    "decontaminate_ngram": f"""
+        WITH toks AS (
+            SELECT doc_id, source, doc_id % {_EVAL_MOD} = 0 AS is_eval,
+                   string_split(text, ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, source, is_eval,
+                   array_to_string(t[i:i+{_NGRAM - 1}], ' ') AS gram
+            FROM toks, unnest(range(1, len(t) - {_NGRAM - 2})) AS u(i)
+            WHERE len(t) >= {_NGRAM}
+        ), eval_grams AS (
+            SELECT DISTINCT gram FROM grams WHERE is_eval
+        ), hits AS (
+            SELECT g.doc_id, count(*) AS shared_ngrams
+            FROM grams g JOIN eval_grams e USING (gram)
+            WHERE NOT g.is_eval
+            GROUP BY g.doc_id
+        )
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_train_docs,
+               CAST(sum(CASE WHEN coalesce(h.shared_ngrams, 0) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(coalesce(max(h.shared_ngrams), 0) AS BIGINT)
+                   AS max_shared_ngrams
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {_EVAL_MOD} <> 0
+        GROUP BY d.source ORDER BY d.source
+    """,
+    "sequence_pack": f"""
+        WITH sized AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id
+            FROM sized
+        ), seqs AS (
+            SELECT source, seq_id, count(*) AS n_docs
+            FROM packed GROUP BY source, seq_id
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_sequences,
+               round(avg(n_docs), 6) AS avg_docs_per_seq,
+               CAST(max(n_docs) AS BIGINT) AS max_docs_per_seq
+        FROM seqs GROUP BY source ORDER BY source
+    """,
+    "embedding_quantize": """
+        WITH q AS (
+            SELECT label,
+                   list_aggregate(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       'max') / 127.0 AS scale,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), err AS (
+            SELECT label, scale,
+                   list_aggregate(
+                       list_transform(range(1, len(v) + 1),
+                           i -> (v[i] - floor(v[i] / scale + 0.5) * scale)
+                                * (v[i] - floor(v[i] / scale + 0.5) * scale)),
+                       'sum') / len(v) AS mse
+            FROM q
+        )
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(mse) * 1e6, 6) AS avg_mse_1e6,
+               round(avg(scale) * 1e6, 6) AS avg_scale_1e6
+        FROM err GROUP BY label ORDER BY label
+    """,
+}

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from gizmosql_spark.operators import dedup, similarity, text
+from gizmosql_spark.operators import dedup, similarity, text, training
 from gizmosql_spark.testing import compare_to_oracle
 
 
@@ -112,3 +112,27 @@ def test_grouped_head_is_stable(spark, sf_dir):
         sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert all(r["rk"] <= sampling.GROUP_K for r in a)
+
+
+@pytest.mark.parametrize("name", sorted(training.QUERIES))
+def test_training_ops_match_oracle(spark, sf_dir, name):
+    compare_to_oracle(
+        training.QUERIES[name](spark, sf_dir), training.ORACLE[name], sf_dir)
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram probe must be a broadcast join — the corpus side
+    stays a scan pipeline at 100 TB."""
+    plan = training.decontaminate_ngram(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sequence_pack_budget_respected(spark, sf_dir):
+    """No sequence starts a doc at an offset >= budget past its
+    sequence start (concat-and-chunk invariant: seq_id strictly
+    follows the running prefix)."""
+    out = {r["source"]: r for r in
+           training.sequence_pack(spark, sf_dir).collect()}
+    assert out and all(r["n_sequences"] >= 1 for r in out.values())
+    assert all(r["avg_docs_per_seq"] >= 1.0 for r in out.values())
