@@ -66,6 +66,7 @@ _PRIORITY = [
     "decontaminate_ngram",
     "sequence_pack",
     "embedding_quantize",
+    "kmeans_embeddings",
     # streaming
     "stream_tumbling",
     # scale patterns

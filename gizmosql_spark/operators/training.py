@@ -163,13 +163,174 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_KMEANS_K = 4
+_KMEANS_ROUNDS = 3
+_DIM = 64
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=4, 3 fixed
+    rounds, centroids seeded from vec_id 0..k-1) — the curation-tier
+    clustering pass (topic balancing / mixture weighting).
+
+    Scale shape: per round, ONE scan assigns every vector to its
+    nearest centroid (centroids are a k x d literal broadcast into the
+    expression — no join), and one partial-agg shuffle averages the
+    new centroids; only k*d scalars ever reach the driver (the
+    standard Lloyd's-on-Spark contract, same footprint as the
+    dedup_clusters convergence probe). Determinism: distances are
+    sequential index-order folds (bit-identical on any engine),
+    ties break toward the lowest centroid id, and each round's
+    centroids are rounded to 6 decimals IN the engine so engine-
+    specific group-sum association order cannot drift the next round.
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    v = (
+        e.select(
+            "vec_id",
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("e"),
+        )
+    ).persist()
+    centroids = [
+        [round(float(x), 6) for x in r["e"]]
+        for r in v.where(F.col("vec_id") < _KMEANS_K)
+        .orderBy("vec_id").collect()
+    ]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.array(*[F.lit(c) for c in coords]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for coords in centroids
+        ])
+        return frame.select(
+            "vec_id", "e", dists.alias("dists")
+        ).select(
+            "vec_id", "e",
+            (F.array_position(
+                F.col("dists"), F.array_min(F.col("dists"))
+            ) - 1).cast("int").alias("cid"),
+            F.array_min(F.col("dists")).alias("dist"),
+        )
+
+    # ROUNDS assignments total: ROUNDS-1 centroid updates, then the
+    # final assignment below produces the reported clustering
+    for _ in range(_KMEANS_ROUNDS - 1):
+        assigned = assign(v)
+        rows = (
+            assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.col("pm.m").alias("coords"))
+            .collect()
+        )
+        by_cid = {r["cid"]: list(r["coords"]) for r in rows}
+        centroids = [by_cid.get(i, centroids[i]) for i in range(_KMEANS_K)]
+
+    out = (
+        assign(v)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist"), 6).alias("avg_sqdist"),
+        )
+        .orderBy("cid")
+    )
+    v.unpersist()
+    return out
+
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
+    "kmeans_embeddings": kmeans_embeddings,
     "sequence_pack": sequence_pack,
     "embedding_quantize": embedding_quantize,
 }
 
 ORACLE = {
+    "kmeans_embeddings": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT CAST(vec_id AS INT) AS cid,
+                   list_transform(e, x -> round(x, 6)) AS c
+            FROM v WHERE vec_id < 4
+        ),
+        a1 AS (
+            SELECT vec_id, e, cid, dist FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       list_aggregate(list_transform(range(1, 65),
+                           i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                           'sum') AS dist,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_aggregate(
+                               list_transform(range(1, 65),
+                               i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                               'sum'), c.cid) AS rn
+                FROM v CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+            SELECT cid, list(m ORDER BY pos) AS c FROM (
+                SELECT cid, i AS pos, round(avg(e[i]), 6) AS m
+                FROM a1, unnest(range(1, 65)) u(i)
+                GROUP BY cid, i)
+            GROUP BY cid
+        ),
+        a2 AS (
+            SELECT vec_id, e, cid, dist FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       list_aggregate(list_transform(range(1, 65),
+                           i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                           'sum') AS dist,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_aggregate(
+                               list_transform(range(1, 65),
+                               i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                               'sum'), c.cid) AS rn
+                FROM v CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+            SELECT cid, list(m ORDER BY pos) AS c FROM (
+                SELECT cid, i AS pos, round(avg(e[i]), 6) AS m
+                FROM a2, unnest(range(1, 65)) u(i)
+                GROUP BY cid, i)
+            GROUP BY cid
+        ),
+        a3 AS (
+            SELECT vec_id, e, cid, dist FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       list_aggregate(list_transform(range(1, 65),
+                           i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                           'sum') AS dist,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_aggregate(
+                               list_transform(range(1, 65),
+                               i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                               'sum'), c.cid) AS rn
+                FROM v CROSS JOIN c2 c) WHERE rn = 1
+        )
+        SELECT CAST(cid AS INT) AS cid,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(dist), 6) AS avg_sqdist
+        FROM a3 GROUP BY cid ORDER BY cid\n    """,
     "decontaminate_ngram": f"""
         WITH toks AS (
             SELECT doc_id, source, doc_id % {_EVAL_MOD} = 0 AS is_eval,
