@@ -67,6 +67,7 @@ _PRIORITY = [
     "sequence_pack",
     "embedding_quantize",
     "kmeans_embeddings",
+    "approx_distinct_hll",
     # streaming
     "stream_tumbling",
     # scale patterns
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scale,
         similarity,
         text,
+        sketch,
         tpch,
         training,
     )
@@ -103,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(multimodal.QUERIES)
     merged.update(sampling.QUERIES)
     merged.update(training.QUERIES)
+    merged.update(sketch.QUERIES)
     merged.update(streaming_windows.QUERIES)
     merged.update(scale.QUERIES)
 
@@ -129,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         scale,
         similarity,
         text,
+        sketch,
         tpch,
         training,
     )
@@ -144,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(multimodal.ORACLE)
     out.update(sampling.ORACLE)
     out.update(training.ORACLE)
+    out.update(sketch.ORACLE)
     out.update(streaming_windows.ORACLE)
     out.update(scale.ORACLE)
     return out

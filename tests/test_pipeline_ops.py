@@ -136,3 +136,19 @@ def test_sequence_pack_budget_respected(spark, sf_dir):
            training.sequence_pack(spark, sf_dir).collect()}
     assert out and all(r["n_sequences"] >= 1 for r in out.values())
     assert all(r["avg_docs_per_seq"] >= 1.0 for r in out.values())
+
+
+def test_hll_sketch_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import sketch
+
+    compare_to_oracle(
+        sketch.approx_distinct_hll(spark, sf_dir),
+        sketch.ORACLE["approx_distinct_hll"], sf_dir)
+
+
+def test_hll_error_within_bound(spark, sf_dir):
+    """HLL theoretical RSE is ~1.04/sqrt(1024) ≈ 3.25%; allow 3 sigma."""
+    from gizmosql_spark.operators import sketch
+
+    for r in sketch.approx_distinct_hll(spark, sf_dir).collect():
+        assert r["rel_error_pct"] < 9.75, r
