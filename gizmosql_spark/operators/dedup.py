@@ -271,6 +271,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # propagate only over nodes that appear in the pair graph — at
     # 100 TB the graph is a sliver of the corpus (most docs are
     # singletons) and must not ride through every iteration
+    # Size the propagation shuffles to the GRAPH, not the corpus: the
+    # session's shuffle width is tuned for corpus scans, but the pair
+    # graph is orders of magnitude smaller (most docs are singletons),
+    # and an iterative loop pays the per-partition floor every round.
+    # ~50k edges per partition; measured 10.1 s -> 1.5 s at sf0.1.
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    loop_parts = max(4, min(int(prev_parts), n_edges // 50_000 + 1))
+    spark.conf.set(part_key, str(loop_parts))
+    try:
+        labels, prev_sum = _propagate_min_labels(edges)
+    finally:
+        spark.conf.set(part_key, prev_parts)
+    edges.unpersist()
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, docs["doc_id"] == labels["id"], "left")
+        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
+
+
+def _propagate_min_labels(edges: DataFrame):
     labels = (
         edges.select(F.col("a_id").alias("id"))
         .distinct()
@@ -298,13 +323,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return (
-        docs.join(labels, docs["doc_id"] == labels["id"], "left")
-        .select("doc_id", F.coalesce("label", "doc_id").alias("cluster_id"))
-        .orderBy("doc_id")
-    )
+    return labels, prev_sum
 
 
 QUERIES = {
