@@ -923,6 +923,21 @@ class Engine:
         self.warehouse.record(st.spark, table)
         return n
 
+    def register_arrow_view(self, session_id: str, name: str,
+                            table) -> int:
+        """Arrow data → SESSION temp view (no storage write). The
+        DoExchange seam: pushed batches become queryable mid-call
+        without a managed-table round trip; the view lives and dies
+        with the session's isolated SparkSession."""
+        import re
+
+        st = self._session(session_id)
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise ValueError(f"invalid view name: {name!r}")
+        df = st.spark.createDataFrame(table)
+        df.createOrReplaceTempView(name)
+        return table.num_rows
+
     # --- metadata + health (§2A) --------------------------------------
 
     def get_session_options(self, session_id: str) -> dict[str, str]:

@@ -352,6 +352,30 @@ class FlightEngineServer(flight.FlightServerBase):
         raise flight.FlightServerError(
             f"unsupported DoPut command type: {cmd['type']}")
 
+    # --- DoExchange: push + transform + pull in ONE call --------------
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        """Bidirectional transform: the client streams Arrow batches
+        up, the server registers them as a session temp view, runs the
+        command's SQL against it, and streams the result back — the
+        two-round-trip ADBC pattern (ingest then query) in one RPC,
+        with no managed-table write. Command: {"type":
+        "exchange_transform", "session": …, "sql": …, "view": name}."""
+        cmd = self._parse_command(descriptor.command)
+        if cmd["type"] != "exchange_transform":
+            raise flight.FlightServerError(
+                f"unsupported DoExchange command type: {cmd['type']}")
+        sid = self._session_for(context, cmd)
+        data = reader.read_all()
+        view = cmd.get("view", "exchange_input")
+        self._wrap_errors(
+            self.engine.register_arrow_view, sid, view, data)
+        result = self._wrap_errors(self.engine.execute_sql, sid, cmd["sql"])
+        table = self._wrap_errors(self.engine.collect_arrow, sid, result)
+        writer.begin(table.schema)
+        for batch in table.to_batches():
+            writer.write_batch(batch)
+
     # --- DoAction -----------------------------------------------------
 
     _ACTIONS = {

@@ -161,3 +161,41 @@ def flight_scan_distributed(spark: SparkSession, uri: str, sql: str,
                     yield batch.to_pandas()
 
     return tdf.mapInPandas(_read, schema)
+
+
+def exchange_transform(uri: str, data: pa.Table, sql: str,
+                       view: str = "exchange_input",
+                       user: str | None = None,
+                       password: str | None = None) -> pa.Table:
+    """One-RPC push-transform-pull (DoExchange): stream ``data`` to
+    the remote engine as temp view ``view``, run ``sql`` against it,
+    stream the result back. No managed-table write on the server —
+    the ephemeral-enrichment path (e.g. score a local batch against
+    remote reference tables)."""
+    import pyarrow.flight as flight
+
+    client = flight.FlightClient(uri)
+    try:
+        opts = _options(user, password, None)
+        results = list(client.do_action(
+            flight.Action("create_session", b"{}"), options=opts))
+        sid = json.loads(results[0].body.to_pybytes())["session"]
+        desc = flight.FlightDescriptor.for_command(json.dumps(
+            {"type": "exchange_transform", "session": sid,
+             "sql": sql, "view": view}).encode())
+        writer, reader = client.do_exchange(desc, options=opts)
+        try:
+            writer.begin(data.schema)
+            for batch in data.to_batches():
+                writer.write_batch(batch)
+            writer.done_writing()
+            out = reader.read_all()
+        finally:
+            writer.close()
+        list(client.do_action(
+            flight.Action("close_session",
+                          json.dumps({"session": sid}).encode()),
+            options=opts))
+        return out
+    finally:
+        client.close()

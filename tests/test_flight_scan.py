@@ -305,3 +305,29 @@ def test_flight_info_multi_endpoint(remote):
         assert got == list(range(6))
     finally:
         client.close()
+
+
+def test_do_exchange_transform(remote):
+    """DoExchange: push a batch, transform joined against a server
+    table, stream the result back — one RPC, no managed-table write."""
+    import pyarrow as pa
+
+    from gizmosql_spark.sources.flight_scan import exchange_transform
+
+    remote_eng, _, uri = remote
+    batch = pa.table({"item_id": [0, 1, 2], "weight": [0.5, 2.0, 1.5]})
+    out = exchange_transform(
+        uri, batch,
+        """SELECT x.item_id, CAST(x.weight * t.qty AS DOUBLE) AS weighted
+           FROM exchange_input x JOIN t_remote_inv t USING (item_id)
+           ORDER BY x.item_id""",
+        user="fed", password="pw")
+    got = list(zip(out.column("item_id").to_pylist(),
+                   out.column("weighted").to_pylist()))
+    assert got == [(0, 0.0), (1, 200.0), (2, 300.0)]
+    # the temp view never became a managed table
+    rsid = remote_eng.create_session(role="admin")
+    tables = [r["tableName"] for r in remote_eng.collect(
+        rsid, remote_eng.execute_sql(rsid, "SHOW TABLES"))]
+    assert "exchange_input" not in tables
+    remote_eng.close_session(rsid)
