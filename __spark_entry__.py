@@ -57,6 +57,7 @@ _PRIORITY = [
     "lang_id",
     "tfidf_top_terms",
     "text_quality",
+    "unigram_logprob",
     # dedup tier
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -336,7 +336,41 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram cross-entropy — the perplexity-proxy quality
+    signal: score every document by the mean -ln p(token) under the
+    corpus's own unigram distribution (two passes: wordcount, then a
+    count-join + per-doc mean). High = rare-token-heavy outliers, low
+    = boilerplate. 100 TB shape: the unigram table is vocabulary-sized
+    (millions, not billions) — broadcast it; the scoring pass stays a
+    scan + broadcast probe + one doc-level partial agg."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    doc_xent = (
+        toks.join(F.broadcast(uni), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("c") / F.lit(float(total))))
+             .alias("xent"))
+    )
+    return (
+        doc_xent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("xent"), 6).alias("avg_xent"),
+            F.round(F.min("xent"), 6).alias("min_xent"),
+            F.round(F.max("xent"), 6).alias("max_xent"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "unigram_logprob": unigram_logprob,
     "doc_fingerprint": doc_fingerprint,
     "text_redact_pii": text_redact_pii,
     "string_funcs2": string_funcs2,
@@ -352,6 +386,25 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        doc_xent AS (
+            SELECT t.doc_id, t.source,
+                   avg(-ln(u.c / (SELECT n FROM total))) AS xent
+            FROM toks t JOIN uni u USING (tok)
+            GROUP BY t.doc_id, t.source
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(xent), 6) AS avg_xent,
+               round(min(xent), 6) AS min_xent,
+               round(max(xent), 6) AS max_xent
+        FROM doc_xent GROUP BY source ORDER BY source
+    """,
     "text_redact_pii": f"""
         SELECT doc_id,
                CAST(len(regexp_extract_all({_NORM_SQL},
