@@ -87,3 +87,71 @@ def test_stream_ingest_to_table(spark, sf_dir):
     q.awaitTermination()
     assert spark.table("t_stream_sink").count() == 10000
     spark.sql("DROP TABLE t_stream_sink")
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Faithful watermark semantics across micro-batches: three
+    availableNow runs share one CHECKPOINT, so the watermark persists
+    across restarts (the recovery contract). A row arriving in run 3
+    with an event time below the recovered watermark is DROPPED from
+    its already-finalized window (append mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.streaming.windows import tumbling_counts
+
+    H = 3_600_000_000  # one hour in microseconds
+    d = tmp_path / "events"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, times):
+        pq.write_table(pa.table({
+            "ts": pa.array(times, pa.int64()),
+            "event_type": pa.array(["click"] * len(times)),
+            "value": pa.array([1.0] * len(times)),
+        }), d / name)
+
+    out = str(tmp_path / "out")
+
+    def run(_):
+        stream = (
+            spark.readStream
+            .schema("ts long, event_type string, value double")
+            .parquet(str(d))
+            .withColumn("ts", F.timestamp_micros("ts"))
+        )
+        agg = tumbling_counts(stream, window="1 hour",
+                              watermark="10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")          # fault-tolerant sink: the
+            .option("path", out)        # checkpoint replays cleanly
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import glob
+        if not glob.glob(f"{out}/*.parquet"):
+            return set()
+        return {(r["window_start"].hour, r["n"])
+                for r in spark.read.parquet(out).collect()}
+
+    # run 1: three on-time events in the 10:00 window; watermark ends
+    # at 10:20 — window still open, nothing emitted
+    write("a.parquet", [10 * H, 10 * H + H // 4, 10 * H + H // 2])
+    assert run("wm_run1") == set()
+
+    # run 2: a 12:00 event recovers watermark 10:20, advances it to
+    # 11:50 — the 10:00 window finalizes with its 3 ON-TIME events
+    write("b.parquet", [12 * H])
+    assert run("wm_run2") == {(10, 3)}
+
+    # run 3: a LATE 10:15 event (below the recovered 11:50 watermark —
+    # dropped; the window never re-emits) + a 14:00 event that pushes
+    # the watermark past 13:00, finalizing the 12:00 window with n=1
+    write("c.parquet", [10 * H + H // 4, 14 * H])
+    assert run("wm_run3") == {(10, 3), (12, 1)}
