@@ -94,3 +94,33 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
         df._jdf.queryExecution(), "simple"
     )
     assert "AQEShuffleRead" in final and "coalesced" in final
+
+
+def test_unigram_scoring_broadcasts_vocabulary(spark, sf_dir):
+    """The unigram table is vocabulary-sized — it must broadcast so
+    the scoring pass stays a scan + probe (no corpus-wide shuffle for
+    the count join)."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.unigram_logprob(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hll_aggregation_is_partial(spark, sf_dir):
+    """HLL register build must use map-side combine: two HashAggregate
+    levels around one exchange, shuffle width capped at m buckets."""
+    from gizmosql_spark.operators import sketch
+
+    plan = _plan(sketch.approx_distinct_hll(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_single_window_shuffle(spark, sf_dir):
+    """Concat-and-chunk packing: exactly one window (partitioned by
+    source) feeds the aggregates — no global single-partition sort."""
+    from gizmosql_spark.operators import training
+
+    plan = _plan(training.sequence_pack(spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[0]
