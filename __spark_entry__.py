@@ -56,7 +56,6 @@ _PRIORITY = [
     # text analysis
     "lang_id",
     "tfidf_top_terms",
-    "text_quality",
     "unigram_logprob",
     # dedup tier
     "dedup_exact",
@@ -72,6 +71,7 @@ _PRIORITY = [
     "multimodal_features",
     # sampling / dataset splitting
     "dataset_split",
+    "temperature_resample",
     # training-corpus prep + sketches
     "decontaminate_ngram",
     "sequence_pack",

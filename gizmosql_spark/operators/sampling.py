@@ -101,13 +101,112 @@ def grouped_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resampling (T=2): the standard
+    multi-domain balancing pass — upweight tail sources, downsample
+    dominant ones. Per-source token share w_i becomes target share
+    sqrt(w_i)/sum_j sqrt(w_j); each source keeps rows at rate
+    min(1, base * target/original share), selected DETERMINISTICALLY
+    by an integer md5 threshold on a 4096-grid (first 3 hex chars),
+    so membership is a pure row-key function on any engine.
+
+    Scale shape: one scan aggregates per-source token counts (a
+    handful of rows), rates compute on that tiny frame and broadcast
+    back; the keep-pass is scan + hash compare. sqrt (IEEE correctly
+    rounded) not pow — identical doubles everywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tok").alias("tok"), F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    rates = (
+        per_src
+        .withColumn("share", F.col("tok") / F.sum("tok").over(w))
+        .withColumn("adj", F.sqrt("share") / F.sum(F.sqrt("share")).over(w))
+        .withColumn(
+            "thr",
+            F.floor(F.least(
+                F.lit(1.0),
+                F.lit(0.5) * F.col("adj") / F.col("share")) * 4096
+            ).cast("int"),
+        )
+    )
+    kept = (
+        toks.join(F.broadcast(rates.select("source", "thr")), "source")
+        .where(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3),
+                   16, 10).cast("int") < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept_docs"),
+             F.sum("n_tok").alias("kept_tokens"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.round("share", 6).alias("orig_share"),
+            F.round("adj", 6).alias("target_share"),
+            "thr",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
+    "temperature_resample": temperature_resample,
     "stratified_sample": stratified_sample,
     "grouped_head": grouped_head,
 }
 
 ORACLE: dict[str, str] = {
+    "temperature_resample": """
+        WITH toks AS (
+            SELECT source, doc_id,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ), per_src AS (
+            SELECT source, sum(n_tok) AS tok, count(*) AS n_docs
+            FROM toks GROUP BY source
+        ), shares AS (
+            SELECT source, n_docs, tok / sum(tok) OVER () AS share
+            FROM per_src
+        ), adjusted AS (
+            SELECT source, n_docs, share,
+                   sqrt(share) / sum(sqrt(share)) OVER () AS adj
+            FROM shares
+        ), rates AS (
+            SELECT source, n_docs, share, adj,
+                   CAST(floor(least(1.0::DOUBLE,
+                        0.5::DOUBLE * adj / share) * 4096) AS INT) AS thr
+            FROM adjusted
+        ), kept AS (
+            SELECT t.source, count(*) AS kept_docs,
+                   sum(t.n_tok) AS kept_tokens
+            FROM toks t JOIN rates r USING (source)
+            WHERE (strpos('0123456789abcdef',
+                       substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+                + (strpos('0123456789abcdef',
+                       substr(md5(CAST(t.doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                       substr(md5(CAST(t.doc_id AS VARCHAR)), 3, 1)) - 1)
+                  < r.thr
+            GROUP BY t.source
+        )
+        SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+               round(r.share, 6) AS orig_share,
+               round(r.adj, 6) AS target_share,
+               r.thr,
+               CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+               CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        FROM rates r LEFT JOIN kept k USING (source)
+        ORDER BY r.source
+    """,
     "dataset_split": f"""
         SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_TRAIN_MAX}'
                     THEN 'train'
