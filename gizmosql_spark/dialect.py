@@ -512,3 +512,26 @@ def rewrite_distinct_on(sql: str) -> str:
         f"SELECT * EXCEPT (__don_rn) FROM ({inner}) __don_q"
         f" WHERE __don_rn = 1 {order_clause}"
     )
+
+
+# --- SUMMARIZE / PRAGMA (DuckDB statement classes the reference
+# serves via pass-through; admin_command_guard.cpp:372-380 shows
+# PRAGMA handling, e.g. IMPORT DATABASE parses as a PRAGMA) ----------
+
+_SUMMARIZE_RE = re.compile(
+    r"^\s*SUMMARIZE\s+(.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+_PRAGMA_RE = re.compile(
+    r"^\s*PRAGMA\s+(\w+)\s*(?:\(\s*'([^']*)'\s*\))?\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def parse_summarize(sql: str) -> str | None:
+    """SUMMARIZE <table | SELECT …> → the summarized target."""
+    m = _SUMMARIZE_RE.match(sql)
+    return m.group(1) if m else None
+
+
+def parse_pragma(sql: str) -> tuple[str, str | None] | None:
+    """PRAGMA name[('arg')] → (name, arg)."""
+    m = _PRAGMA_RE.match(sql)
+    return (m.group(1).lower(), m.group(2)) if m else None

@@ -487,10 +487,20 @@ class Engine:
 
     def _run_statement(self, st: SessionState, sql: str) -> StatementResult:
         from gizmosql_spark.dialect import (
+            parse_pragma,
+            parse_summarize,
             rewrite_distinct_on,
             rewrite_exclude,
             rewrite_qualify,
         )
+
+        summarize_target = parse_summarize(sql)
+        if summarize_target is not None:
+            return StatementResult(
+                "query", df=self._summarize(st, summarize_target))
+        pragma = parse_pragma(sql)
+        if pragma is not None:
+            return self._run_pragma(st, *pragma)
 
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
         sql = rewrite_qualify(sql)
@@ -922,6 +932,127 @@ class Engine:
         self._refresh_everywhere(table)
         self.warehouse.record(st.spark, table)
         return n
+
+    def _summarize(self, st: SessionState, target: str):
+        """SUMMARIZE <table|SELECT …> — DuckDB's per-column profile
+        statement, same column contract (column_name/column_type/min/
+        max/approx_unique/avg/std/q25/q50/q75/count/null_percentage).
+        One wide aggregation pass over the relation (every stat is a
+        partial agg; percentiles are approx sketches), then the single
+        collected row unpivots into the per-column report — scalars to
+        the driver, never data."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        t = target.strip()
+        df = (st.spark.table(t)
+              if _re.fullmatch(r"[A-Za-z_][\w.]*", t)
+              else st.spark.sql(t))
+        num_types = ("int", "bigint", "smallint", "tinyint", "double",
+                     "float", "decimal")
+        aggs, meta = [], []
+        for f in df.schema.fields:
+            c, typ = f.name, f.dataType.simpleString()
+            is_num = any(typ.startswith(p) for p in num_types)
+            is_simple = is_num or typ in ("string", "date", "boolean") \
+                or typ.startswith("timestamp")
+            meta.append((c, typ, is_num))
+            col = F.col(f"`{c}`")
+            aggs += [
+                (F.min(col).cast("string") if is_simple else
+                 F.lit(None).cast("string")).alias(f"min_{c}"),
+                (F.max(col).cast("string") if is_simple else
+                 F.lit(None).cast("string")).alias(f"max_{c}"),
+                (F.approx_count_distinct(col) if is_simple else
+                 F.lit(None).cast("bigint")).alias(f"uniq_{c}"),
+                (F.avg(col) if is_num else
+                 F.lit(None).cast("double")).alias(f"avg_{c}"),
+                (F.stddev_samp(col) if is_num else
+                 F.lit(None).cast("double")).alias(f"std_{c}"),
+                (F.percentile_approx(col, 0.25) if is_num else
+                 F.lit(None).cast("double")).alias(f"q25_{c}"),
+                (F.percentile_approx(col, 0.5) if is_num else
+                 F.lit(None).cast("double")).alias(f"q50_{c}"),
+                (F.percentile_approx(col, 0.75) if is_num else
+                 F.lit(None).cast("double")).alias(f"q75_{c}"),
+                F.count(col).alias(f"nn_{c}"),
+            ]
+        row = df.agg(*aggs, F.count(F.lit(1)).alias("_n")).collect()[0]
+        n = row["_n"]
+        out = [
+            (c, typ, row[f"min_{c}"], row[f"max_{c}"],
+             row[f"uniq_{c}"],
+             str(row[f"avg_{c}"]) if row[f"avg_{c}"] is not None else None,
+             str(row[f"std_{c}"]) if row[f"std_{c}"] is not None else None,
+             str(row[f"q25_{c}"]) if row[f"q25_{c}"] is not None else None,
+             str(row[f"q50_{c}"]) if row[f"q50_{c}"] is not None else None,
+             str(row[f"q75_{c}"]) if row[f"q75_{c}"] is not None else None,
+             n,
+             round(100.0 * (n - row[f"nn_{c}"]) / n, 2) if n else 0.0)
+            for c, typ, _ in meta
+        ]
+        return st.spark.createDataFrame(
+            out,
+            "column_name string, column_type string, min string,"
+            " max string, approx_unique bigint, avg string, std string,"
+            " q25 string, q50 string, q75 string, count bigint,"
+            " null_percentage double",
+        )
+
+    def _run_pragma(self, st: SessionState, name: str,
+                    arg: str | None) -> StatementResult:
+        """DuckDB client-compat PRAGMAs (the reference passes PRAGMA
+        statements through to DuckDB; admin_command_guard.cpp:372
+        gates the dangerous ones). Unknown pragmas fail closed."""
+        from pyspark.sql import functions as F
+
+        spark = st.spark
+        if name == "version":
+            df = spark.createDataFrame(
+                [(f"spark-{spark.version}", "gizmosql-spark")],
+                "library_version string, source_id string")
+            return StatementResult("query", df=df)
+        if name == "database_list":
+            df = spark.createDataFrame(
+                [(0, spark.catalog.currentCatalog(), "")],
+                "seq int, name string, file string")
+            return StatementResult("query", df=df)
+        if name == "show_tables":
+            df = spark.sql("SHOW TABLES").select(
+                F.col("tableName").alias("name"))
+            return StatementResult("query", df=df)
+        if name == "table_info":
+            if not arg:
+                raise ValueError("PRAGMA table_info requires a table name")
+            fields = spark.table(arg).schema.fields
+            pks = set(
+                self.system_catalog.registry.primary_keys.get(arg, ()))
+            df = spark.createDataFrame(
+                [(i, f.name, f.dataType.simpleString(),
+                  not f.nullable, None,
+                  f.name in pks)
+                 for i, f in enumerate(fields)],
+                "cid int, name string, type string, notnull boolean,"
+                " dflt_value string, pk boolean")
+            return StatementResult("query", df=df)
+        if name == "import_database":
+            # parsed as PRAGMA by DuckDB (admin_command_guard.cpp:373);
+            # route through the same admin gate as the statement form
+            security.check_admin_gate(
+                f"IMPORT DATABASE '{arg}'", is_admin=st.is_admin)
+            import os
+
+            from gizmosql_spark.sources.registry import import_database
+
+            tables = sorted(
+                d for d in os.listdir(arg)
+                if os.path.isdir(os.path.join(arg, d)))
+            import_database(spark, arg, tables)
+            for t in tables:
+                self._refresh_everywhere(t)
+            return StatementResult("update", affected_rows=len(tables))
+        raise ValueError(f"unsupported PRAGMA: {name}")
 
     def register_arrow_view(self, session_id: str, name: str,
                             table) -> int:

@@ -686,3 +686,49 @@ def test_instrumentation_pseudo_functions(engine, session):
     row = engine.collect(session, res)[0]
     assert row["en"] in ("true", "false")
     assert row["cat"] == "spark_catalog"
+
+
+class TestSummarizePragma:
+    """SUMMARIZE + client-compat PRAGMAs (DuckDB statement classes the
+    reference serves by pass-through; admin_command_guard.cpp:372)."""
+
+    def test_summarize_table(self, engine, session):
+        eng, sid = engine, session
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_summ")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_summ AS"
+                 " SELECT id, CAST(id * 2.5 AS DOUBLE) AS v FROM range(40)")
+        rows = {r["column_name"]: r for r in eng.collect(
+            sid, eng.execute_sql(sid, "SUMMARIZE t_summ"))}
+        assert rows["id"]["count"] == 40
+        assert rows["id"]["min"] == "0" and rows["id"]["max"] == "39"
+        assert rows["v"]["null_percentage"] == 0.0
+        assert float(rows["v"]["avg"]) == 48.75
+        eng.execute_sql(sid, "DROP TABLE t_summ")
+
+    def test_summarize_query(self, engine, session):
+        rows = engine.collect(session, engine.execute_sql(
+            session, "SUMMARIZE SELECT id FROM range(7)"))
+        assert rows[0]["count"] == 7
+
+    def test_pragma_version_and_tables(self, engine, session):
+        eng, sid = engine, session
+        v = eng.collect(sid, eng.execute_sql(sid, "PRAGMA version"))[0]
+        assert v["library_version"].startswith("spark-")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_pragma")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_pragma AS SELECT id FROM range(3)")
+        names = [r["name"] for r in eng.collect(
+            sid, eng.execute_sql(sid, "PRAGMA show_tables"))]
+        assert "t_pragma" in names
+        info = eng.collect(sid, eng.execute_sql(
+            sid, "PRAGMA table_info('t_pragma')"))
+        assert [(r["cid"], r["name"], r["type"]) for r in info] == [
+            (0, "id", "bigint")]
+        eng.execute_sql(sid, "DROP TABLE t_pragma")
+
+    def test_pragma_unknown_fails_closed(self, engine, session):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            engine.execute_sql(session, "PRAGMA wal_autocheckpoint")
