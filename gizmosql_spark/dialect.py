@@ -535,3 +535,33 @@ def parse_pragma(sql: str) -> tuple[str, str | None] | None:
     """PRAGMA name[('arg')] → (name, arg)."""
     m = _PRAGMA_RE.match(sql)
     return (m.group(1).lower(), m.group(2)) if m else None
+
+
+# --- time travel (DuckLake AT (VERSION => n) analog) ----------------
+
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+    re.IGNORECASE)
+
+
+def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, int]]]:
+    """Rewrite ``FROM t VERSION AS OF n [alias]`` to versioned temp
+    views; returns (sql, [(view, table, version)])."""
+    found: list[tuple[str, str, int]] = []
+
+    reserved = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "JOIN",
+                "ON", "UNION", "INTERSECT", "EXCEPT", "QUALIFY",
+                "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "USING",
+                "WINDOW", "VALUES", "SELECT"}
+
+    def _sub(m: re.Match) -> str:
+        kw, table, ver, alias = m.groups()
+        view = f"{table}__v{ver}"
+        found.append((view, table, int(ver)))
+        if alias and alias.upper() in reserved:
+            # not an alias — keep the keyword, bind the original name
+            return f"{kw} {view} {table} {alias}"
+        return f"{kw} {view} {alias or table}"
+
+    return _VERSION_AS_OF_RE.sub(_sub, sql), found

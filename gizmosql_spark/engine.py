@@ -555,6 +555,13 @@ class Engine:
             # instrumentation views refresh on reference
             # (session_instrumentation.md read-only views)
             self.instr.publish(self.spark)
+        from gizmosql_spark.dialect import extract_time_travel
+
+        sql, travels = extract_time_travel(sql)
+        for view, tbl, ver in travels:
+            vpath = self.warehouse.version_path(tbl, ver)
+            st.spark.read.parquet(vpath).createOrReplaceTempView(view)
+
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:
             st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
@@ -597,6 +604,7 @@ class Engine:
             if mrg is not None:
                 if st.txn is not None:
                     self._txn_snapshot(st, target)
+                self.warehouse.snapshot(st.spark, target)
                 affected = dml.apply_merge(st.spark, mrg)
                 self._refresh_everywhere(target)
                 return StatementResult("update", affected_rows=affected)
@@ -608,6 +616,7 @@ class Engine:
                 # write at the engine layer (dml.py)
                 if st.txn is not None:
                     self._txn_snapshot(st, target)
+                self.warehouse.snapshot(st.spark, target)
                 if upd is not None:
                     _, assignments, where = upd
                     affected = dml.apply_update(st.spark, target, assignments, where)
@@ -918,6 +927,11 @@ class Engine:
                     data = pa.Table.from_batches(batches)
         df = data if isinstance(data, DataFrame) else st.spark.createDataFrame(data)
         n = df.count()
+        if mode == "replace":
+            try:
+                self.warehouse.snapshot(st.spark, table)
+            except Exception:
+                pass
         self.warehouse.prepare_write(st.spark, table,
                                      overwrite=mode == "replace")
         if mode in ("create", "fail"):
@@ -1036,6 +1050,16 @@ class Engine:
                 "cid int, name string, type string, notnull boolean,"
                 " dflt_value string, pk boolean")
             return StatementResult("query", df=df)
+        if name == "table_history":
+            if not arg:
+                raise ValueError("PRAGMA table_history requires a table")
+            vs = self.warehouse.versions(arg)
+            df = spark.createDataFrame(
+                [(v["version"], v["path"], float(v["at"])) for v in vs]
+                or [(0, "", 0.0)],
+                "version int, path string, at double")
+            return StatementResult(
+                "query", df=df.filter("version > 0"))
         if name == "import_database":
             # parsed as PRAGMA by DuckDB (admin_command_guard.cpp:373);
             # route through the same admin gate as the statement form

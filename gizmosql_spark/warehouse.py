@@ -130,6 +130,10 @@ class WarehouseCatalog:
             return
         with self._lock:
             tables = self._load()
+            # preserve the snapshot history across re-records
+            prior = tables.get(name, {}).get("versions")
+            if prior:
+                entry["versions"] = prior
             tables[name] = entry
             self._save(tables)
 
@@ -139,6 +143,10 @@ class WarehouseCatalog:
             tables = self._load()
             if tables.pop(name, None) is not None:
                 self._save(tables)
+            # a dropped table's archive must not collide with a future
+            # same-name table's version numbering
+            shutil.rmtree(os.path.join(self.dir, "_versions", name),
+                          ignore_errors=True)
 
     # --- restart paths ------------------------------------------------
 
@@ -220,3 +228,53 @@ class WarehouseCatalog:
         stale = os.path.join(self.dir, name)
         if os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
+
+    # --- snapshots / time travel --------------------------------------
+    #
+    # The DuckLake idea carried one step further: destructive writes
+    # archive the table's current files as an immutable version, and
+    # ``SELECT … FROM t VERSION AS OF n`` reads the archive. The local
+    # form copies files (small warehouse); a Delta/Iceberg deployment
+    # keeps immutable data files and snapshots are manifest pointers —
+    # zero copy. The SEAM (snapshot before mutate, resolve version to
+    # a path) is identical either way.
+
+    def snapshot(self, spark: SparkSession, table: str) -> int | None:
+        """Archive ``table``'s current files; returns the new version
+        number (1-based), or None when the table has no files."""
+        name = table.split(".")[-1].lower()
+        if not _IDENT_RE.match(table or ""):
+            return None
+        try:
+            d = self._describe(spark, table)
+        except Exception:
+            return None
+        location = d.get("Location", "").removeprefix("file:")
+        if not location or not os.path.isdir(location):
+            return None
+        with self._lock:
+            tables = self._load()
+            entry = tables.setdefault(name, {})
+            versions = entry.setdefault("versions", [])
+            v = len(versions) + 1
+            vpath = os.path.join(self.dir, "_versions", name, f"v{v}")
+            os.makedirs(os.path.dirname(vpath), exist_ok=True)
+            shutil.copytree(location, vpath, dirs_exist_ok=True,
+                            ignore=shutil.ignore_patterns("_*", ".*"))
+            versions.append(
+                {"version": v, "path": vpath, "at": time.time()})
+            self._save(tables)
+            return v
+
+    def versions(self, table: str) -> list[dict]:
+        name = table.split(".")[-1].lower()
+        with self._lock:
+            return list(self._load().get(name, {}).get("versions", []))
+
+    def version_path(self, table: str, version: int) -> str:
+        """Path of an archived version; raises KeyError when absent."""
+        for v in self.versions(table):
+            if v["version"] == version:
+                return v["path"]
+        raise KeyError(
+            f"table {table!r} has no archived version {version}")

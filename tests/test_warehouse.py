@@ -149,3 +149,83 @@ def test_replace_over_reattached_external_table(spark):
     assert got == [0, 10, 20]
     eng.execute_sql(sid, "DROP TABLE t_wh_ext")
     eng.close_session(sid)
+
+
+class TestTimeTravel:
+    """Snapshot-on-destructive-write + VERSION AS OF (the DuckLake
+    AT (VERSION => n) analog; local archives copy files — a lakehouse
+    deployment keeps immutable files and snapshots manifest pointers)."""
+
+    def test_version_as_of_reads_pre_images(self, spark):
+        from gizmosql_spark.engine import Engine
+
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="admin")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_travel")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_travel AS"
+                 " SELECT id, id * 10 AS qty FROM range(5)")
+        eng.execute_sql(sid, "UPDATE t_travel SET qty = 999 WHERE id = 2")
+        eng.execute_sql(sid, "DELETE FROM t_travel WHERE id = 4")
+
+        v1 = {(r["id"], r["qty"]) for r in eng.collect(sid, eng.execute_sql(
+            sid, "SELECT * FROM t_travel VERSION AS OF 1"))}
+        assert v1 == {(i, i * 10) for i in range(5)}
+        v2 = {(r["id"], r["qty"]) for r in eng.collect(sid, eng.execute_sql(
+            sid, "SELECT * FROM t_travel VERSION AS OF 2"))}
+        assert (2, 999) in v2 and (4, 40) in v2
+        cur = {(r["id"], r["qty"]) for r in eng.collect(sid, eng.execute_sql(
+            sid, "SELECT * FROM t_travel"))}
+        assert (4, 40) not in cur and (2, 999) in cur
+        # history pragma lists both snapshots
+        hist = [r["version"] for r in eng.collect(sid, eng.execute_sql(
+            sid, "PRAGMA table_history('t_travel')"))]
+        assert hist == [1, 2]
+        # versioned read joins the current table (alias binding)
+        joined = eng.collect(sid, eng.execute_sql(sid, """
+            SELECT count(*) AS n
+            FROM t_travel VERSION AS OF 1 old
+            JOIN t_travel cur ON old.id = cur.id
+        """))[0]["n"]
+        assert joined == 4
+        eng.execute_sql(sid, "DROP TABLE t_travel")
+        eng.close_session(sid)
+
+    def test_drop_clears_archive(self, spark):
+        from gizmosql_spark.engine import Engine
+
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="admin")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_travel2")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_travel2 AS SELECT id FROM range(3)")
+        eng.execute_sql(sid, "DELETE FROM t_travel2 WHERE id = 0")
+        assert eng.warehouse.versions("t_travel2")
+        eng.execute_sql(sid, "DROP TABLE t_travel2")
+        # recreate: version numbering restarts cleanly
+        eng.execute_sql(
+            sid, "CREATE TABLE t_travel2 AS SELECT id FROM range(2)")
+        eng.execute_sql(sid, "DELETE FROM t_travel2 WHERE id = 0")
+        assert [v["version"] for v in
+                eng.warehouse.versions("t_travel2")] == [1]
+        v1 = eng.collect(sid, eng.execute_sql(
+            sid, "SELECT * FROM t_travel2 VERSION AS OF 1"))
+        assert {r["id"] for r in v1} == {0, 1}
+        eng.execute_sql(sid, "DROP TABLE t_travel2")
+        eng.close_session(sid)
+
+    def test_unknown_version_fails(self, spark):
+        import pytest as _pytest
+
+        from gizmosql_spark.engine import Engine
+
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="admin")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_travel3")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_travel3 AS SELECT id FROM range(2)")
+        with _pytest.raises(Exception):
+            eng.execute_sql(
+                sid, "SELECT * FROM t_travel3 VERSION AS OF 9")
+        eng.execute_sql(sid, "DROP TABLE t_travel3")
+        eng.close_session(sid)
