@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup,
         events,
         multimodal,
+        quality,
         relational,
         sampling,
         scale,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(relational.QUERIES)
     merged.update(events.QUERIES)
     merged.update(text.QUERIES)
+    merged.update(quality.QUERIES)
     merged.update(dedup.QUERIES)
     merged.update(similarity.QUERIES)
     merged.update(multimodal.QUERIES)
@@ -138,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         events,
         multimodal,
+        quality,
         relational,
         sampling,
         scale,
@@ -154,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLE)
     out.update(events.ORACLE)
     out.update(text.ORACLE)
+    out.update(quality.ORACLE)
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
     out.update(multimodal.ORACLE)

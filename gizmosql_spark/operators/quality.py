@@ -1,0 +1,360 @@
+"""Corpus-quality operators for training-data pipelines.
+
+Extension tier beyond the reference (SURVEY §7 Phase 5), sibling of
+operators/text.py: repetition-based quality gating (the Gopher-rules
+family), PMI collocation mining, and winnowing fingerprints (the
+MOSS-style selective k-gram sketch that underlies scalable substring
+dedup).
+
+Everything is built-in JVM column arithmetic — token/k-gram expansion
+with ``transform``/``explode``, no Python UDFs — so each operator is
+scan + wordcount-shaped shuffles that survive a 100 TB corpus:
+
+* ``gopher_quality``   — per-doc token stats are one partial-agg pass
+  over (doc, token) and (doc, bigram); per-source rollup is a second
+  tiny agg. No joins against the corpus.
+* ``pmi_collocations`` — corpus bigram counts join vocabulary-sized
+  unigram counts (broadcast), then a global top-k
+  (TakeOrderedAndProject, no full sort).
+* ``winnowing_fingerprint`` — pure per-row array arithmetic inside one
+  whole-stage-codegen scan; zero shuffles before the final order-by.
+
+All formulas are engine-portable for the DuckDB differential oracle:
+md5-derived hex fingerprints compare lexicographically the same in
+both engines, and ratios are plain IEEE-double arithmetic with
+``round(x, 6)`` applied before any ranking (FIXTURES.md rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gizmosql_spark.operators import loader
+from gizmosql_spark.operators.text import _norm
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return loader.table(spark, sf_dir, name)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, ws: array<string>) over normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", F.split(_norm(F.col("text")), " ").alias("ws")
+    )
+
+
+# Spark's sequence(a, b) DESCENDS when a > b, so every adjacent-pair
+# expansion is guarded: docs with <2 tokens yield an empty array.
+_BIGRAMS_EXPR = (
+    "CASE WHEN size(ws) >= 2 THEN "
+    "transform(sequence(0, size(ws) - 2),"
+    " i -> concat(ws[i], ' ', ws[i + 1])) "
+    "ELSE array() END"
+)
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher-rules family,
+    Rae et al. 2021): per-document lexical-diversity and repetition
+    metrics, rolled up per source with a pass rate.
+
+    Metrics per doc: unique-token fraction, most-frequent-token
+    fraction, most-frequent-bigram fraction, mean word length, token
+    count. A doc passes when none of the repetition signals trips.
+
+    100 TB shape: token stats are one (doc, token) partial agg —
+    map-side combine collapses repeats before the shuffle; bigram
+    stats likewise; the per-source rollup is O(#sources) rows.
+    """
+    base = _tokens(spark, sf_dir)
+    toks = base.select(
+        "doc_id", "source", F.explode("ws").alias("tok")
+    )
+    tc = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    docstats = tc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.length("tok")).alias("char_sum"),
+    )
+    bg = base.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")
+    )
+    bgmax = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg_c"))
+    )
+    per_doc = (
+        docstats.join(bgmax, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_words",
+            (F.col("n_unique") / F.col("n_words")).alias("unique_frac"),
+            (F.col("top_c") / F.col("n_words")).alias("top_tok_frac"),
+            F.coalesce(
+                F.col("top_bg_c") / (F.col("n_words") - 1), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+            (F.col("char_sum") / F.col("n_words")).alias("mean_wlen"),
+        )
+    )
+    passed = (
+        (F.col("unique_frac") >= 0.3)
+        & (F.col("top_tok_frac") <= 0.125)
+        & (F.col("top_bigram_frac") <= 0.08)
+        & (F.col("mean_wlen") >= 3.0)
+        & (F.col("mean_wlen") <= 10.0)
+        & (F.col("n_words") >= 10)
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(passed.cast("long")).alias("n_pass"),
+            F.round(F.avg("unique_frac"), 6).alias("avg_unique_frac"),
+            F.round(F.avg("top_tok_frac"), 6).alias("avg_top_tok_frac"),
+            F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+            F.round(F.avg("mean_wlen"), 6).alias("avg_wlen"),
+        )
+        .orderBy("source")
+    )
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information:
+    PMI(x,y) = ln( (c_xy / B) / ((c_x / N) * (c_y / N)) ) over
+    adjacent-token bigrams, minimum support 5, top 20.
+
+    100 TB shape: bigram and unigram counts are wordcount-shaped
+    (map-side combined); the unigram table is vocabulary-sized so both
+    probe joins broadcast; the final top-k is TakeOrderedAndProject —
+    no global sort materializes.
+    """
+    base = _tokens(spark, sf_dir)
+    toks = base.select(F.explode("ws").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.count()
+    bg = base.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")).select(
+        F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
+    )
+    b_total = bg.count()
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"),
+                                   F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"),
+                                   F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").alias("support"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.lit(float(b_total)))
+                    / (
+                        (F.col("c_x") / F.lit(float(n_total)))
+                        * (F.col("c_y") / F.lit(float(n_total)))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(20)
+
+
+#: winnowing parameters: char k-grams of length 7, window 4 →
+#: guarantees any match of length >= k + w - 1 = 10 shares a
+#: fingerprint (the winnowing theorem, Schleimer et al. 2003).
+_WINNOW_K = 7
+_WINNOW_W = 4
+
+_WINNOW_EXPR = f"""
+CASE WHEN length(norm) >= {_WINNOW_K} THEN
+  transform(sequence(1, length(norm) - {_WINNOW_K} + 1),
+            i -> substring(md5(substring(norm, i, {_WINNOW_K})), 1, 8))
+ELSE array() END
+"""
+
+_FPS_EXPR = f"""
+CASE WHEN size(hs) >= {_WINNOW_W} THEN
+  array_distinct(transform(sequence(1, size(hs) - {_WINNOW_W} + 1),
+                           j -> array_min(slice(hs, j, {_WINNOW_W}))))
+WHEN size(hs) > 0 THEN array(array_min(hs))
+ELSE array() END
+"""
+
+
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document sketch (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS fingerprinting scheme): hash every char 7-gram, keep the
+    minimum hash of every 4-window, distinct the survivors. The sketch
+    is position-robust (any shared substring of length >= 10 shares a
+    fingerprint) and ~2/(w+1) the size of the full k-gram set.
+
+    Hashes are 8-hex-char md5 prefixes compared lexicographically —
+    identical in Spark and DuckDB, so the oracle reproduces the digest
+    bit-for-bit.
+
+    100 TB shape: pure per-row array arithmetic inside one
+    whole-stage-codegen scan; no shuffle at all before the
+    final order-by (and none in a real pipeline, where the digest
+    feeds a dedup join instead).
+    """
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _norm(F.col("text")).alias("norm"))
+        .select("doc_id", F.expr(_WINNOW_EXPR).alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").alias("n_grams"),
+            F.expr(_FPS_EXPR).alias("fps"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.size("fps").cast("int").alias("n_fp"),
+            F.md5(F.array_join(F.array_sort("fps"), ",")).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "gopher_quality": gopher_quality,
+    "pmi_collocations": pmi_collocations,
+    "winnowing_fingerprint": winnowing_fingerprint,
+}
+
+_NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+# DuckDB lists are 1-based; range(a, b) excludes b.
+_BIGRAMS_SQL = (
+    "CASE WHEN len(ws) >= 2 THEN "
+    "list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) "
+    "ELSE [] END"
+)
+
+ORACLE: dict[str, str] = {
+    "gopher_quality": f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   string_split({_NORM_SQL}, ' ') AS ws
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, source, unnest(ws) AS tok FROM base
+        ), tc AS (
+            SELECT doc_id, source, tok, count(*) AS c
+            FROM toks GROUP BY doc_id, source, tok
+        ), docstats AS (
+            SELECT doc_id, source,
+                   sum(c) AS n_words,
+                   count(*) AS n_unique,
+                   max(c) AS top_c,
+                   sum(c * len(tok)) AS char_sum
+            FROM tc GROUP BY doc_id, source
+        ), bg AS (
+            SELECT doc_id, unnest({_BIGRAMS_SQL}) AS bg
+            FROM base
+        ), bgmax AS (
+            SELECT doc_id, max(c) AS top_bg_c FROM (
+                SELECT doc_id, bg, count(*) AS c
+                FROM bg GROUP BY doc_id, bg
+            ) GROUP BY doc_id
+        ), per_doc AS (
+            SELECT d.doc_id, d.source, d.n_words,
+                   d.n_unique / d.n_words AS unique_frac,
+                   d.top_c / d.n_words AS top_tok_frac,
+                   coalesce(b.top_bg_c / (d.n_words - 1), 0.0)
+                       AS top_bigram_frac,
+                   d.char_sum / d.n_words AS mean_wlen
+            FROM docstats d LEFT JOIN bgmax b USING (doc_id)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN unique_frac >= 0.3
+                              AND top_tok_frac <= 0.125
+                              AND top_bigram_frac <= 0.08
+                              AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+                              AND n_words >= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(avg(unique_frac), 6) AS avg_unique_frac,
+               round(avg(top_tok_frac), 6) AS avg_top_tok_frac,
+               round(avg(top_bigram_frac), 6) AS avg_top_bigram_frac,
+               round(avg(mean_wlen), 6) AS avg_wlen
+        FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "pmi_collocations": f"""
+        WITH base AS (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+            FROM documents
+        ), toks AS (
+            SELECT unnest(ws) AS tok FROM base
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), n_total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        bg AS (
+            SELECT string_split(b, ' ')[1] AS w1,
+                   string_split(b, ' ')[2] AS w2
+            FROM (SELECT unnest({_BIGRAMS_SQL}) AS b FROM base)
+        ), b_total AS (SELECT count(*)::DOUBLE AS n FROM bg),
+        cxy AS (
+            SELECT w1, w2, count(*) AS c_xy
+            FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+        )
+        SELECT c.w1, c.w2, c.c_xy AS support,
+               round(ln((c.c_xy / (SELECT n FROM b_total))
+                        / ((ux.c / (SELECT n FROM n_total))
+                           * (uy.c / (SELECT n FROM n_total)))), 6)
+                   AS pmi
+        FROM cxy c
+        JOIN uni ux ON ux.tok = c.w1
+        JOIN uni uy ON uy.tok = c.w2
+        ORDER BY pmi DESC, c.w1 ASC, c.w2 ASC
+        LIMIT 20
+    """,
+    "winnowing_fingerprint": f"""
+        WITH base AS (
+            SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CASE WHEN len(norm) >= {_WINNOW_K} THEN
+                     list_transform(
+                       range(1, len(norm) - {_WINNOW_K} + 2),
+                       i -> substr(md5(substr(norm, i, {_WINNOW_K})), 1, 8))
+                   ELSE [] END AS hs
+            FROM base
+        ), winnowed AS (
+            SELECT doc_id, len(hs) AS n_grams,
+                   CASE WHEN len(hs) >= {_WINNOW_W} THEN
+                     list_distinct(list_transform(
+                       range(1, len(hs) - {_WINNOW_W} + 2),
+                       j -> list_min(hs[j:j + {_WINNOW_W} - 1])))
+                   WHEN len(hs) > 0 THEN [list_min(hs)]
+                   ELSE [] END AS fps
+            FROM hashed
+        )
+        SELECT doc_id,
+               CAST(n_grams AS INTEGER) AS n_grams,
+               CAST(len(fps) AS INTEGER) AS n_fp,
+               md5(array_to_string(list_sort(fps), ',')) AS fp_digest
+        FROM winnowed
+        ORDER BY doc_id
+    """,
+}

@@ -5,13 +5,20 @@ from __future__ import annotations
 
 import pytest
 
-from gizmosql_spark.operators import dedup, similarity, text, training
+from gizmosql_spark.operators import dedup, quality, similarity, text, training
 from gizmosql_spark.testing import compare_to_oracle
 
 
 @pytest.mark.parametrize("name", sorted(text.QUERIES))
 def test_text_matches_oracle(spark, sf_dir, name):
     compare_to_oracle(text.QUERIES[name](spark, sf_dir), text.ORACLE[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(quality.QUERIES))
+def test_quality_matches_oracle(spark, sf_dir, name):
+    compare_to_oracle(
+        quality.QUERIES[name](spark, sf_dir), quality.ORACLE[name], sf_dir
+    )
 
 
 @pytest.mark.parametrize("name", sorted(dedup.QUERIES))

@@ -124,3 +124,37 @@ def test_sequence_pack_single_window_shuffle(spark, sf_dir):
     plan = _plan(training.sequence_pack(spark, sf_dir))
     assert "Window" in plan
     assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_pmi_broadcasts_vocabulary_and_topk(spark, sf_dir):
+    """PMI collocations: both unigram probe joins broadcast (the
+    vocabulary is tiny next to the bigram stream) and the final top-20
+    is TakeOrderedAndProject — no global sort of the bigram table."""
+    from gizmosql_spark.operators import quality
+
+    plan = _plan(quality.pmi_collocations(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_is_shuffle_free_scan(spark, sf_dir):
+    """The winnowing sketch is per-row array arithmetic: the only
+    exchange in the plan is the final presentation order-by."""
+    from gizmosql_spark.operators import quality
+
+    plan = _plan(quality.winnowing_fingerprint(spark, sf_dir))
+    assert "hJoin" not in plan  # no hash/merge/loop join operator
+    assert plan.count("Exchange (") <= 1  # tree header appears once
+
+
+def test_gopher_quality_partial_aggs_no_corpus_join(spark, sf_dir):
+    """Token and bigram stats are (doc, token)-level partial
+    aggregations; the only join is per-doc stats against per-doc
+    bigram maxima — never against the corpus scan itself."""
+    from gizmosql_spark.operators import quality
+
+    plan = _plan(quality.gopher_quality(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4
