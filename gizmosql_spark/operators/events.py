@@ -192,7 +192,12 @@ def time_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).filter(F.col("event_id") < 2000)
     return e.select(
         "event_id",
-        (F.unix_micros("ts") % 86_400_000_000).alias("time_micros"),
+        # cast handles the TIMESTAMP_NTZ fixture encoding: unix_micros
+        # requires TIMESTAMP, and the session TZ is pinned UTC
+        # (loader.ensure_session_confs) so the value is unchanged.
+        (F.unix_micros(F.col("ts").cast("timestamp")) % 86_400_000_000).alias(
+            "time_micros"
+        ),
         (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
         F.datediff(F.col("ts").cast("date"), F.lit("2025-01-01").cast("date"))
         .cast("int")

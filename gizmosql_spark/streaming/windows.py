@@ -51,27 +51,32 @@ EVENT_SCHEMA = StructType(
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file-source stream. The fixture's ns timestamps are
-    read as long and converted, matching operators/events.load_events."""
+    """events as a file-source stream, robust to either fixture
+    encoding: TIMESTAMP(NANOS) read as long ns (legacy nanosAsLong) or
+    native timestamp[us]/TIMESTAMP_NTZ. The readStream schema is
+    derived from a batch read of the same parquet so it always matches
+    the file, and the ns→µs conversion mirrors
+    operators/events.load_events (applied only when ts is long ns)."""
     from gizmosql_spark.operators.loader import ensure_session_confs
 
     ensure_session_confs(spark)
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
+    batch = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_dtype = dict(batch.dtypes).get("ts")
+    if ts_dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype != "timestamp":
+        # TIMESTAMP_NTZ → session-TZ timestamp; session TZ is pinned
+        # UTC (loader.ensure_session_confs) so values are unchanged and
+        # watermarks/windows behave identically across encodings.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
