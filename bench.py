@@ -8,16 +8,32 @@ The metric is total wall-clock over the headline set (22 TPC-H +
 extension ops), mirroring the reference's 22-query power-run metric
 (BASELINE.md). Each query is fully executed (count-consumed) so the
 measurement includes the whole plan, not just planning.
+
+The JSON line is guaranteed to be the ONLY (hence first) stdout line:
+fd 1 is redirected to stderr for the entire run — before the JVM is
+launched, so Spark/log4j/progress output cannot precede it — and the
+result is written to a saved duplicate of the real stdout at the end.
+This makes the driver's bounded stdout capture always parseable
+(BENCH_r01/r02 were truncated to unparseability by log noise).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 
 def main() -> None:
+    # Save the real stdout, then point fd 1 at stderr so every byte any
+    # component (Python prints, JVM logging, progress bars) writes to
+    # "stdout" lands on stderr instead. The JSON result alone goes to
+    # the saved fd.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from gizmosql_spark.session import get_spark
 
@@ -42,7 +58,8 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    failed: list[str] = []
     for name in sorted(qs):
         fn = qs[name]
         t0 = time.perf_counter()
@@ -50,30 +67,35 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.count()
             timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # record failures as -1, keep going
-            timings[name] = -1.0
-            print(f"# bench error {name}: {e}")
+        except Exception as e:  # record failures as null + failed list
+            timings[name] = None
+            failed.append(name)
+            print(f"# bench error {name}: {e}", file=sys.stderr)
 
-    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    total = round(sum(v for v in timings.values() if v is not None), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    line = json.dumps(
-        {
-            "metric": "headline_query_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
-    # Also persist to a file: the driver captures a bounded stdout tail,
-    # and a truncated tail loses the round's official perf record
-    # (BENCH_r01 parsed as null). The file can't be truncated.
+    payload = {
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        payload["failed"] = failed
+    line = json.dumps(payload)
+    # Belt-and-braces: also persist to a file the driver can't truncate.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            ),
+            "w",
+        ) as f:
             f.write(line + "\n")
     except OSError:
         pass
-    print(line, flush=True)
+    os.write(real_stdout, (line + "\n").encode())
 
 
 if __name__ == "__main__":
