@@ -43,7 +43,8 @@ _PRIORITY = [
     # scalar-function families
     "numeric_funcs",
     "string_funcs",
-    "datetime_funcs",
+    "time_interval_funcs",  # date/time family rep: the TIME/INTERVAL
+                            # hazard query (r2 FAIL, fixed r3)
     "array_funcs",
     "json_funcs",
     "variant_funcs",        # Spark 4 VariantType
@@ -78,11 +79,12 @@ _PRIORITY = [
     "embedding_quantize",
     "kmeans_embeddings",
     "approx_distinct_hll",
-    # streaming
+    # streaming (includes both r2 FAILs + the session-window re-run
+    # FAIL, all fixed r3 — kept here so the fix is officially recorded)
     "stream_tumbling",
     "stream_stream_join",
+    "stream_session_windows",
     # scale patterns
-    "salted_join",
     "manyfile_scan_agg",
 ]
 
