@@ -30,13 +30,27 @@ This module re-expresses that surface on ``pyarrow.flight``:
   mint-on-first-auth flow); ``authorization: Bearer ...`` verifies and
   carries role + catalog-ACL claims into the session.
 
-Protocol deviation, documented: the official Flight SQL command
-payloads are protobuf ``Any`` messages; protobuf is unavailable in
-this environment, so commands/tickets/action bodies are JSON objects
-with a ``type`` tag mirroring the Flight SQL message names
-(``statement_query`` ≈ CommandStatementQuery, ``ingest`` ≈
-CommandStatementIngest, ...). The verb → engine-call mapping — the
-part that carries the semantics — is one-to-one with the reference.
+The server speaks BOTH command dialects on every verb:
+
+- **Flight SQL protobuf** (the reference's wire contract): descriptor
+  commands, tickets, and action bodies/results as
+  ``google.protobuf.Any``-wrapped ``arrow.flight.protocol.sql.*``
+  messages, hand-decoded by flightsql_proto (the protobuf package is
+  unavailable here; the wire format is implemented directly). A stock
+  Flight SQL / ADBC client's bytes work: CommandStatementQuery →
+  DoGet(TicketStatementQuery), CreatePreparedStatement /
+  DoPut(CommandPreparedStatementQuery) parameter binding,
+  CommandStatementUpdate / Ingest via DoPut with DoPutUpdateResult
+  metadata, Begin/EndTransaction actions, and the CommandGet*
+  metadata commands with the spec's fixed result schemas
+  (flightsql_meta). Protobuf-tier sessions are implicit per
+  authenticated principal (Flight SQL commands carry no session id;
+  the reference keys sessions off call identity the same way,
+  duckdb_server.cpp:957-1079).
+- **JSON dialect** (this repo's native client + CLI): JSON objects
+  with a ``type`` tag mirroring the same message names
+  (``statement_query`` ≈ CommandStatementQuery, ``ingest`` ≈
+  CommandStatementIngest, ...), with explicit sessions.
 
 Scale note: the server is a thin control plane. Data movement is
 Arrow record batches both directions; query execution stays inside
@@ -56,8 +70,11 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.flight as flight
 
+from gizmosql_spark import flightsql_meta as fsm
+from gizmosql_spark import flightsql_proto as fsp
 from gizmosql_spark import security
 from gizmosql_spark.auth import AuthError
+from gizmosql_spark.constraints import tpch_constraints
 from gizmosql_spark.engine import Engine, StatementResult
 
 
@@ -173,6 +190,13 @@ class FlightEngineServer(flight.FlightServerBase):
         #: ticket id -> (created_at, session_id, StatementResult)
         self._tickets: dict[str, tuple[float, str, StatementResult]] = {}
         self._tickets_lock = threading.Lock()
+        #: declared-constraint metadata served to CommandGet*Keys
+        self.constraints = tpch_constraints()
+        #: protobuf-tier implicit sessions: principal key -> session id
+        self._implicit_sessions: dict[str, str] = {}
+        self._implicit_lock = threading.Lock()
+        #: parameters bound via DoPut(CommandPreparedStatementQuery)
+        self._bound_params: dict[tuple[str, str], dict[str, Any]] = {}
 
     # --- helpers ------------------------------------------------------
 
@@ -187,14 +211,40 @@ class FlightEngineServer(flight.FlightServerBase):
         return mw.token if mw is not None else None
 
     def _session_for(self, context, body: dict[str, Any]) -> str:
-        """Session id from the command body; sessions are explicit
-        (create_session action), mirroring the reference's per-client
-        session map (duckdb_server.cpp:957-1079)."""
+        """Session id from the command body; JSON-tier sessions are
+        explicit (create_session action), protobuf-tier sessions are
+        implicit per authenticated principal — both mirror the
+        reference's per-client session map (duckdb_server.cpp:
+        957-1079)."""
         sid = body.get("session")
-        if not sid:
-            raise flight.FlightServerError(
-                "missing 'session' — call the create_session action first")
-        return sid
+        if sid:
+            return sid
+        if body.get("_proto"):
+            return self._implicit_session(context)
+        raise flight.FlightServerError(
+            "missing 'session' — call the create_session action first")
+
+    def _implicit_session(self, context) -> str:
+        """Find-or-create the session for a Flight SQL protobuf caller,
+        keyed by bearer token (else subject claim)."""
+        claims = self._claims(context)
+        token = self._token(context)
+        # keyed by principal, not token: Basic auth mints a fresh token
+        # per call, and one principal = one session is the reference's
+        # per-client model (duckdb_server.cpp:957-1079)
+        key = f"sub:{claims.get('sub', 'anonymous')}"
+        with self._implicit_lock:
+            sid = self._implicit_sessions.get(key)
+            if sid is not None:
+                try:
+                    self.engine._session(sid)
+                    return sid
+                except Exception:
+                    pass  # closed/killed — mint a fresh one
+            sid = self.engine.create_session(
+                role=claims.get("role", "user"), token=token)
+            self._implicit_sessions[key] = sid
+            return sid
 
     def _prune_tickets(self) -> None:
         cutoff = time.time() - _TICKET_TTL_S
@@ -210,17 +260,136 @@ class FlightEngineServer(flight.FlightServerBase):
             self._tickets[tid] = (time.time(), session_id, result)
         return tid
 
+    #: protobuf command message → internal command-dict translator
+    _PROTO_COMMANDS = {
+        "CommandStatementQuery": lambda m: {
+            "type": "statement_query", "sql": m["query"]},
+        "CommandPreparedStatementQuery": lambda m: {
+            "type": "prepared_query",
+            "handle": m["prepared_statement_handle"].decode("utf-8")},
+        "CommandPreparedStatementUpdate": lambda m: {
+            "type": "prepared_update",
+            "handle": m["prepared_statement_handle"].decode("utf-8")},
+        "CommandStatementUpdate": lambda m: {
+            "type": "statement_update", "sql": m["query"]},
+        "CommandGetCatalogs": lambda m: {"type": "get_catalogs"},
+        "CommandGetDbSchemas": lambda m: {
+            "type": "get_db_schemas", "catalog": m["catalog"],
+            "pattern": m["db_schema_filter_pattern"]},
+        "CommandGetTables": lambda m: {
+            "type": "get_tables", "catalog": m["catalog"],
+            "schema_pattern": m["db_schema_filter_pattern"],
+            "name_pattern": m["table_name_filter_pattern"],
+            "table_types": m["table_types"],
+            "include_schema": m["include_schema"]},
+        "CommandGetTableTypes": lambda m: {"type": "get_table_types"},
+        "CommandGetPrimaryKeys": lambda m: {
+            "type": "get_primary_keys", "table": m["table"]},
+        "CommandGetImportedKeys": lambda m: {
+            "type": "get_imported_keys", "table": m["table"]},
+        "CommandGetExportedKeys": lambda m: {
+            "type": "get_exported_keys", "table": m["table"]},
+        "CommandGetCrossReference": lambda m: {
+            "type": "get_cross_reference", "pk_table": m["pk_table"],
+            "fk_table": m["fk_table"]},
+        "CommandGetSqlInfo": lambda m: {
+            "type": "get_sql_info", "info": m["info"]},
+        "CommandGetXdbcTypeInfo": lambda m: {
+            "type": "get_xdbc_type_info",
+            "data_type": m["data_type"] or None},
+        "CommandStatementIngest": lambda m: {
+            "type": "ingest", "table": m["table"],
+            "mode": FlightEngineServer._ingest_mode(
+                m["table_definition_options"])},
+    }
+
+    @staticmethod
+    def _ingest_mode(opts: dict[str, Any] | None) -> str:
+        if not opts:
+            return "create"
+        if opts["if_exists"] == fsp.TABLE_EXISTS_REPLACE:
+            return "replace"
+        if opts["if_exists"] == fsp.TABLE_EXISTS_APPEND:
+            return "append"
+        return "create"  # FAIL/unspecified: create, error if exists
+
     @staticmethod
     def _parse_command(raw: bytes) -> dict[str, Any]:
         try:
             cmd = json.loads(raw.decode("utf-8"))
+            if not isinstance(cmd, dict) or "type" not in cmd:
+                raise flight.FlightServerError(
+                    "descriptor command must carry a 'type' tag")
+            return cmd
+        except flight.FlightError:
+            raise
         except Exception:
-            raise flight.FlightServerError(
-                "descriptor command must be a JSON object")
-        if not isinstance(cmd, dict) or "type" not in cmd:
-            raise flight.FlightServerError(
-                "descriptor command must carry a 'type' tag")
-        return cmd
+            pass
+        proto = fsp.unpack_any(raw)
+        if proto is not None:
+            name, msg = proto
+            translate = FlightEngineServer._PROTO_COMMANDS.get(name)
+            if translate is None:
+                raise flight.FlightServerError(
+                    f"unsupported Flight SQL command: {name}")
+            cmd = translate(msg)
+            cmd["_proto"] = True
+            return cmd
+        raise flight.FlightServerError(
+            "descriptor command must be a JSON object "
+            "or a Flight SQL protobuf Any")
+
+    def _ticket_bytes(self, tid: str, proto: bool) -> bytes:
+        if proto:
+            return fsp.pack_any(
+                "TicketStatementQuery", {"statement_handle": tid.encode()})
+        return json.dumps({"ticket": tid}).encode()
+
+    def _table_info(self, context, descriptor, cmd: dict[str, Any],
+                    table: pa.Table):
+        """FlightInfo for an already-materialized (metadata) table."""
+        sid = self._session_for(context, cmd)
+        result = StatementResult("query_rows", df=None)
+        result.arrow_table = table
+        tid = self._store_ticket(sid, result)
+        return flight.FlightInfo(
+            table.schema, descriptor,
+            [flight.FlightEndpoint(
+                self._ticket_bytes(tid, bool(cmd.get("_proto"))), [])],
+            table.num_rows, table.nbytes)
+
+    def _metadata_table(self, cmd: dict[str, Any]) -> pa.Table | None:
+        """Build the wire-spec result table for a metadata command."""
+        spark = self.engine.spark
+        t = cmd["type"]
+        if t == "get_catalogs":
+            return fsm.get_catalogs(spark)
+        if t == "get_db_schemas":
+            return fsm.get_db_schemas(
+                spark, cmd.get("catalog") or None, cmd.get("pattern") or None)
+        if t == "get_tables":
+            return fsm.get_tables(
+                spark, cmd.get("catalog") or None,
+                cmd.get("schema_pattern") or None,
+                cmd.get("name_pattern") or None,
+                cmd.get("table_types") or None,
+                bool(cmd.get("include_schema")))
+        if t == "get_table_types":
+            return fsm.get_table_types(spark)
+        if t == "get_primary_keys":
+            return fsm.get_primary_keys(spark, self.constraints, cmd["table"])
+        if t == "get_imported_keys":
+            return fsm.get_imported_keys(spark, self.constraints, cmd["table"])
+        if t == "get_exported_keys":
+            return fsm.get_exported_keys(spark, self.constraints, cmd["table"])
+        if t == "get_cross_reference":
+            return fsm.get_cross_reference(
+                spark, self.constraints, cmd["pk_table"], cmd["fk_table"])
+        if t == "get_sql_info":
+            return fsm.get_sql_info(spark, cmd.get("info") or None)
+        if t == "get_xdbc_type_info":
+            return fsm.get_xdbc_type_info(spark, cmd.get("data_type"))
+        return None
 
     def _wrap_errors(self, fn, *args):
         """Engine exceptions → Flight status codes."""
@@ -239,15 +408,24 @@ class FlightEngineServer(flight.FlightServerBase):
 
     def get_flight_info(self, context, descriptor):
         cmd = self._parse_command(descriptor.command)
+        proto = bool(cmd.get("_proto"))
+        meta = self._metadata_table(cmd) if cmd["type"].startswith("get_") \
+            else None
+        if meta is not None:
+            return self._table_info(context, descriptor, cmd, meta)
         if cmd["type"] in ("statement_query", "prepared_query"):
             sid = self._session_for(context, cmd)
             if cmd["type"] == "statement_query":
                 result = self._wrap_errors(
                     self.engine.execute_sql, sid, cmd["sql"])
             else:
+                params = cmd.get("parameters")
+                if params is None and proto:
+                    # bound earlier via DoPut(CommandPreparedStatementQuery)
+                    params = self._bound_params.get((sid, cmd["handle"]))
                 result = self._wrap_errors(
                     self.engine.execute_prepared, sid, cmd["handle"],
-                    cmd.get("parameters") or {})
+                    params or {})
             if result.df is None:
                 # DML/SET through the query verb: surface the count as
                 # a 1-row frame, like the reference's update results
@@ -260,7 +438,7 @@ class FlightEngineServer(flight.FlightServerBase):
                 return flight.FlightInfo(
                     schema, descriptor,
                     [flight.FlightEndpoint(
-                        json.dumps({"ticket": tid}).encode(), [])],
+                        self._ticket_bytes(tid, proto), [])],
                     1, tbl.nbytes)
             n_parts = int(cmd.get("partitions", 1) or 1)
             if n_parts > 1:
@@ -282,7 +460,7 @@ class FlightEngineServer(flight.FlightServerBase):
                     off += size
                     tid = self._store_ticket(sid, chunk)
                     endpoints.append(flight.FlightEndpoint(
-                        json.dumps({"ticket": tid}).encode(), []))
+                        self._ticket_bytes(tid, proto), []))
                 return flight.FlightInfo(
                     table.schema, descriptor, endpoints,
                     table.num_rows, table.nbytes)
@@ -291,13 +469,17 @@ class FlightEngineServer(flight.FlightServerBase):
             return flight.FlightInfo(
                 schema, descriptor,
                 [flight.FlightEndpoint(
-                    json.dumps({"ticket": tid}).encode(), [])],
+                    self._ticket_bytes(tid, proto), [])],
                 -1, -1)
         raise flight.FlightServerError(
             f"unsupported command type: {cmd['type']}")
 
     def get_schema(self, context, descriptor):
         cmd = self._parse_command(descriptor.command)
+        if cmd["type"].startswith("get_"):
+            meta = self._metadata_table(cmd)
+            if meta is not None:
+                return flight.SchemaResult(meta.schema)
         sid = self._session_for(context, cmd)
         if cmd["type"] == "statement_query":
             result = self._wrap_errors(self.engine.execute_sql, sid, cmd["sql"])
@@ -319,9 +501,16 @@ class FlightEngineServer(flight.FlightServerBase):
         return flight.SchemaResult(_spark_to_arrow_schema(result.df))
 
     def do_get(self, context, ticket):
-        body = json.loads(ticket.ticket.decode("utf-8"))
+        raw = ticket.ticket
+        try:
+            tid = json.loads(raw.decode("utf-8"))["ticket"]
+        except Exception:
+            proto = fsp.unpack_any(raw)
+            if proto is None or proto[0] != "TicketStatementQuery":
+                raise flight.FlightServerError("unrecognized ticket")
+            tid = proto[1]["statement_handle"].decode("utf-8")
         with self._tickets_lock:
-            entry = self._tickets.pop(body["ticket"], None)
+            entry = self._tickets.pop(tid, None)
         if entry is None:
             raise flight.FlightServerError("unknown or expired ticket")
         _, sid, result = entry
@@ -334,23 +523,66 @@ class FlightEngineServer(flight.FlightServerBase):
 
     def do_put(self, context, descriptor, reader, writer):
         cmd = self._parse_command(descriptor.command)
+        proto = bool(cmd.get("_proto"))
         sid = self._session_for(context, cmd)
+
+        def put_count(n: int) -> None:
+            # protobuf tier: PutResult metadata is the raw serialized
+            # DoPutUpdateResult (not Any-wrapped), matching the stock
+            # C++/Java Flight SQL client parsers
+            if proto:
+                writer.write(fsp.encode("DoPutUpdateResult",
+                                        {"record_count": n}))
+            else:
+                writer.write(json.dumps({"record_count": n}).encode())
+
         if cmd["type"] == "ingest":
             data = reader.read_all()
             n = self._wrap_errors(
                 self.engine.ingest, sid, cmd["table"], data,
                 cmd.get("mode", "create"))
-            writer.write(json.dumps({"record_count": n}).encode())
+            put_count(n)
             return
         if cmd["type"] == "statement_update":
             result = self._wrap_errors(
                 self.engine.execute_sql, sid, cmd["sql"])
-            writer.write(json.dumps(
-                {"record_count": result.affected_rows
-                 if result.affected_rows is not None else -1}).encode())
+            put_count(result.affected_rows
+                      if result.affected_rows is not None else -1)
+            return
+        if cmd["type"] == "prepared_query" and proto:
+            # bind parameters: one Arrow batch, column-per-parameter
+            # (the reference binds each cell as a string the engine
+            # re-casts, duckdb_server.cpp:747-772)
+            params = self._read_params(reader)
+            self._bound_params[(sid, cmd["handle"])] = params
+            writer.write(fsp.encode(
+                "DoPutPreparedStatementResult",
+                {"prepared_statement_handle": cmd["handle"].encode()}))
+            return
+        if cmd["type"] == "prepared_update" and proto:
+            params = self._read_params(reader)
+            result = self._wrap_errors(
+                self.engine.execute_prepared, sid, cmd["handle"], params)
+            n = result.affected_rows
+            if n is None and result.df is not None:
+                n = self._wrap_errors(
+                    self.engine.collect_arrow, sid, result).num_rows
+            put_count(n if n is not None else -1)
             return
         raise flight.FlightServerError(
             f"unsupported DoPut command type: {cmd['type']}")
+
+    @staticmethod
+    def _read_params(reader) -> dict[str, Any]:
+        """Last row of the uploaded parameter batch → {name: value}."""
+        try:
+            table = reader.read_all()
+        except Exception:
+            return {}
+        if table.num_rows == 0:
+            return {}
+        row = table.to_pylist()[-1]
+        return {k.lstrip(":"): v for k, v in row.items()}
 
     # --- DoExchange: push + transform + pull in ONE call --------------
 
@@ -397,11 +629,62 @@ class FlightEngineServer(flight.FlightServerBase):
     }
 
     def list_actions(self, context):
-        return [flight.ActionType(name, desc)
-                for name, desc in sorted(self._ACTIONS.items())]
+        json_tier = [flight.ActionType(name, desc)
+                     for name, desc in sorted(self._ACTIONS.items())]
+        proto_tier = [
+            flight.ActionType(name, "Flight SQL protobuf action")
+            for name in sorted(self._PROTO_ACTIONS)]
+        return json_tier + proto_tier
+
+    #: Flight SQL protobuf action names (the stock client's DoAction
+    #: types; bodies and results are Any-wrapped messages)
+    _PROTO_ACTIONS = frozenset({
+        "CreatePreparedStatement", "ClosePreparedStatement",
+        "BeginTransaction", "EndTransaction",
+    })
+
+    def _do_proto_action(self, context, name: str, raw: bytes):
+        decoded = fsp.unpack_any(raw) if raw else None
+        body = decoded[1] if decoded else {}
+        sid = self._implicit_session(context)
+        if name == "CreatePreparedStatement":
+            ps = self._wrap_errors(self.engine.prepare, sid, body["query"])
+            if ps.schema is not None:
+                dataset = _spark_to_arrow_schema(
+                    type("_S", (), {"schema": ps.schema}))
+            else:
+                dataset = pa.schema([])
+            param_schema = pa.schema(
+                [pa.field(p, pa.utf8()) for p in ps.parameter_names])
+            result = fsp.pack_any(
+                "ActionCreatePreparedStatementResult",
+                {
+                    "prepared_statement_handle": ps.handle.encode(),
+                    "dataset_schema": dataset.serialize().to_pybytes(),
+                    "parameter_schema": param_schema.serialize().to_pybytes(),
+                })
+            return iter([flight.Result(result)])
+        if name == "ClosePreparedStatement":
+            handle = body["prepared_statement_handle"].decode("utf-8")
+            self.engine.close_prepared(sid, handle)
+            self._bound_params.pop((sid, handle), None)
+            return iter([])
+        if name == "BeginTransaction":
+            txn = self._wrap_errors(self.engine.begin_transaction, sid)
+            return iter([flight.Result(fsp.pack_any(
+                "ActionBeginTransactionResult",
+                {"transaction_id": txn.encode()}))])
+        if name == "EndTransaction":
+            commit = body.get("action") != fsp.END_TRANSACTION_ROLLBACK
+            self._wrap_errors(self.engine.end_transaction, sid, commit)
+            return iter([])
+        raise flight.FlightServerError(f"unknown action: {name}")
 
     def do_action(self, context, action):
         name = action.type
+        if name in self._PROTO_ACTIONS:
+            return self._do_proto_action(
+                context, name, action.body.to_pybytes())
         body = json.loads(action.body.to_pybytes().decode("utf-8") or "{}")
         claims = self._claims(context)
 

@@ -1,0 +1,460 @@
+"""Flight SQL protobuf wire-contract tests.
+
+Two layers:
+
+1. **Golden vectors** — hand-computed byte strings from the public
+   proto3 wire-format spec, asserting the codec produces/parses the
+   exact bytes a stock protobuf implementation would for the
+   ``arrow.flight.protocol.sql`` messages (the reference's descriptor
+   commands, /root/reference/src/duckdb/duckdb_server.cpp:1267-1302).
+2. **Generic-client loopback** — a plain ``pyarrow.flight``
+   FlightClient (no knowledge of this repo's JSON dialect) drives the
+   server end-to-end with real protobuf ``Any`` payloads: statement
+   query, prepared statement lifecycle with parameter binding over
+   DoPut, statement update + ingest with DoPutUpdateResult metadata,
+   transactions, and the CommandGet* metadata surface with the spec's
+   fixed result schemas.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+
+import pyarrow as pa
+import pyarrow.flight as flight
+import pytest
+
+from gizmosql_spark import flightsql_proto as fsp
+from gizmosql_spark.engine import Engine
+from gizmosql_spark.flight_server import FlightEngineServer
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+
+# ---------------------------------------------------------------------
+# 1. codec golden vectors (proto3 wire spec, hand-computed)
+# ---------------------------------------------------------------------
+
+
+def test_varint_golden():
+    assert fsp.encode_varint(0) == b"\x00"
+    assert fsp.encode_varint(1) == b"\x01"
+    assert fsp.encode_varint(127) == b"\x7f"
+    assert fsp.encode_varint(128) == b"\x80\x01"
+    assert fsp.encode_varint(300) == b"\xac\x02"
+    assert fsp.decode_varint(b"\xac\x02", 0) == (300, 2)
+
+
+def test_command_statement_query_golden():
+    # field 1 (string, wire type 2): tag 0x0A, len 8, payload
+    msg = fsp.encode("CommandStatementQuery", {"query": "SELECT 1"})
+    assert msg == b"\x0a\x08SELECT 1"
+    assert fsp.decode("CommandStatementQuery", msg)["query"] == "SELECT 1"
+
+
+def test_do_put_update_result_golden():
+    # field 1 (varint): tag 0x08; 150 varint-encodes to 0x96 0x01
+    assert fsp.encode("DoPutUpdateResult", {"record_count": 150}) == \
+        b"\x08\x96\x01"
+    assert fsp.decode("DoPutUpdateResult", b"\x08\x96\x01") == {
+        "record_count": 150}
+
+
+def test_get_sql_info_packed_repeated_golden():
+    # proto3 packed repeated uint32: tag 0x0A, len 3, varints 1 2 3
+    msg = fsp.encode("CommandGetSqlInfo", {"info": [1, 2, 3]})
+    assert msg == b"\x0a\x03\x01\x02\x03"
+    assert fsp.decode("CommandGetSqlInfo", msg)["info"] == [1, 2, 3]
+    # unpacked encoding (three tag 0x08 varints) must also parse
+    assert fsp.decode(
+        "CommandGetSqlInfo", b"\x08\x01\x08\x02\x08\x03")["info"] == [1, 2, 3]
+
+
+def test_statement_ingest_nested_and_map_golden():
+    msg = fsp.encode(
+        "CommandStatementIngest",
+        {
+            "table_definition_options": {
+                "if_not_exist": fsp.TABLE_NOT_EXIST_CREATE,
+                "if_exists": fsp.TABLE_EXISTS_APPEND,
+            },
+            "table": "t",
+            "options": {"a": "b"},
+        },
+    )
+    # field 1 nested msg {1:1, 2:2} = 0x08 0x01 0x10 0x02 (len 4)
+    # field 2 string "t"; field 1000 map entry: tag (1000<<3)|2 = 8002
+    # = varint 0xC2 0x3E, entry {1:"a", 2:"b"} len 6
+    assert msg == (
+        b"\x0a\x04\x08\x01\x10\x02"
+        b"\x12\x01t"
+        b"\xc2\x3e\x06\x0a\x01a\x12\x01b"
+    )
+    back = fsp.decode("CommandStatementIngest", msg)
+    assert back["table"] == "t"
+    assert back["table_definition_options"]["if_exists"] == \
+        fsp.TABLE_EXISTS_APPEND
+    assert back["options"] == {"a": "b"}
+
+
+def test_any_wrapping_golden():
+    inner = fsp.encode("CommandStatementQuery", {"query": "SELECT 1"})
+    wrapped = fsp.pack_any("CommandStatementQuery", {"query": "SELECT 1"})
+    url = b"type.googleapis.com/arrow.flight.protocol.sql.CommandStatementQuery"
+    expected = (
+        b"\x0a" + fsp.encode_varint(len(url)) + url
+        + b"\x12" + fsp.encode_varint(len(inner)) + inner
+    )
+    assert wrapped == expected
+    name, msg = fsp.unpack_any(wrapped)
+    assert name == "CommandStatementQuery"
+    assert msg["query"] == "SELECT 1"
+
+
+def test_unknown_fields_skipped():
+    # append an unknown field 15 (varint) — decoder must skip it
+    msg = fsp.encode("CommandStatementQuery", {"query": "Q"}) + b"\x78\x2a"
+    assert fsp.decode("CommandStatementQuery", msg)["query"] == "Q"
+
+
+def test_unpack_any_rejects_non_flightsql():
+    assert fsp.unpack_any(b"{\"type\": \"statement_query\"}") is None
+    assert fsp.unpack_any(b"\xff\xfe garbage") is None
+
+
+def test_roundtrip_every_message():
+    samples = {
+        "CommandStatementQuery": {"query": "SELECT 1",
+                                  "transaction_id": b"txn"},
+        "CommandStatementUpdate": {"query": "DELETE FROM t"},
+        "TicketStatementQuery": {"statement_handle": b"h-1"},
+        "CommandPreparedStatementQuery": {
+            "prepared_statement_handle": b"ps-1"},
+        "CommandPreparedStatementUpdate": {
+            "prepared_statement_handle": b"ps-2"},
+        "DoPutUpdateResult": {"record_count": 7},
+        "DoPutPreparedStatementResult": {
+            "prepared_statement_handle": b"ps-3"},
+        "ActionCreatePreparedStatementRequest": {"query": "SELECT ?"},
+        "ActionCreatePreparedStatementResult": {
+            "prepared_statement_handle": b"h",
+            "dataset_schema": b"\x01\x02",
+            "parameter_schema": b"\x03"},
+        "ActionClosePreparedStatementRequest": {
+            "prepared_statement_handle": b"h"},
+        "ActionBeginTransactionRequest": {},
+        "ActionBeginTransactionResult": {"transaction_id": b"t"},
+        "ActionEndTransactionRequest": {
+            "transaction_id": b"t", "action": fsp.END_TRANSACTION_COMMIT},
+        "CommandGetCatalogs": {},
+        "CommandGetDbSchemas": {"catalog": "c",
+                                "db_schema_filter_pattern": "d%"},
+        "CommandGetTables": {"catalog": "c", "table_types": ["BASE TABLE"],
+                             "include_schema": True},
+        "CommandGetTableTypes": {},
+        "CommandGetPrimaryKeys": {"table": "orders"},
+        "CommandGetExportedKeys": {"table": "orders"},
+        "CommandGetImportedKeys": {"table": "lineitem"},
+        "CommandGetCrossReference": {"pk_table": "orders",
+                                     "fk_table": "lineitem"},
+        "CommandGetSqlInfo": {"info": [0, 1, 2]},
+        "CommandGetXdbcTypeInfo": {"data_type": 12},
+    }
+    for name, values in samples.items():
+        wrapped = fsp.pack_any(name, values)
+        got_name, got = fsp.unpack_any(wrapped)
+        assert got_name == name
+        for k, v in values.items():
+            assert got[k] == v, (name, k)
+
+
+# ---------------------------------------------------------------------
+# 2. generic Flight SQL client loopback
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    eng = Engine(spark=spark)
+    eng.add_user("admin", "secret", role="admin")
+    srv = FlightEngineServer(engine=eng, location="grpc://127.0.0.1:0")
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    cl = flight.FlightClient(f"grpc://127.0.0.1:{server.port}")
+    yield cl
+    cl.close()
+
+
+@pytest.fixture(scope="module")
+def opts(client):
+    tok = base64.b64encode(b"admin:secret").decode()
+    return flight.FlightCallOptions(headers=[
+        (b"authorization", f"Basic {tok}".encode())])
+
+
+def _query(client, opts, sql: str) -> pa.Table:
+    """The stock Flight SQL execute flow: GetFlightInfo(Any-wrapped
+    CommandStatementQuery) then DoGet with the returned ticket."""
+    desc = flight.FlightDescriptor.for_command(
+        fsp.pack_any("CommandStatementQuery", {"query": sql}))
+    info = client.get_flight_info(desc, options=opts)
+    # the ticket must itself be a protobuf Any the client treats as
+    # opaque — assert it parses as TicketStatementQuery
+    name, _ = fsp.unpack_any(info.endpoints[0].ticket.ticket)
+    assert name == "TicketStatementQuery"
+    return client.do_get(info.endpoints[0].ticket, options=opts).read_all()
+
+
+def test_statement_query_over_protobuf(client, opts):
+    table = _query(client, opts, "SELECT 40 + 2 AS answer")
+    assert table.column("answer").to_pylist() == [42]
+
+
+def test_statement_query_parquet_scan(client, opts):
+    table = _query(
+        client, opts,
+        f"SELECT count(*) AS n FROM parquet.`{SF_DIR}/region.parquet`")
+    assert table.column("n").to_pylist() == [5]
+
+
+def test_get_schema_over_protobuf(client, opts):
+    desc = flight.FlightDescriptor.for_command(
+        fsp.pack_any("CommandStatementQuery",
+                     {"query": "SELECT 1 AS one, 'x' AS s"}))
+    schema = client.get_schema(desc, options=opts).schema
+    assert schema.field("one").type in (pa.int32(), pa.int64())
+    assert schema.field("s").type == pa.utf8()
+
+
+def test_statement_update_do_put(client, opts, server):
+    tname = "proto_upd_tbl"
+    server.engine.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    _query(client, opts,
+           f"CREATE TABLE {tname} AS SELECT * FROM range(5)")
+    desc = flight.FlightDescriptor.for_command(
+        fsp.pack_any("CommandStatementUpdate",
+                     {"query": f"DELETE FROM {tname} WHERE id >= 3"}))
+    w, r = client.do_put(desc, pa.schema([]), options=opts)
+    w.done_writing()
+    buf = r.read()
+    n = fsp.decode("DoPutUpdateResult", buf.to_pybytes())["record_count"]
+    assert n == 2
+    w.close()
+    table = _query(client, opts, f"SELECT count(*) AS n FROM {tname}")
+    assert table.column("n").to_pylist() == [3]
+    server.engine.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_ingest_do_put(client, opts, server):
+    tname = "proto_ingest_tbl"
+    server.engine.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    cmd = fsp.pack_any(
+        "CommandStatementIngest",
+        {
+            "table_definition_options": {
+                "if_not_exist": fsp.TABLE_NOT_EXIST_CREATE,
+                "if_exists": fsp.TABLE_EXISTS_FAIL,
+            },
+            "table": tname,
+        },
+    )
+    data = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    desc = flight.FlightDescriptor.for_command(cmd)
+    w, r = client.do_put(desc, data.schema, options=opts)
+    w.write_table(data)
+    w.done_writing()
+    n = fsp.decode("DoPutUpdateResult",
+                   r.read().to_pybytes())["record_count"]
+    assert n == 3
+    w.close()
+    table = _query(client, opts, f"SELECT count(*) AS n FROM {tname}")
+    assert table.column("n").to_pylist() == [3]
+    server.engine.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_prepared_statement_lifecycle_protobuf(client, opts):
+    # CreatePreparedStatement action with Any-wrapped request
+    res = list(client.do_action(
+        flight.Action(
+            "CreatePreparedStatement",
+            fsp.pack_any("ActionCreatePreparedStatementRequest",
+                         {"query": "SELECT :x + 1 AS y"})),
+        options=opts))
+    name, created = fsp.unpack_any(res[0].body.to_pybytes())
+    assert name == "ActionCreatePreparedStatementResult"
+    handle = created["prepared_statement_handle"]
+    assert handle
+    # parameter schema round-trips through Arrow IPC
+    pschema = pa.ipc.read_schema(pa.py_buffer(created["parameter_schema"]))
+    assert pschema.names == ["x"]
+
+    # bind via DoPut(CommandPreparedStatementQuery) + params batch
+    desc = flight.FlightDescriptor.for_command(
+        fsp.pack_any("CommandPreparedStatementQuery",
+                     {"prepared_statement_handle": handle}))
+    batch = pa.table({"x": [41]})
+    w, r = client.do_put(desc, batch.schema, options=opts)
+    w.write_table(batch)
+    w.done_writing()
+    # PutResult metadata is the raw serialized message (not
+    # Any-wrapped), matching DoPutUpdateResult handling in stock clients
+    bound = fsp.decode("DoPutPreparedStatementResult",
+                       r.read().to_pybytes())
+    assert bound["prepared_statement_handle"] == handle
+    w.close()
+
+    # execute: GetFlightInfo + DoGet on the same descriptor
+    info = client.get_flight_info(desc, options=opts)
+    table = client.do_get(info.endpoints[0].ticket, options=opts).read_all()
+    assert table.column("y").to_pylist() == [42]
+
+    # close
+    res = list(client.do_action(
+        flight.Action(
+            "ClosePreparedStatement",
+            fsp.pack_any("ActionClosePreparedStatementRequest",
+                         {"prepared_statement_handle": handle})),
+        options=opts))
+    assert res == []
+
+
+def test_transactions_protobuf(client, opts, server):
+    import shutil
+
+    tname = "proto_txn_tbl"
+    server.engine.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    # clear any location left by a previously-interrupted run
+    wh = server.engine.spark.conf.get("spark.sql.warehouse.dir")
+    shutil.rmtree(f"{wh.removeprefix('file:')}/{tname}", ignore_errors=True)
+    _query(client, opts,
+           f"CREATE TABLE {tname} AS SELECT * FROM range(4)")
+    res = list(client.do_action(
+        flight.Action("BeginTransaction",
+                      fsp.pack_any("ActionBeginTransactionRequest", {})),
+        options=opts))
+    name, begun = fsp.unpack_any(res[0].body.to_pybytes())
+    assert name == "ActionBeginTransactionResult"
+    assert begun["transaction_id"]
+    _query(client, opts, f"DELETE FROM {tname} WHERE id < 2")
+    assert _query(client, opts,
+                  f"SELECT count(*) AS n FROM {tname}"
+                  ).column("n").to_pylist() == [2]
+    # rollback restores the snapshot
+    list(client.do_action(
+        flight.Action(
+            "EndTransaction",
+            fsp.pack_any("ActionEndTransactionRequest",
+                         {"transaction_id": begun["transaction_id"],
+                          "action": fsp.END_TRANSACTION_ROLLBACK})),
+        options=opts))
+    assert _query(client, opts,
+                  f"SELECT count(*) AS n FROM {tname}"
+                  ).column("n").to_pylist() == [4]
+    server.engine.spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+# --- metadata commands (fixed wire schemas) ---------------------------
+
+
+def _meta(client, opts, name: str, values: dict) -> pa.Table:
+    desc = flight.FlightDescriptor.for_command(fsp.pack_any(name, values))
+    info = client.get_flight_info(desc, options=opts)
+    return client.do_get(info.endpoints[0].ticket, options=opts).read_all()
+
+
+def test_get_catalogs_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetCatalogs", {})
+    assert t.schema.names == ["catalog_name"]
+    assert t.schema.field("catalog_name").type == pa.utf8()
+    assert "spark_catalog" in t.column("catalog_name").to_pylist()
+
+
+def test_get_db_schemas_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetDbSchemas", {})
+    assert t.schema.names == ["catalog_name", "db_schema_name"]
+    assert "default" in t.column("db_schema_name").to_pylist()
+
+
+def test_get_tables_protobuf(client, opts, server):
+    server.engine.spark.sql(
+        "CREATE TABLE IF NOT EXISTS proto_meta_tbl AS SELECT 1 AS a")
+    try:
+        t = _meta(client, opts, "CommandGetTables",
+                  {"table_name_filter_pattern": "proto_meta%"})
+        assert t.schema.names == [
+            "catalog_name", "db_schema_name", "table_name", "table_type"]
+        assert "proto_meta_tbl" in t.column("table_name").to_pylist()
+        # include_schema attaches IPC-serialized Arrow schemas
+        t2 = _meta(client, opts, "CommandGetTables",
+                   {"table_name_filter_pattern": "proto_meta%",
+                    "include_schema": True})
+        blob = t2.column("table_schema").to_pylist()[0]
+        s = pa.ipc.read_schema(pa.py_buffer(blob))
+        assert s.names == ["a"]
+    finally:
+        server.engine.spark.sql("DROP TABLE IF EXISTS proto_meta_tbl")
+
+
+def test_get_table_types_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetTableTypes", {})
+    assert set(t.column("table_type").to_pylist()) == {
+        "BASE TABLE", "LOCAL TEMPORARY", "VIEW"}
+
+
+def test_get_primary_keys_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetPrimaryKeys", {"table": "orders"})
+    assert t.column("column_name").to_pylist() == ["o_orderkey"]
+    assert t.schema.field("key_sequence").type == pa.int32()
+
+
+def test_get_imported_keys_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetImportedKeys", {"table": "lineitem"})
+    pk_tables = set(t.column("pk_table_name").to_pylist())
+    assert {"orders", "part", "supplier"} <= pk_tables
+    assert t.schema.field("update_rule").type == pa.uint8()
+
+
+def test_get_cross_reference_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetCrossReference",
+              {"pk_table": "orders", "fk_table": "lineitem"})
+    assert t.column("fk_column_name").to_pylist() == ["l_orderkey"]
+
+
+def test_get_sql_info_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetSqlInfo", {})
+    assert t.schema.field("info_name").type == pa.uint32()
+    assert pa.types.is_union(t.schema.field("value").type)
+    infos = dict(zip(t.column("info_name").to_pylist(),
+                     t.column("value").to_pylist()))
+    assert infos[0] == "gizmosql-spark"  # FLIGHT_SQL_SERVER_NAME
+    assert infos[3] is False             # READ_ONLY
+    # filtered request returns only the asked-for ids
+    t2 = _meta(client, opts, "CommandGetSqlInfo", {"info": [0, 3]})
+    assert sorted(t2.column("info_name").to_pylist()) == [0, 3]
+
+
+def test_get_xdbc_type_info_protobuf(client, opts):
+    t = _meta(client, opts, "CommandGetXdbcTypeInfo", {})
+    assert t.schema.field("data_type").type == pa.int32()
+    assert "BIGINT" in t.column("type_name").to_pylist()
+    t2 = _meta(client, opts, "CommandGetXdbcTypeInfo", {"data_type": 12})
+    assert t2.column("type_name").to_pylist() == ["STRING"]
+
+
+def test_json_dialect_still_works(client, opts, server):
+    """The JSON tier must be unaffected by protobuf detection."""
+    import json as _json
+
+    res = list(client.do_action(
+        flight.Action("create_session", b"{}"), options=opts))
+    sid = _json.loads(res[0].body.to_pybytes())["session"]
+    desc = flight.FlightDescriptor.for_command(_json.dumps(
+        {"type": "statement_query", "session": sid,
+         "sql": "SELECT 7 AS seven"}).encode())
+    info = client.get_flight_info(desc, options=opts)
+    table = client.do_get(info.endpoints[0].ticket, options=opts).read_all()
+    assert table.column("seven").to_pylist() == [7]
