@@ -48,8 +48,8 @@ _PRIORITY = [
     "array_funcs",
     "json_funcs",
     "variant_funcs",        # Spark 4 VariantType
-    "spatial_funcs",
     "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier)
+    "spatial_wkb2",         # polygon tier: buffer/area/centroid/within
     # events
     "events_json",
     "events_asof_join",

@@ -614,6 +614,45 @@ def spatial_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_wkb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-tier spatial breadth (round-3 VERDICT ask; reference
+    docs/geometry.md "100+ spatial functions"): ST_Buffer (octagon
+    approximation), ST_Area / ST_Perimeter / ST_Centroid (shoelace),
+    ST_Within (ray casting), ST_Intersects_Extent (envelope overlap,
+    DuckDB-spatial's function of the same name), and the polygon WKB
+    codec round-tripped through st_aswkb_poly/st_polyfromwkb. Octagon
+    vertices use only 0/±1/±sqrt(.5) multipliers — sqrt is IEEE-exact,
+    so the DuckDB oracle builds bit-identical rings and the shoelace /
+    crossing-number arithmetic matches term for term."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark.geo import register_geo
+
+    gf.register_all(spark)
+    register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_wkb2")
+    return spark.sql("""
+        WITH src AS (
+            SELECT event_id, value,
+                   st_point(value, CAST(user_id AS DOUBLE)) AS p,
+                   value / 10D + 1D AS r
+            FROM events_wkb2 WHERE event_id < 1000
+        )
+        SELECT event_id,
+               st_within(p, st_buffer(st_point(150D, 75D), 80D)) AS in_zone,
+               round(st_area(st_buffer(p, r)), 6) AS buf_area,
+               round(st_perimeter(st_buffer(p, r)), 6) AS buf_perim,
+               st_npoints(st_buffer(p, r)) AS npts,
+               round(st_centroid(st_buffer(p, r)).x, 6) AS cx,
+               round(st_x_poly_centroid_wkb(
+                   st_aswkb_poly(st_buffer(p, r))), 6) AS cx_wkb,
+               st_intersects_extent(
+                   st_buffer(p, r),
+                   st_buffer(st_point(150D, 75D), 80D)) AS env_hit
+        FROM src
+        ORDER BY event_id
+    """)
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2E array/struct/map family (LIST construction + extraction,
     duckdb_server.cpp:674-697 type contract; higher-order transforms):
@@ -685,6 +724,7 @@ QUERIES = {
     "range_band_join": range_band_join,
     "spatial_funcs": spatial_funcs,
     "spatial_wkb": spatial_wkb,
+    "spatial_wkb2": spatial_wkb2,
     "numeric_funcs2": numeric_funcs2,
     "datetime_funcs2": datetime_funcs2,
     "array_funcs": array_funcs,
@@ -901,6 +941,76 @@ ORACLE: dict[str, str] = {
                CAST(user_id AS DOUBLE) AS tx
         FROM events
         WHERE event_id < 1000
+        ORDER BY event_id
+    """,
+    "spatial_wkb2": """
+        WITH src AS (
+            SELECT event_id, value,
+                   {'x': value, 'y': CAST(user_id AS DOUBLE)} AS p,
+                   value / 10 + 1 AS r
+            FROM events WHERE event_id < 1000
+        ),
+        buf AS (
+            SELECT event_id, p, r,
+                [ {'x': p['x'] + r, 'y': p['y']},
+                  {'x': p['x'] + r * sqrt(0.5), 'y': p['y'] + r * sqrt(0.5)},
+                  {'x': p['x'], 'y': p['y'] + r},
+                  {'x': p['x'] - r * sqrt(0.5), 'y': p['y'] + r * sqrt(0.5)},
+                  {'x': p['x'] - r, 'y': p['y']},
+                  {'x': p['x'] - r * sqrt(0.5), 'y': p['y'] - r * sqrt(0.5)},
+                  {'x': p['x'], 'y': p['y'] - r},
+                  {'x': p['x'] + r * sqrt(0.5), 'y': p['y'] - r * sqrt(0.5)},
+                  {'x': p['x'] + r, 'y': p['y']} ] AS ring,
+                [ {'x': 150.0 + 80.0, 'y': 75.0},
+                  {'x': 150.0 + 80.0 * sqrt(0.5), 'y': 75.0 + 80.0 * sqrt(0.5)},
+                  {'x': 150.0, 'y': 155.0},
+                  {'x': 150.0 - 80.0 * sqrt(0.5), 'y': 75.0 + 80.0 * sqrt(0.5)},
+                  {'x': 70.0, 'y': 75.0},
+                  {'x': 150.0 - 80.0 * sqrt(0.5), 'y': 75.0 - 80.0 * sqrt(0.5)},
+                  {'x': 150.0, 'y': -5.0},
+                  {'x': 150.0 + 80.0 * sqrt(0.5), 'y': 75.0 - 80.0 * sqrt(0.5)},
+                  {'x': 230.0, 'y': 75.0} ] AS zring
+            FROM src
+        )
+        SELECT event_id,
+            (list_sum(list_transform(range(1, 9), i ->
+                CASE WHEN (zring[i]['y'] > p['y']) != (zring[i+1]['y'] > p['y'])
+                      AND p['x'] < (zring[i+1]['x'] - zring[i]['x'])
+                          * (p['y'] - zring[i]['y'])
+                          / nullif(zring[i+1]['y'] - zring[i]['y'], 0)
+                          + zring[i]['x']
+                     THEN 1 ELSE 0 END)) % 2) = 1 AS in_zone,
+            round(0.5 * list_sum(list_transform(range(1, 9), i ->
+                ring[i]['x'] * ring[i+1]['y']
+                - ring[i+1]['x'] * ring[i]['y'])), 6) AS buf_area,
+            round(list_sum(list_transform(range(1, 9), i ->
+                sqrt((ring[i]['x'] - ring[i+1]['x'])
+                     * (ring[i]['x'] - ring[i+1]['x'])
+                     + (ring[i]['y'] - ring[i+1]['y'])
+                     * (ring[i]['y'] - ring[i+1]['y'])))), 6) AS buf_perim,
+            CAST(len(ring) AS INT) AS npts,
+            round(list_sum(list_transform(range(1, 9), i ->
+                (ring[i]['x'] + ring[i+1]['x'])
+                * (ring[i]['x'] * ring[i+1]['y'] - ring[i+1]['x'] * ring[i]['y'])))
+                / (6.0 * 0.5 * list_sum(list_transform(range(1, 9), i ->
+                    ring[i]['x'] * ring[i+1]['y']
+                    - ring[i+1]['x'] * ring[i]['y']))), 6) AS cx,
+            round(list_sum(list_transform(range(1, 9), i ->
+                (ring[i]['x'] + ring[i+1]['x'])
+                * (ring[i]['x'] * ring[i+1]['y'] - ring[i+1]['x'] * ring[i]['y'])))
+                / (6.0 * 0.5 * list_sum(list_transform(range(1, 9), i ->
+                    ring[i]['x'] * ring[i+1]['y']
+                    - ring[i+1]['x'] * ring[i]['y']))), 6) AS cx_wkb,
+            list_aggregate(list_transform(ring, v -> v['x']), 'min')
+                <= list_aggregate(list_transform(zring, v -> v['x']), 'max')
+            AND list_aggregate(list_transform(zring, v -> v['x']), 'min')
+                <= list_aggregate(list_transform(ring, v -> v['x']), 'max')
+            AND list_aggregate(list_transform(ring, v -> v['y']), 'min')
+                <= list_aggregate(list_transform(zring, v -> v['y']), 'max')
+            AND list_aggregate(list_transform(zring, v -> v['y']), 'min')
+                <= list_aggregate(list_transform(ring, v -> v['y']), 'max')
+                AS env_hit
+        FROM buf
         ORDER BY event_id
     """,
     "range_band_join": """

@@ -117,3 +117,87 @@ def test_collect_arrow_stamps_geoarrow(spark):
            table.column("geom").to_pylist()]
     assert got == [(0.0, 0.0), (1.0, 2.0), (2.0, 4.0)]
     eng.close_session(sid)
+
+
+# --- polygon tier (round-3 breadth) ----------------------------------
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register_geo(spark):
+    geo.register_geo(spark)
+
+
+def test_buffer_octagon_geometry(spark):
+    """Octagon buffer: 9-point closed ring, area = 2*sqrt(2)*r^2,
+    perimeter = 8 * side, centroid = center."""
+    import math
+
+    r = 5.0
+    row = spark.sql(f"""
+        SELECT st_npoints(ring) AS n,
+               st_area(ring) AS area,
+               st_perimeter(ring) AS perim,
+               st_centroid(ring) AS c
+        FROM (SELECT st_buffer(st_point(10D, 20D), {r}D) AS ring)
+    """).collect()[0]
+    assert row["n"] == 9
+    assert abs(row["area"] - 2 * math.sqrt(2) * r * r) < 1e-9
+    side = 2 * r * math.sin(math.pi / 8)
+    assert abs(row["perim"] - 8 * side) < 1e-9
+    assert abs(row["c"]["x"] - 10.0) < 1e-9
+    assert abs(row["c"]["y"] - 20.0) < 1e-9
+
+
+def test_within_ray_casting(spark):
+    rows = spark.sql("""
+        SELECT st_within(st_point(10D, 20D), ring) AS center_in,
+               st_within(st_point(14D, 20D), ring) AS inside_in,
+               st_within(st_point(16D, 20D), ring) AS outside_out,
+               st_within(st_point(10D, 26D), ring) AS above_out
+        FROM (SELECT st_buffer(st_point(10D, 20D), 5D) AS ring)
+    """).collect()[0]
+    assert rows["center_in"] is True
+    assert rows["inside_in"] is True
+    assert rows["outside_out"] is False
+    assert rows["above_out"] is False
+
+
+def test_intersects_extent(spark):
+    rows = spark.sql("""
+        SELECT st_intersects_extent(
+                   st_buffer(st_point(0D, 0D), 5D),
+                   st_buffer(st_point(8D, 0D), 5D)) AS touching,
+               st_intersects_extent(
+                   st_buffer(st_point(0D, 0D), 5D),
+                   st_buffer(st_point(100D, 0D), 5D)) AS apart
+    """).collect()[0]
+    assert rows["touching"] is True
+    assert rows["apart"] is False
+
+
+def test_polygon_wkb_roundtrip(spark):
+    """st_polyfromwkb(st_aswkb_poly(ring)) preserves every vertex; the
+    WKB bytes follow the single-ring polygon layout."""
+    row = spark.sql("""
+        SELECT st_aswkb_poly(ring) AS wkb,
+               st_polyfromwkb(st_aswkb_poly(ring)) AS back,
+               ring
+        FROM (SELECT st_buffer(st_point(3D, 4D), 2D) AS ring)
+    """).collect()[0]
+    b = row["wkb"]
+    assert b[0] == 1
+    gtype, nrings, npts = struct.unpack_from("<III", b, 1)
+    assert (gtype, nrings, npts) == (3, 1, 9)
+    assert len(b) == 13 + 16 * 9
+    assert [(p["x"], p["y"]) for p in row["back"]] == \
+        [(p["x"], p["y"]) for p in row["ring"]]
+
+
+def test_polygon_wkb_host_helper_matches(spark):
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    b = geo.polygon_wkb(ring)
+    row = spark.sql(
+        "SELECT st_area(st_polyfromwkb(X'" + b.hex() + "')) AS area,"
+        " st_x_poly_centroid_wkb(X'" + b.hex() + "') AS cx").collect()[0]
+    assert abs(row["area"] - 16.0) < 1e-12
+    assert abs(row["cx"] - 2.0) < 1e-12
