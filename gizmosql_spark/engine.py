@@ -688,6 +688,10 @@ class Engine:
         txn.backups[table] = backup
 
     def begin_transaction(self, session_id: str) -> str:
+        """Snapshot-emulated transaction (reference: real MVCC BEGIN,
+        duckdb_server.cpp:1987-2014). Guarantees, deviations, and the
+        Delta/Iceberg upgrade path are documented in
+        docs/transactions_and_lakehouse.md."""
         st = self._session(session_id)
         if st.txn is not None:
             raise RuntimeError("transaction already open on this session")

@@ -24,6 +24,11 @@ Writes go through ``record``/``forget`` (Engine calls them after
 ingest/DDL/DML); ``prepare_write`` clears stale directories that have
 neither catalog nor manifest entries (crash leftovers) so saveAsTable
 cannot trip over them.
+
+The full deviation matrix — what the snapshot emulation guarantees vs
+real DuckDB transactions, what ``VERSION AS OF`` promises, and what a
+Delta/Iceberg swap at this seam would add — lives in
+docs/transactions_and_lakehouse.md.
 """
 
 from __future__ import annotations
