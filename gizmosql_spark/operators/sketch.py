@@ -171,7 +171,234 @@ def _oracle_one(table: str, col: str) -> str:
     """
 
 
-QUERIES = {"approx_distinct_hll": approx_distinct_hll}
+# ---------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
+# ---------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 512  # buckets per row
+
+
+def _hex_val4(c: Column) -> Column:
+    """Value of a 4-hex-char substring (16 bits)."""
+    return F.conv(c, 16, 10).cast("int")
+
+
+def _cms_row_buckets(tok: Column) -> Column:
+    """Array of (r, bucket) — the d cells one token occurrence
+    increments. Buckets from independent md5 streams (portable; same
+    reasoning as the HLL registers above)."""
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            (_hex_val4(F.substring(
+                F.md5(F.concat(F.lit(f"cms{r}:"), tok)), 1, 4)) % _CMS_W
+             ).alias("bucket"),
+        )
+        for r in range(_CMS_D)
+    ])
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min: estimate = min over d row-cells;
+    always >= exact (one-sided error bounded by 2N/w per row).
+
+    Scale shape: the sketch build is ONE partial-aggregatable
+    groupBy over d*w = 2048 cells — map-side combine caps shuffle at
+    O(d*w x partitions) regardless of corpus size, the same rollup
+    property as the HLL above. Estimation joins the (tiny) cell frame
+    back as a broadcast. The exact counts here exist only for the
+    differential error report; a production pipeline keeps the 2048
+    cells and skips the exact pass."""
+    from gizmosql_spark.operators.text import _norm
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    cells = (
+        toks.select(F.explode(_cms_row_buckets(F.col("tok"))).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "tok", "exact_count",
+        F.explode(_cms_row_buckets(F.col("tok"))).alias("rb"))
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("rb.r") == cells["r"])
+            & (F.col("rb.bucket") == cells["bucket"]))
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select(
+            F.col("tok").alias("token"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — set-membership probe
+# ---------------------------------------------------------------------
+
+_BF_M = 4096  # bits
+_BF_K = 3     # hash functions
+
+
+def _bloom_bits(tok: Column) -> Column:
+    return F.array(*[
+        _hex_val4(F.substring(
+            F.md5(F.concat(F.lit(f"bf{r}:"), tok)), 1, 4)) % _BF_M
+        for r in range(_BF_K)
+    ])
+
+
+def bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership of every corpus token against the src0
+    vocabulary, with the false-positive rate measured against exact
+    membership — the decontamination/blocklist primitive where the
+    probe set is too big to broadcast exactly but its Bloom bits are
+    tiny.
+
+    Scale shape: the filter is <= m = 4096 distinct set bits — built
+    with one distinct over the probe vocabulary, broadcast to the
+    probe join; membership = all k bits present (min over a broadcast
+    left join). The corpus side stays a scan."""
+    from gizmosql_spark.operators.text import _norm
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    probe_vocab = toks.filter(F.col("source") == "src0") \
+        .select("tok").distinct()
+    bits = (
+        probe_vocab.select(F.explode(_bloom_bits(F.col("tok"))).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    cand = toks.select("source", "tok").distinct()
+    cand_bits = cand.select(
+        "source", "tok", F.explode(_bloom_bits(F.col("tok"))).alias("bit"))
+    bloom_hit = (
+        cand_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("source", "tok")
+        .agg((F.min(F.coalesce("present", F.lit(0))) == 1).alias("bloom_pos"))
+    )
+    exact = probe_vocab.withColumn("exact_pos", F.lit(True))
+    joined = bloom_hit.join(exact, "tok", "left").select(
+        "source", "bloom_pos",
+        F.coalesce("exact_pos", F.lit(False)).alias("exact_pos"))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.col("bloom_pos").cast("int")).alias("bloom_positive"),
+            F.sum(F.col("exact_pos").cast("int")).alias("exact_positive"),
+            F.sum((F.col("bloom_pos") & ~F.col("exact_pos")).cast("int"))
+            .alias("false_positives"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "approx_distinct_hll": approx_distinct_hll,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "bloom_probe": bloom_probe,
+}
+
+def _hex4_sql(expr: str) -> str:
+    """DuckDB: value of the first 4 hex chars of an md5 string."""
+    digit = "(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+    return "(" + " + ".join(
+        digit.format(h=expr, i=i + 1) + f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + ")"
+
+
+_NORM_DUCK = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents
+    ),
+    rb AS (
+        SELECT tok, r,
+               {_hex4_sql("md5('cms' || r || ':' || tok)")} % {_CMS_W}
+                   AS bucket
+        FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) AS rows(r)
+    ),
+    cells AS (
+        SELECT r, bucket, count(*) AS c FROM rb GROUP BY r, bucket
+    ),
+    exact AS (
+        SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok
+    ),
+    probe AS (SELECT DISTINCT tok, r, bucket FROM rb),
+    est AS (
+        SELECT p.tok, min(c.c) AS est_count
+        FROM probe p JOIN cells c USING (r, bucket)
+        GROUP BY p.tok
+    )
+    SELECT e.tok AS token,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(est_count - exact_count AS BIGINT) AS overcount
+    FROM est e JOIN exact x ON e.tok = x.tok
+    ORDER BY est_count DESC, token
+    LIMIT 20
+"""
+
+_BLOOM_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+        FROM documents
+    ),
+    probe_vocab AS (
+        SELECT DISTINCT tok FROM toks WHERE source = 'src0'
+    ),
+    bits AS (
+        SELECT DISTINCT
+               {_hex4_sql("md5('bf' || r || ':' || tok)")} % {_BF_M} AS bit
+        FROM probe_vocab CROSS JOIN (VALUES (0), (1), (2)) AS rows(r)
+    ),
+    cand AS (SELECT DISTINCT source, tok FROM toks),
+    cand_bits AS (
+        SELECT source, tok, r,
+               {_hex4_sql("md5('bf' || r || ':' || tok)")} % {_BF_M} AS bit
+        FROM cand CROSS JOIN (VALUES (0), (1), (2)) AS rows(r)
+    ),
+    bloom_hit AS (
+        SELECT source, tok,
+               min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = 1
+                   AS bloom_pos
+        FROM cand_bits cb LEFT JOIN bits b ON cb.bit = b.bit
+        GROUP BY source, tok
+    ),
+    joined AS (
+        SELECT source, bloom_pos,
+               (p.tok IS NOT NULL) AS exact_pos
+        FROM bloom_hit h LEFT JOIN probe_vocab p ON h.tok = p.tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_positive,
+           CAST(sum(CASE WHEN exact_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_positive,
+           CAST(sum(CASE WHEN bloom_pos AND NOT exact_pos
+                         THEN 1 ELSE 0 END) AS BIGINT) AS false_positives
+    FROM joined GROUP BY source ORDER BY source
+"""
 
 ORACLE = {
     "approx_distinct_hll": (
@@ -180,4 +407,6 @@ ORACLE = {
         + _oracle_one("lineitem", "l_orderkey")
         + " ORDER BY column_name"
     ),
+    "cms_heavy_hitters": _CMS_ORACLE,
+    "bloom_probe": _BLOOM_ORACLE,
 }

@@ -381,8 +381,38 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → document frequency, total term
+    frequency, and the head of the sorted posting list — the core
+    retrieval/analysis structure over a training corpus.
+
+    Scale shape: one wordcount-style shuffle on token; posting lists
+    are built per token partition (sort_array over collect_list), and
+    only the 10-element head is presented — at 100 TB the full lists
+    would be written straight to a posting store, never collected.
+    Top-20 frequent tokens keeps the presented result bounded."""
+    d = _t(spark, sf_dir, "documents")
+    tok_docs = d.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    per_doc = tok_docs.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+            .alias("posting_head"),
+        )
+        .select(F.col("tok").alias("token"), "df", "tf_total", "posting_head")
+        .orderBy(F.desc("df"), F.desc("tf_total"), "token")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "inverted_index": inverted_index,
     "doc_fingerprint": doc_fingerprint,
     "text_redact_pii": text_redact_pii,
     "string_funcs2": string_funcs2,
@@ -398,6 +428,24 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "inverted_index": f"""
+        WITH tok_docs AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT tok, doc_id, count(*) AS tf
+            FROM tok_docs GROUP BY tok, doc_id
+        )
+        SELECT tok AS token,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS tf_total,
+               list_sort(list(doc_id))[1:10] AS posting_head
+        FROM per_doc
+        GROUP BY tok
+        ORDER BY df DESC, tf_total DESC, token
+        LIMIT 20
+    """,
     "unigram_logprob": """
         WITH toks AS (
             SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok

@@ -159,3 +159,62 @@ def test_hll_error_within_bound(spark, sf_dir):
 
     for r in sketch.approx_distinct_hll(spark, sf_dir).collect():
         assert r["rel_error_pct"] < 9.75, r
+
+
+def test_cms_heavy_hitters_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import sketch
+
+    compare_to_oracle(
+        sketch.cms_heavy_hitters(spark, sf_dir),
+        sketch.ORACLE["cms_heavy_hitters"], sf_dir)
+
+
+def test_cms_estimate_one_sided(spark, sf_dir):
+    """Count-Min never underestimates: est >= exact on every row."""
+    from gizmosql_spark.operators import sketch
+
+    rows = sketch.cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "no heavy hitters returned"
+    assert all(r["overcount"] >= 0 for r in rows)
+
+
+def test_bloom_probe_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import sketch
+
+    compare_to_oracle(
+        sketch.bloom_probe(spark, sf_dir),
+        sketch.ORACLE["bloom_probe"], sf_dir)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Blooms have false positives, never false negatives: every
+    exact member must be bloom-positive, so bloom_positive >=
+    exact_positive per source (and src0 probes itself exactly)."""
+    from gizmosql_spark.operators import sketch
+
+    rows = {r["source"]: r for r in
+            sketch.bloom_probe(spark, sf_dir).collect()}
+    for r in rows.values():
+        assert r["bloom_positive"] >= r["exact_positive"], r
+        assert r["bloom_positive"] - r["exact_positive"] == \
+            r["false_positives"], r
+    src0 = rows["src0"]
+    assert src0["exact_positive"] == src0["n_checked"]
+
+
+def test_inverted_index_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import text
+
+    compare_to_oracle(
+        text.inverted_index(spark, sf_dir),
+        text.ORACLE["inverted_index"], sf_dir)
+
+
+def test_inverted_index_postings_sorted(spark, sf_dir):
+    from gizmosql_spark.operators import text
+
+    for r in text.inverted_index(spark, sf_dir).collect():
+        head = r["posting_head"]
+        assert head == sorted(head)
+        assert len(head) <= 10
+        assert r["df"] >= r["tf_total"] // 10_000 and r["df"] > 0

@@ -172,3 +172,22 @@ def test_gopher_quality_partial_aggs_no_corpus_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_cms_build_is_partial_agg_and_broadcast_probe(spark, sf_dir):
+    """The 2048-cell sketch build must map-side combine (two
+    HashAggregate levels) and the estimation join must broadcast the
+    cell frame, never shuffle the corpus against it."""
+    from gizmosql_spark.operators import sketch
+
+    plan = _plan(sketch.cms_heavy_hitters(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final x2 groupBys
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_bits_broadcast(spark, sf_dir):
+    """Membership join probes the <=4096-bit frame as a broadcast."""
+    from gizmosql_spark.operators import sketch
+
+    plan = _plan(sketch.bloom_probe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
