@@ -653,6 +653,62 @@ def spatial_wkb2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-partitioned point-in-polygon JOIN — the scalable spatial
+    join: each zone polygon explodes to the coarse grid cells its
+    envelope covers, each point maps to exactly one cell, the join is
+    a plain equi-join on cell (broadcast here: the zone-cell frame is
+    tiny), and the exact st_within ray-cast runs only on
+    cell-colocated candidates. At 100 TB this is the standard
+    PIP-join shape: no all-pairs, no theta-join, shuffle keyed by
+    grid cell. The DuckDB oracle skips the grid and applies the exact
+    predicate directly — same result, proving the grid is a pure
+    optimization."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark.geo import register_geo
+
+    gf.register_all(spark)
+    register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_spj")
+    return spark.sql("""
+        WITH zones AS (
+            SELECT name, st_buffer(st_point(cx, cy), r) AS ring
+            FROM VALUES ('west',  60D,  40D, 45D),
+                        ('mid',  170D,  75D, 60D),
+                        ('east', 290D, 110D, 50D),
+                        ('north', 120D, 130D, 35D)
+                 AS z(name, cx, cy, r)
+        ),
+        -- 50-unit grid; each zone covers the cells of its envelope
+        zone_cells AS (
+            SELECT name, ring, gx, gy
+            FROM zones
+            LATERAL VIEW explode(sequence(
+                CAST(floor(array_min(transform(ring, v -> v.x)) / 50) AS INT),
+                CAST(floor(array_max(transform(ring, v -> v.x)) / 50) AS INT)
+            )) AS gx
+            LATERAL VIEW explode(sequence(
+                CAST(floor(array_min(transform(ring, v -> v.y)) / 50) AS INT),
+                CAST(floor(array_max(transform(ring, v -> v.y)) / 50) AS INT)
+            )) AS gy
+        ),
+        pts AS (
+            SELECT event_id, value,
+                   st_point(value, CAST(user_id AS DOUBLE)) AS p,
+                   CAST(floor(value / 50) AS INT) AS gx,
+                   CAST(floor(CAST(user_id AS DOUBLE) / 50) AS INT) AS gy
+            FROM events_spj
+        )
+        SELECT name,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM pts JOIN zone_cells USING (gx, gy)
+        WHERE st_within(p, ring)
+        GROUP BY name
+        ORDER BY name
+    """)
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2E array/struct/map family (LIST construction + extraction,
     duckdb_server.cpp:674-697 type contract; higher-order transforms):
@@ -725,6 +781,7 @@ QUERIES = {
     "spatial_funcs": spatial_funcs,
     "spatial_wkb": spatial_wkb,
     "spatial_wkb2": spatial_wkb2,
+    "spatial_join": spatial_join,
     "numeric_funcs2": numeric_funcs2,
     "datetime_funcs2": datetime_funcs2,
     "array_funcs": array_funcs,
@@ -1012,6 +1069,42 @@ ORACLE: dict[str, str] = {
                 AS env_hit
         FROM buf
         ORDER BY event_id
+    """,
+    "spatial_join": """
+        WITH zones AS (
+            SELECT name,
+                [ {'x': cx + r, 'y': cy},
+                  {'x': cx + r * sqrt(0.5), 'y': cy + r * sqrt(0.5)},
+                  {'x': cx, 'y': cy + r},
+                  {'x': cx - r * sqrt(0.5), 'y': cy + r * sqrt(0.5)},
+                  {'x': cx - r, 'y': cy},
+                  {'x': cx - r * sqrt(0.5), 'y': cy - r * sqrt(0.5)},
+                  {'x': cx, 'y': cy - r},
+                  {'x': cx + r * sqrt(0.5), 'y': cy - r * sqrt(0.5)},
+                  {'x': cx + r, 'y': cy} ] AS ring
+            FROM (VALUES ('west',  60.0,  40.0, 45.0),
+                         ('mid',  170.0,  75.0, 60.0),
+                         ('east', 290.0, 110.0, 50.0),
+                         ('north', 120.0, 130.0, 35.0)) AS z(name, cx, cy, r)
+        ),
+        pts AS (
+            SELECT event_id, value,
+                   {'x': value, 'y': CAST(user_id AS DOUBLE)} AS p
+            FROM events
+        )
+        SELECT name,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM pts, zones
+        WHERE (list_sum(list_transform(range(1, 9), i ->
+                CASE WHEN (ring[i]['y'] > p['y']) != (ring[i+1]['y'] > p['y'])
+                      AND p['x'] < (ring[i+1]['x'] - ring[i]['x'])
+                          * (p['y'] - ring[i]['y'])
+                          / nullif(ring[i+1]['y'] - ring[i]['y'], 0)
+                          + ring[i]['x']
+                     THEN 1 ELSE 0 END)) % 2) = 1
+        GROUP BY name
+        ORDER BY name
     """,
     "range_band_join": """
         SELECT band, count(*) AS n, sum(l_extendedprice) AS total

@@ -263,15 +263,82 @@ def manyfile_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key — the multi-dimensional data
+    layout primitive behind Delta OPTIMIZE ZORDER BY / Iceberg
+    sort-order rewrites: interleave the bits of two dimension buckets
+    so range-partitioning on the z-value co-locates rows close in
+    BOTH dimensions, letting min/max file stats prune 2-D predicates.
+
+    The query computes the 16-bit z-value per event (pure JVM bit
+    arithmetic in a higher-order fold), then reports per z-range
+    bucket the 2-D bounding box of its rows — tight boxes are the
+    whole point: each would become one file's column stats. At 100 TB
+    this is `repartitionByRange(zvalue).sortWithinPartitions` before
+    the write; here the bucket stats stand in for per-file stats."""
+    e = _t(spark, sf_dir, "events")
+    from gizmosql_spark.operators.events import load_events
+
+    e = load_events(spark, sf_dir)
+    bx = F.least(F.floor(F.col("value")), F.lit(255)).cast("int")
+    by = (F.col("user_id") % 256).cast("int")
+    z = F.expr(
+        "aggregate(sequence(0, 7), 0, (acc, i) -> acc"
+        " + shiftleft(shiftright(bx, i) % 2, 2 * i)"
+        " + shiftleft(shiftright(by, i) % 2, 2 * i + 1))"
+    )
+    return (
+        e.select("event_id", "value", "user_id",
+                 bx.alias("bx"), by.alias("by"))
+        .withColumn("z", z)
+        .withColumn("zbucket", F.floor(F.col("z") / 4096).cast("int"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bx").alias("bx_min"), F.max("bx").alias("bx_max"),
+            F.min("by").alias("by_min"), F.max("by").alias("by_max"),
+            # bbox area each bucket's file stats would cover — small =
+            # good pruning; compare against the 256x256 key space
+            ((F.max("bx") - F.min("bx") + 1)
+             * (F.max("by") - F.min("by") + 1)).alias("bbox_area"),
+        )
+        .orderBy("zbucket")
+    )
+
+
 QUERIES = {
     "salted_agg": salted_agg,
     "salted_join": salted_join,
     "bucketed_join": bucketed_join,
     "partition_pruned_agg": partition_pruned_agg,
     "manyfile_scan_agg": manyfile_scan_agg,
+    "zorder_layout": zorder_layout,
 }
 
 ORACLE: dict[str, str] = {
+    "zorder_layout": """
+        WITH keyed AS (
+            SELECT CAST(least(floor(value), 255) AS INT) AS bx,
+                   CAST(user_id % 256 AS INT) AS by
+            FROM events
+        ),
+        zed AS (
+            SELECT bx, by,
+                   CAST(list_sum(list_transform(range(0, 8), i ->
+                       (((bx >> i) % 2) << (2 * i))
+                       + (((by >> i) % 2) << (2 * i + 1)))) AS INT) AS z
+            FROM keyed
+        )
+        SELECT CAST(floor(z / 4096) AS INT) AS zbucket,
+               CAST(count(*) AS BIGINT) AS n,
+               min(bx) AS bx_min, max(bx) AS bx_max,
+               min(by) AS by_min, max(by) AS by_max,
+               CAST((max(bx) - min(bx) + 1) * (max(by) - min(by) + 1)
+                    AS INT) AS bbox_area
+        FROM zed
+        GROUP BY zbucket
+        ORDER BY zbucket
+    """,
     "salted_agg": """
         SELECT l_returnflag,
                sum(l_quantity) AS sum_qty,

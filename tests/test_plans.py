@@ -191,3 +191,15 @@ def test_bloom_bits_broadcast(spark, sf_dir):
 
     plan = _plan(sketch.bloom_probe(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_spatial_join_is_grid_equijoin(spark, sf_dir):
+    """The point-in-polygon join must go through the grid-cell
+    equi-join (hash join on gx/gy), never a nested-loop theta join of
+    corpus x polygons."""
+    from gizmosql_spark.operators import relational
+
+    plan = _plan(relational.spatial_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -49,3 +49,26 @@ def test_partition_pruning_in_plan(spark, sf_dir):
     # filter over all files
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "event_date" in pf_line
+
+
+def test_zorder_layout_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import scale
+    from gizmosql_spark.testing import compare_to_oracle
+
+    compare_to_oracle(
+        scale.zorder_layout(spark, sf_dir),
+        scale.ORACLE["zorder_layout"], sf_dir)
+
+
+def test_zorder_buckets_are_local(spark, sf_dir):
+    """Z-order's point: each z-range bucket covers a small 2-D bbox.
+    Every 4096-wide z bucket spans at most a 64x64 tile of the
+    256x256 key space (Morton property: 4096 = 2^12 -> 6 bits per
+    dimension)."""
+    from gizmosql_spark.operators import scale
+
+    rows = scale.zorder_layout(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["bx_max"] - r["bx_min"] <= 63, r
+        assert r["by_max"] - r["by_min"] <= 63, r
