@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from gizmosql_spark.operators import (
         dedup,
         events,
+        extensions,
         multimodal,
         quality,
         relational,
@@ -123,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(sketch.QUERIES)
     merged.update(streaming_windows.QUERIES)
     merged.update(scale.QUERIES)
+    merged.update(extensions.QUERIES)
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
@@ -141,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
     from gizmosql_spark.operators import (
         dedup,
         events,
+        extensions,
         multimodal,
         quality,
         relational,
@@ -168,4 +171,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketch.ORACLE)
     out.update(streaming_windows.ORACLE)
     out.update(scale.ORACLE)
+    out.update(extensions.ORACLE)
     return out

@@ -252,14 +252,105 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_PR_DAMPING = 0.85
+_PR_ROUNDS = 3
+
+
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-supplier trade graph (3 fixed
+    rounds, d = 0.85) — the iterative-graph-algorithm tier beyond
+    kmeans and label propagation: who are the most central suppliers
+    and customers in the order flow?
+
+    Graph: undirected bipartite edges customer↔supplier for every
+    distinct (o_custkey, l_suppkey) trade pair. Scale shape per
+    round: ONE shuffle join (edges ⋈ ranks on src — both node-keyed)
+    and one partial-agg shuffle on dst; the edge list and the degree
+    frame are built once and persisted. Determinism: each round's
+    ranks are rounded to 6 decimals IN the engine (same device as
+    kmeans_embeddings) so group-sum association order cannot drift
+    across engines; ties in the final top-k break on node id."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    trade = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = loader.keyed_persist(
+        spark, f"pagerank.edges:{sf_dir}",
+        lambda: trade.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(1.0).alias("pr"))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            F.round(F.lit(1 - _PR_DAMPING)
+                    + F.lit(_PR_DAMPING) * F.col("inflow"), 6).alias("pr"),
+        )
+    return (
+        ranks.select(F.col("src").alias("node"), "pr")
+        .orderBy(F.desc("pr"), "node")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "kmeans_embeddings": kmeans_embeddings,
     "sequence_pack": sequence_pack,
     "embedding_quantize": embedding_quantize,
+    "pagerank_suppliers": pagerank_suppliers,
 }
 
 ORACLE = {
+    "pagerank_suppliers": """
+        WITH trade AS (
+            SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM trade
+            UNION ALL
+            SELECT s AS src, c AS dst FROM trade
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, 1.0 AS pr FROM deg),
+        r1 AS (
+            SELECT e.dst AS node,
+                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
+            FROM edges e JOIN r0 r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT e.dst AS node,
+                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
+            FROM edges e JOIN r1 r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT e.dst AS node,
+                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
+            FROM edges e JOIN r2 r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        )
+        SELECT node, pr FROM r3
+        ORDER BY pr DESC, node
+        LIMIT 20
+    """,
     "kmeans_embeddings": """
         WITH v AS (
             SELECT vec_id,

@@ -218,3 +218,27 @@ def test_inverted_index_postings_sorted(spark, sf_dir):
         assert head == sorted(head)
         assert len(head) <= 10
         assert r["df"] >= r["tf_total"] // 10_000 and r["df"] > 0
+
+
+def test_pagerank_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import training
+
+    compare_to_oracle(
+        training.pagerank_suppliers(spark, sf_dir),
+        training.ORACLE["pagerank_suppliers"], sf_dir)
+
+
+def test_udtf_chunks_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import extensions
+
+    compare_to_oracle(
+        extensions.udtf_chunks(spark, sf_dir),
+        extensions.ORACLE["udtf_chunks"], sf_dir)
+
+
+def test_udaf_geomean_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import extensions
+
+    compare_to_oracle(
+        extensions.udaf_geomean(spark, sf_dir),
+        extensions.ORACLE["udaf_geomean"], sf_dir)
