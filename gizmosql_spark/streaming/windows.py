@@ -289,8 +289,20 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "q_stream_static_join").orderBy("tier")
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked sliding windows (1 hour / 15-minute
+    slide) driven to completion — each event fans into
+    window/slide = 4 buckets of state (oracle: the equivalent batch
+    fan-out via generate_series)."""
+    out = run_to_completion(
+        sliding_counts(read_event_stream(spark, sf_dir)), "q_stream_sliding"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
+    "stream_sliding": stream_sliding,
     "stream_session_windows": stream_session_windows,
     "stream_running_totals": stream_running_totals,
     "stream_dedup": stream_dedup,
@@ -298,6 +310,16 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "stream_sliding": """
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+                   AS window_start,
+               event_type,
+               count(*) AS n
+        FROM events
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS k) ks
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
     "stream_tumbling": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                event_type,

@@ -155,3 +155,12 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     # the watermark past 13:00, finalizing the 12:00 window with n=1
     write("c.parquet", [10 * H + H // 4, 14 * H])
     assert run("wm_run3") == {(10, 3), (12, 1)}
+
+
+def test_stream_sliding_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.streaming import windows as sw
+    from gizmosql_spark.testing import compare_to_oracle
+
+    compare_to_oracle(
+        sw.stream_sliding(spark, sf_dir),
+        sw.ORACLE["stream_sliding"], sf_dir)
