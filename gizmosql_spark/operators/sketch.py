@@ -309,10 +309,86 @@ def bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Equi-width histogram quantiles — the mergeable approx-percentile
+# ---------------------------------------------------------------------
+
+_HIST_BINS = 1000
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P50/P90/P99 of l_extendedprice from a 1000-bin equi-width
+    histogram, with the exact interpolated percentile beside it for
+    the error report.
+
+    Scale shape: Spark's exact percentile sorts values per group; the
+    histogram needs only one partial-aggregatable groupBy over 1000
+    bins (map-side combine caps the shuffle at O(bins x partitions)),
+    then a 1000-row cumulative fold — the mergeable-quantile rollup
+    every metrics pipeline runs at 100 TB. Bin edges come from a
+    min/max pass broadcast as a 1-row frame (at scale: known column
+    stats). Estimates interpolate linearly inside the covering bin —
+    deterministic closed form, identical in the oracle."""
+    from pyspark.sql import Window
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x"))
+    rng = l.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = (
+        l.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor((F.col("x") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * _HIST_BINS)
+                .cast("int"),
+            ).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.withColumn("cum", F.sum("c").over(w)) \
+                .withColumn("prev", F.col("cum") - F.col("c")) \
+                .crossJoin(F.broadcast(rng)) \
+                .crossJoin(F.broadcast(l.agg(F.count(F.lit(1)).alias("n"))))
+    qs = []
+    for q in (0.5, 0.9, 0.99):
+        target = F.lit(q) * F.col("n")
+        width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+        est = (
+            F.col("lo") + F.col("bin") * width
+            + (target - F.col("prev")) / F.col("c") * width
+        )
+        qs.append(
+            cum.filter((F.col("cum") >= target) & (F.col("prev") < target))
+            .select(F.lit(q).alias("q"), F.round(est, 4).alias("est"))
+            .limit(1)
+        )
+    hist = qs[0].unionAll(qs[1]).unionAll(qs[2])
+    # percentile is an aggregate: compute the three exact values in one
+    # agg row, then unpivot
+    exact = l.agg(
+        *[F.round(F.percentile(F.col("x"), F.lit(q)), 4).alias(f"p{i}")
+          for i, q in enumerate((0.5, 0.9, 0.99))])
+    exact = exact.select(F.explode(F.array(
+        F.struct(F.lit(0.5).alias("q"), F.col("p0").alias("exact")),
+        F.struct(F.lit(0.9).alias("q"), F.col("p1").alias("exact")),
+        F.struct(F.lit(0.99).alias("q"), F.col("p2").alias("exact")),
+    )).alias("e")).select(F.col("e.q").alias("q"), F.col("e.exact").alias("exact"))
+    return (
+        hist.join(exact, "q")
+        .select("q", F.col("est").alias("hist_est"), "exact",
+                F.round(F.abs(F.col("est") - F.col("exact"))
+                        / F.col("exact") * 100.0, 4).alias("rel_err_pct"))
+        .orderBy("q")
+    )
+
+
 QUERIES = {
     "approx_distinct_hll": approx_distinct_hll,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_probe": bloom_probe,
+    "histogram_quantiles": histogram_quantiles,
 }
 
 def _hex4_sql(expr: str) -> str:
@@ -409,4 +485,45 @@ ORACLE = {
     ),
     "cms_heavy_hitters": _CMS_ORACLE,
     "bloom_probe": _BLOOM_ORACLE,
+    "histogram_quantiles": f"""
+        WITH x AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        ),
+        rng AS (SELECT min(x) AS lo, max(x) AS hi FROM x),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+        binned AS (
+            SELECT least({_HIST_BINS - 1},
+                         CAST(floor((x - lo) / (hi - lo) * {_HIST_BINS})
+                              AS INT)) AS bin,
+                   count(*) AS c
+            FROM x, rng
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, c,
+                   sum(c) OVER (ORDER BY bin) AS cum,
+                   sum(c) OVER (ORDER BY bin) - c AS prev
+            FROM binned
+        ),
+        qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        est AS (
+            SELECT q,
+                   round(lo + bin * ((hi - lo) / {_HIST_BINS})
+                         + (q * n - prev) / c * ((hi - lo) / {_HIST_BINS}),
+                         4) AS hist_est
+            FROM qs, cum, rng, nn
+            WHERE cum >= q * n AND prev < q * n
+        ),
+        exact AS (
+            SELECT 0.5 AS q, round(quantile_cont(x, 0.5), 4) AS exact FROM x
+            UNION ALL
+            SELECT 0.9, round(quantile_cont(x, 0.9), 4) FROM x
+            UNION ALL
+            SELECT 0.99, round(quantile_cont(x, 0.99), 4) FROM x
+        )
+        SELECT e.q, hist_est, exact,
+               round(abs(hist_est - exact) / exact * 100.0, 4) AS rel_err_pct
+        FROM est e JOIN exact USING (q)
+        ORDER BY q
+    """,
 }

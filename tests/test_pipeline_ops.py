@@ -242,3 +242,20 @@ def test_udaf_geomean_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         extensions.udaf_geomean(spark, sf_dir),
         extensions.ORACLE["udaf_geomean"], sf_dir)
+
+
+def test_histogram_quantiles_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import sketch
+
+    compare_to_oracle(
+        sketch.histogram_quantiles(spark, sf_dir),
+        sketch.ORACLE["histogram_quantiles"], sf_dir)
+
+
+def test_histogram_quantiles_accuracy(spark, sf_dir):
+    """1000 equi-width bins must land within ~0.2% of the exact
+    interpolated percentile on this distribution."""
+    from gizmosql_spark.operators import sketch
+
+    for r in sketch.histogram_quantiles(spark, sf_dir).collect():
+        assert r["rel_err_pct"] < 0.2, r
