@@ -505,7 +505,7 @@ ORACLE = {
                    sum(c) OVER (ORDER BY bin) - c AS prev
             FROM binned
         ),
-        qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+        qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
         est AS (
             SELECT q,
                    round(lo + bin * ((hi - lo) / {_HIST_BINS})
@@ -515,11 +515,12 @@ ORACLE = {
             WHERE cum >= q * n AND prev < q * n
         ),
         exact AS (
-            SELECT 0.5 AS q, round(quantile_cont(x, 0.5), 4) AS exact FROM x
+            SELECT 0.5::DOUBLE AS q,
+                   round(quantile_cont(x, 0.5), 4) AS exact FROM x
             UNION ALL
-            SELECT 0.9, round(quantile_cont(x, 0.9), 4) FROM x
+            SELECT 0.9::DOUBLE, round(quantile_cont(x, 0.9), 4) FROM x
             UNION ALL
-            SELECT 0.99, round(quantile_cont(x, 0.99), 4) FROM x
+            SELECT 0.99::DOUBLE, round(quantile_cont(x, 0.99), 4) FROM x
         )
         SELECT e.q, hist_est, exact,
                round(abs(hist_est - exact) / exact * 100.0, 4) AS rel_err_pct

@@ -24,6 +24,9 @@ _COMPAT = {
     "DATE": {"date"},
     "TIMESTAMP": {"timestamp", "timestamp_ntz"},
     "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BIGINT[]": {"array<bigint>"},
+    "DOUBLE[]": {"array<double>"},
+    "VARCHAR[]": {"array<string>"},
 }
 
 
