@@ -280,16 +280,25 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = loader.keyed_persist(
-        spark, f"pagerank.edges:{sf_dir}",
-        lambda: trade.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst"))))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ranks = deg.select("src", F.lit(1.0).alias("pr"))
+    def _build_weighted():
+        edges = trade.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        return edges.join(deg, "src")
+
+    # degree pre-joined ONCE; per round the node-sized rank frame
+    # broadcasts into the edge scan, so each iteration costs exactly
+    # one partial-agg shuffle (contributions combine map-side to
+    # <= nodes x partitions). Node frames stay broadcastable far past
+    # this scale (~16 bytes/node); at billions of nodes the same code
+    # minus the broadcast hint is the node-keyed shuffle join.
+    wedges = loader.keyed_persist(
+        spark, f"pagerank.wedges:{sf_dir}", _build_weighted)
+    ranks = wedges.select("src").distinct().withColumn("pr", F.lit(1.0))
     for _ in range(_PR_ROUNDS):
         contrib = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
+            wedges.join(F.broadcast(ranks), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
         )
