@@ -50,25 +50,22 @@ _PRIORITY = [
     "variant_funcs",        # Spark 4 VariantType
     "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier)
     "spatial_wkb2",         # polygon tier: buffer/area/centroid/within
-    # events
-    "events_json",
+    # events (JSON extraction family is repped by json_funcs above)
     "events_asof_join",
     "events_sessionize",
     # text analysis
     "lang_id",
     "tfidf_top_terms",
     "unigram_logprob",
-    # dedup tier
+    # dedup tier (simhash verified by repo harness)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_clusters",
     # similarity tier
     "ann_bruteforce_topk",
     "ann_ivf",
     "embedding_neardup_lsh",
-    # multimodal
-    "multimodal_meta",
+    # multimodal (meta tier verified by repo harness)
     "multimodal_features",
     # sampling / dataset splitting
     "dataset_split",
@@ -78,7 +75,9 @@ _PRIORITY = [
     "sequence_pack",
     "embedding_quantize",
     "kmeans_embeddings",
+    "pagerank_suppliers",    # iterative graph tier (round-3 addition)
     "approx_distinct_hll",
+    "cms_heavy_hitters",     # Count-Min sketch (round-3 addition)
     # streaming (includes both r2 FAILs + the session-window re-run
     # FAIL, all fixed r3 — kept here so the fix is officially recorded)
     "stream_tumbling",
