@@ -297,6 +297,67 @@ _GEO_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # polygon WKB bridge (binary wire form of the ring tier)
     "st_x_poly_centroid_wkb": (
         "(b BINARY) RETURNS DOUBLE", "st_centroid(st_polyfromwkb(b)).x"),
+    # --- third batch: envelope / affine / measure functions ----------
+    "st_envelope": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS STRUCT<xmin: DOUBLE, ymin: DOUBLE,"
+        " xmax: DOUBLE, ymax: DOUBLE>",
+        "named_struct("
+        "'xmin', array_min(transform(ring, v -> v.x)),"
+        "'ymin', array_min(transform(ring, v -> v.y)),"
+        "'xmax', array_max(transform(ring, v -> v.x)),"
+        "'ymax', array_max(transform(ring, v -> v.y)))",
+    ),
+    "st_translate": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, dx DOUBLE, dy DOUBLE)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "transform(ring, v -> named_struct('x', v.x + dx, 'y', v.y + dy))",
+    ),
+    "st_scale": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, fx DOUBLE, fy DOUBLE)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "transform(ring, v -> named_struct('x', v.x * fx, 'y', v.y * fy))",
+    ),
+    # rotation by quarter turns about the origin (exact — no trig)
+    "st_rotate90": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, n INT)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "CASE CAST(((n % 4) + 4) % 4 AS INT)"
+        " WHEN 0 THEN ring"
+        " WHEN 1 THEN transform(ring, v -> named_struct('x', -v.y, 'y', v.x))"
+        " WHEN 2 THEN transform(ring, v -> named_struct('x', -v.x, 'y', -v.y))"
+        " ELSE transform(ring, v -> named_struct('x', v.y, 'y', -v.x)) END",
+    ),
+    "st_makeline": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "array(a, b)",
+    ),
+    # open-path length (perimeter minus the closing assumption)
+    "st_length": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS DOUBLE",
+        "aggregate(sequence(1, size(line) - 1), 0d, (acc, i) ->"
+        " acc + sqrt("
+        " (element_at(line, i).x - element_at(line, i + 1).x)"
+        " * (element_at(line, i).x - element_at(line, i + 1).x)"
+        " + (element_at(line, i).y - element_at(line, i + 1).y)"
+        " * (element_at(line, i).y - element_at(line, i + 1).y)))",
+    ),
+    "st_isclosed": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS BOOLEAN",
+        "size(ring) >= 2 AND element_at(ring, 1) = element_at(ring, -1)",
+    ),
+    "st_pointn": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, n INT)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "element_at(ring, n)",
+    ),
+    "st_contains_env": (
+        "(env STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BOOLEAN",
+        "p.x >= env.xmin AND p.x <= env.xmax"
+        " AND p.y >= env.ymin AND p.y <= env.ymax",
+    ),
 }
 
 _REGISTERED: set[int] = set()

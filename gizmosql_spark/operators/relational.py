@@ -653,6 +653,44 @@ def spatial_wkb2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third spatial batch (reference "100+ functions" contract,
+    docs/geometry.md): ST_Envelope, ST_Translate, ST_Scale,
+    ST_Rotate90, ST_MakeLine/ST_Length, ST_PointN, ST_IsClosed,
+    ST_Contains(envelope). Every output column has an exact closed
+    form (affine ops on the IEEE-exact octagon vertices — no trig, no
+    accumulation), so the oracle reproduces each value bit-for-bit."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark.geo import register_geo
+
+    gf.register_all(spark)
+    register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp2")
+    return spark.sql("""
+        WITH src AS (
+            SELECT event_id, value,
+                   st_point(value, CAST(user_id AS DOUBLE)) AS p,
+                   value / 20D + 1D AS r
+            FROM events_sp2 WHERE event_id < 2000
+        ),
+        b AS (SELECT event_id, p, r, st_buffer(p, r) AS ring FROM src)
+        SELECT event_id,
+               st_envelope(ring).xmin AS env_xmin,
+               st_envelope(ring).ymax AS env_ymax,
+               st_envelope(st_scale(ring, 2D, 3D)).xmax AS scaled_xmax,
+               st_envelope(st_translate(ring, 10D, -5D)).ymin AS trans_ymin,
+               st_pointn(ring, 3).y AS p3y,
+               st_isclosed(ring) AS closed,
+               round(st_length(st_makeline(p, st_point(50D, 50D))), 6)
+                   AS seg_len,
+               st_contains_env(st_envelope(ring), st_point(50D, 50D))
+                   AS env_has_center,
+               st_pointn(st_rotate90(ring, 1), 1).x AS rot_x
+        FROM b
+        ORDER BY event_id
+    """)
+
+
 def spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-partitioned point-in-polygon JOIN — the scalable spatial
     join: each zone polygon explodes to the coarse grid cells its
@@ -781,6 +819,7 @@ QUERIES = {
     "spatial_funcs": spatial_funcs,
     "spatial_wkb": spatial_wkb,
     "spatial_wkb2": spatial_wkb2,
+    "spatial_funcs2": spatial_funcs2,
     "spatial_join": spatial_join,
     "numeric_funcs2": numeric_funcs2,
     "datetime_funcs2": datetime_funcs2,
@@ -1068,6 +1107,28 @@ ORACLE: dict[str, str] = {
                 <= list_aggregate(list_transform(ring, v -> v['y']), 'max')
                 AS env_hit
         FROM buf
+        ORDER BY event_id
+    """,
+    "spatial_funcs2": """
+        WITH src AS (
+            SELECT event_id, value,
+                   CAST(user_id AS DOUBLE) AS uy,
+                   value / 20 + 1 AS r
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               value - r AS env_xmin,
+               uy + r AS env_ymax,
+               (value + r) * 2 AS scaled_xmax,
+               (uy - r) + (-5) AS trans_ymin,
+               uy + r AS p3y,
+               true AS closed,
+               round(sqrt((value - 50) * (value - 50)
+                          + (uy - 50) * (uy - 50)), 6) AS seg_len,
+               50 >= value - r AND 50 <= value + r
+                   AND 50 >= uy - r AND 50 <= uy + r AS env_has_center,
+               -uy AS rot_x
+        FROM src
         ORDER BY event_id
     """,
     "spatial_join": """

@@ -201,3 +201,29 @@ def test_polygon_wkb_host_helper_matches(spark):
         " st_x_poly_centroid_wkb(X'" + b.hex() + "') AS cx").collect()[0]
     assert abs(row["area"] - 16.0) < 1e-12
     assert abs(row["cx"] - 2.0) < 1e-12
+
+
+def test_affine_and_measure_functions(spark):
+    """Third-batch functions: envelope, translate, scale, rotate90,
+    makeline/length, pointn, isclosed on a known square."""
+    row = spark.sql("""
+        WITH sq AS (SELECT array(
+            st_point(0D, 0D), st_point(4D, 0D), st_point(4D, 4D),
+            st_point(0D, 4D), st_point(0D, 0D)) AS ring)
+        SELECT st_envelope(ring) AS env,
+               st_envelope(st_translate(ring, 1D, 2D)) AS tenv,
+               st_envelope(st_scale(ring, 2D, 0.5D)) AS senv,
+               st_pointn(st_rotate90(ring, 1), 2) AS rp,
+               st_length(st_makeline(st_point(0D, 0D), st_point(3D, 4D)))
+                   AS len,
+               st_isclosed(ring) AS closed,
+               st_isclosed(slice(ring, 1, 4)) AS open
+        FROM sq
+    """).collect()[0]
+    assert (row["env"]["xmin"], row["env"]["ymax"]) == (0.0, 4.0)
+    assert (row["tenv"]["xmin"], row["tenv"]["ymax"]) == (1.0, 6.0)
+    assert (row["senv"]["xmax"], row["senv"]["ymax"]) == (8.0, 2.0)
+    # rotate90 of (4,0) -> (0,4)
+    assert (row["rp"]["x"], row["rp"]["y"]) == (0.0, 4.0)
+    assert row["len"] == 5.0
+    assert row["closed"] is True and row["open"] is False

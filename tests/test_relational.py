@@ -36,3 +36,12 @@ def test_spatial_wkb2_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         relational.spatial_wkb2(spark, sf_dir),
         relational.ORACLE["spatial_wkb2"], sf_dir)
+
+
+def test_spatial_funcs2_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import relational
+    from gizmosql_spark.testing import compare_to_oracle
+
+    compare_to_oracle(
+        relational.spatial_funcs2(spark, sf_dir),
+        relational.ORACLE["spatial_funcs2"], sf_dir)
