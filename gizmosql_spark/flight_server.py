@@ -634,7 +634,10 @@ class FlightEngineServer(flight.FlightServerBase):
         proto_tier = [
             flight.ActionType(name, "Flight SQL protobuf action")
             for name in sorted(self._PROTO_ACTIONS)]
-        return json_tier + proto_tier
+        session_tier = [
+            flight.ActionType(name, "Flight session-spec action")
+            for name in sorted(self._SESSION_ACTIONS)]
+        return json_tier + proto_tier + session_tier
 
     #: Flight SQL protobuf action names (the stock client's DoAction
     #: types; bodies and results are Any-wrapped messages)
@@ -642,6 +645,52 @@ class FlightEngineServer(flight.FlightServerBase):
         "CreatePreparedStatement", "ClosePreparedStatement",
         "BeginTransaction", "EndTransaction",
     })
+    #: Flight-core session-spec actions: bodies/results are the raw
+    #: serialized arrow.flight.protocol messages (no Any), matching
+    #: the stock FlightClient session API
+    _SESSION_ACTIONS = frozenset({
+        "SetSessionOptions", "GetSessionOptions", "CloseSession",
+    })
+
+    def _do_session_action(self, context, name: str, raw: bytes):
+        sid = self._implicit_session(context)
+        if name == "SetSessionOptions":
+            req = fsp.decode("SetSessionOptionsRequest", raw or b"")
+            errors: dict[str, dict] = {}
+            for key, val in req["session_options"].items():
+                value = fsp.session_option_python(val)
+                try:
+                    if key == "catalog":
+                        self.engine.set_session_options(
+                            sid, catalog=str(value))
+                    elif key in ("schema", "database"):
+                        self.engine.set_session_options(
+                            sid, schema=str(value))
+                    else:
+                        # engine settings registry handles the rest
+                        self.engine.execute_sql(
+                            sid, f"SET engine.{key} = '{value}'")
+                except Exception:
+                    errors[key] = {"value": 1}  # INVALID_NAME
+            return iter([flight.Result(fsp.encode(
+                "SetSessionOptionsResult", {"errors": errors}))])
+        if name == "GetSessionOptions":
+            opts = self._wrap_errors(self.engine.get_session_options, sid)
+            return iter([flight.Result(fsp.encode(
+                "GetSessionOptionsResult",
+                {"session_options": {
+                    k: fsp.session_option_value(v)
+                    for k, v in opts.items()}}))])
+        if name == "CloseSession":
+            self.engine.close_session(sid)
+            claims = self._claims(context)
+            with self._implicit_lock:
+                self._implicit_sessions.pop(
+                    f"sub:{claims.get('sub', 'anonymous')}", None)
+            return iter([flight.Result(fsp.encode(
+                "CloseSessionResult",
+                {"status": fsp.CLOSE_SESSION_CLOSED}))])
+        raise flight.FlightServerError(f"unknown action: {name}")
 
     def _do_proto_action(self, context, name: str, raw: bytes):
         decoded = fsp.unpack_any(raw) if raw else None
@@ -684,6 +733,9 @@ class FlightEngineServer(flight.FlightServerBase):
         name = action.type
         if name in self._PROTO_ACTIONS:
             return self._do_proto_action(
+                context, name, action.body.to_pybytes())
+        if name in self._SESSION_ACTIONS:
+            return self._do_session_action(
                 context, name, action.body.to_pybytes())
         body = json.loads(action.body.to_pybytes().decode("utf-8") or "{}")
         claims = self._claims(context)

@@ -206,6 +206,36 @@ MESSAGES: dict[str, list[tuple[int, str, str]]] = {
         (1, "type_url", "string"),
         (2, "value", "bytes"),
     ],
+    # --- Flight-core session spec (arrow.flight.protocol package) ----
+    # These action bodies/results are serialized DIRECTLY (no Any
+    # wrapping), matching the stock client implementations.
+    "StringListValue": [
+        (1, "values", "rep_string"),
+    ],
+    "SessionOptionValue": [  # oneof option_value: at most one set
+        (1, "string_value", "string"),
+        (2, "bool_value", "bool"),
+        (3, "int64_value", "int64"),
+        (4, "double_value", "double"),
+        (5, "string_list_value", "msg:StringListValue"),
+    ],
+    "SetSessionOptionsRequest": [
+        (1, "session_options", "map_msg:SessionOptionValue"),
+    ],
+    "SetSessionOptionsResult.Error": [
+        (1, "value", "enum"),  # 1=INVALID_NAME 2=INVALID_VALUE 3=ERROR
+    ],
+    "SetSessionOptionsResult": [
+        (1, "errors", "map_msg:SetSessionOptionsResult.Error"),
+    ],
+    "GetSessionOptionsRequest": [],
+    "GetSessionOptionsResult": [
+        (1, "session_options", "map_msg:SessionOptionValue"),
+    ],
+    "CloseSessionRequest": [],
+    "CloseSessionResult": [
+        (1, "status", "enum"),  # 1=CLOSED 2=CLOSING 3=NOT_CLOSEABLE
+    ],
 }
 
 #: enum value names for TableDefinitionOptions (public FlightSql.proto)
@@ -259,10 +289,22 @@ def encode(message: str, values: dict[str, _PyAny]) -> bytes:
         elif kind == "rep_string":
             for item in v:
                 out += _len_delimited(number, item.encode("utf-8"))
+        elif kind == "double":
+            if v != 0.0:
+                import struct as _struct
+
+                out += _tag(number, 1) + _struct.pack("<d", float(v))
         elif kind == "map_str":
             for k in sorted(v):
                 entry = _len_delimited(1, k.encode("utf-8")) + _len_delimited(
                     2, v[k].encode("utf-8")
+                )
+                out += _len_delimited(number, entry)
+        elif kind.startswith("map_msg:"):
+            inner = kind[8:]
+            for k in sorted(v):
+                entry = _len_delimited(1, k.encode("utf-8")) + _len_delimited(
+                    2, encode(inner, v[k])
                 )
                 out += _len_delimited(number, entry)
         elif kind.startswith("msg:"):
@@ -288,7 +330,9 @@ def decode(message: str, buf: bytes) -> dict[str, _PyAny]:
             out[name] = 0
         elif kind in ("rep_uint32", "rep_string"):
             out[name] = []
-        elif kind == "map_str":
+        elif kind == "double":
+            out[name] = 0.0
+        elif kind == "map_str" or kind.startswith("map_msg:"):
             out[name] = {}
         elif kind.startswith("msg:"):
             out[name] = None
@@ -301,7 +345,12 @@ def decode(message: str, buf: bytes) -> dict[str, _PyAny]:
             pos = _skip_field(buf, pos, wire_type)
             continue
         name, kind = spec
-        if kind in ("bool", "int32", "int64", "uint32", "enum"):
+        if kind == "double":
+            import struct as _struct
+
+            out[name] = _struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+        elif kind in ("bool", "int32", "int64", "uint32", "enum"):
             v, pos = decode_varint(buf, pos)
             if kind == "bool":
                 out[name] = bool(v)
@@ -334,12 +383,49 @@ def decode(message: str, buf: bytes) -> dict[str, _PyAny]:
             elif kind == "map_str":
                 entry = decode("_MapEntry", payload)
                 out[name][entry["key"]] = entry["value"]
+            elif kind.startswith("map_msg:"):
+                entry = decode("_MapMsgEntry", payload)
+                out[name][entry["key"]] = decode(kind[8:], entry["value"])
             elif kind.startswith("msg:"):
                 out[name] = decode(kind[4:], payload)
     return out
 
 
 MESSAGES["_MapEntry"] = [(1, "key", "string"), (2, "value", "string")]
+MESSAGES["_MapMsgEntry"] = [(1, "key", "string"), (2, "value", "bytes")]
+
+SESSION_OPTIONS_SET_OK = 0
+CLOSE_SESSION_CLOSED = 1
+
+
+def session_option_value(v) -> dict:
+    """Python value → SessionOptionValue oneof dict."""
+    if isinstance(v, bool):
+        return {"bool_value": v}
+    if isinstance(v, int):
+        return {"int64_value": v}
+    if isinstance(v, float):
+        return {"double_value": v}
+    if isinstance(v, (list, tuple)):
+        return {"string_list_value": {"values": [str(x) for x in v]}}
+    return {"string_value": str(v)}
+
+
+def session_option_python(msg: dict):
+    """SessionOptionValue oneof dict → Python value (proto3 cannot
+    distinguish an unset oneof from zero defaults, so precedence:
+    list > string > bool > int64 > double)."""
+    if msg.get("string_list_value") and msg["string_list_value"]["values"]:
+        return list(msg["string_list_value"]["values"])
+    if msg.get("string_value"):
+        return msg["string_value"]
+    if msg.get("bool_value"):
+        return True
+    if msg.get("int64_value"):
+        return msg["int64_value"]
+    if msg.get("double_value"):
+        return msg["double_value"]
+    return msg.get("string_value", "")
 
 
 # ---------------------------------------------------------------------

@@ -458,3 +458,54 @@ def test_json_dialect_still_works(client, opts, server):
     info = client.get_flight_info(desc, options=opts)
     table = client.do_get(info.endpoints[0].ticket, options=opts).read_all()
     assert table.column("seven").to_pylist() == [7]
+
+
+def test_session_option_value_golden():
+    # string_value field 1: 0x0A len payload
+    assert fsp.encode("SessionOptionValue", {"string_value": "abc"}) == \
+        b"\x0a\x03abc"
+    # int64_value field 3 varint: tag 0x18
+    assert fsp.encode("SessionOptionValue", {"int64_value": 7}) == b"\x18\x07"
+    # double_value field 4, wire type 1: tag 0x21 + IEEE bytes
+    import struct
+
+    assert fsp.encode("SessionOptionValue", {"double_value": 1.5}) == \
+        b"\x21" + struct.pack("<d", 1.5)
+    # map<string, SessionOptionValue> round-trip
+    req = fsp.encode(
+        "SetSessionOptionsRequest",
+        {"session_options": {"schema": {"string_value": "default"}}})
+    back = fsp.decode("SetSessionOptionsRequest", req)
+    assert back["session_options"]["schema"]["string_value"] == "default"
+
+
+def test_session_spec_actions(client, opts, server):
+    """The Flight session spec over raw protobuf bodies: set options,
+    read them back, close the session."""
+    # set a valid schema and an invalid engine option
+    req = fsp.encode("SetSessionOptionsRequest", {
+        "session_options": {
+            "schema": fsp.session_option_value("default"),
+            "no_such_option": fsp.session_option_value(1),
+        }})
+    res = list(client.do_action(
+        flight.Action("SetSessionOptions", req), options=opts))
+    result = fsp.decode("SetSessionOptionsResult", res[0].body.to_pybytes())
+    assert "no_such_option" in result["errors"]
+    assert "schema" not in result["errors"]
+
+    res = list(client.do_action(
+        flight.Action("GetSessionOptions", b""), options=opts))
+    got = fsp.decode("GetSessionOptionsResult", res[0].body.to_pybytes())
+    opts_map = {k: fsp.session_option_python(v)
+                for k, v in got["session_options"].items()}
+    assert opts_map["schema"] == "default"
+    assert opts_map["catalog"] == "spark_catalog"
+
+    res = list(client.do_action(
+        flight.Action("CloseSession", b""), options=opts))
+    closed = fsp.decode("CloseSessionResult", res[0].body.to_pybytes())
+    assert closed["status"] == fsp.CLOSE_SESSION_CLOSED
+    # a fresh implicit session is minted on the next call
+    t = _query(client, opts, "SELECT 1 AS one")
+    assert t.column("one").to_pylist() == [1]
