@@ -643,13 +643,14 @@ class FlightEngineServer(flight.FlightServerBase):
     #: types; bodies and results are Any-wrapped messages)
     _PROTO_ACTIONS = frozenset({
         "CreatePreparedStatement", "ClosePreparedStatement",
-        "BeginTransaction", "EndTransaction",
+        "BeginTransaction", "EndTransaction", "CancelQuery",
     })
     #: Flight-core session-spec actions: bodies/results are the raw
     #: serialized arrow.flight.protocol messages (no Any), matching
     #: the stock FlightClient session API
     _SESSION_ACTIONS = frozenset({
         "SetSessionOptions", "GetSessionOptions", "CloseSession",
+        "CancelFlightInfo",
     })
 
     def _do_session_action(self, context, name: str, raw: bytes):
@@ -681,6 +682,13 @@ class FlightEngineServer(flight.FlightServerBase):
                 {"session_options": {
                     k: fsp.session_option_value(v)
                     for k, v in opts.items()}}))])
+        if name == "CancelFlightInfo":
+            # engine cancellation is session-scoped (job-group cancel);
+            # the embedded FlightInfo is not needed to target it
+            self._wrap_errors(self.engine.cancel, sid)
+            return iter([flight.Result(fsp.encode(
+                "CancelFlightInfoResult",
+                {"status": fsp.CANCEL_STATUS_CANCELLED}))])
         if name == "CloseSession":
             self.engine.close_session(sid)
             claims = self._claims(context)
@@ -727,6 +735,11 @@ class FlightEngineServer(flight.FlightServerBase):
             commit = body.get("action") != fsp.END_TRANSACTION_ROLLBACK
             self._wrap_errors(self.engine.end_transaction, sid, commit)
             return iter([])
+        if name == "CancelQuery":
+            self._wrap_errors(self.engine.cancel, sid)
+            return iter([flight.Result(fsp.pack_any(
+                "ActionCancelQueryResult",
+                {"result": fsp.CANCEL_STATUS_CANCELLED}))])
         raise flight.FlightServerError(f"unknown action: {name}")
 
     def do_action(self, context, action):

@@ -236,6 +236,21 @@ MESSAGES: dict[str, list[tuple[int, str, str]]] = {
     "CloseSessionResult": [
         (1, "status", "enum"),  # 1=CLOSED 2=CLOSING 3=NOT_CLOSEABLE
     ],
+    # flight-core cancel: the embedded FlightInfo is opaque here (the
+    # engine cancels per session, not per ticket)
+    "CancelFlightInfoRequest": [
+        (1, "info", "bytes"),
+    ],
+    "CancelFlightInfoResult": [
+        (1, "status", "enum"),  # 1=CANCELLED 2=CANCELLING 3=NOT_CANCELLABLE
+    ],
+    # legacy Flight SQL cancel (Any-wrapped like the other sql actions)
+    "ActionCancelQueryRequest": [
+        (1, "info", "bytes"),
+    ],
+    "ActionCancelQueryResult": [
+        (1, "result", "enum"),  # 1=CANCELLED 2=CANCELLING 3=NOT_CANCELLABLE
+    ],
 }
 
 #: enum value names for TableDefinitionOptions (public FlightSql.proto)
@@ -396,6 +411,7 @@ MESSAGES["_MapMsgEntry"] = [(1, "key", "string"), (2, "value", "bytes")]
 
 SESSION_OPTIONS_SET_OK = 0
 CLOSE_SESSION_CLOSED = 1
+CANCEL_STATUS_CANCELLED = 1
 
 
 def session_option_value(v) -> dict:

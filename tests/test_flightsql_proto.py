@@ -509,3 +509,22 @@ def test_session_spec_actions(client, opts, server):
     # a fresh implicit session is minted on the next call
     t = _query(client, opts, "SELECT 1 AS one")
     assert t.column("one").to_pylist() == [1]
+
+
+def test_cancel_actions(client, opts):
+    """Both cancel verbs: flight-core CancelFlightInfo (raw body) and
+    the legacy Flight SQL CancelQuery (Any-wrapped)."""
+    res = list(client.do_action(
+        flight.Action("CancelFlightInfo",
+                      fsp.encode("CancelFlightInfoRequest", {})),
+        options=opts))
+    out = fsp.decode("CancelFlightInfoResult", res[0].body.to_pybytes())
+    assert out["status"] == fsp.CANCEL_STATUS_CANCELLED
+
+    res = list(client.do_action(
+        flight.Action("CancelQuery",
+                      fsp.pack_any("ActionCancelQueryRequest", {})),
+        options=opts))
+    name, out = fsp.unpack_any(res[0].body.to_pybytes())
+    assert name == "ActionCancelQueryResult"
+    assert out["result"] == fsp.CANCEL_STATUS_CANCELLED
