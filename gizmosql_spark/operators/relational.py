@@ -80,6 +80,27 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per-customer 30-day trailing order
+    total and count — the moving-window-over-time capability ROWS
+    frames cannot express (peers are selected by VALUE distance, not
+    row position; identical semantics in both engines). One shuffle
+    on the partition key, sorted within partitions."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_wtr")
+    return spark.sql("""
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               round(sum(o_totalprice) OVER w, 4) AS trailing_30d_total,
+               count(*) OVER w AS trailing_30d_n
+        FROM orders_wtr
+        WHERE o_custkey < 200
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY CAST(o_orderdate AS TIMESTAMP)
+            RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderdate, o_orderkey
+    """)
+
+
 def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ranking-family coverage: dense_rank / percent_rank /
     cume_dist / ntile / first_value / last_value over one window."""
@@ -691,6 +712,39 @@ def spatial_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join (entity resolution): misspelled probe names
+    match catalog part names via token-overlap blocking + Levenshtein
+    verification — the standard ER shape (never all-pairs: candidates
+    come from an equi-join on a shared token, the edit distance runs
+    only on blocked candidates). Seeds from the reference's advertised
+    LEVENSHTEIN/EDITDIST3 contract (duckdb_sql_info.cpp:159-162)."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_fj")
+    return spark.sql("""
+        WITH probes AS (
+            SELECT probe FROM VALUES ('smal ring'), ('red wdget'),
+                ('blue boltt'), ('hot gear'), ('grene gizmo')
+                AS p(probe)
+        ),
+        p_tok AS (
+            SELECT probe, explode(split(probe, ' ')) AS tok FROM probes
+        ),
+        n_tok AS (
+            SELECT p_partkey, p_name, explode(split(p_name, ' ')) AS tok
+            FROM part_fj
+        ),
+        cand AS (
+            SELECT DISTINCT probe, p_partkey, p_name
+            FROM p_tok JOIN n_tok USING (tok)
+        )
+        SELECT probe, p_partkey, p_name,
+               CAST(levenshtein(probe, p_name) AS INT) AS dist
+        FROM cand
+        WHERE levenshtein(probe, p_name) <= 2
+        ORDER BY probe, p_partkey
+    """)
+
+
 def spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-partitioned point-in-polygon JOIN — the scalable spatial
     join: each zone polygon explodes to the coarse grid cells its
@@ -821,6 +875,7 @@ QUERIES = {
     "spatial_wkb2": spatial_wkb2,
     "spatial_funcs2": spatial_funcs2,
     "spatial_join": spatial_join,
+    "fuzzy_join": fuzzy_join,
     "numeric_funcs2": numeric_funcs2,
     "datetime_funcs2": datetime_funcs2,
     "array_funcs": array_funcs,
@@ -829,6 +884,7 @@ QUERIES = {
     "recursive_cte": recursive_cte,
     "lateral_join": lateral_join,
     "window_rank_funcs": window_rank_funcs,
+    "window_time_range": window_time_range,
     "agg_funcs": agg_funcs,
     "decimal_agg": decimal_agg,
     "unpivot_metrics": unpivot_metrics,
@@ -1108,6 +1164,43 @@ ORACLE: dict[str, str] = {
                 AS env_hit
         FROM buf
         ORDER BY event_id
+    """,
+    "fuzzy_join": """
+        WITH probes AS (
+            SELECT probe FROM (VALUES ('smal ring'), ('red wdget'),
+                ('blue boltt'), ('hot gear'), ('grene gizmo'))
+                AS p(probe)
+        ),
+        p_tok AS (
+            SELECT probe, unnest(string_split(probe, ' ')) AS tok
+            FROM probes
+        ),
+        n_tok AS (
+            SELECT p_partkey, p_name,
+                   unnest(string_split(p_name, ' ')) AS tok
+            FROM part
+        ),
+        cand AS (
+            SELECT DISTINCT probe, p_partkey, p_name
+            FROM p_tok JOIN n_tok USING (tok)
+        )
+        SELECT probe, p_partkey, p_name,
+               CAST(levenshtein(probe, p_name) AS INT) AS dist
+        FROM cand
+        WHERE levenshtein(probe, p_name) <= 2
+        ORDER BY probe, p_partkey
+    """,
+    "window_time_range": """
+        SELECT o_custkey, o_orderdate, o_orderkey,
+               round(sum(o_totalprice) OVER w, 4) AS trailing_30d_total,
+               count(*) OVER w AS trailing_30d_n
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY CAST(o_orderdate AS TIMESTAMP)
+            RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderdate, o_orderkey
     """,
     "spatial_funcs2": """
         WITH src AS (
