@@ -300,9 +300,59 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → managed-table sink via foreachBatch: each
+    micro-batch of the watermarked tumbling aggregation appends into a
+    parquet-backed table, and the query returns a rollup read back
+    from that table. This is the lakehouse landing pattern (streaming
+    ETL into queryable storage); foreachBatch gives the batch-writer
+    API (mode control, table formats) inside the streaming runtime.
+    Checkpointed in a temp dir per run; a deployment pins the
+    checkpoint for exactly-once appends across restarts."""
+    import tempfile
+
+    table = "stream_sink_rollup_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    agg = tumbling_counts(read_event_stream(spark, sf_dir))
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").saveAsTable(table)
+
+    part_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, prev)
+    out = (
+        spark.table(table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("total"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    result = out.collect()
+    df = spark.createDataFrame(result, out.schema)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    return df
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
     "stream_sliding": stream_sliding,
+    "stream_sink_table": stream_sink_table,
     "stream_session_windows": stream_session_windows,
     "stream_running_totals": stream_running_totals,
     "stream_dedup": stream_dedup,
@@ -310,6 +360,19 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "stream_sink_table": """
+        WITH w AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type, count(*) AS n, sum(value) AS total
+            FROM events
+            GROUP BY window_start, event_type
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(sum(total), 4) AS total_value
+        FROM w GROUP BY event_type ORDER BY event_type
+    """,
     "stream_sliding": """
         SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
                    AS window_start,

@@ -164,3 +164,12 @@ def test_stream_sliding_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         sw.stream_sliding(spark, sf_dir),
         sw.ORACLE["stream_sliding"], sf_dir)
+
+
+def test_stream_sink_table_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.streaming import windows as sw
+    from gizmosql_spark.testing import compare_to_oracle
+
+    compare_to_oracle(
+        sw.stream_sink_table(spark, sf_dir),
+        sw.ORACLE["stream_sink_table"], sf_dir)
