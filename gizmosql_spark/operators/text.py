@@ -410,9 +410,50 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage analysis: fix the vocabulary to the top-50
+    corpus tokens and measure each source's out-of-vocabulary rate —
+    the go/no-go metric when sizing a tokenizer vocabulary against a
+    new data mixture.
+
+    Scale shape: one wordcount shuffle builds the vocabulary
+    (TakeOrdered keeps it top-k, never a global sort), the vocabulary
+    broadcasts back as a left join, and the per-source rollup is a
+    partial agg — the corpus is scanned twice, never shuffled on
+    rows."""
+    from gizmosql_spark.operators import loader
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    uni = loader.keyed_persist(
+        spark,
+        f"unigram_counts_src:{sf_dir}",
+        lambda: toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+    )
+    vocab = (
+        uni.orderBy(F.desc("c"), "tok").limit(50)
+        .select("tok").withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "inverted_index": inverted_index,
+    "vocab_oov_rate": vocab_oov_rate,
     "doc_fingerprint": doc_fingerprint,
     "text_redact_pii": text_redact_pii,
     "string_funcs2": string_funcs2,
@@ -428,6 +469,25 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "vocab_oov_rate": f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM toks GROUP BY tok
+            ) ORDER BY c DESC, tok LIMIT 50
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+                     / count(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY source ORDER BY source
+    """,
     "inverted_index": f"""
         WITH tok_docs AS (
             SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok

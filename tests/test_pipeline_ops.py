@@ -259,3 +259,11 @@ def test_histogram_quantiles_accuracy(spark, sf_dir):
 
     for r in sketch.histogram_quantiles(spark, sf_dir).collect():
         assert r["rel_err_pct"] < 0.2, r
+
+
+def test_vocab_oov_rate_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import text
+
+    compare_to_oracle(
+        text.vocab_oov_rate(spark, sf_dir),
+        text.ORACLE["vocab_oov_rate"], sf_dir)
