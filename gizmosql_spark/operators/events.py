@@ -227,6 +227,36 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event type, median(value) and MAD = median(|value - median|);
+    flag |value - med| / MAD > 3 — the heavy-tail-safe sibling of the
+    z-score pass (events_anomaly). Two grouped exact-percentile
+    aggregations (per-group sort at this scale; the histogram sketch
+    in operators/sketch.py is the 100 TB replacement) and a broadcast
+    rejoin of the per-type statistics."""
+    e = load_events(spark, sf_dir)
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", "event_id", "value", "med",
+                F.abs(F.col("value") - F.col("med")).alias("adev"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("score", F.round(
+            F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6))
+        .filter(F.col("score") > 3.0)
+        .select("event_id", "event_type", "value",
+                F.round("med", 4).alias("med"),
+                F.round("mad", 4).alias("mad"), "score")
+        .orderBy("event_id")
+    )
+
+
 def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outlier detection per event type: per-type mean/stddev
     broadcast back onto the stream of rows, flagging |z| > 2.5 — the
@@ -313,6 +343,7 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
+    "events_mad_outliers": events_mad_outliers,
     "variant_funcs": variant_funcs,
     "time_interval_funcs": time_interval_funcs,
     "json_funcs": json_funcs,
@@ -341,6 +372,28 @@ ORACLE: dict[str, str] = {
         FROM ev
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "events_mad_outliers": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.event_id, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               round(d.med, 4) AS med,
+               round(m.mad, 4) AS mad,
+               round(abs(d.value - d.med) / m.mad, 6) AS score
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE abs(d.value - d.med) / m.mad > 3.0
+        ORDER BY d.event_id
     """,
     "events_anomaly": """
         WITH stats AS (

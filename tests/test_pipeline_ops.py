@@ -267,3 +267,11 @@ def test_vocab_oov_rate_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         text.vocab_oov_rate(spark, sf_dir),
         text.ORACLE["vocab_oov_rate"], sf_dir)
+
+
+def test_events_mad_outliers_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import events
+
+    compare_to_oracle(
+        events.events_mad_outliers(spark, sf_dir),
+        events.ORACLE["events_mad_outliers"], sf_dir)
