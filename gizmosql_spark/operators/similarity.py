@@ -227,6 +227,26 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF search against the
+    exact brute-force top-k — the metric every embedding pipeline
+    tracks when trading probe count against accuracy. Both sides are
+    the existing operators; the comparison is a top-k-sized left join
+    (driver never sees the vectors)."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    approx = ann_ivf(spark, sf_dir).select("vec_id") \
+        .withColumn("hit", F.lit(1))
+    return (
+        exact.join(approx, "vec_id", "left")
+        .agg(
+            F.lit(TOP_K).cast("int").alias("k"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(float(TOP_K)), 6)
+            .alias("recall_at_k"),
+        )
+    )
+
+
 N_QUERY_BATCH = 3
 BATCH_TOP_K = 5
 
@@ -302,6 +322,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "ann_topk_batch": ann_topk_batch,
     "embedding_neardup": embedding_neardup,
+    "ann_recall": ann_recall,
 }
 
 _COS_SQL = (
@@ -410,3 +431,14 @@ ORACLE: dict[str, str] = {
         ORDER BY a_id, b_id
     """,
 }
+
+# recall@k composes the two searches above as CTEs (kept after the
+# dict literal so it can reference the finished entries)
+ORACLE["ann_recall"] = f"""
+    WITH exact AS ({ORACLE["ann_bruteforce_topk"]}),
+    approx AS ({ORACLE["ann_ivf"]})
+    SELECT CAST({TOP_K} AS INT) AS k,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           round(count(a.vec_id) / {float(TOP_K)}, 6) AS recall_at_k
+    FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
+"""

@@ -275,3 +275,19 @@ def test_events_mad_outliers_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         events.events_mad_outliers(spark, sf_dir),
         events.ORACLE["events_mad_outliers"], sf_dir)
+
+
+def test_ann_recall_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import similarity
+
+    compare_to_oracle(
+        similarity.ann_recall(spark, sf_dir),
+        similarity.ORACLE["ann_recall"], sf_dir)
+
+
+def test_ann_recall_in_unit_range(spark, sf_dir):
+    from gizmosql_spark.operators import similarity
+
+    r = similarity.ann_recall(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert r["n_hits"] <= r["k"]
