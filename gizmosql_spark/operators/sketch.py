@@ -110,6 +110,48 @@ def hll_sketch(df: DataFrame, key: Column, name: str) -> DataFrame:
     )
 
 
+def hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct users per event type from one register
+    table keyed by (group, bucket) — the per-key mergeable rollup
+    that replaces GROUP BY + COUNT(DISTINCT) at 100 TB (shuffle width
+    = groups x m, not rows; registers merge by max across shards and
+    across time partitions)."""
+    e = _t(spark, sf_dir, "events")
+    bucket, rho = _bucket_rho(F.col("user_id"))
+    regs = (
+        e.select(F.col("event_type").alias("g"),
+                 bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    folded = regs.groupBy("g").agg(
+        F.sum(F.lit(1.0) / F.expr("cast(shiftleft(1L, m_j) as double)"))
+        .alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    ).select(
+        "g",
+        (F.col("s_present") + (F.lit(_M) - F.col("n_present"))).alias("s"),
+        (F.lit(_M) - F.col("n_present")).alias("v"),
+    )
+    raw = F.lit(_ALPHA) * F.lit(float(_M * _M)) / F.col("s")
+    est = F.when(
+        (raw <= F.lit(2.5 * _M)) & (F.col("v") > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
+    ).otherwise(raw)
+    exact = e.groupBy(F.col("event_type").alias("g")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+    return (
+        folded.select("g", F.round(est, 4).alias("hll_estimate"))
+        .join(exact, "g")
+        .select(
+            F.col("g").alias("event_type"), "hll_estimate", "exact_distinct",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct") * 100.0, 4).alias("rel_error_pct"))
+        .orderBy("event_type")
+    )
+
+
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL cardinality of two key columns spanning both estimate
     branches: o_custkey (small range → bias correction m*ln(m/V))
@@ -386,10 +428,70 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "approx_distinct_hll": approx_distinct_hll,
+    "hll_by_group": hll_by_group,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_probe": bloom_probe,
     "histogram_quantiles": histogram_quantiles,
 }
+
+
+def _hll_group_oracle() -> str:
+    hexv = "strpos('0123456789abcdef', {c}) - 1"
+    h1 = hexv.format(c="substr(h, 1, 1)")
+    h2 = hexv.format(c="substr(h, 2, 1)")
+    h3 = hexv.format(c="substr(h, 3, 1)")
+    fv = hexv.format(c="substr(tail, zeros + 1, 1)")
+    return f"""
+        WITH regs AS (
+            SELECT g, bucket, max(rho) AS m_j FROM (
+                SELECT g,
+                       (({h1}) * 256 + ({h2}) * 16 + ({h3})) % {_M} AS bucket,
+                       CASE WHEN zeros = 13 THEN 53
+                            ELSE zeros * 4 + (4 - CASE
+                                WHEN ({fv}) >= 8 THEN 4
+                                WHEN ({fv}) >= 4 THEN 3
+                                WHEN ({fv}) >= 2 THEN 2
+                                ELSE 1 END) + 1
+                       END AS rho
+                FROM (
+                    SELECT g, h, substr(h, 4, 13) AS tail,
+                           length(regexp_extract(substr(h, 4, 13),
+                                                 '^(0*)', 1)) AS zeros
+                    FROM (SELECT event_type AS g,
+                                 md5(CAST(user_id AS VARCHAR)) AS h
+                          FROM events)
+                )
+            ) GROUP BY g, bucket
+        ),
+        folded AS (
+            SELECT g,
+                   sum(1.0 / CAST(CAST(1 AS BIGINT) << m_j AS DOUBLE))
+                       + ({_M} - count(*)) AS s,
+                   {_M} - count(*) AS v
+            FROM regs GROUP BY g
+        ),
+        est AS (
+            SELECT g,
+                   CASE WHEN {_ALPHA!r}::DOUBLE * {float(_M * _M)!r}::DOUBLE / s
+                             <= {2.5 * _M!r}::DOUBLE AND v > 0
+                        THEN round({float(_M)!r}::DOUBLE
+                                   * ln({float(_M)!r}::DOUBLE / v), 4)
+                        ELSE round({_ALPHA!r}::DOUBLE
+                                   * {float(_M * _M)!r}::DOUBLE / s, 4)
+                   END AS hll_estimate
+            FROM folded
+        ),
+        exact AS (
+            SELECT event_type AS g,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events GROUP BY event_type
+        )
+        SELECT g AS event_type, hll_estimate, exact_distinct,
+               round(abs(hll_estimate - exact_distinct)
+                     / exact_distinct * 100.0, 4) AS rel_error_pct
+        FROM est JOIN exact USING (g)
+        ORDER BY event_type
+    """
 
 def _hex4_sql(expr: str) -> str:
     """DuckDB: value of the first 4 hex chars of an md5 string."""
@@ -483,6 +585,7 @@ ORACLE = {
         + _oracle_one("lineitem", "l_orderkey")
         + " ORDER BY column_name"
     ),
+    "hll_by_group": _hll_group_oracle(),
     "cms_heavy_hitters": _CMS_ORACLE,
     "bloom_probe": _BLOOM_ORACLE,
     "histogram_quantiles": f"""

@@ -291,3 +291,18 @@ def test_ann_recall_in_unit_range(spark, sf_dir):
     r = similarity.ann_recall(spark, sf_dir).collect()[0]
     assert 0.0 <= r["recall_at_k"] <= 1.0
     assert r["n_hits"] <= r["k"]
+
+
+def test_hll_by_group_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import sketch
+
+    compare_to_oracle(
+        sketch.hll_by_group(spark, sf_dir),
+        sketch.ORACLE["hll_by_group"], sf_dir)
+
+
+def test_hll_by_group_error_within_bound(spark, sf_dir):
+    from gizmosql_spark.operators import sketch
+
+    for r in sketch.hll_by_group(spark, sf_dir).collect():
+        assert r["rel_error_pct"] < 9.75, r
