@@ -333,7 +333,9 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set(part_key, prev)
-    out = (
+    # the landed table stays live for the returned lazy frame; the
+    # next run's leading DROP makes reruns idempotent
+    return (
         spark.table(table)
         .groupBy("event_type")
         .agg(
@@ -343,10 +345,6 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    result = out.collect()
-    df = spark.createDataFrame(result, out.schema)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    return df
 
 
 QUERIES = {
