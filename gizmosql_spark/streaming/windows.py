@@ -309,10 +309,17 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     API (mode control, table formats) inside the streaming runtime.
     Checkpointed in a temp dir per run; a deployment pins the
     checkpoint for exactly-once appends across restarts."""
+    import shutil
     import tempfile
 
     table = "stream_sink_rollup_tbl"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a previous PROCESS may have left the managed location behind
+    # (in-memory catalog forgets tables at exit; the data dir stays,
+    # and saveAsTable refuses to create over it) — clear it
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
     agg = tumbling_counts(read_event_stream(spark, sf_dir))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
