@@ -270,7 +270,11 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are rounded to 6 decimals IN the engine (same device as
     kmeans_embeddings) so group-sum association order cannot drift
     across engines; ties in the final top-k break on node id."""
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # orders is the 1:N small side of the key join — broadcast it so
+    # the lineitem scan never shuffles (at 100 TB orders would still
+    # be ~1% of lineitem; past broadcast size the same join SMJs)
+    o = F.broadcast(_t(spark, sf_dir, "orders")
+                    .select("o_orderkey", "o_custkey"))
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     trade = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
