@@ -712,6 +712,53 @@ def spatial_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the dbt-test / Great-Expectations
+    shape): one row per declared rule with its violation count —
+    uniqueness, referential integrity (anti join), range, ordering,
+    and null checks across the TPC-H star. Each rule is a scan-shaped
+    aggregate or an anti join on the FK; the union of tiny 1-row
+    frames presents the report."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def rule(name: str, frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.lit(name).alias("rule"),
+            F.col("n").cast("bigint").alias("n_violations"))
+
+    uniq = rule(
+        "orders.o_orderkey unique",
+        o.agg((F.count(F.lit(1))
+               - F.count_distinct("o_orderkey")).alias("n")))
+    orphans = rule(
+        "lineitem.l_orderkey references orders",
+        l.join(o.select("o_orderkey"),
+               l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n")))
+    qty_range = rule(
+        "lineitem.l_quantity in (0, 50]",
+        l.agg(F.sum(F.when((F.col("l_quantity") <= 0)
+                           | (F.col("l_quantity") > 50), 1)
+                    .otherwise(0)).alias("n")))
+    ship_order = rule(
+        "lineitem ships on/after order date",
+        l.join(F.broadcast(o.select("o_orderkey", "o_orderdate")),
+               l["l_orderkey"] == o["o_orderkey"])
+        .agg(F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
+                   .otherwise(0)).alias("n")))
+    bal_null = rule(
+        "customer.c_acctbal not null",
+        c.agg(F.sum(F.when(F.col("c_acctbal").isNull(), 1)
+                    .otherwise(0)).alias("n")))
+    return (
+        uniq.unionAll(orphans).unionAll(qty_range)
+        .unionAll(ship_order).unionAll(bal_null)
+        .orderBy("rule")
+    )
+
+
 def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join (entity resolution): misspelled probe names
     match catalog part names via token-overlap blocking + Levenshtein
@@ -876,6 +923,7 @@ QUERIES = {
     "spatial_funcs2": spatial_funcs2,
     "spatial_join": spatial_join,
     "fuzzy_join": fuzzy_join,
+    "data_quality_report": data_quality_report,
     "numeric_funcs2": numeric_funcs2,
     "datetime_funcs2": datetime_funcs2,
     "array_funcs": array_funcs,
@@ -1164,6 +1212,34 @@ ORACLE: dict[str, str] = {
                 AS env_hit
         FROM buf
         ORDER BY event_id
+    """,
+    "data_quality_report": """
+        SELECT 'orders.o_orderkey unique' AS rule,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_orderkey references orders',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_quantity in (0, 50]',
+               CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem ships on/after order date',
+               CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'customer.c_acctbal not null',
+               CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM customer
+        ORDER BY rule
     """,
     "fuzzy_join": """
         WITH probes AS (

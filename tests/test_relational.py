@@ -76,3 +76,12 @@ def test_fuzzy_join_finds_typo_matches(spark, sf_dir):
     assert "small ring" in by_probe.get("smal ring", set())
     assert "hot gear" in by_probe.get("hot gear", set())  # exact
     assert all(r["dist"] <= 2 for r in rows)
+
+
+def test_data_quality_report_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import relational
+    from gizmosql_spark.testing import compare_to_oracle
+
+    compare_to_oracle(
+        relational.data_quality_report(spark, sf_dir),
+        relational.ORACLE["data_quality_report"], sf_dir)
