@@ -197,13 +197,88 @@ def doc_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_BYTES = 16
+_FRAME_STRIDE = 2
+
+_FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("n_frames", IntegerType()),
+    StructField("frame_sum", IntegerType()),
+    StructField("first_byte", IntegerType()),
+])
+
+
+def _frame_sample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Build each doc's fake video container (header + fixed-size
+    frames), then sample every _FRAME_STRIDE-th frame by slicing the
+    REAL bytes — the frame-extraction plumbing a video pipeline runs
+    (an actual codec slots in where the byte-slice arithmetic is)."""
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n_frames = 4 + doc_id % 5
+            payload = b"VID0" + bytes([n_frames])
+            for f in range(n_frames):
+                payload += bytes(
+                    (doc_id * 31 + f * 17 + i * 7) % 256
+                    for i in range(_FRAME_BYTES))
+            # decode side: parse header, slice sampled frames
+            assert payload[:4] == b"VID0"
+            got_frames = payload[4]
+            body = payload[5:]
+            for f in range(0, got_frames, _FRAME_STRIDE):
+                frame = body[f * _FRAME_BYTES:(f + 1) * _FRAME_BYTES]
+                rows.append((doc_id, f, got_frames,
+                             sum(frame), frame[0]))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _FRAMES_SCHEMA.fields])
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: every
+    _FRAME_STRIDE-th fixed-size frame is sliced out of the container
+    bytes inside mapInPandas (Arrow batches, executor-side — the
+    shape a real decoder plugs into). Frame bytes are closed-form in
+    (doc_id, frame, offset), so the DuckDB oracle verifies the sliced
+    bytes' statistics exactly."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(_frame_sample_batches, _FRAMES_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
     "doc_embedding_stats": doc_embedding_stats,
 }
 
 ORACLE: dict[str, str] = {
+    "multimodal_frames": f"""
+        WITH docs AS (
+            SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n_frames
+            FROM documents WHERE doc_id < 200
+        ),
+        frames AS (
+            SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx
+            FROM docs, LATERAL (
+                SELECT unnest(range(0, n_frames, {_FRAME_STRIDE}))) AS t(f)
+        )
+        SELECT doc_id, frame_idx, n_frames,
+               CAST(list_sum(list_transform(range(0, {_FRAME_BYTES}),
+                    i -> (doc_id * 31 + frame_idx * 17 + i * 7) % 256))
+                    AS INT) AS frame_sum,
+               CAST((doc_id * 31 + frame_idx * 17) % 256 AS INT)
+                   AS first_byte
+        FROM frames
+        ORDER BY doc_id, frame_idx
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -306,3 +306,22 @@ def test_hll_by_group_error_within_bound(spark, sf_dir):
 
     for r in sketch.hll_by_group(spark, sf_dir).collect():
         assert r["rel_error_pct"] < 9.75, r
+
+
+def test_multimodal_frames_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import multimodal
+
+    compare_to_oracle(
+        multimodal.multimodal_frames(spark, sf_dir),
+        multimodal.ORACLE["multimodal_frames"], sf_dir)
+
+
+def test_multimodal_frames_stride(spark, sf_dir):
+    from gizmosql_spark.operators import multimodal
+
+    rows = multimodal.multimodal_frames(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["frame_idx"] % multimodal._FRAME_STRIDE == 0
+        assert r["frame_idx"] < r["n_frames"]
+        assert 0 <= r["first_byte"] < 256
