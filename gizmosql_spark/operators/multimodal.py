@@ -252,10 +252,62 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SAMPLES = 64
+
+_AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_samples", IntegerType()),
+    StructField("rms", DoubleType()),
+    StructField("n_zero_cross", IntegerType()),
+    StructField("peak", IntegerType()),
+])
+
+
+def _audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Pack a deterministic 16-bit PCM buffer per doc, then decode the
+    REAL bytes back (struct unpack) and extract the classic audio
+    features — RMS energy, zero-crossing count, peak amplitude."""
+    import math
+    import struct as _struct
+
+    for pdf in it:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            samples = [((doc_id * 7 + i * 13) % 2048) - 1024
+                       for i in range(_N_SAMPLES)]
+            payload = b"PCM0" + _struct.pack(f"<{_N_SAMPLES}h", *samples)
+            # decode side: header check + unpack
+            assert payload[:4] == b"PCM0"
+            got = _struct.unpack_from(f"<{_N_SAMPLES}h", payload, 4)
+            rms = math.sqrt(sum(s * s for s in got) / _N_SAMPLES)
+            zc = sum(1 for i in range(_N_SAMPLES - 1)
+                     if got[i] * got[i + 1] < 0)
+            rows.append((doc_id, _N_SAMPLES, round(rms, 6), zc,
+                         max(abs(s) for s in got)))
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style feature extraction over binary payloads: 16-bit PCM
+    packed and unpacked inside mapInPandas; features (RMS,
+    zero-crossings, peak) are closed-form in doc_id so the oracle
+    verifies the byte round-trip exactly."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500) \
+        .select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(_audio_feature_batches, _AUDIO_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
+    "multimodal_audio": multimodal_audio,
     "doc_embedding_stats": doc_embedding_stats,
 }
 
@@ -278,6 +330,24 @@ ORACLE: dict[str, str] = {
                    AS first_byte
         FROM frames
         ORDER BY doc_id, frame_idx
+    """,
+    "multimodal_audio": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_transform(range(0, {_N_SAMPLES}),
+                       i -> ((doc_id * 7 + i * 13) % 2048) - 1024) AS v
+            FROM documents WHERE doc_id < 500
+        )
+        SELECT doc_id,
+               CAST({_N_SAMPLES} AS INT) AS n_samples,
+               round(sqrt(list_sum(list_transform(v, x -> CAST(x * x AS DOUBLE)))
+                          / {_N_SAMPLES}), 6) AS rms,
+               CAST(list_sum(list_transform(range(1, {_N_SAMPLES}),
+                    i -> CASE WHEN v[i] * v[i + 1] < 0 THEN 1 ELSE 0 END))
+                    AS INT) AS n_zero_cross,
+               CAST(list_max(list_transform(v, x -> abs(x))) AS INT) AS peak
+        FROM s
+        ORDER BY doc_id
     """,
     "multimodal_meta": """
         SELECT doc_id,

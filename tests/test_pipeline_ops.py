@@ -325,3 +325,11 @@ def test_multimodal_frames_stride(spark, sf_dir):
         assert r["frame_idx"] % multimodal._FRAME_STRIDE == 0
         assert r["frame_idx"] < r["n_frames"]
         assert 0 <= r["first_byte"] < 256
+
+
+def test_multimodal_audio_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import multimodal
+
+    compare_to_oracle(
+        multimodal.multimodal_audio(spark, sf_dir),
+        multimodal.ORACLE["multimodal_audio"], sf_dir)
