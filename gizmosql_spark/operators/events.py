@@ -227,6 +227,37 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency / frequency / monetary
+    quartiles (ntile over a deterministic total order), rolled up to
+    segment sizes — the classic behavioral-cohort operator. One
+    user-keyed aggregation, three window passes over the user-sized
+    frame (never the event stream), one rollup."""
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 4).alias("monetary"),
+    )
+    wr = Window.orderBy("last_ts", "user_id")
+    wf = Window.orderBy("freq", "user_id")
+    wm = Window.orderBy("monetary", "user_id")
+    scored = per_user.select(
+        "user_id", "monetary",
+        F.ntile(4).over(wr).alias("r"),
+        F.ntile(4).over(wf).alias("f"),
+        F.ntile(4).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("monetary"), 2).alias("seg_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
 def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection via median absolute deviation: per
     event type, median(value) and MAD = median(|value - median|);
@@ -344,6 +375,7 @@ QUERIES = {
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_mad_outliers": events_mad_outliers,
+    "events_rfm": events_rfm,
     "variant_funcs": variant_funcs,
     "time_interval_funcs": time_interval_funcs,
     "json_funcs": json_funcs,
@@ -372,6 +404,27 @@ ORACLE: dict[str, str] = {
         FROM ev
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "events_rfm": """
+        WITH per_user AS (
+            SELECT user_id, max(ts) AS last_ts,
+                   count(*) AS freq,
+                   round(sum(value), 4) AS monetary
+            FROM events GROUP BY user_id
+        ),
+        scored AS (
+            SELECT user_id, monetary,
+                   ntile(4) OVER (ORDER BY last_ts, user_id) AS r,
+                   ntile(4) OVER (ORDER BY freq, user_id) AS f,
+                   ntile(4) OVER (ORDER BY monetary, user_id) AS m
+            FROM per_user
+        )
+        SELECT r, f, m,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(sum(monetary), 2) AS seg_monetary
+        FROM scored
+        GROUP BY r, f, m
+        ORDER BY r, f, m
     """,
     "events_mad_outliers": """
         WITH med AS (

@@ -333,3 +333,11 @@ def test_multimodal_audio_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         multimodal.multimodal_audio(spark, sf_dir),
         multimodal.ORACLE["multimodal_audio"], sf_dir)
+
+
+def test_events_rfm_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import events
+
+    compare_to_oracle(
+        events.events_rfm(spark, sf_dir),
+        events.ORACLE["events_rfm"], sf_dir)
