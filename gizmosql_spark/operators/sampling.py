@@ -157,14 +157,113 @@ def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET = 1_000_000  # token budget to allocate
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mixture planning: allocate a token budget
+    across sources with weight proportional to (summed per-doc
+    quality)^2 — the curation step that turns quality scores into
+    sampling rates for the next training mix.
+
+    Per-doc quality is the text_quality formula rounded IN the engine
+    before the per-source sum (so float association order cannot
+    drift the plan across engines). One corpus scan for the scores,
+    then all planning arithmetic happens on the #sources-sized
+    frame."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    n_tokens = F.size(F.split(norm, " ")).cast("double")
+    stop_hits = F.size(F.regexp_extract_all(
+        norm, F.lit(r"\b(the|a|of|and|to|in|is)\b"), 0)).cast("double")
+    punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", "")).cast("double")
+    n_chars = F.length(norm).cast("double")
+    score = F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+        F.lit(0.4) * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct / F.greatest(n_chars, F.lit(1.0)))
+        + F.lit(0.2) * stop_hits / n_tokens))
+    per_src = (
+        d.select("source", F.round(score, 6).alias("q"),
+                 n_tokens.cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"),
+             F.round(F.sum("q"), 4).alias("q_sum"))
+    )
+    w = Window.partitionBy()
+    # weight rounded to 6 BEFORE the budget multiply: the cross-source
+    # sum of squares can differ by ~1 ulp between engines, and floor()
+    # at an integer boundary would amplify that — rounding first makes
+    # the planned allocation bit-identical
+    weight6 = F.round(
+        (F.col("q_sum") * F.col("q_sum"))
+        / F.sum(F.col("q_sum") * F.col("q_sum")).over(w), 6)
+    return (
+        per_src
+        .withColumn("weight", weight6)
+        .select(
+            "source", "n_docs", "n_tokens", "q_sum", "weight",
+            F.floor(F.lit(float(_MIX_BUDGET)) * F.col("weight"))
+            .cast("long").alias("alloc_tokens"),
+            F.round(F.least(
+                F.lit(1.0),
+                F.floor(F.lit(float(_MIX_BUDGET)) * F.col("weight"))
+                / F.col("n_tokens")), 6).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "temperature_resample": temperature_resample,
+    "mixture_plan": mixture_plan,
     "stratified_sample": stratified_sample,
     "grouped_head": grouped_head,
 }
 
 ORACLE: dict[str, str] = {
+    "mixture_plan": f"""
+        WITH t AS (
+            SELECT source,
+                   CAST(len(string_split(regexp_replace(trim(lower(text)),
+                        '\\s+', ' ', 'g'), ' ')) AS DOUBLE) AS n_tokens,
+                   CAST(len(regexp_extract_all(regexp_replace(trim(lower(text)),
+                        '\\s+', ' ', 'g'),
+                        '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE) AS stop_hits,
+                   CAST(length(regexp_replace(regexp_replace(trim(lower(text)),
+                        '\\s+', ' ', 'g'), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                       AS punct_chars,
+                   CAST(length(regexp_replace(trim(lower(text)),
+                        '\\s+', ' ', 'g')) AS DOUBLE) AS n_chars
+            FROM documents
+        ),
+        q AS (
+            SELECT source,
+                   round(greatest(0.0, least(1.0,
+                       0.4 * least(n_tokens / 100.0, 1.0)
+                       + 0.4 * (1.0 - punct_chars / greatest(n_chars, 1.0))
+                       + 0.2 * (stop_hits / n_tokens))), 6) AS qd,
+                   CAST(n_tokens AS BIGINT) AS n_tok
+            FROM t
+        ),
+        per_src AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   round(sum(qd), 4) AS q_sum
+            FROM q GROUP BY source
+        ),
+        tot AS (SELECT sum(q_sum * q_sum) AS sq FROM per_src)
+        SELECT source, n_docs, n_tokens, q_sum,
+               round(q_sum * q_sum / sq, 6) AS weight,
+               CAST(floor({_MIX_BUDGET}.0 * round(q_sum * q_sum / sq, 6))
+                    AS BIGINT) AS alloc_tokens,
+               round(least(1.0,
+                   floor({_MIX_BUDGET}.0 * round(q_sum * q_sum / sq, 6))
+                   / n_tokens), 6) AS sampling_rate
+        FROM per_src, tot
+        ORDER BY source
+    """,
     "temperature_resample": """
         WITH toks AS (
             SELECT source, doc_id,

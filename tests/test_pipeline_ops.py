@@ -341,3 +341,21 @@ def test_events_rfm_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         events.events_rfm(spark, sf_dir),
         events.ORACLE["events_rfm"], sf_dir)
+
+
+def test_mixture_plan_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import sampling
+
+    compare_to_oracle(
+        sampling.mixture_plan(spark, sf_dir),
+        sampling.ORACLE["mixture_plan"], sf_dir)
+
+
+def test_mixture_plan_budget_conserved(spark, sf_dir):
+    """Allocations are bounded by the budget and weights sum to ~1."""
+    from gizmosql_spark.operators import sampling
+
+    rows = sampling.mixture_plan(spark, sf_dir).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["alloc_tokens"] for r in rows) <= sampling._MIX_BUDGET
+    assert all(0.0 <= r["sampling_rate"] <= 1.0 for r in rows)
