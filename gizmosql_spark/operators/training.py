@@ -300,17 +300,30 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = loader.keyed_persist(
         spark, f"pagerank.wedges:{sf_dir}", _build_weighted)
     ranks = wedges.select("src").distinct().withColumn("pr", F.lit(1.0))
-    for _ in range(_PR_ROUNDS):
-        contrib = (
-            wedges.join(F.broadcast(ranks), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
-        )
-        ranks = contrib.select(
-            F.col("dst").alias("src"),
-            F.round(F.lit(1 - _PR_DAMPING)
-                    + F.lit(_PR_DAMPING) * F.col("inflow"), 6).alias("pr"),
-        )
+    # size the per-round shuffle to the GRAPH, not the corpus: the
+    # session's shuffle width is tuned for table scans, but each
+    # round's partial agg only moves node-sized data and pays the
+    # per-partition floor three times (same sizing device as
+    # dedup_clusters' propagation loop)
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
+    try:
+        for _ in range(_PR_ROUNDS):
+            contrib = (
+                wedges.join(F.broadcast(ranks), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+            )
+            ranks = contrib.select(
+                F.col("dst").alias("src"),
+                F.round(F.lit(1 - _PR_DAMPING)
+                        + F.lit(_PR_DAMPING) * F.col("inflow"), 6)
+                .alias("pr"),
+            )
+        ranks = ranks.localCheckpoint()
+    finally:
+        spark.conf.set(part_key, prev_parts)
     return (
         ranks.select(F.col("src").alias("node"), "pr")
         .orderBy(F.desc("pr"), "node")
