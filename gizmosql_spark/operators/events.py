@@ -414,9 +414,9 @@ ORACLE: dict[str, str] = {
         ),
         scored AS (
             SELECT user_id, monetary,
-                   ntile(4) OVER (ORDER BY last_ts, user_id) AS r,
-                   ntile(4) OVER (ORDER BY freq, user_id) AS f,
-                   ntile(4) OVER (ORDER BY monetary, user_id) AS m
+                   CAST(ntile(4) OVER (ORDER BY last_ts, user_id) AS INT) AS r,
+                   CAST(ntile(4) OVER (ORDER BY freq, user_id) AS INT) AS f,
+                   CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS INT) AS m
             FROM per_user
         )
         SELECT r, f, m,
