@@ -227,6 +227,25 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly event totals with percentage
+    change against the previous week (lag over the aggregated series
+    — the window runs on the weeks-sized frame, never the stream)."""
+    e = load_events(spark, sf_dir)
+    weekly = e.groupBy(F.date_trunc("week", "ts").alias("week_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = Window.orderBy("week_start")
+    prev = F.lag("total_value").over(w)
+    return (
+        weekly.withColumn(
+            "wow_growth_pct",
+            F.round((F.col("total_value") - prev) / prev * 100.0, 4))
+        .orderBy("week_start")
+    )
+
+
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency / frequency / monetary
     quartiles (ntile over a deterministic total order), rolled up to
@@ -376,6 +395,7 @@ QUERIES = {
     "events_anomaly": events_anomaly,
     "events_mad_outliers": events_mad_outliers,
     "events_rfm": events_rfm,
+    "events_wow_growth": events_wow_growth,
     "variant_funcs": variant_funcs,
     "time_interval_funcs": time_interval_funcs,
     "json_funcs": json_funcs,
@@ -404,6 +424,21 @@ ORACLE: dict[str, str] = {
         FROM ev
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "events_wow_growth": """
+        WITH weekly AS (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY week_start
+        )
+        SELECT week_start, n_events, total_value,
+               round((total_value - lag(total_value) OVER w)
+                     / lag(total_value) OVER w * 100.0, 4)
+                   AS wow_growth_pct
+        FROM weekly
+        WINDOW w AS (ORDER BY week_start)
+        ORDER BY week_start
     """,
     "events_rfm": """
         WITH per_user AS (

@@ -359,3 +359,11 @@ def test_mixture_plan_budget_conserved(spark, sf_dir):
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-3
     assert sum(r["alloc_tokens"] for r in rows) <= sampling._MIX_BUDGET
     assert all(0.0 <= r["sampling_rate"] <= 1.0 for r in rows)
+
+
+def test_events_wow_growth_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import events
+
+    compare_to_oracle(
+        events.events_wow_growth(spark, sf_dir),
+        events.ORACLE["events_wow_growth"], sf_dir)
