@@ -80,6 +80,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: within each exact-duplicate
+    group keep the LONGEST document (ties to lowest doc_id) instead
+    of blindly keeping the first — the curation-grade dedup policy
+    (dedup_exact's min-id rule is the baseline). One window over the
+    fingerprint partition; emits one keeper row per group with its
+    duplicate count."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(_norm(F.col("text")))
+    w = Window.partitionBy("fp").orderBy(
+        F.desc("n_chars"), "doc_id")
+    return (
+        d.select("doc_id", "n_chars", fp.alias("fp"))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("group_size",
+                    F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("rk") == 1)
+        .select("fp", F.col("doc_id").alias("keeper_id"),
+                F.col("n_chars").alias("keeper_chars"),
+                F.col("group_size").cast("int").alias("group_size"))
+        .orderBy("fp")
+    )
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band_idx, band_key): LSH band keys from 8 minhashes.
 
@@ -328,6 +352,7 @@ def _propagate_min_labels(edges: DataFrame):
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_keeper_quality": dedup_keeper_quality,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -413,6 +438,20 @@ ORACLE: dict[str, str] = {
                doc_id <> min(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS is_dup
         FROM documents
         ORDER BY doc_id
+    """,
+    "dedup_keeper_quality": f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars, md5({_NORM_SQL}) AS fp,
+                   row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                       ORDER BY n_chars DESC, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY md5({_NORM_SQL}))
+                       AS group_size
+            FROM documents
+        )
+        SELECT fp, doc_id AS keeper_id, n_chars AS keeper_chars,
+               CAST(group_size AS INT) AS group_size
+        FROM ranked WHERE rk = 1
+        ORDER BY fp
     """,
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES_CTE},

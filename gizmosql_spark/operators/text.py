@@ -450,10 +450,37 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal: Shannon entropy of each
+    document's character distribution — the gibberish/boilerplate
+    detector (low entropy = repetitive filler, suspiciously high =
+    random noise). One explode + (doc, char) partial agg + per-doc
+    fold; entropy terms are summed over characters in lexicographic
+    order on both engines so the float fold matches."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(_norm(F.col("text")), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    terms = counts.withColumn("n", F.sum("c").over(w)) \
+        .withColumn("term", -p * F.log2(p))
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.max("n").alias("n_chars"),
+             F.round(F.sum("term"), 6).alias("entropy_bits"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "inverted_index": inverted_index,
     "vocab_oov_rate": vocab_oov_rate,
+    "char_entropy": char_entropy,
     "doc_fingerprint": doc_fingerprint,
     "text_redact_pii": text_redact_pii,
     "string_funcs2": string_funcs2,
@@ -469,6 +496,28 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "char_entropy": f"""
+        WITH chars AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, '')) AS ch
+            FROM documents WHERE doc_id < 500
+        ),
+        counts AS (
+            SELECT doc_id, ch, count(*) AS c
+            FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        ),
+        terms AS (
+            SELECT doc_id, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n
+            FROM counts
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_chars,
+               round(sum(-(CAST(c AS DOUBLE) / n)
+                         * log2(CAST(c AS DOUBLE) / n)), 6) AS entropy_bits
+        FROM terms
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "vocab_oov_rate": f"""
         WITH toks AS (
             SELECT source, unnest(string_split({_NORM_SQL}, ' ')) AS tok

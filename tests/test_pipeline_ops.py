@@ -367,3 +367,19 @@ def test_events_wow_growth_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         events.events_wow_growth(spark, sf_dir),
         events.ORACLE["events_wow_growth"], sf_dir)
+
+
+def test_char_entropy_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import text
+
+    compare_to_oracle(
+        text.char_entropy(spark, sf_dir),
+        text.ORACLE["char_entropy"], sf_dir)
+
+
+def test_dedup_keeper_quality_matches_oracle(spark, sf_dir):
+    from gizmosql_spark.operators import dedup
+
+    compare_to_oracle(
+        dedup.dedup_keeper_quality(spark, sf_dir),
+        dedup.ORACLE["dedup_keeper_quality"], sf_dir)
