@@ -203,3 +203,25 @@ def test_spatial_join_is_grid_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_rounds_broadcast_ranks(spark, sf_dir):
+    """Each PageRank round must broadcast the node-sized rank frame
+    into the persisted edge scan — no shuffle join of edges per
+    round (the 100 TB iterative-graph discipline)."""
+    from gizmosql_spark.operators import training
+
+    df = training.pagerank_suppliers(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
+    """The top-k vocabulary joins back as a broadcast; the corpus is
+    scanned, never shuffled on rows."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.vocab_oov_rate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # vocab top-k, no global sort
