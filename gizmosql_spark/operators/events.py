@@ -362,6 +362,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern detection: error
+    storms — runs of >= 3 consecutive ``error`` events (across all
+    users), each within 5 minutes of the previous — the alerting
+    pattern SQL:2016 writes as ``PATTERN (E{3,})`` with a time
+    predicate, expressed as gaps-and-islands (lag + cumulative sum)
+    over the filtered stream.
+
+    Scale shape: the error filter pushes into the scan first (errors
+    are a sliver of the stream), then the islands windows run over the
+    filtered frame. The window here is globally ordered; at 100 TB the
+    same pattern runs range-partitioned by time with island stitching
+    at partition boundaries (a 2-pass: per-range islands, then merge
+    the O(ranges) boundary runs on the driver) — same device
+    documented for sequence_pack's global form."""
+    e = load_events(spark, sf_dir).filter(F.col("event_type") == "error")
+    w = Window.orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp"))
+    is_new = F.when(prev_ts.isNull() | (gap_us > 300_000_000), 1).otherwise(0)
+    islands = e.select("user_id", "ts", "event_id") \
+        .withColumn("island", F.sum(is_new).over(w_run))
+    return (
+        islands.groupBy("island")
+        .agg(
+            F.count(F.lit(1)).alias("burst_len"),
+            F.min("ts").alias("burst_start"),
+            F.max("ts").alias("burst_end"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("burst_len") >= 3)
+        .select("burst_start", "burst_end", "burst_len", "n_users")
+        .orderBy("burst_start")
+    )
+
+
 def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the custom Python DataSource (sources/pydatasource.py):
     partition-parallel deterministic generator read through the planner
@@ -391,6 +429,7 @@ QUERIES = {
     "events_json": events_json,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
+    "events_error_burst": events_error_burst,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_mad_outliers": events_mad_outliers,
@@ -527,6 +566,35 @@ ORACLE: dict[str, str] = {
         FROM events
         WHERE event_id < 2000
         ORDER BY event_id
+    """,
+    "events_error_burst": """
+        WITH err AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (ORDER BY ts, event_id) AS prev_ts
+            FROM events WHERE event_type = 'error'
+        ),
+        flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts)
+                                > 300000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM err
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+            FROM flagged
+        )
+        SELECT min(ts) AS burst_start,
+               max(ts) AS burst_end,
+               CAST(count(*) AS BIGINT) AS burst_len,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM islands
+        GROUP BY island
+        HAVING count(*) >= 3
+        ORDER BY burst_start
     """,
     "events_funnel": """
         WITH v AS (

@@ -214,8 +214,40 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage-proof train/val/test split: the split key is the
+    GROUP (``source``), not the row, so every document of a source
+    lands in the same split — the standard guard against
+    train/test contamination when near-duplicate documents cluster
+    within a source (same crawl domain, same book, same repo).
+
+    Scale shape: the group key is already on the row, so membership
+    is a pure hash compare in the scan — no join against a group
+    table, no shuffle before the final partial agg. Leakage-freedom
+    is by construction (a deterministic function of the key cannot
+    assign one source to two splits)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("source"))
+    split = (
+        F.when(h < _TRAIN_MAX, F.lit("train"))
+        .when(h < _VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
+    "grouped_split": grouped_split,
     "temperature_resample": temperature_resample,
     "mixture_plan": mixture_plan,
     "stratified_sample": stratified_sample,
@@ -305,6 +337,17 @@ ORACLE: dict[str, str] = {
                CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
         FROM rates r LEFT JOIN kept k USING (source)
         ORDER BY r.source
+    """,
+    "grouped_split": f"""
+        SELECT CASE WHEN md5(source) < '{_TRAIN_MAX}' THEN 'train'
+                    WHEN md5(source) < '{_VAL_MAX}' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY split
+        ORDER BY split
     """,
     "dataset_split": f"""
         SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_TRAIN_MAX}'

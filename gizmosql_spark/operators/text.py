@@ -476,8 +476,96 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIPF_TOP = 100
+
+
+def zipf_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary statistics + Zipf-law fit: vocab size,
+    total tokens, and the least-squares slope of ln(freq) on ln(rank)
+    over the top-100 terms — the classic corpus-health check (natural
+    language sits near slope -1; template/boilerplate corpora drift
+    far off it).
+
+    Scale shape: one wordcount shuffle on (lang, term); the ranking
+    window runs over the per-language VOCABULARY frame (never the
+    corpus), and the regression is a 5-term partial agg over 100 rows
+    per language. The slope is rounded after the fold — the per-term
+    products are identical doubles on both engines and the 100-term
+    sums agree to well past 4 decimals."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    per_lang = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "term")
+    top = tf.withColumn("rk", F.row_number().over(w)) \
+        .filter(F.col("rk") <= _ZIPF_TOP)
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    fit = top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        per_lang.join(fit, "lang")
+        .select(
+            "lang",
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.round(slope, 4).alias("zipf_slope"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility statistics per language: corpus-level
+    bytes-per-token and chars-per-token ratios (UTF-8 byte length vs
+    character length) plus tokens-per-doc — the multilingual budget
+    planner's first question (CJK text costs ~3 bytes/char, so a
+    byte-budgeted corpus under-represents it token-wise).
+
+    Scale shape: pure column arithmetic in the scan (octet_length /
+    length / split-size), one per-language partial agg. Ratios are
+    of SUMS (exact longs), so no float fold order can drift."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.octet_length(norm).cast("long").alias("n_bytes"),
+        F.length(norm).cast("long").alias("n_chars"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_toks"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.round(F.sum("n_bytes") / F.sum("n_toks"), 6)
+            .alias("bytes_per_token"),
+            F.round(F.sum("n_chars") / F.sum("n_toks"), 6)
+            .alias("chars_per_token"),
+            F.round(F.sum("n_toks") / F.count(F.lit(1)), 6)
+            .alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "zipf_vocab_stats": zipf_vocab_stats,
+    "token_fertility": token_fertility,
     "inverted_index": inverted_index,
     "vocab_oov_rate": vocab_oov_rate,
     "char_entropy": char_entropy,
@@ -496,6 +584,64 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "zipf_vocab_stats": f"""
+        WITH toks AS (
+            SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT lang, term, count(*) AS c
+            FROM toks WHERE term <> '' GROUP BY lang, term
+        ),
+        per_lang AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+                   CAST(sum(c) AS BIGINT) AS total_tokens
+            FROM tf GROUP BY lang
+        ),
+        top AS (
+            SELECT lang, c,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY c DESC, term) AS rk
+            FROM tf
+            QUALIFY rk <= {_ZIPF_TOP}
+        ),
+        fit AS (
+            SELECT lang,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   sum(ln(CAST(rk AS DOUBLE))) AS sx,
+                   sum(ln(CAST(c AS DOUBLE))) AS sy,
+                   sum(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+                   sum(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))) AS sxx
+            FROM top GROUP BY lang
+        )
+        SELECT p.lang, p.vocab_size, p.total_tokens,
+               round((f.n * f.sxy - f.sx * f.sy)
+                     / (f.n * f.sxx - f.sx * f.sx), 4) AS zipf_slope
+        FROM per_lang p JOIN fit f USING (lang)
+        ORDER BY p.lang
+    """,
+    "token_fertility": f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(strlen({_NORM_SQL}) AS BIGINT) AS n_bytes,
+                   CAST(length({_NORM_SQL}) AS BIGINT) AS n_chars,
+                   CAST(len(string_split({_NORM_SQL}, ' ')) AS BIGINT)
+                       AS n_toks
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+               round(CAST(sum(n_bytes) AS DOUBLE) / sum(n_toks), 6)
+                   AS bytes_per_token,
+               round(CAST(sum(n_chars) AS DOUBLE) / sum(n_toks), 6)
+                   AS chars_per_token,
+               round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6)
+                   AS tokens_per_doc
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "char_entropy": f"""
         WITH chars AS (
             SELECT doc_id, unnest(string_split({_NORM_SQL}, '')) AS ch

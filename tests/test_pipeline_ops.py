@@ -92,7 +92,8 @@ def test_sampling_operators_match_oracle(spark, sf_dir):
     pure row-key function — identical membership on every engine."""
     from gizmosql_spark.operators import sampling
 
-    for name in ("dataset_split", "stratified_sample", "grouped_head"):
+    for name in ("dataset_split", "grouped_split", "stratified_sample",
+                 "grouped_head"):
         compare_to_oracle(
             sampling.QUERIES[name](spark, sf_dir),
             sampling.ORACLE[name],
@@ -383,3 +384,58 @@ def test_dedup_keeper_quality_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         dedup.dedup_keeper_quality(spark, sf_dir),
         dedup.ORACLE["dedup_keeper_quality"], sf_dir)
+
+
+def test_grouped_split_no_leakage(spark, sf_dir):
+    """Every source maps to exactly one split (leakage-free by
+    construction — this pins the construction)."""
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.operators.sampling import (
+        _TRAIN_MAX, _VAL_MAX, _t)
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("source"))
+    split = (
+        F.when(h < _TRAIN_MAX, F.lit("train"))
+        .when(h < _VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    spans = (
+        d.select("source", split.alias("split")).distinct()
+        .groupBy("source").count().filter(F.col("count") > 1)
+    )
+    assert spans.count() == 0
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    """Zipf's law: term frequency decays with rank, so every
+    language's fitted slope must be negative."""
+    from gizmosql_spark.operators import text
+
+    rows = text.zipf_vocab_stats(spark, sf_dir).collect()
+    assert rows and all(r.zipf_slope < 0 for r in rows)
+
+
+def test_token_fertility_byte_ratio(spark, sf_dir):
+    """UTF-8 bytes per token >= chars per token always (equal on the
+    all-ASCII fixture; multi-byte scripts push the ratio above 1)."""
+    from gizmosql_spark.operators import text
+
+    rows = {r.lang: r for r in text.token_fertility(spark, sf_dir).collect()}
+    assert rows
+    assert all(r.bytes_per_token >= r.chars_per_token for r in rows.values())
+    assert all(r.tokens_per_doc > 0 for r in rows.values())
+
+
+def test_error_burst_runs_are_dense(spark, sf_dir):
+    """Every reported storm spans >= 3 errors and its average
+    inter-event gap is within the 5-minute predicate."""
+    from gizmosql_spark.operators import events
+
+    rows = events.events_error_burst(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.burst_len >= 3
+        span_s = (r.burst_end - r.burst_start).total_seconds()
+        assert span_s <= 300 * (r.burst_len - 1)
