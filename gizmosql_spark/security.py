@@ -50,7 +50,8 @@ _DANGEROUS_SET_RE = re.compile(
 
 _WRITE_STMT_RE = re.compile(
     r"^\s*(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|TRUNCATE|REPLACE"
-    r"|COPY|CALL|VACUUM|ANALYZE|REFRESH|CACHE|UNCACHE|GRANT|REVOKE|MSCK)\b",
+    r"|COPY|CALL|VACUUM|ANALYZE|REFRESH|CACHE|UNCACHE|GRANT|REVOKE|MSCK"
+    r"|OPTIMIZE)\b",
     re.IGNORECASE,
 )
 

@@ -54,33 +54,139 @@ def warehouse_dir(spark: SparkSession) -> str:
 class WarehouseCatalog:
     """JSON-manifest table registry over the Spark warehouse dir."""
 
+    #: commit files kept behind the latest snapshot before pruning
+    _COMMIT_KEEP = 32
+    #: snapshot (and prune) every N commits
+    _SNAPSHOT_EVERY = 16
+
     def __init__(self, spark: SparkSession, manifest_path: str | None = None):
         self.dir = warehouse_dir(spark)
         self.manifest_path = manifest_path or os.path.join(
             self.dir, "_catalog.json")
+        self.commits_dir = os.path.join(
+            os.path.dirname(self.manifest_path), "_commits")
         self._lock = threading.Lock()
 
-    # --- manifest IO (atomic rename, crash-safe) ----------------------
+    # --- manifest IO: optimistic-concurrency commit log ---------------
+    #
+    # Multi-writer safety the Delta-log way: every mutation is a new
+    # ``_commits/NNNNNNNN.json`` holding the full post-image, created
+    # ATOMICALLY (hard-link of a fully-written temp file — link(2)
+    # fails with EEXIST if another writer won the sequence number, and
+    # a linked file is complete by construction, so readers never see
+    # partial JSON). The loser re-reads the new state, re-applies its
+    # mutation, and retries at seq+1 — optimistic CAS, no lock file,
+    # no lost updates across processes. ``_catalog.json`` becomes the
+    # periodic checkpoint (same role as Delta's _last_checkpoint):
+    # every _SNAPSHOT_EVERY commits the winner also writes the
+    # snapshot and prunes commits older than seq - _COMMIT_KEEP.
+    # A real Delta/Iceberg deployment replaces exactly this block with
+    # the format's own commit protocol — the seam is _mutate().
+
+    def _read_json(self, path: str) -> tuple[dict[str, dict], int] | None:
+        try:
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+            return data.get("tables", {}), int(data.get("seq", 0))
+        except (OSError, json.JSONDecodeError, ValueError):
+            return None
+
+    def _state(self) -> tuple[dict[str, dict], int]:
+        """Current (tables, seq): the highest readable commit, or the
+        snapshot when it is newer (commits pruned) or none exist."""
+        best: tuple[dict[str, dict], int] | None = None
+        try:
+            names = sorted(
+                (n for n in os.listdir(self.commits_dir)
+                 if n.endswith(".json")), reverse=True)
+        except OSError:
+            names = []
+        for n in names:
+            got = self._read_json(os.path.join(self.commits_dir, n))
+            if got is not None:
+                best = got
+                break
+        snap = self._read_json(self.manifest_path)
+        if snap is not None and (best is None or snap[1] > best[1]):
+            best = snap
+        return best if best is not None else ({}, 0)
 
     def _load(self) -> dict[str, dict]:
-        try:
-            with open(self.manifest_path, encoding="utf-8") as f:
-                data = json.load(f)
-            return data.get("tables", {})
-        except (OSError, json.JSONDecodeError):
-            return {}
+        return self._state()[0]
 
-    def _save(self, tables: dict[str, dict]) -> None:
+    def _write_snapshot(self, tables: dict[str, dict], seq: int) -> None:
         os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(self.manifest_path), suffix=".json")
         with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump({"version": 1, "tables": tables}, f, indent=1)
+            json.dump({"version": 1, "seq": seq, "tables": tables}, f,
+                      indent=1)
         os.replace(tmp, self.manifest_path)
+
+    def _mutate(self, fn) -> dict[str, dict] | None:
+        """Apply ``fn(tables) -> tables | None`` under optimistic CAS.
+
+        ``fn`` must be a pure function of its argument (it re-runs on
+        conflict against the fresh state). Returning None aborts with
+        no commit. Returns the committed post-image (or None)."""
+        os.makedirs(self.commits_dir, exist_ok=True)
+        for attempt in range(256):
+            tables, seq = self._state()
+            new = fn({k: dict(v) for k, v in tables.items()})
+            if new is None:
+                return None
+            payload = {"version": 1, "seq": seq + 1, "tables": new}
+            fd, tmp = tempfile.mkstemp(
+                dir=self.commits_dir, suffix=".tmp")
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump(payload, f, indent=1)
+            commit = os.path.join(self.commits_dir, f"{seq + 1:08d}.json")
+            try:
+                os.link(tmp, commit)
+            except FileExistsError:
+                os.unlink(tmp)
+                time.sleep(min(0.1, 0.002 * (attempt + 1)))
+                continue
+            os.unlink(tmp)
+            if (seq + 1) % self._SNAPSHOT_EVERY == 0:
+                self._checkpoint(new, seq + 1)
+            return new
+        raise RuntimeError(
+            "warehouse manifest commit contention: 256 CAS attempts lost")
+
+    def _checkpoint(self, tables: dict[str, dict], seq: int) -> None:
+        """Write the snapshot and prune commits far enough behind it
+        that no in-flight reader can still need them."""
+        try:
+            self._write_snapshot(tables, seq)
+            floor = seq - self._COMMIT_KEEP
+            for n in os.listdir(self.commits_dir):
+                if n.endswith(".json") and int(n.split(".")[0]) < floor:
+                    try:
+                        os.unlink(os.path.join(self.commits_dir, n))
+                    except OSError:
+                        pass
+        except (OSError, ValueError):
+            pass
 
     def tables(self) -> dict[str, dict]:
         with self._lock:
             return self._load()
+
+    def upsert_entry(self, name: str, entry: dict) -> None:
+        """Low-level manifest upsert (the CAS-protected write path —
+        ``record`` builds the entry from a live table and lands here).
+        Preserves any snapshot-version history already recorded."""
+        def _apply(tables: dict[str, dict]) -> dict[str, dict]:
+            prior = tables.get(name, {}).get("versions")
+            e = dict(entry)
+            if prior:
+                e["versions"] = prior
+            tables[name] = e
+            return tables
+
+        with self._lock:
+            self._mutate(_apply)
 
     # --- describe helpers ---------------------------------------------
 
@@ -133,21 +239,16 @@ class WarehouseCatalog:
                     if c.strip(" `")]
         except Exception:
             return
-        with self._lock:
-            tables = self._load()
-            # preserve the snapshot history across re-records
-            prior = tables.get(name, {}).get("versions")
-            if prior:
-                entry["versions"] = prior
-            tables[name] = entry
-            self._save(tables)
+        self.upsert_entry(name, entry)
 
     def forget(self, table: str) -> None:
         name = table.split(".")[-1].lower()
+
+        def _apply(tables):
+            return tables if tables.pop(name, None) is not None else None
+
         with self._lock:
-            tables = self._load()
-            if tables.pop(name, None) is not None:
-                self._save(tables)
+            self._mutate(_apply)
             # a dropped table's archive must not collide with a future
             # same-name table's version numbering
             shutil.rmtree(os.path.join(self.dir, "_versions", name),
@@ -160,14 +261,13 @@ class WarehouseCatalog:
         catalog as external tables over their surviving files. Entries
         whose files are gone are dropped from the manifest."""
         attached: list[str] = []
+        gone: list[str] = []
         with self._lock:
             tables = self._load()
-            dirty = False
             for name, entry in list(tables.items()):
                 loc = entry.get("location")
                 if not loc or not os.path.exists(loc):
-                    tables.pop(name)
-                    dirty = True
+                    gone.append(name)
                     continue
                 try:
                     if spark.catalog.tableExists(name):
@@ -187,8 +287,19 @@ class WarehouseCatalog:
                     attached.append(name)
                 except Exception:
                     continue
-            if dirty:
-                self._save(tables)
+            if gone:
+                def _prune(tables):
+                    pruned = False
+                    for name in gone:
+                        entry = tables.get(name)
+                        loc = (entry or {}).get("location")
+                        if entry is not None and (
+                                not loc or not os.path.exists(loc)):
+                            tables.pop(name)
+                            pruned = True
+                    return tables if pruned else None
+
+                self._mutate(_prune)
         return attached
 
     def prepare_write(self, spark: SparkSession, table: str,
@@ -257,8 +368,12 @@ class WarehouseCatalog:
         location = d.get("Location", "").removeprefix("file:")
         if not location or not os.path.isdir(location):
             return None
-        with self._lock:
-            tables = self._load()
+        committed_v: list[int] = []
+
+        def _apply(tables):
+            # runs inside the CAS loop: version numbers re-derive from
+            # the FRESH state on every retry, so two concurrent
+            # snapshotters cannot claim the same version
             entry = tables.setdefault(name, {})
             versions = entry.setdefault("versions", [])
             v = len(versions) + 1
@@ -268,8 +383,12 @@ class WarehouseCatalog:
                             ignore=shutil.ignore_patterns("_*", ".*"))
             versions.append(
                 {"version": v, "path": vpath, "at": time.time()})
-            self._save(tables)
-            return v
+            committed_v[:] = [v]
+            return tables
+
+        with self._lock:
+            self._mutate(_apply)
+            return committed_v[0] if committed_v else None
 
     def versions(self, table: str) -> list[dict]:
         name = table.split(".")[-1].lower()
