@@ -29,7 +29,9 @@ _PRIORITY = [
     # exists/anti, 6-way join, pushdown filter, deep join tree, big
     # semi/anti) — the remaining 14 TPC-H queries follow after the
     # family representatives and stay verified by the repo harness
-    "q01", "q02", "q03", "q04", "q05", "q06", "q09", "q18",
+    # (q04's exists/anti family is also repped by semi_anti_join below,
+    # so its slot goes to the round-3 pattern-detection family)
+    "q01", "q02", "q03", "q05", "q06", "q09", "q18",
     # relational families beyond TPC-H
     "range_band_join",      # theta/range join (expression-banded plan)
     "window_topk",          # window functions
@@ -53,6 +55,7 @@ _PRIORITY = [
     # events (JSON extraction family is repped by json_funcs above)
     "events_asof_join",
     "events_sessionize",
+    "events_error_burst",  # MATCH_RECOGNIZE-lite pattern detection
     # text analysis
     "lang_id",
     "tfidf_top_terms",

@@ -276,20 +276,27 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = F.broadcast(_t(spark, sf_dir, "orders")
                     .select("o_orderkey", "o_custkey"))
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct the INT key pair before building node-id strings: the
+    # dedup shuffle moves 16-byte rows instead of strings, and the
+    # concat runs on the deduped frame only
     trade = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
     def _build_weighted():
         edges = trade.select(
             F.col("c").alias("src"), F.col("s").alias("dst")
         ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        return edges.join(deg, "src")
+        # deg is node-sized (~16 bytes/node) — broadcast it into the
+        # edge frame instead of shuffle-joining 2|E| rows; at billions
+        # of nodes drop the hint and the same join SMJs on src
+        return edges.join(F.broadcast(deg), "src")
 
     # degree pre-joined ONCE; per round the node-sized rank frame
     # broadcasts into the edge scan, so each iteration costs exactly
