@@ -610,6 +610,28 @@ class Engine:
             self._refresh_everywhere(table)
             return StatementResult("query", df=report)
 
+        an = maintenance.parse_analyze(sql)
+        if an is not None:
+            # native ANALYZE computes the stats; the engine then folds
+            # them into the manifest so the catalog carries statistics
+            # across restarts (DuckLake stores stats in its catalog)
+            df = st.spark.sql(sql)
+            name = an.split(".")[-1].lower()
+            entry = self.warehouse.tables().get(name)
+            if entry is not None:
+                entry = dict(entry)
+                entry["statistics"] = maintenance.table_statistics(
+                    st.spark, an)
+                self.warehouse.upsert_entry(name, entry)
+            return StatementResult("update", df=df, affected_rows=None)
+
+        vac = maintenance.parse_vacuum(sql)
+        if vac is not None:
+            table, retain = vac
+            report = maintenance.apply_vacuum(
+                st.spark, table, retain, self.warehouse)
+            return StatementResult("query", df=report)
+
         evo = maintenance.parse_alter_evolution(sql)
         if evo is not None:
             # DROP/RENAME COLUMN: unsupported on v1 parquet tables —

@@ -52,8 +52,22 @@ _RENAME_COL_RE = re.compile(
     re.IGNORECASE,
 )
 
+_ANALYZE_RE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+    r"(\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+.+?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})"
+    r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 #: default compaction target file size
 DEFAULT_TARGET_MB = 128
+
+#: snapshot versions VACUUM keeps by default
+DEFAULT_RETAIN_VERSIONS = 2
 
 
 def parse_optimize(sql: str):
@@ -63,6 +77,21 @@ def parse_optimize(sql: str):
         return None
     table, mb = m.groups()
     return table.strip("`"), int(mb) if mb else DEFAULT_TARGET_MB
+
+
+def parse_analyze(sql: str):
+    """``ANALYZE TABLE t COMPUTE STATISTICS [FOR …]`` -> table."""
+    m = _ANALYZE_RE.match(sql)
+    return m.group(1).strip("`") if m else None
+
+
+def parse_vacuum(sql: str):
+    """``VACUUM t [RETAIN n VERSIONS]`` -> (table, retain) or None."""
+    m = _VACUUM_RE.match(sql)
+    if not m:
+        return None
+    table, n = m.groups()
+    return table.strip("`"), int(n) if n else DEFAULT_RETAIN_VERSIONS
 
 
 def parse_alter_evolution(sql: str):
@@ -149,6 +178,74 @@ def _file_stats(location: str) -> tuple[int, int]:
             except OSError:
                 pass
     return n, total
+
+
+def table_statistics(spark: SparkSession, table: str) -> dict:
+    """Post-ANALYZE statistics for the manifest: table-level size/rows
+    plus per-column min/max/ndv/nulls where computed. This is the
+    'catalog holds statistics' half of the DuckLake contract — a
+    fresh process reattaching the table gets the stats with it."""
+    stats: dict = {}
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if (row["col_name"] or "").strip() == "Statistics":
+            m = re.match(r"(\d+)\s+bytes(?:,\s*(\d+)\s+rows)?",
+                         (row["data_type"] or "").strip())
+            if m:
+                stats["size_bytes"] = int(m.group(1))
+                if m.group(2):
+                    stats["row_count"] = int(m.group(2))
+    cols: dict = {}
+    for c in spark.table(table).columns:
+        info = {r["info_name"]: r["info_value"]
+                for r in spark.sql(f"DESCRIBE EXTENDED {table} {c}").collect()}
+        if info.get("distinct_count", "NULL") != "NULL":
+            cols[c] = {k: info[k] for k in
+                       ("min", "max", "num_nulls", "distinct_count")
+                       if info.get(k, "NULL") != "NULL"}
+    if cols:
+        stats["columns"] = cols
+    return stats
+
+
+def apply_vacuum(spark: SparkSession, table: str, retain: int,
+                 warehouse) -> DataFrame:
+    """Drop archived snapshot versions beyond the newest ``retain``
+    (the Delta VACUUM / Iceberg expire_snapshots analog — here the
+    archives are full copies, so retention is what bounds storage).
+    Returns a one-row report."""
+    import shutil
+
+    removed: list[dict] = []
+
+    def _apply(tables):
+        name = table.split(".")[-1].lower()
+        entry = tables.get(name)
+        if not entry or not entry.get("versions"):
+            return None
+        versions = entry["versions"]
+        if len(versions) <= retain:
+            return None
+        removed[:] = versions[:-retain] if retain > 0 else versions
+        entry["versions"] = versions[-retain:] if retain > 0 else []
+        return tables
+
+    with warehouse._lock:
+        warehouse._mutate(_apply)
+    freed = 0
+    for v in removed:
+        path = v.get("path", "")
+        for root, _d, files in os.walk(path):
+            for f in files:
+                try:
+                    freed += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(table, len(removed), freed, retain)],
+        "table string, versions_removed int, bytes_freed bigint,"
+        " retained int",
+    )
 
 
 def apply_optimize(spark: SparkSession, table: str,

@@ -387,3 +387,63 @@ class TestSchemaEvolutionAndOptimize:
         with pytest.raises(CommandDenied):
             eng.execute_sql(sid, "OPTIMIZE t_whatever")
         eng.close_session(sid)
+
+
+class TestAnalyzeAndVacuum:
+    """Catalog statistics (ANALYZE folds into the manifest) and
+    snapshot retention (VACUUM expires archived versions)."""
+
+    def test_analyze_records_statistics(self, spark):
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="admin")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_stats")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_stats AS"
+                 " SELECT id, id % 7 AS g FROM range(1000)")
+        eng.execute_sql(
+            sid, "ANALYZE TABLE t_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+        stats = eng.warehouse.tables()["t_stats"].get("statistics")
+        assert stats and stats["row_count"] == 1000
+        assert stats["columns"]["g"]["distinct_count"] == "7"
+        assert stats["columns"]["id"]["max"] == "999"
+        eng.execute_sql(sid, "DROP TABLE t_stats")
+        eng.close_session(sid)
+
+    def test_vacuum_expires_old_versions(self, spark):
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="admin")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_vac")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_vac AS SELECT id FROM range(10)")
+        for i in range(4):
+            eng.execute_sql(sid, f"DELETE FROM t_vac WHERE id = {i}")
+        assert len(eng.warehouse.versions("t_vac")) == 4
+        rep = eng.collect(sid, eng.execute_sql(
+            sid, "VACUUM t_vac RETAIN 2 VERSIONS"))[0]
+        assert rep["versions_removed"] == 2 and rep["bytes_freed"] > 0
+        kept = eng.warehouse.versions("t_vac")
+        assert [v["version"] for v in kept] == [3, 4]
+        assert all(os.path.isdir(v["path"]) for v in kept)
+        # retained versions still time-travel
+        rows = eng.collect(sid, eng.execute_sql(
+            sid, "SELECT count(*) AS n FROM t_vac VERSION AS OF 3"))
+        assert rows[0]["n"] == 8
+        # expired version is gone
+        with pytest.raises(Exception):
+            eng.collect(sid, eng.execute_sql(
+                sid, "SELECT * FROM t_vac VERSION AS OF 1"))
+        # idempotent when nothing to remove
+        rep2 = eng.collect(sid, eng.execute_sql(
+            sid, "VACUUM t_vac RETAIN 2 VERSIONS"))[0]
+        assert rep2["versions_removed"] == 0
+        eng.execute_sql(sid, "DROP TABLE t_vac")
+        eng.close_session(sid)
+
+    def test_vacuum_denied_readonly(self, spark):
+        from gizmosql_spark.security import CommandDenied
+
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="readonly")
+        with pytest.raises(CommandDenied):
+            eng.execute_sql(sid, "VACUUM whatever")
+        eng.close_session(sid)
