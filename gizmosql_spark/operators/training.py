@@ -194,6 +194,23 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                         lambda x: x.cast("double")).alias("e"),
         )
     ).persist()
+    out = (
+        _lloyd_final_assign(v)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("dist"), 6).alias("avg_sqdist"),
+        )
+        .orderBy("cid")
+    )
+    v.unpersist()
+    return out
+
+
+def _lloyd_final_assign(v: DataFrame) -> DataFrame:
+    """Shared Lloyd's core (kmeans_embeddings + semdedup_prune): seed
+    centroids from vec_id 0..k-1, run _KMEANS_ROUNDS-1 updates, return
+    the final assignment frame (vec_id, e, cid, dist)."""
     centroids = [
         [round(float(x), 6) for x in r["e"]]
         for r in v.where(F.col("vec_id") < _KMEANS_K)
@@ -239,12 +256,75 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cid = {r["cid"]: list(r["coords"]) for r in rows}
         centroids = [by_cid.get(i, centroids[i]) for i in range(_KMEANS_K)]
 
+    return assign(v)
+
+
+_SEMDEDUP_TAU = 0.35
+_SEMDEDUP_CAP = 1000  # shard bound: whole corpus at the sf0.01 gate
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication scoped to
+    k-means clusters — cluster the embedding corpus, then within each
+    cluster greedily drop every vector whose cosine similarity to a
+    LOWER-id cluster-mate reaches tau. Reports per-cluster prune
+    stats (the curation knob the paper tunes is exactly keep_rate).
+
+    Scale shape: this is the sub-quadratic semantic-dedup design —
+    the O(n²) cosine sweep runs per CLUSTER (an equi-join on cid),
+    never across the corpus; clusters are the blocking key the same
+    way MinHash bands are for text. At 100 TB the per-cluster sweep
+    is a blocked GEMM inside each cid partition (embedding_neardup's
+    applyInPandas device); here cluster sizes are small enough that
+    the JVM fold is the whole job. The Lloyd's fit is shared with
+    kmeans_embeddings (broadcast centroids, k·d scalars to driver)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_CAP)
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("e"),
+    ).persist()
+    assigned = _lloyd_final_assign(v).select("vec_id", "e", "cid") \
+        .localCheckpoint()
+    a, b = assigned.alias("a"), assigned.alias("b")
+
+    def _fold_sum(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = _fold_sum(F.zip_with(F.col("a.e"), F.col("b.e"),
+                               lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.transform(F.col("a.e"), lambda x: x * x)))
+    nb = F.sqrt(_fold_sum(F.transform(F.col("b.e"), lambda x: x * x)))
+    pairs = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("b.vec_id").alias("b_id"),
+            F.round(dot / (na * nb), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .persist()
+    )
+    base = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
+    n_pairs = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"))
+    n_removed = (
+        pairs.select("cid", "b_id").distinct()
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("n_removed"))
+    )
     out = (
-        assign(v)
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("dist"), 6).alias("avg_sqdist"),
+        base.join(n_pairs, "cid", "left")
+        .join(n_removed, "cid", "left")
+        .select(
+            "cid", "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.round(
+                (F.col("n_vectors") - F.coalesce("n_removed", F.lit(0)))
+                / F.col("n_vectors"), 6).alias("keep_rate"),
         )
         .orderBy("cid")
     )
@@ -341,54 +421,19 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "kmeans_embeddings": kmeans_embeddings,
+    "semdedup_prune": semdedup_prune,
     "sequence_pack": sequence_pack,
     "embedding_quantize": embedding_quantize,
     "pagerank_suppliers": pagerank_suppliers,
 }
 
-ORACLE = {
-    "pagerank_suppliers": """
-        WITH trade AS (
-            SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        ),
-        edges AS (
-            SELECT c AS src, s AS dst FROM trade
-            UNION ALL
-            SELECT s AS src, c AS dst FROM trade
-        ),
-        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-        r0 AS (SELECT src AS node, 1.0 AS pr FROM deg),
-        r1 AS (
-            SELECT e.dst AS node,
-                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
-            FROM edges e JOIN r0 r ON e.src = r.node
-                         JOIN deg d ON e.src = d.src
-            GROUP BY e.dst
-        ),
-        r2 AS (
-            SELECT e.dst AS node,
-                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
-            FROM edges e JOIN r1 r ON e.src = r.node
-                         JOIN deg d ON e.src = d.src
-            GROUP BY e.dst
-        ),
-        r3 AS (
-            SELECT e.dst AS node,
-                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
-            FROM edges e JOIN r2 r ON e.src = r.node
-                         JOIN deg d ON e.src = d.src
-            GROUP BY e.dst
-        )
-        SELECT node, pr FROM r3
-        ORDER BY pr DESC, node
-        LIMIT 20
-    """,
-    "kmeans_embeddings": """
-        WITH v AS (
+# Shared 3-round Lloyd's CTE chain (kmeans_embeddings + semdedup_prune
+# oracles): v -> c0 -> a1 -> c1 -> a2 -> c2 -> a3. `{where}` narrows the
+# corpus (semdedup runs on a bounded shard).
+_LLOYD_CTE = """v AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-            FROM embeddings
+            FROM embeddings{where}
         ),
         c0 AS (
             SELECT CAST(vec_id AS INT) AS cid,
@@ -451,10 +496,83 @@ ORACLE = {
                                'sum'), c.cid) AS rn
                 FROM v CROSS JOIN c2 c) WHERE rn = 1
         )
+"""
+
+
+ORACLE = {
+    "pagerank_suppliers": """
+        WITH trade AS (
+            SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT c AS src, s AS dst FROM trade
+            UNION ALL
+            SELECT s AS src, c AS dst FROM trade
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, 1.0 AS pr FROM deg),
+        r1 AS (
+            SELECT e.dst AS node,
+                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
+            FROM edges e JOIN r0 r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r2 AS (
+            SELECT e.dst AS node,
+                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
+            FROM edges e JOIN r1 r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        r3 AS (
+            SELECT e.dst AS node,
+                   round(0.15 + 0.85 * sum(r.pr / d.deg), 6) AS pr
+            FROM edges e JOIN r2 r ON e.src = r.node
+                         JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        )
+        SELECT node, pr FROM r3
+        ORDER BY pr DESC, node
+        LIMIT 20
+    """,
+    "kmeans_embeddings": f"""
+        WITH {_LLOYD_CTE.format(where="")}
         SELECT CAST(cid AS INT) AS cid,
                CAST(count(*) AS BIGINT) AS n_vectors,
                round(avg(dist), 6) AS avg_sqdist
-        FROM a3 GROUP BY cid ORDER BY cid\n    """,
+        FROM a3 GROUP BY cid ORDER BY cid
+    """,
+    "semdedup_prune": f"""
+        WITH {_LLOYD_CTE.format(
+            where=f" WHERE vec_id < {_SEMDEDUP_CAP}")},
+        pairs AS (
+            SELECT a.cid, b.vec_id AS b_id,
+                   round(
+                       list_sum(list_transform(range(1, {_DIM} + 1),
+                           i -> a.e[i] * b.e[i]))
+                       / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                              i -> a.e[i] * a.e[i])))
+                          * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
+                              i -> b.e[i] * b.e[i])))), 6) AS cos
+            FROM a3 a JOIN a3 b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+        ),
+        dup AS (SELECT * FROM pairs WHERE cos >= {_SEMDEDUP_TAU}),
+        base AS (SELECT cid, count(*) AS n FROM a3 GROUP BY cid),
+        np AS (SELECT cid, count(*) AS c FROM dup GROUP BY cid),
+        nr AS (SELECT cid, count(*) AS c FROM
+                   (SELECT DISTINCT cid, b_id FROM dup) GROUP BY cid)
+        SELECT CAST(base.cid AS INT) AS cid,
+               CAST(base.n AS BIGINT) AS n_vectors,
+               CAST(coalesce(np.c, 0) AS BIGINT) AS n_dup_pairs,
+               CAST(coalesce(nr.c, 0) AS BIGINT) AS n_removed,
+               round((base.n - coalesce(nr.c, 0))
+                     / CAST(base.n AS DOUBLE), 6) AS keep_rate
+        FROM base LEFT JOIN np USING (cid) LEFT JOIN nr USING (cid)
+        ORDER BY cid
+    """,
     "decontaminate_ngram": f"""
         WITH toks AS (
             SELECT doc_id, source, doc_id % {_EVAL_MOD} = 0 AS is_eval,
