@@ -358,6 +358,69 @@ _GEO_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "p.x >= env.xmin AND p.x <= env.xmax"
         " AND p.y >= env.ymin AND p.y <= env.ymax",
     ),
+    # --- fourth batch: predicate / construction / interpolation ------
+    # (all closed-form arithmetic: squared-distance compares, linear
+    # interpolation, clamps, floors — no trig, engine-identical)
+    "st_dwithin": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,"
+        " d DOUBLE) RETURNS BOOLEAN",
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= d * d",
+    ),
+    "st_expand": (
+        "(env STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " d DOUBLE) RETURNS STRUCT<xmin: DOUBLE, ymin: DOUBLE,"
+        " xmax: DOUBLE, ymax: DOUBLE>",
+        "named_struct('xmin', env.xmin - d, 'ymin', env.ymin - d,"
+        " 'xmax', env.xmax + d, 'ymax', env.ymax + d)",
+    ),
+    # CCW closed rectangle ring (PostGIS returns the same polygon)
+    "st_makeenvelope": (
+        "(xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "array("
+        " named_struct('x', xmin, 'y', ymin),"
+        " named_struct('x', xmax, 'y', ymin),"
+        " named_struct('x', xmax, 'y', ymax),"
+        " named_struct('x', xmin, 'y', ymax),"
+        " named_struct('x', xmin, 'y', ymin))",
+    ),
+    "st_line_interpolate_point": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, f DOUBLE)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "named_struct("
+        "'x', element_at(line, 1).x"
+        " + f * (element_at(line, -1).x - element_at(line, 1).x),"
+        "'y', element_at(line, 1).y"
+        " + f * (element_at(line, -1).y - element_at(line, 1).y))",
+    ),
+    # closest point on segment a-b to p: parameter t = clamp of the
+    # projection; degenerate segment (a = b) falls back to a
+    "st_closestpoint": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,"
+        " p STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "named_struct("
+        "'x', a.x + least(greatest(coalesce("
+        " ((p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y))"
+        " / nullif((b.x - a.x) * (b.x - a.x)"
+        "          + (b.y - a.y) * (b.y - a.y), 0d), 0d), 0d), 1d)"
+        " * (b.x - a.x),"
+        "'y', a.y + least(greatest(coalesce("
+        " ((p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y))"
+        " / nullif((b.x - a.x) * (b.x - a.x)"
+        "          + (b.y - a.y) * (b.y - a.y), 0d), 0d), 0d), 1d)"
+        " * (b.y - a.y))",
+    ),
+    "st_flipcoordinates": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "transform(ring, v -> named_struct('x', v.y, 'y', v.x))",
+    ),
+    "st_snaptogrid": (
+        "(p STRUCT<x: DOUBLE, y: DOUBLE>, s DOUBLE)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "named_struct('x', floor(p.x / s) * s, 'y', floor(p.y / s) * s)",
+    ),
 }
 
 _REGISTERED: set[int] = set()

@@ -712,6 +712,45 @@ def spatial_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth spatial batch (reference "100+ functions" contract,
+    docs/geometry.md): ST_DWithin, ST_Expand, ST_MakeEnvelope,
+    ST_LineInterpolatePoint, ST_ClosestPoint, ST_FlipCoordinates,
+    ST_SnapToGrid. Predicate/construction/interpolation tier — every
+    form is squared-distance compares, linear interpolation, clamps,
+    and floors, so the oracle reproduces each value bit-for-bit."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark.geo import register_geo
+
+    gf.register_all(spark)
+    register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp3")
+    return spark.sql("""
+        WITH src AS (
+            SELECT event_id, value,
+                   st_point(value, CAST(user_id AS DOUBLE)) AS p,
+                   value / 20D + 1D AS r
+            FROM events_sp3 WHERE event_id < 2000
+        )
+        SELECT event_id,
+               st_dwithin(p, st_point(50D, 50D), 60D) AS near_center,
+               st_expand(st_envelope(st_buffer(p, r)), 5D).xmax
+                   AS expanded_xmax,
+               round(st_area(st_makeenvelope(0D, 0D, value + 1D,
+                                             p.y + 1D)), 6) AS env_area,
+               st_line_interpolate_point(
+                   st_makeline(p, st_point(50D, 50D)), 0.25D).x
+                   AS interp_x,
+               st_closestpoint(st_point(10D, 0D), st_point(80D, 0D), p).x
+                   AS closest_x,
+               st_pointn(st_flipcoordinates(st_buffer(p, r)), 1).x
+                   AS flipped_x,
+               st_snaptogrid(p, 7.5D).x AS snapped_x
+        FROM src
+        ORDER BY event_id
+    """)
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (the dbt-test / Great-Expectations
     shape): one row per declared rule with its violation count —
@@ -921,6 +960,7 @@ QUERIES = {
     "spatial_wkb": spatial_wkb,
     "spatial_wkb2": spatial_wkb2,
     "spatial_funcs2": spatial_funcs2,
+    "spatial_funcs3": spatial_funcs3,
     "spatial_join": spatial_join,
     "fuzzy_join": fuzzy_join,
     "data_quality_report": data_quality_report,
@@ -1277,6 +1317,27 @@ ORACLE: dict[str, str] = {
             ORDER BY CAST(o_orderdate AS TIMESTAMP)
             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "spatial_funcs3": """
+        WITH src AS (
+            SELECT event_id, value,
+                   CAST(user_id AS DOUBLE) AS uy,
+                   value / 20 + 1 AS r
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               (value - 50) * (value - 50) + (uy - 50) * (uy - 50)
+                   <= 3600 AS near_center,
+               (value + r) + 5 AS expanded_xmax,
+               round((value + 1) * (uy + 1), 6) AS env_area,
+               value + 0.25 * (50 - value) AS interp_x,
+               10 + least(greatest(coalesce(
+                   ((value - 10) * 70) / (70.0 * 70.0), 0), 0), 1) * 70
+                   AS closest_x,
+               uy AS flipped_x,
+               floor(value / 7.5) * 7.5 AS snapped_x
+        FROM src
+        ORDER BY event_id
     """,
     "spatial_funcs2": """
         WITH src AS (
