@@ -225,3 +225,47 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
     plan = _plan(text.vocab_oov_rate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # vocab top-k, no global sort
+
+
+def test_error_burst_filter_pushed(spark, sf_dir):
+    """The error filter reaches the parquet scan — the islands
+    windows only ever see the filtered sliver of the stream."""
+    from gizmosql_spark.operators import events
+
+    plan = _plan(events.events_error_burst(spark, sf_dir))
+    assert "EqualTo(event_type,error)" in plan
+
+
+def test_grouped_split_single_agg_shuffle(spark, sf_dir):
+    """Group membership is a pure hash compare in the scan: no join,
+    no pre-agg shuffle — one exchange for the partial agg plus the
+    presentation sort only."""
+    from gizmosql_spark.operators import sampling
+
+    import re
+
+    plan = _plan(sampling.grouped_split(spark, sf_dir))
+    assert "Join" not in plan
+    # count_distinct's two-phase agg + the presentation sort: three
+    # exchanges, none corpus-wide joins
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_semdedup_blocks_on_cluster_id(spark, sf_dir):
+    """The cosine sweep must be an equi-join on cid (cluster blocking)
+    — never a cartesian/BNLJ corpus cross."""
+    from gizmosql_spark.operators import training
+
+    plan = _plan(training.semdedup_prune(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_ranks_vocabulary_not_corpus(spark, sf_dir):
+    """No cartesian joins; the regression runs over per-language
+    top-100 frames (window over the vocabulary, corpus never joined)."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.zipf_vocab_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
