@@ -122,7 +122,8 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "st_dwithin": (
         "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,"
         " d DOUBLE) RETURNS BOOLEAN",
-        "st_distance(a, b) <= d",
+        # squared compare, not sqrt-then-compare: exact at the boundary
+        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= d * d",
     ),
     # point-in-envelope containment (bbox as xmin/ymin/xmax/ymax)
     "st_contains_bbox": (

@@ -359,13 +359,9 @@ _GEO_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         " AND p.y >= env.ymin AND p.y <= env.ymax",
     ),
     # --- fourth batch: predicate / construction / interpolation ------
-    # (all closed-form arithmetic: squared-distance compares, linear
-    # interpolation, clamps, floors — no trig, engine-identical)
-    "st_dwithin": (
-        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,"
-        " d DOUBLE) RETURNS BOOLEAN",
-        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= d * d",
-    ),
+    # (all closed-form arithmetic: linear interpolation, clamps,
+    # floors — no trig, engine-identical; st_dwithin itself lives in
+    # functions/__init__.py with the other point-tier functions)
     "st_expand": (
         "(env STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
         " d DOUBLE) RETURNS STRUCT<xmin: DOUBLE, ymin: DOUBLE,"
