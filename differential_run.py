@@ -1,0 +1,53 @@
+"""Full-corpus differential gate: every ``queries()`` entry vs its
+DuckDB oracle at $SPARK_GRAFT_SF_DIR (default sf0.01 — the driver's
+correctness tier).
+
+The driver's official record covers the first 50 queries; this runner
+is the repo's own gate over the WHOLE corpus. Writes
+``CORRECTNESS_LOCAL.json`` beside this file ({name: "ok" | "FAIL: …"})
+and prints a one-line summary last.
+
+Usage: ``python differential_run.py``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    import __spark_entry__ as entrymod
+
+    from gizmosql_spark import testing
+    from gizmosql_spark.session import get_spark
+
+    spark = get_spark("gizmosql-spark-diff")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    results: dict[str, str] = {}
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            testing.compare_to_oracle(fn(spark, sf_dir), oracles[name], sf_dir)
+            results[name] = "ok"
+        except Exception as ex:
+            results[name] = f"FAIL: {str(ex)[:300]}"
+        print(name, results[name], round(time.time() - t0, 1), flush=True)
+
+    bad = {k: v for k, v in results.items() if v != "ok"}
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "CORRECTNESS_LOCAL.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "total": len(results),
+                   "failed": len(bad), "results": results}, f, indent=1)
+    print(f"TOTAL {len(results)} FAILED {len(bad)} {json.dumps(bad)}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
