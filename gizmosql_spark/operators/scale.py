@@ -214,6 +214,33 @@ def partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned by
+    event_date, the date dimension is filtered at RUNTIME (Mondays),
+    and Spark injects a dynamic-pruning subquery into the fact scan —
+    only the partitions matching the filtered dim's keys are read,
+    even though no literal date appears in the query
+    (tests/test_plans.py pins ``dynamicpruning`` in PartitionFilters).
+
+    This is the star-schema scan killer at 100 TB: a 3-year fact
+    table joined to a filtered date/customer dim reads only the
+    matching partition directories, with zero query rewriting."""
+    t = _ensure_partitioned_events(spark, sf_dir)
+    dates = spark.range(1).select(
+        F.explode(F.sequence(
+            F.to_date(F.lit("2024-01-01")),
+            F.to_date(F.lit("2024-01-30")))).alias("d"))
+    mondays = dates.filter(F.dayofweek("d") == 2)
+    fact = spark.table(t)
+    return (
+        fact.join(mondays, fact["event_date"] == mondays["d"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("event_type")
+    )
+
+
 N_SPLIT_FILES = 64
 
 
@@ -311,11 +338,29 @@ QUERIES = {
     "salted_join": salted_join,
     "bucketed_join": bucketed_join,
     "partition_pruned_agg": partition_pruned_agg,
+    "dpp_join": dpp_join,
     "manyfile_scan_agg": manyfile_scan_agg,
     "zorder_layout": zorder_layout,
 }
 
 ORACLE: dict[str, str] = {
+    "dpp_join": """
+        WITH days AS (
+            SELECT unnest(generate_series(DATE '2024-01-01',
+                                          DATE '2024-01-30',
+                                          INTERVAL 1 DAY)) AS d
+        ),
+        mondays AS (
+            SELECT CAST(d AS DATE) AS d FROM days
+            WHERE dayofweek(CAST(d AS DATE)) = 1
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 4) AS total
+        FROM events e JOIN mondays m ON CAST(e.ts AS DATE) = m.d
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "zorder_layout": """
         WITH keyed AS (
             SELECT CAST(least(floor(value), 255) AS INT) AS bx,

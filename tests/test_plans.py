@@ -269,3 +269,13 @@ def test_zipf_ranks_vocabulary_not_corpus(spark, sf_dir):
     plan = _plan(text.zipf_vocab_stats(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dpp_join_prunes_dynamically(spark, sf_dir):
+    """Dynamic partition pruning must fire: the fact scan's
+    PartitionFilters carry a dynamicpruning subquery driven by the
+    filtered date dim — no literal date appears in the query."""
+    from gizmosql_spark.operators import scale
+
+    plan = _plan(scale.dpp_join(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
