@@ -245,9 +245,46 @@ def grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SYS_STRIDE = 500  # tokens per systematic stratum
+
+
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sampling: walk the corpus in
+    doc_id order accumulating token counts and keep the first document
+    crossing each _SYS_STRIDE-token boundary — every kept doc
+    represents one equal-weight stratum, so selection probability is
+    proportional to document length with NO floating-point randomness
+    (the deterministic analog of weighted reservoir sampling).
+
+    Scale shape: one window cumsum partitioned by source (strata are
+    per-stream, as in sequence packing — the global form is the same
+    range-partition two-pass). Pure integer arithmetic end to end:
+    bit-identical on any engine, any parallelism."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tok").over(w)
+    marked = (
+        d.select("source", "doc_id", toks.alias("n_tok"))
+        .select(
+            "source", "doc_id", "n_tok",
+            F.floor((cum - F.col("n_tok")) / _SYS_STRIDE)
+            .alias("stratum_before"),
+            F.floor(cum / _SYS_STRIDE).alias("stratum_after"),
+        )
+    )
+    return (
+        marked.filter(F.col("stratum_after") > F.col("stratum_before"))
+        .select("source", "doc_id", "n_tok",
+                F.col("stratum_after").cast("long").alias("stratum"))
+        .orderBy("source", "doc_id")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
     "grouped_split": grouped_split,
+    "systematic_sample": systematic_sample,
     "temperature_resample": temperature_resample,
     "mixture_plan": mixture_plan,
     "stratified_sample": stratified_sample,
@@ -337,6 +374,25 @@ ORACLE: dict[str, str] = {
                CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
         FROM rates r LEFT JOIN kept k USING (source)
         ORDER BY r.source
+    """,
+    "systematic_sample": f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        cums AS (
+            SELECT source, doc_id, n_tok,
+                   sum(n_tok) OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS cum
+            FROM toks
+        )
+        SELECT source, doc_id, n_tok,
+               CAST(floor(cum / {_SYS_STRIDE}) AS BIGINT) AS stratum
+        FROM cums
+        WHERE floor(cum / {_SYS_STRIDE})
+              > floor((cum - n_tok) / {_SYS_STRIDE})
+        ORDER BY source, doc_id
     """,
     "grouped_split": f"""
         SELECT CASE WHEN md5(source) < '{_TRAIN_MAX}' THEN 'train'

@@ -92,8 +92,8 @@ def test_sampling_operators_match_oracle(spark, sf_dir):
     pure row-key function — identical membership on every engine."""
     from gizmosql_spark.operators import sampling
 
-    for name in ("dataset_split", "grouped_split", "stratified_sample",
-                 "grouped_head"):
+    for name in ("dataset_split", "grouped_split", "systematic_sample",
+                 "stratified_sample", "grouped_head"):
         compare_to_oracle(
             sampling.QUERIES[name](spark, sf_dir),
             sampling.ORACLE[name],
