@@ -104,13 +104,15 @@ def dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_key): LSH band keys from 8 minhashes.
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): LSH band keys from 8 minhashes
+    over the (persisted) shingle frame — the caller passes the same
+    cached explode the Jaccard verify reads, so the shingling runs
+    once per dataset, not once per consumer.
 
     minhash_i = lexicographic min of md5("i:" || shingle) — portable
     across engines, and a groupBy with 8 min() aggs = one shuffle.
     """
-    sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(N_HASHES)
@@ -142,7 +144,7 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = loader.keyed_persist(
             spark, f"dedup.shingles:{sf_dir}",
             lambda: _shingles(spark, sf_dir))
-        bands = _minhash_bands(spark, sf_dir)
+        bands = _minhash_bands(sh)
         a = bands.alias("a")
         b = bands.alias("b")
         cand = (
