@@ -110,3 +110,46 @@ def test_join_groupby_agree(spark, ddb2, joined_views, preds, grp):
         assert g_row["g"] == w_row[0], where
         assert g_row["n"] == w_row[1], where
         assert g_row["s"] == pytest.approx(w_row[2], rel=1e-9), where
+
+
+_WIN_PARTS = ["l_returnflag", "l_linestatus"]
+_WIN_ORDS = ["l_extendedprice", "l_quantity", "l_discount"]
+
+
+@given(part=st.sampled_from(_WIN_PARTS), ordc=st.sampled_from(_WIN_ORDS),
+       k=st.integers(1, 5), preds=_predicates)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_window_topk_agree(spark, ddb, sdf, part, ordc, k, preds):
+    """Randomized per-group top-k: row_number with a deterministic
+    tie-break must select the identical rows on both engines."""
+    where = " AND ".join(preds)
+    q = (
+        f"SELECT {part} AS g, l_orderkey, l_linenumber FROM ("
+        f"  SELECT *, row_number() OVER ("
+        f"    PARTITION BY {part}"
+        f"    ORDER BY {ordc} DESC, l_orderkey, l_linenumber) AS rk"
+        f"  FROM {{t}} WHERE {where}) r"
+        f" WHERE rk <= {k} ORDER BY g, l_orderkey, l_linenumber"
+    )
+    got = [(r["g"], r["l_orderkey"], r["l_linenumber"])
+           for r in spark.sql(q.format(t="li_prop")).collect()]
+    want = ddb.execute(q.format(t="lineitem")).fetchall()
+    assert got == [tuple(w) for w in want], where
+
+
+@given(preds=_predicates, col=st.sampled_from(_STR_COLS))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_distinct_setop_agree(spark, ddb, sdf, preds, col):
+    """Randomized DISTINCT + EXCEPT: the distinct value set under a
+    predicate and its complement must partition identically."""
+    where = " AND ".join(preds)
+    q = (
+        f"SELECT DISTINCT {col} AS v FROM {{t}} WHERE {where}"
+        f" EXCEPT SELECT DISTINCT {col} AS v FROM {{t}} WHERE NOT ({where})"
+        f" ORDER BY v"
+    )
+    got = [r["v"] for r in spark.sql(q.format(t="li_prop")).collect()]
+    want = [w[0] for w in ddb.execute(q.format(t="lineitem")).fetchall()]
+    assert got == want, where
