@@ -1114,6 +1114,33 @@ class Engine:
                 "version int, path string, at double")
             return StatementResult(
                 "query", df=df.filter("version > 0"))
+        if name == "table_files":
+            # Iceberg `files` metadata-table analog: one row per data
+            # file with its size — what OPTIMIZE reads to decide
+            # whether compaction is worth a rewrite
+            if not arg:
+                raise ValueError("PRAGMA table_files requires a table")
+            import os
+
+            from gizmosql_spark import maintenance
+
+            loc = maintenance._table_location(spark, arg)
+            rows = []
+            if loc and os.path.isdir(loc):
+                for root, _d, files in os.walk(loc):
+                    for f in sorted(files):
+                        if f.startswith(("_", ".")):
+                            continue
+                        p = os.path.join(root, f)
+                        try:
+                            rows.append(
+                                (os.path.relpath(p, loc),
+                                 os.path.getsize(p)))
+                        except OSError:
+                            pass
+            df = spark.createDataFrame(
+                rows or [("", 0)], "file string, size_bytes bigint")
+            return StatementResult("query", df=df.filter("file <> ''"))
         if name == "import_database":
             # parsed as PRAGMA by DuckDB (admin_command_guard.cpp:373);
             # route through the same admin gate as the statement form

@@ -447,3 +447,17 @@ class TestAnalyzeAndVacuum:
         with pytest.raises(CommandDenied):
             eng.execute_sql(sid, "VACUUM whatever")
         eng.close_session(sid)
+
+
+def test_table_files_pragma(spark):
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    spark.sql("DROP TABLE IF EXISTS t_files")
+    spark.range(1000).toDF("id").repartition(4).write.saveAsTable("t_files")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "PRAGMA table_files('t_files')"))
+    assert len(rows) == 4
+    assert all(r["size_bytes"] > 0 and r["file"].endswith(".parquet")
+               for r in rows)
+    eng.execute_sql(sid, "DROP TABLE t_files")
+    eng.close_session(sid)
