@@ -400,6 +400,42 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_TOP = 10
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path analysis: the most common 3-event sequences
+    (consecutive per user in time order) — the product-analytics
+    question "what do users do right before purchasing?".
+
+    Scale shape: one shuffle on user_id carries the two lead windows,
+    then a (path) partial agg and TakeOrderedAndProject top-k. No
+    joins, no collects."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOP)
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), "path")).alias("rank"),
+            "path", "n",
+        )
+    )
+
+
 def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the custom Python DataSource (sources/pydatasource.py):
     partition-parallel deterministic generator read through the planner
@@ -430,6 +466,7 @@ QUERIES = {
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
+    "events_top_paths": events_top_paths,
     "events_retention": events_retention,
     "events_anomaly": events_anomaly,
     "events_mad_outliers": events_mad_outliers,
@@ -566,6 +603,29 @@ ORACLE: dict[str, str] = {
         FROM events
         WHERE event_id < 2000
         ORDER BY event_id
+    """,
+    "events_top_paths": """
+        WITH seq AS (
+            SELECT user_id, event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT e1 || '>' || e2 || '>' || e3 AS path
+            FROM seq WHERE e3 IS NOT NULL
+        ),
+        top AS (
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM paths GROUP BY path
+            ORDER BY n DESC, path LIMIT 10
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, path) AS INT)
+                   AS rank,
+               path, n
+        FROM top
+        ORDER BY rank
     """,
     "events_error_burst": """
         WITH err AS (

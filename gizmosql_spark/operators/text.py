@@ -562,10 +562,50 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TOP = 20
+
+
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First round of BPE tokenizer training: frequency-weighted
+    adjacent character-pair counts over the word inventory, top-20 —
+    the merge candidates a byte-pair-encoding trainer would fuse
+    first. (Full BPE iterates this with re-segmentation; round one is
+    the corpus-scan-shaped step and the one worth distributing.)
+
+    Scale shape: wordcount shuffle collapses the corpus to its word
+    INVENTORY first (pair explosion runs per distinct word, weighted
+    by its count — at 100 TB the inventory is millions of rows, the
+    corpus trillions), then one (pair) partial agg and a
+    TakeOrderedAndProject top-k. Pure integer counts end to end."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    inv = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = inv.select(
+        "c",
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOP)
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), "pair")).alias("rank"),
+            "pair", "n",
+        )
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
     "zipf_vocab_stats": zipf_vocab_stats,
     "token_fertility": token_fertility,
+    "bpe_first_merges": bpe_first_merges,
     "inverted_index": inverted_index,
     "vocab_oov_rate": vocab_oov_rate,
     "char_entropy": char_entropy,
@@ -584,6 +624,30 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "bpe_first_merges": f"""
+        WITH words AS (
+            SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+            FROM documents
+        ),
+        inv AS (
+            SELECT w, count(*) AS c FROM words
+            WHERE length(w) >= 2 GROUP BY w
+        ),
+        pairs AS (
+            SELECT substring(w, i, 2) AS pair, c
+            FROM inv, unnest(range(1, length(w))) AS u(i)
+        ),
+        top AS (
+            SELECT pair, CAST(sum(c) AS BIGINT) AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT {_BPE_TOP}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT)
+                   AS rank,
+               pair, n
+        FROM top
+        ORDER BY rank
+    """,
     "zipf_vocab_stats": f"""
         WITH toks AS (
             SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
