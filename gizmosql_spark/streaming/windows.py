@@ -354,8 +354,85 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style streaming upsert (the foreachBatch MERGE landing
+    pattern): a keyed state table holds each user's LATEST event;
+    every micro-batch folds its per-user latest rows into the table
+    with an argmax-merge. The table is pre-seeded from an early slice
+    so the merge path (not just the create path) runs under the
+    stream. Final state is the argmax over (ts, event_id) per user —
+    associative, so it is independent of batch boundaries, which is
+    what makes a differential oracle possible.
+
+    Scale notes: per-batch work is one user-keyed window over the
+    BATCH plus a rewrite of the user-keyed state table; on a
+    lakehouse deployment the rewrite is a Delta/Iceberg MERGE
+    touching matched files only (the warehouse.py seam)."""
+    import shutil
+    import tempfile
+
+    table = "stream_upsert_state_tbl"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
+
+    from pyspark.sql import Window as W
+
+    cols = ["user_id", "ts", "event_id", "event_type", "value"]
+    w_latest = W.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", F.row_number().over(w_latest))
+            .filter(F.col("rk") == 1).drop("rk")
+        )
+
+    from gizmosql_spark.operators.events import load_events
+
+    seed = load_events(spark, sf_dir).filter(
+        F.col("event_id") < 100).select(*cols)
+    _latest(seed).write.saveAsTable(table)
+
+    ev = read_event_stream(spark, sf_dir).select(*cols)
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from gizmosql_spark import dml
+
+        merged = _latest(
+            spark.table(table).unionByName(_latest(batch_df)))
+        dml._overwrite_via_stage(spark, table, merged)
+
+    part_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                ev.writeStream.outputMode("append")
+                .foreachBatch(_upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set(part_key, prev)
+    return (
+        spark.table(table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("value"), 4).alias("latest_value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling,
+    "stream_upsert_table": stream_upsert_table,
     "stream_sliding": stream_sliding,
     "stream_sink_table": stream_sink_table,
     "stream_session_windows": stream_session_windows,
@@ -365,6 +442,21 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "stream_upsert_table": """
+        WITH latest AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(sum(value), 4) AS latest_value_sum
+        FROM latest WHERE rk = 1
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "stream_sink_table": """
         WITH w AS (
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
