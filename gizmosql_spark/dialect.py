@@ -449,6 +449,36 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+_COLUMNS_FN_RE = re.compile(r"COLUMNS\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE)
+_FROM_TABLE_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+
+
+def rewrite_columns(sql: str, spark) -> str:
+    """DuckDB's ``COLUMNS('regex')`` star-expression → the expanded
+    column list, resolved against the statement's FROM table (DuckDB
+    star_expression.cpp semantics: regex SEARCH over column names, in
+    table order). Scope: standalone select-list uses over a named
+    single FROM target; function-wrapped expansion (``min(COLUMNS(…))``
+    fans the call out per column in DuckDB) is not rewritten —
+    documented dialect subset."""
+    m = _COLUMNS_FN_RE.search(sql)
+    if m is None:
+        return sql
+    frm = _FROM_TABLE_RE.search(_mask_literals(sql))
+    if frm is None:
+        raise ValueError("COLUMNS() requires a named FROM table")
+    cols = [f.name for f in spark.table(frm.group(1)).schema.fields]
+    while m is not None:
+        matched = [c for c in cols if re.search(m.group(1), c)]
+        if not matched:
+            raise ValueError(
+                f"COLUMNS({m.group(1)!r}) matched no columns of"
+                f" {frm.group(1)}")
+        sql = sql[:m.start()] + ", ".join(matched) + sql[m.end():]
+        m = _COLUMNS_FN_RE.search(sql)
+    return sql
+
+
 _EXCLUDE_RE = re.compile(
     r"(\*\s*)EXCLUDE\s*(\(([^)]*)\)|([A-Za-z_][\w]*))", re.IGNORECASE
 )

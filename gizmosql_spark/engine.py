@@ -506,6 +506,12 @@ class Engine:
         sql = rewrite_qualify(sql)
         sql = rewrite_distinct_on(sql)
         sql = rewrite_exclude(sql)
+        if "COLUMNS" in sql.upper():
+            from gizmosql_spark.dialect import rewrite_columns
+
+            # schema-resolved rewrite (COLUMNS('re') star-expression);
+            # ADD COLUMNS etc. never match the call-form regex
+            sql = rewrite_columns(sql, st.spark)
         sql, used_settings = rewrite_settings_function(sql)
         if used_settings:
             self._register_settings_view(st)

@@ -751,6 +751,23 @@ def spatial_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def columns_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB ``COLUMNS('regex')`` star-expression (dialect-ism tier):
+    the engine rewrite expands the regex against the FROM table's
+    schema in table order; the oracle runs DuckDB's NATIVE COLUMNS()
+    on the identical regex — a direct differential of the dialect
+    shim against the reference engine's own semantics."""
+    from gizmosql_spark.dialect import rewrite_columns
+
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cols")
+    sql = (
+        "SELECT COLUMNS('^l_(orderkey|linenumber|quantity|returnflag)$')"
+        " FROM li_cols WHERE l_orderkey < 200"
+        " ORDER BY l_orderkey, l_linenumber"
+    )
+    return spark.sql(rewrite_columns(sql, spark))
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (the dbt-test / Great-Expectations
     shape): one row per declared rule with its violation count —
@@ -961,6 +978,7 @@ QUERIES = {
     "spatial_wkb2": spatial_wkb2,
     "spatial_funcs2": spatial_funcs2,
     "spatial_funcs3": spatial_funcs3,
+    "columns_expansion": columns_expansion,
     "spatial_join": spatial_join,
     "fuzzy_join": fuzzy_join,
     "data_quality_report": data_quality_report,
@@ -1317,6 +1335,11 @@ ORACLE: dict[str, str] = {
             ORDER BY CAST(o_orderdate AS TIMESTAMP)
             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING AND CURRENT ROW)
         ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    "columns_expansion": """
+        SELECT COLUMNS('^l_(orderkey|linenumber|quantity|returnflag)$')
+        FROM lineitem WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber
     """,
     "spatial_funcs3": """
         WITH src AS (

@@ -41,3 +41,31 @@ def test_oracle_sql_runs_on_spark(spark, sf_dir, name):
         d = sorted(tuple(_canon_cell(v) for v in r) for r in via_df.collect())
         for a, b in zip(s, d):
             assert _rows_equal(a, b), f"{name}: {a} != {b}"
+
+
+def test_columns_star_expression(spark):
+    """DuckDB COLUMNS('regex') dialect-ism through the engine."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(
+        sid, "CREATE OR REPLACE TEMP VIEW t_colregex AS"
+             " SELECT id AS k_id, id * 2 AS k_two, id * 3 AS other"
+             " FROM range(5)")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT COLUMNS('^k_') FROM t_colregex ORDER BY k_id"))
+    assert rows[0].asDict() == {"k_id": 0, "k_two": 0}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="matched no columns"):
+        eng.execute_sql(sid, "SELECT COLUMNS('^zzz') FROM t_colregex")
+    # ALTER ... ADD COLUMNS must NOT trip the rewrite
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_colregex_tbl")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_colregex_tbl AS SELECT 1 AS a")
+    eng.execute_sql(
+        sid, "ALTER TABLE t_colregex_tbl ADD COLUMNS (b STRING)")
+    assert eng.spark.table("t_colregex_tbl").columns == ["a", "b"]
+    eng.execute_sql(sid, "DROP TABLE t_colregex_tbl")
+    eng.close_session(sid)
