@@ -479,6 +479,102 @@ def rewrite_columns(sql: str, spark) -> str:
     return sql
 
 
+_STAR_REPLACE_RE = re.compile(
+    r"\*\s*REPLACE\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)", re.IGNORECASE)
+
+
+def rewrite_star_replace(sql: str, spark) -> str:
+    """DuckDB's ``SELECT * REPLACE (expr AS col, …)`` → the full
+    column list with the named columns substituted by their
+    replacement expressions (aliased back to the same name), resolved
+    against the FROM table in table order — same scope rules as
+    ``rewrite_columns``."""
+    m = _STAR_REPLACE_RE.search(sql)
+    if m is None:
+        return sql
+    frm = _FROM_TABLE_RE.search(_mask_literals(sql))
+    if frm is None:
+        raise ValueError("* REPLACE requires a named FROM table")
+    cols = [f.name for f in spark.table(frm.group(1)).schema.fields]
+    while m is not None:
+        repl: dict[str, str] = {}
+        for part in _split_top_level_commas(m.group(1)):
+            mm = re.match(r"(?s)^\s*(.*\S)\s+AS\s+([A-Za-z_]\w*)\s*$",
+                          part, re.IGNORECASE)
+            if mm is None:
+                raise ValueError(f"bad * REPLACE item: {part!r}")
+            repl[mm.group(2).lower()] = mm.group(1)
+        unknown = set(repl) - {c.lower() for c in cols}
+        if unknown:
+            raise ValueError(
+                f"* REPLACE names unknown column(s) {sorted(unknown)}")
+        items = [
+            f"{repl[c.lower()]} AS {c}" if c.lower() in repl else c
+            for c in cols
+        ]
+        sql = sql[:m.start()] + ", ".join(items) + sql[m.end():]
+        m = _STAR_REPLACE_RE.search(sql)
+    return sql
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    out, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+_ORDER_BY_ALL_RE = re.compile(
+    r"\bORDER\s+BY\s+ALL\b(\s+(?:ASC|DESC))?", re.IGNORECASE)
+
+
+def rewrite_order_by_all(sql: str, spark) -> str:
+    """DuckDB's ``ORDER BY ALL [ASC|DESC]`` → explicit ordinals
+    1..n over the select list. n comes from counting top-level
+    select-list items; a bare ``*``/``t.*`` item falls back to the
+    FROM table's schema width."""
+    masked = _mask_literals(sql)
+    m = _ORDER_BY_ALL_RE.search(masked)
+    if m is None:
+        return sql
+    sel = _find_top_level(masked, "SELECT")
+    frm = _find_top_level(masked, "FROM")
+    if sel is None or frm is None:
+        return sql
+    items = _split_top_level_commas(masked[sel + len("SELECT"):frm])
+    n = 0
+    for it in items:
+        it = it.strip()
+        if it.removeprefix("DISTINCT").strip() in ("*",) or \
+                re.fullmatch(r"[A-Za-z_]\w*\.\*", it):
+            t = _FROM_TABLE_RE.search(masked)
+            if t is None:
+                raise ValueError("ORDER BY ALL with * needs a table")
+            n += len(spark.table(t.group(1)).schema.fields)
+        elif it:
+            n += 1
+    direction = m.group(1) or ""
+    ordinals = ", ".join(f"{i + 1}{direction}" for i in range(n))
+    return sql[:m.start()] + f"ORDER BY {ordinals}" + sql[m.end():]
+
+
 _EXCLUDE_RE = re.compile(
     r"(\*\s*)EXCLUDE\s*(\(([^)]*)\)|([A-Za-z_][\w]*))", re.IGNORECASE
 )

@@ -512,6 +512,14 @@ class Engine:
             # schema-resolved rewrite (COLUMNS('re') star-expression);
             # ADD COLUMNS etc. never match the call-form regex
             sql = rewrite_columns(sql, st.spark)
+        if "REPLACE" in sql.upper():
+            from gizmosql_spark.dialect import rewrite_star_replace
+
+            sql = rewrite_star_replace(sql, st.spark)
+        if "ALL" in sql.upper():
+            from gizmosql_spark.dialect import rewrite_order_by_all
+
+            sql = rewrite_order_by_all(sql, st.spark)
         sql, used_settings = rewrite_settings_function(sql)
         if used_settings:
             self._register_settings_view(st)

@@ -69,3 +69,49 @@ def test_columns_star_expression(spark):
     assert eng.spark.table("t_colregex_tbl").columns == ["a", "b"]
     eng.execute_sql(sid, "DROP TABLE t_colregex_tbl")
     eng.close_session(sid)
+
+
+def test_star_replace_expression(spark):
+    """DuckDB * REPLACE (expr AS col) dialect-ism."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(
+        sid, "CREATE OR REPLACE TEMP VIEW t_repl AS"
+             " SELECT id AS a, id * 2 AS b FROM range(3)")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT * REPLACE (b + 100 AS b) FROM t_repl ORDER BY a"))
+    assert [r.asDict() for r in rows] == [
+        {"a": 0, "b": 100}, {"a": 1, "b": 102}, {"a": 2, "b": 104}]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown column"):
+        eng.execute_sql(
+            sid, "SELECT * REPLACE (1 AS nope) FROM t_repl")
+    eng.close_session(sid)
+
+
+def test_order_by_all(spark):
+    """DuckDB ORDER BY ALL [DESC] dialect-ism."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(
+        sid, "CREATE OR REPLACE TEMP VIEW t_oba AS"
+             " SELECT id % 2 AS g, id AS v FROM range(4)")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT g, v FROM t_oba ORDER BY ALL"))
+    assert [(r["g"], r["v"]) for r in rows] == [
+        (0, 0), (0, 2), (1, 1), (1, 3)]
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT g, v FROM t_oba ORDER BY ALL DESC"))
+    assert [(r["g"], r["v"]) for r in rows] == [
+        (1, 3), (1, 1), (0, 2), (0, 0)]
+    # star form resolves width from the table schema
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT * FROM t_oba ORDER BY ALL"))
+    assert [(r["g"], r["v"]) for r in rows] == [
+        (0, 0), (0, 2), (1, 1), (1, 3)]
+    eng.close_session(sid)
