@@ -454,6 +454,12 @@ class Engine:
             # (record() no-ops for temp views; resolves to forget()
             # when the table no longer exists, e.g. after DROP)
             self.warehouse.record(st.spark, write_target)
+            ren = self._RENAME_TO_RE.match(sql)
+            if ren is not None:
+                # RENAME TO: the write target is the OLD name (now
+                # forgotten above); record the NEW name so the files
+                # survive a restart under it
+                self.warehouse.record(st.spark, ren.group(1).strip("`"))
         elapsed = (time.perf_counter() - t_start) * 1000
         self.query_log.record(session_id, sql, "ok", elapsed)
         result.statement_id = stmt_id
@@ -476,6 +482,11 @@ class Engine:
     )
     _ACCESS_LOG_FN_RE = __import__("re").compile(
         r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
+    )
+    _RENAME_TO_RE = __import__("re").compile(
+        r"^\s*ALTER\s+TABLE\s+(?:[A-Za-z_][\w.]*|`[^`]+`)\s+RENAME"
+        r"\s+TO\s+([A-Za-z_][\w.]*|`[^`]+`)\s*;?\s*$",
+        __import__("re").IGNORECASE,
     )
     _ADMISSION_FN_RE = __import__("re").compile(
         r"\bengine_admission_stats\s*\(\s*\)", __import__("re").IGNORECASE

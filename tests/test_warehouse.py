@@ -461,3 +461,22 @@ def test_table_files_pragma(spark):
                for r in rows)
     eng.execute_sql(sid, "DROP TABLE t_files")
     eng.close_session(sid)
+
+
+def test_rename_table_updates_manifest(spark):
+    """ALTER TABLE … RENAME TO must re-record the manifest under the
+    NEW name (the old entry resolves to forget) so the files survive
+    a restart under the renamed table."""
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_ren_src")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_ren_dst")
+    eng.execute_sql(sid, "CREATE TABLE t_ren_src AS SELECT 7 AS x")
+    assert "t_ren_src" in eng.warehouse.tables()
+    eng.execute_sql(sid, "ALTER TABLE t_ren_src RENAME TO t_ren_dst")
+    tables = eng.warehouse.tables()
+    assert "t_ren_src" not in tables
+    assert "t_ren_dst" in tables
+    assert os.path.isdir(tables["t_ren_dst"]["location"])
+    eng.execute_sql(sid, "DROP TABLE t_ren_dst")
+    eng.close_session(sid)
