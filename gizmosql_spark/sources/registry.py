@@ -67,6 +67,44 @@ def parquet_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, column_type string, nullable boolean")
 
 
+def parquet_metadata(spark: SparkSession, path: str) -> DataFrame:
+    """parquet_metadata analog (the reference gates DuckDB's
+    row-group-level table function, admin_command_guard.cpp:108-113):
+    one row per (file, row group) with row counts, byte sizes, and
+    compression — footer reads only, no data scan. Globs expand the
+    same way the scan does."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(path)) if any(
+        ch in path for ch in "*?[") else [path]
+    expanded: list[str] = []
+    for f in files:
+        if os.path.isdir(f):
+            expanded.extend(sorted(
+                os.path.join(f, n) for n in os.listdir(f)
+                if n.endswith(".parquet")))
+        else:
+            expanded.append(f)
+    rows = []
+    for f in expanded:
+        meta = pq.ParquetFile(f).metadata
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            comp = rg.column(0).compression if rg.num_columns else ""
+            rows.append((
+                f, g, rg.num_rows, rg.total_byte_size,
+                meta.num_columns, comp,
+            ))
+    return spark.createDataFrame(
+        rows,
+        "file_name string, row_group_id int, row_group_num_rows bigint,"
+        " row_group_bytes bigint, num_columns int, compression string",
+    )
+
+
 def copy_to(df: DataFrame, path: str, fmt: str = "parquet",
             mode: str = "overwrite", **options) -> None:
     """COPY <query> TO 'path' (FORMAT fmt) analog."""

@@ -136,3 +136,15 @@ def test_sniff_csv_and_glob(spark, tmp_path):
     nd = tmp_path / "t.ndjson"
     nd.write_text('{"k": 1}\n{"k": 2}\n')
     assert reg.read_ndjson(spark, str(nd)).count() == 2
+
+
+def test_parquet_metadata_row_groups(spark, sf_smoke):
+    """Row-group metadata from footers only: row counts across groups
+    must sum to the table's row count."""
+    df = src.parquet_metadata(spark, f"{sf_smoke}/lineitem.parquet")
+    rows = df.collect()
+    assert rows and all(r["row_group_bytes"] > 0 for r in rows)
+    total = sum(r["row_group_num_rows"] for r in rows)
+    assert total == spark.read.parquet(
+        f"{sf_smoke}/lineitem.parquet").count()
+    assert all(r["num_columns"] >= 10 for r in rows)
