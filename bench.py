@@ -55,6 +55,13 @@ def main() -> None:
             return s
 
         spark.range(10000, numPartitions=32).select(_warm("id")).count()
+        # the Python DataSource runner uses its own worker path — warm
+        # it too (long-lived on a real cluster, same as the UDF pool)
+        from gizmosql_spark.sources import pydatasource
+
+        pydatasource.register(spark)
+        spark.read.format("synthetic_events").option("rows", 64) \
+            .option("numPartitions", 2).load().count()
     except Exception:
         pass
 
