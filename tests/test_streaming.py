@@ -173,3 +173,60 @@ def test_stream_sink_table_matches_oracle(spark, sf_dir):
     compare_to_oracle(
         sw.stream_sink_table(spark, sf_dir),
         sw.ORACLE["stream_sink_table"], sf_dir)
+
+
+def test_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once across a mid-stream kill: a many-file source
+    processes a few files per trigger; the query is STOPPED after the
+    first committed batch, then resumed from the same checkpoint with
+    availableNow. The file sink's commit log must yield exactly the
+    batch-read row count — no duplicated, no dropped rows."""
+    import time as _time
+
+    from gizmosql_spark.operators import scale
+
+    src = scale._ensure_manyfile_events(spark, sf_dir)
+    expect = spark.read.parquet(src).count()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+            .select("event_id", "event_type", "value")
+        )
+
+    q = (
+        reader().writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # wait for at least one committed batch, then kill mid-stream
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    partial = spark.read.parquet(out).count()
+    # normally the kill lands mid-stream; on a fast machine every
+    # batch may already have committed — still a valid exactly-once
+    # check, just without the resume exercising new work
+    assert 0 < partial <= expect, (partial, expect)
+
+    # resume from the same checkpoint; drain everything remaining
+    q2 = (
+        reader().writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == expect
