@@ -170,6 +170,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.mapInPandas(_feature_batches, FEATURE_SCHEMA).orderBy("doc_id")
 
 
+PHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("phash", StringType()),
+])
+
+
+def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched perceptual hash: REAL PNG/BMP decode, then the
+    average-hash bit string — pixel luminance vs the image mean, in
+    row-major order. All-integer compares (n*L > total), so the bits
+    are exact on any engine."""
+    from gizmosql_spark import imaging
+
+    for pdf in it:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            px = imaging.decode_image(bytes(payload)).astype("int64")
+            h, w, _ = px.shape
+            lum = px.sum(axis=2)
+            total = int(lum.sum())
+            n = h * w
+            bits = "".join(
+                "1" if int(lum[y, x]) * n > total else "0"
+                for y in range(h) for x in range(w))
+            rows.append({"doc_id": int(doc_id), "phash": bits})
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash (aHash): decode the real
+    bytes, hash the luminance pattern, group identical hashes, keep
+    the lowest doc_id — the image-pipeline analog of dedup_exact,
+    with the decode stage differentially verified (the oracle derives
+    every bit in closed form from the synth-pixel arithmetic).
+
+    Scale shape: mapInPandas decode is partition-parallel over Arrow
+    batches; the dedup is ONE hash shuffle on the 48-bit-max hash
+    string. Hamming-near variants bucket on hash prefixes — the
+    SimHash device, same code shape."""
+    from pyspark.sql import Window
+
+    b = with_image_blob(spark, sf_dir)
+    ph = b.mapInPandas(_phash_batches, PHASH_SCHEMA)
+    w = Window.partitionBy("phash")
+    return (
+        ph.withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "phash", "keeper", "is_dup")
+        .orderBy("doc_id")
+    )
+
+
 def doc_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join: text rows (documents) against their vector
     rows (embeddings, vec_id = doc_id), aggregated per embedding label
@@ -306,12 +358,45 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_phash_dedup": multimodal_phash_dedup,
     "multimodal_frames": multimodal_frames,
     "multimodal_audio": multimodal_audio,
     "doc_embedding_stats": doc_embedding_stats,
 }
 
 ORACLE: dict[str, str] = {
+    "multimodal_phash_dedup": """
+        WITH dims AS (
+            SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, t.x, u.y,
+                   ((7 * d.doc_id + 3 * t.x + 5 * u.y) % 256)
+                   + ((11 * d.doc_id + t.x + 2 * u.y) % 256)
+                   + ((13 * d.doc_id + 4 * t.x + u.y) % 256) AS L
+            FROM dims d,
+                 LATERAL (SELECT unnest(range(0, d.w))) t(x),
+                 LATERAL (SELECT unnest(range(0, d.h))) u(y)
+        ),
+        tot AS (
+            SELECT doc_id, sum(L) AS total, count(*) AS n
+            FROM px GROUP BY doc_id
+        ),
+        bits AS (
+            SELECT p.doc_id,
+                   string_agg(CASE WHEN p.L * t.n > t.total
+                                   THEN '1' ELSE '0' END, ''
+                              ORDER BY p.y, p.x) AS phash
+            FROM px p JOIN tot t USING (doc_id)
+            GROUP BY p.doc_id
+        )
+        SELECT doc_id, phash,
+               min(doc_id) OVER (PARTITION BY phash) AS keeper,
+               doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+        FROM bits
+        ORDER BY doc_id
+    """,
     "multimodal_frames": f"""
         WITH docs AS (
             SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS n_frames

@@ -439,3 +439,28 @@ def test_error_burst_runs_are_dense(spark, sf_dir):
         assert r.burst_len >= 3
         span_s = (r.burst_end - r.burst_start).total_seconds()
         assert span_s <= 300 * (r.burst_len - 1)
+
+
+def test_multimodal_phash_dedup_matches_oracle(spark, sf_dir):
+    """Real-decode perceptual hash vs the closed-form pixel oracle."""
+    from gizmosql_spark.operators import multimodal
+
+    compare_to_oracle(
+        multimodal.multimodal_phash_dedup(spark, sf_dir),
+        multimodal.ORACLE["multimodal_phash_dedup"], sf_dir)
+
+
+def test_multimodal_phash_groups_consistent(spark, sf_dir):
+    """Every dup points at a keeper with the identical hash, and the
+    keeper is the group's min doc_id."""
+    from gizmosql_spark.operators import multimodal
+
+    rows = multimodal.multimodal_phash_dedup(spark, sf_dir).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["phash"], []).append(r)
+    assert any(len(v) > 1 for v in by_hash.values())  # real collisions
+    for grp in by_hash.values():
+        keeper = min(r["doc_id"] for r in grp)
+        assert all(r["keeper"] == keeper for r in grp)
+        assert all((r["doc_id"] != keeper) == r["is_dup"] for r in grp)
