@@ -196,7 +196,7 @@ class Engine:
         from gizmosql_spark.warehouse import WarehouseCatalog
 
         self.warehouse = WarehouseCatalog(self.spark)
-        self.warehouse.reattach_all(self.spark)
+        self.reattach()
         #: captured execution profiles (engine.capture_query_profile;
         #: the reference harvests DuckDB's JSON profile per execution,
         #: duckdb_statement.cpp:1884-1909, :2210-2221)
@@ -789,6 +789,16 @@ class Engine:
                 st.spark.table(backup).write.mode("overwrite").saveAsTable(table)
                 self._refresh_everywhere(table)
                 st.spark.sql(f"DROP TABLE IF EXISTS {backup}")
+
+    def reattach(self) -> list[str]:
+        """Re-register manifest tables and views, then invalidate any
+        stale per-session file listings for them (each SparkSession
+        caches its own — a same-JVM 'restart' would otherwise read
+        deleted part files)."""
+        attached = self.warehouse.reattach_all(self.spark)
+        for name in attached:
+            self._refresh_everywhere(name)
+        return attached
 
     def _refresh_everywhere(self, table: str) -> None:
         """Invalidate a table's relation cache in every session — the

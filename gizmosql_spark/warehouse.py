@@ -215,6 +215,17 @@ class WarehouseCatalog:
             if t is not None and t.isTemporary:
                 return
             d = self._describe(spark, table)
+            if (t is not None and t.tableType == "VIEW") or \
+                    d.get("View Text"):
+                # persistent VIEW: the in-memory catalog forgets the
+                # definition at exit — the manifest carries it (the
+                # reference keeps views in its database file)
+                self.upsert_entry(name, {
+                    "type": "view",
+                    "view_text": d.get("View Text", ""),
+                    "recorded_at": time.time(),
+                })
+                return
             location = d.get("Location", "").removeprefix("file:")
             if not location:
                 return
@@ -262,9 +273,15 @@ class WarehouseCatalog:
         whose files are gone are dropped from the manifest."""
         attached: list[str] = []
         gone: list[str] = []
+        views: list[tuple[str, str]] = []
         with self._lock:
             tables = self._load()
             for name, entry in list(tables.items()):
+                if entry.get("type") == "view":
+                    # recreated AFTER tables so definitions over
+                    # re-attached tables resolve
+                    views.append((name, entry.get("view_text", "")))
+                    continue
                 loc = entry.get("location")
                 if not loc or not os.path.exists(loc):
                     gone.append(name)
@@ -284,8 +301,25 @@ class WarehouseCatalog:
                         f"CREATE TABLE {name} ({entry['schema']})"
                         f" USING {entry.get('format', 'parquet')}{clause}"
                         f" LOCATION '{loc}'")
+                    # drop any stale file-status cache for the path
+                    # (files may have been rewritten since this JVM
+                    # last listed them)
+                    spark.catalog.refreshTable(name)
                     attached.append(name)
                 except Exception:
+                    continue
+            for name, text in views:
+                if not text:
+                    continue
+                try:
+                    if not spark.catalog.tableExists(name):
+                        spark.sql(
+                            f"CREATE OR REPLACE VIEW {name} AS {text}")
+                        attached.append(name)
+                except Exception:
+                    # definition referencing a table that no longer
+                    # exists — leave the manifest entry; it resolves
+                    # once the table returns
                     continue
             if gone:
                 def _prune(tables):

@@ -480,3 +480,37 @@ def test_rename_table_updates_manifest(spark):
     assert os.path.isdir(tables["t_ren_dst"]["location"])
     eng.execute_sql(sid, "DROP TABLE t_ren_dst")
     eng.close_session(sid)
+
+
+def test_views_survive_restart(spark):
+    """Persistent VIEWs: the manifest carries the definition (the
+    reference keeps views in its database file); a fresh process
+    re-creates them after re-attaching their base tables."""
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP VIEW IF EXISTS v_wh_double")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_wh_vbase")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_wh_vbase AS SELECT id FROM range(4)")
+    eng.execute_sql(
+        sid, "CREATE VIEW v_wh_double AS"
+             " SELECT id, id * 2 AS dbl FROM t_wh_vbase")
+    entry = eng.warehouse.tables().get("v_wh_double")
+    assert entry and entry["type"] == "view" and "dbl" in entry["view_text"]
+
+    # simulate restart: drop both from the catalog only (view first),
+    # then reattach — table returns, then the view over it
+    spark.sql("DROP VIEW v_wh_double")
+    loc = eng.warehouse.tables()["t_wh_vbase"]["location"]
+    spark.sql("DROP TABLE t_wh_vbase")  # managed drop deletes files...
+    os.makedirs(loc, exist_ok=True)
+    spark.range(4).toDF("id").write.mode("overwrite").parquet(loc)
+    attached = eng.reattach()
+    assert "v_wh_double" in attached
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT sum(dbl) AS s FROM v_wh_double"))
+    assert rows[0]["s"] == 12
+    eng.execute_sql(sid, "DROP VIEW v_wh_double")
+    assert "v_wh_double" not in eng.warehouse.tables()
+    eng.execute_sql(sid, "DROP TABLE t_wh_vbase")
+    eng.close_session(sid)
