@@ -514,3 +514,24 @@ def test_views_survive_restart(spark):
     assert "v_wh_double" not in eng.warehouse.tables()
     eng.execute_sql(sid, "DROP TABLE t_wh_vbase")
     eng.close_session(sid)
+
+
+def test_optimize_preserves_bucketed_layout(spark):
+    """OPTIMIZE on a bucketed table: insertInto enforces the table's
+    bucket spec, so compaction lands one file per bucket and the
+    CLUSTERED BY metadata survives."""
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    spark.sql("DROP TABLE IF EXISTS t_opt_bkt")
+    spark.range(10000).toDF("id").repartition(32) \
+        .write.bucketBy(4, "id").sortBy("id").saveAsTable("t_opt_bkt")
+    eng.warehouse.record(spark, "t_opt_bkt")
+    rep = eng.collect(sid, eng.execute_sql(sid, "OPTIMIZE t_opt_bkt"))[0]
+    assert rep["rewritten"] and rep["files_after"] == 4
+    d = {r["col_name"].strip(): (r["data_type"] or "").strip()
+         for r in spark.sql("DESCRIBE FORMATTED t_opt_bkt").collect()
+         if r["col_name"]}
+    assert d.get("Num Buckets") == "4"
+    assert spark.table("t_opt_bkt").count() == 10000
+    eng.execute_sql(sid, "DROP TABLE t_opt_bkt")
+    eng.close_session(sid)
