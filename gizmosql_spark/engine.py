@@ -627,11 +627,12 @@ class Engine:
         if opt is not None:
             # compaction rewrites files in place — snapshot the
             # pre-image so VERSION AS OF survives it
-            table, target_mb = opt
+            table, target_mb, zorder = opt
             if st.txn is not None:
                 self._txn_snapshot(st, table)
             self.warehouse.snapshot(st.spark, table)
-            report = maintenance.apply_optimize(st.spark, table, target_mb)
+            report = maintenance.apply_optimize(
+                st.spark, table, target_mb, zorder=zorder)
             self._refresh_everywhere(table)
             return StatementResult("query", df=report)
 

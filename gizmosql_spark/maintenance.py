@@ -37,7 +37,9 @@ _COL = r"[A-Za-z_]\w*|`[^`]+`"
 
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})"
-    r"(?:\s+TARGET\s+(\d+)\s*MB)?\s*;?\s*$",
+    r"(?:\s+TARGET\s+(\d+)\s*MB)?"
+    rf"(?:\s+ZORDER\s+BY\s+\(\s*({_COL})\s*,\s*({_COL})\s*\))?"
+    r"\s*;?\s*$",
     re.IGNORECASE,
 )
 _DROP_COL_RE = re.compile(
@@ -71,12 +73,14 @@ DEFAULT_RETAIN_VERSIONS = 2
 
 
 def parse_optimize(sql: str):
-    """``OPTIMIZE t [TARGET n MB]`` -> (table, target_mb) or None."""
+    """``OPTIMIZE t [TARGET n MB] [ZORDER BY (c1, c2)]`` ->
+    (table, target_mb, zorder_cols|None) or None."""
     m = _OPTIMIZE_RE.match(sql)
     if not m:
         return None
-    table, mb = m.groups()
-    return table.strip("`"), int(mb) if mb else DEFAULT_TARGET_MB
+    table, mb, z1, z2 = m.groups()
+    zcols = (z1.strip("`"), z2.strip("`")) if z1 else None
+    return table.strip("`"), int(mb) if mb else DEFAULT_TARGET_MB, zcols
 
 
 def parse_analyze(sql: str):
@@ -248,10 +252,56 @@ def apply_vacuum(spark: SparkSession, table: str, retain: int,
     )
 
 
+def _zorder_post_image(spark: SparkSession, table: str,
+                       zcols: tuple[str, str], n_out: int) -> DataFrame:
+    """The table range-partitioned on the Morton z-value of two NUMERIC
+    columns (min/max scaled to 8-bit buckets, bits interleaved) —
+    Delta's OPTIMIZE ZORDER BY layout: each output file's (c1, c2)
+    min/max box is tight, so 2-D predicates prune files.
+
+    One stats pass collects 4 scalars; the rewrite is ONE range
+    shuffle. Clamp guards a constant column (span 0 -> bucket 0)."""
+    from pyspark.sql import functions as F
+
+    df = spark.table(table)
+    c1, c2 = zcols
+    for c in zcols:
+        if dict(df.dtypes).get(c) is None:
+            raise ValueError(f"ZORDER BY: no such column {c!r}")
+    stats = df.agg(
+        F.min(F.col(c1).cast("double")).alias("mn1"),
+        F.max(F.col(c1).cast("double")).alias("mx1"),
+        F.min(F.col(c2).cast("double")).alias("mn2"),
+        F.max(F.col(c2).cast("double")).alias("mx2"),
+    ).collect()[0]
+
+    def bucket(c, mn, mx):
+        span = (mx - mn) or 1.0
+        return F.least(
+            F.floor((F.col(c).cast("double") - mn) / span * 256),
+            F.lit(255)).cast("int")
+
+    zdf = (
+        df.withColumn("_zb0", bucket(c1, stats["mn1"], stats["mx1"]))
+        .withColumn("_zb1", bucket(c2, stats["mn2"], stats["mx2"]))
+        .withColumn("_z", F.expr(
+            "aggregate(sequence(0, 7), 0, (acc, i) -> acc"
+            " + shiftleft(shiftright(_zb0, i) % 2, 2 * i)"
+            " + shiftleft(shiftright(_zb1, i) % 2, 2 * i + 1))"))
+    )
+    return (
+        zdf.repartitionByRange(n_out, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_zb0", "_zb1", "_z")
+    )
+
+
 def apply_optimize(spark: SparkSession, table: str,
-                   target_mb: int = DEFAULT_TARGET_MB) -> DataFrame:
-    """Compact ``table`` into ~target_mb files; returns the one-row
-    metrics report (Delta OPTIMIZE convention)."""
+                   target_mb: int = DEFAULT_TARGET_MB,
+                   zorder: tuple[str, str] | None = None) -> DataFrame:
+    """Compact ``table`` into ~target_mb files (optionally z-order
+    clustered); returns the one-row metrics report (Delta OPTIMIZE
+    convention)."""
     from gizmosql_spark import dml
 
     location = _table_location(spark, table)
@@ -259,7 +309,14 @@ def apply_optimize(spark: SparkSession, table: str,
         raise ValueError(f"OPTIMIZE: {table!r} has no file location")
     files_before, bytes_total = _file_stats(location)
     n_out = max(1, math.ceil(bytes_total / (target_mb * 1024 * 1024)))
-    if files_before <= n_out:
+    if zorder is not None:
+        # a re-cluster is worth a rewrite even at equal file count
+        n_out = max(n_out, min(files_before, 8)) if files_before else n_out
+        post = _zorder_post_image(spark, table, zorder, n_out)
+        dml._overwrite_via_stage(spark, table, post)
+        files_after, _ = _file_stats(location)
+        rewritten = True
+    elif files_before <= n_out:
         files_after = files_before
         rewritten = False
     else:

@@ -535,3 +535,49 @@ def test_optimize_preserves_bucketed_layout(spark):
     assert spark.table("t_opt_bkt").count() == 10000
     eng.execute_sql(sid, "DROP TABLE t_opt_bkt")
     eng.close_session(sid)
+
+
+def test_optimize_zorder_clusters_two_dims(spark):
+    """OPTIMIZE … ZORDER BY (a, b): after the rewrite, each output
+    file's 2-D bounding box must be dramatically tighter than the
+    random layout's — the property file-stat pruning reads."""
+    import glob
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    spark.sql("DROP TABLE IF EXISTS t_opt_z")
+    spark.sql(
+        "CREATE TABLE t_opt_z AS"
+        " SELECT CAST(id % 997 AS DOUBLE) AS a,"
+        "        CAST((id * 7919) % 983 AS DOUBLE) AS b"
+        " FROM range(100000)")
+    eng.warehouse.record(spark, "t_opt_z")
+    loc = eng.warehouse.tables()["t_opt_z"]["location"]
+
+    def avg_bbox_area():
+        areas = []
+        for f in glob.glob(f"{loc}/*.parquet"):
+            df = spark.read.parquet(f)
+            r = df.agg({"a": "min"}).collect()  # noqa: F841 warm path
+            row = df.selectExpr(
+                "max(a) - min(a) AS da", "max(b) - min(b) AS db"
+            ).collect()[0]
+            areas.append((row["da"] + 1) * (row["db"] + 1))
+        return sum(areas) / len(areas), len(areas)
+
+    before_area, files_before = avg_bbox_area()
+    rep = eng.collect(sid, eng.execute_sql(
+        sid, "OPTIMIZE t_opt_z ZORDER BY (a, b)"))[0]
+    assert rep["rewritten"]
+    after_area, files_after = avg_bbox_area()
+    assert files_after >= 4
+    # random layout boxes cover ~the full key space; z-order boxes
+    # must be at least 2x tighter on average
+    assert after_area < before_area / 2, (before_area, after_area)
+    # data unchanged
+    s = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT count(*) AS n, round(sum(a + b), 2) AS s"
+             " FROM t_opt_z"))[0]
+    assert s["n"] == 100000
+    eng.execute_sql(sid, "DROP TABLE t_opt_z")
+    eng.close_session(sid)
