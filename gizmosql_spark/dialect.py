@@ -163,6 +163,7 @@ _DDL_TARGET_RE = re.compile(
     r"|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW(?:\s+IF\s+NOT\s+EXISTS)?"
     r"|DROP\s+VIEW(?:\s+IF\s+EXISTS)?"
     r"|OPTIMIZE"
+    r"|RESTORE\s+TABLE"
     r")\s+([A-Za-z_][\w.]*|`[^`]+`)",
     re.IGNORECASE,
 )

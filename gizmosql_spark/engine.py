@@ -651,6 +651,15 @@ class Engine:
                 self.warehouse.upsert_entry(name, entry)
             return StatementResult("update", df=df, affected_rows=None)
 
+        res = maintenance.parse_restore(sql)
+        if res is not None:
+            table, version = res
+            report = maintenance.apply_restore(
+                st.spark, table, version, self.warehouse)
+            self._refresh_everywhere(table)
+            self.warehouse.record(st.spark, table)
+            return StatementResult("query", df=report)
+
         vac = maintenance.parse_vacuum(sql)
         if vac is not None:
             table, retain = vac

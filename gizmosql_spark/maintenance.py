@@ -54,6 +54,12 @@ _RENAME_COL_RE = re.compile(
     re.IGNORECASE,
 )
 
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+AS\s+OF"
+    r"\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ANALYZE_RE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
     r"(\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+.+?))?\s*;?\s*$",
@@ -81,6 +87,33 @@ def parse_optimize(sql: str):
     table, mb, z1, z2 = m.groups()
     zcols = (z1.strip("`"), z2.strip("`")) if z1 else None
     return table.strip("`"), int(mb) if mb else DEFAULT_TARGET_MB, zcols
+
+
+def parse_restore(sql: str):
+    """``RESTORE TABLE t TO VERSION AS OF k`` -> (table, k) or None."""
+    m = _RESTORE_RE.match(sql)
+    if not m:
+        return None
+    return m.group(1).strip("`"), int(m.group(2))
+
+
+def apply_restore(spark: SparkSession, table: str, version: int,
+                  warehouse) -> DataFrame:
+    """Roll ``table`` back to an archived snapshot (the Delta
+    ``RESTORE TABLE`` statement over the warehouse's copy-based
+    versions). The CURRENT state is snapshotted first, so a restore
+    is itself undoable — exactly Delta's behavior (RESTORE commits a
+    new version). Schema differences are fine: the rewrite goes
+    through the schema-changing replace path."""
+    vpath = warehouse.version_path(table, version)
+    warehouse.snapshot(spark, table)
+    post = spark.read.parquet(vpath)
+    _replace_table(spark, table, post, warehouse=warehouse)
+    n = spark.table(table).count()
+    return spark.createDataFrame(
+        [(table, version, n)],
+        "table string, restored_version int, row_count bigint",
+    )
 
 
 def parse_analyze(sql: str):

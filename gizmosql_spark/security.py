@@ -51,7 +51,7 @@ _DANGEROUS_SET_RE = re.compile(
 _WRITE_STMT_RE = re.compile(
     r"^\s*(INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|TRUNCATE|REPLACE"
     r"|COPY|CALL|VACUUM|ANALYZE|REFRESH|CACHE|UNCACHE|GRANT|REVOKE|MSCK"
-    r"|OPTIMIZE)\b",
+    r"|OPTIMIZE|RESTORE)\b",
     re.IGNORECASE,
 )
 

@@ -581,3 +581,44 @@ def test_optimize_zorder_clusters_two_dims(spark):
     assert s["n"] == 100000
     eng.execute_sql(sid, "DROP TABLE t_opt_z")
     eng.close_session(sid)
+
+
+def test_restore_table_to_version(spark):
+    """RESTORE TABLE … TO VERSION AS OF k: rolls back to an archived
+    snapshot, snapshots the current state first (undoable), and works
+    across a schema evolution."""
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_restore")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_restore AS"
+             " SELECT id, id * 10 AS qty FROM range(5)")
+    eng.execute_sql(sid, "DELETE FROM t_restore WHERE id >= 3")  # v1
+    eng.execute_sql(
+        sid, "ALTER TABLE t_restore DROP COLUMN qty")            # v2
+    assert eng.spark.table("t_restore").columns == ["id"]
+
+    rep = eng.collect(sid, eng.execute_sql(
+        sid, "RESTORE TABLE t_restore TO VERSION AS OF 1"))[0]
+    assert rep["restored_version"] == 1 and rep["row_count"] == 5
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT * FROM t_restore ORDER BY id"))
+    assert [(r["id"], r["qty"]) for r in rows] == [
+        (i, i * 10) for i in range(5)]
+    # the restore snapshotted the pre-restore state: it is undoable
+    vs = [v["version"] for v in eng.warehouse.versions("t_restore")]
+    assert vs == [1, 2, 3]
+    eng.execute_sql(sid, "RESTORE TABLE t_restore TO VERSION AS OF 3")
+    assert eng.spark.table("t_restore").columns == ["id"]
+    eng.execute_sql(sid, "DROP TABLE t_restore")
+    eng.close_session(sid)
+
+
+def test_restore_denied_readonly(spark):
+    from gizmosql_spark.security import CommandDenied
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="readonly")
+    with pytest.raises(CommandDenied):
+        eng.execute_sql(sid, "RESTORE TABLE x TO VERSION AS OF 1")
+    eng.close_session(sid)
