@@ -651,6 +651,33 @@ class Engine:
                 self.warehouse.upsert_entry(name, entry)
             return StatementResult("update", df=df, affected_rows=None)
 
+        from gizmosql_spark.sources.registry import copy_to, parse_copy
+
+        cp = parse_copy(sql)
+        if cp is not None:
+            # COPY … TO/FROM statement form (reference:
+            # admin_command_guard.cpp:348-381; gate already ran in
+            # execute_sql). TO exports a query/table; FROM appends a
+            # file into a managed table.
+            direction, src, path, fmt, opts = cp
+            if direction == "to":
+                q = src[1:-1] if src.startswith("(") else f"SELECT * FROM {src}"
+                df = st.spark.sql(q)
+                n = df.count()
+                copy_to(df, path, fmt=fmt, **opts)
+                return StatementResult("update", affected_rows=n)
+            reader = st.spark.read.format(fmt)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            if fmt == "csv" and "inferSchema" not in opts:
+                reader = reader.option("inferSchema", "true")
+            src_df = reader.load(path)
+            n = src_df.count()
+            src_df.write.mode("append").insertInto(src)
+            self._refresh_everywhere(src)
+            self.warehouse.record(st.spark, src)
+            return StatementResult("update", affected_rows=n)
+
         res = maintenance.parse_restore(sql)
         if res is not None:
             table, version = res

@@ -105,6 +105,59 @@ def parquet_metadata(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+import re as _re
+
+_COPY_TO_RE = _re.compile(
+    r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.]*)\s+TO\s+'([^']+)'"
+    r"\s*(?:\(\s*([^)]*)\s*\))?\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_COPY_FROM_RE = _re.compile(
+    r"^\s*COPY\s+([A-Za-z_][\w.]*)\s+FROM\s+'([^']+)'"
+    r"\s*(?:\(\s*([^)]*)\s*\))?\s*;?\s*$",
+    _re.IGNORECASE,
+)
+
+
+def _copy_options(raw: str | None) -> tuple[str, dict]:
+    """DuckDB-style option list: ``FORMAT CSV, HEADER, DELIMITER '|'``
+    -> (format, spark reader/writer options)."""
+    fmt, opts = "parquet", {}
+    for part in (raw or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        key, _, val = part.partition(" ")
+        key = key.upper()
+        val = val.strip().strip("'")
+        if key == "FORMAT":
+            fmt = val.lower()
+        elif key == "HEADER":
+            opts["header"] = val.lower() if val else "true"
+        elif key == "DELIMITER":
+            opts["sep"] = val
+        else:
+            opts[key.lower()] = val or "true"
+    return fmt, opts
+
+
+def parse_copy(sql: str):
+    """``COPY (query)|table TO 'path' (opts)`` /
+    ``COPY table FROM 'path' (opts)`` ->
+    ("to", source, path, fmt, opts) | ("from", table, path, fmt, opts)
+    | None. (The reference gates both directions,
+    admin_command_guard.cpp:348-381.)"""
+    m = _COPY_FROM_RE.match(sql)
+    if m:
+        fmt, opts = _copy_options(m.group(3))
+        return "from", m.group(1), m.group(2), fmt, opts
+    m = _COPY_TO_RE.match(sql)
+    if m:
+        fmt, opts = _copy_options(m.group(3))
+        return "to", m.group(1), m.group(2), fmt, opts
+    return None
+
+
 def copy_to(df: DataFrame, path: str, fmt: str = "parquet",
             mode: str = "overwrite", **options) -> None:
     """COPY <query> TO 'path' (FORMAT fmt) analog."""

@@ -115,3 +115,51 @@ def test_order_by_all(spark):
     assert [(r["g"], r["v"]) for r in rows] == [
         (0, 0), (0, 2), (1, 1), (1, 3)]
     eng.close_session(sid)
+
+
+def test_copy_statement_round_trip(spark, tmp_path):
+    """COPY … TO 'path' (FORMAT csv, HEADER) and COPY t FROM 'path':
+    the reference's two gated COPY directions as executable SQL."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_copy")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_copy AS"
+             " SELECT id, id * 3 AS v FROM range(10)")
+    out = str(tmp_path / "csv_out")
+    res = eng.execute_sql(
+        sid, f"COPY (SELECT * FROM t_copy WHERE id < 6)"
+             f" TO '{out}' (FORMAT csv, HEADER)")
+    assert res.affected_rows == 6
+    # re-import into a fresh table
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_copy2")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_copy2 (id BIGINT, v BIGINT) USING parquet")
+    res2 = eng.execute_sql(
+        sid, f"COPY t_copy2 FROM '{out}' (FORMAT csv, HEADER)")
+    assert res2.affected_rows == 6
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT sum(v) AS s, count(*) AS n FROM t_copy2"))[0]
+    assert (rows["n"], rows["s"]) == (6, 3 * sum(range(6)))
+    # parquet default format export of a bare table name
+    out2 = str(tmp_path / "pq_out")
+    res3 = eng.execute_sql(sid, f"COPY t_copy TO '{out2}'")
+    assert res3.affected_rows == 10
+    assert spark.read.parquet(out2).count() == 10
+    eng.execute_sql(sid, "DROP TABLE t_copy")
+    eng.execute_sql(sid, "DROP TABLE t_copy2")
+    eng.close_session(sid)
+
+
+def test_copy_denied_for_non_admin(spark, tmp_path):
+    from gizmosql_spark.security import CommandDenied
+
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="user")
+    with pytest.raises(CommandDenied):
+        eng.execute_sql(sid, f"COPY x TO '{tmp_path}/nope'")
+    eng.close_session(sid)
