@@ -483,6 +483,10 @@ class Engine:
     _ACCESS_LOG_FN_RE = __import__("re").compile(
         r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
     )
+    _EXPORT_DB_RE = __import__("re").compile(
+        r"^\s*(EXPORT|IMPORT)\s+DATABASE\s+'([^']+)'\s*;?\s*$",
+        __import__("re").IGNORECASE,
+    )
     _RENAME_TO_RE = __import__("re").compile(
         r"^\s*ALTER\s+TABLE\s+(?:[A-Za-z_][\w.]*|`[^`]+`)\s+RENAME"
         r"\s+TO\s+([A-Za-z_][\w.]*|`[^`]+`)\s*;?\s*$",
@@ -650,6 +654,36 @@ class Engine:
                     st.spark, an)
                 self.warehouse.upsert_entry(name, entry)
             return StatementResult("update", df=df, affected_rows=None)
+
+        exp = self._EXPORT_DB_RE.match(sql)
+        if exp is not None:
+            # EXPORT/IMPORT DATABASE statement forms (the reference
+            # classifies both admin-only, admin_command_guard.cpp:
+            # 348-381; the gate already ran in execute_sql)
+            from gizmosql_spark.sources.registry import (
+                export_database,
+                import_database,
+            )
+
+            word, target = exp.group(1).upper(), exp.group(2)
+            if word == "EXPORT":
+                counts = export_database(st.spark, target)
+                return StatementResult(
+                    "update", affected_rows=len(counts))
+            import os as _os
+
+            tables = sorted(
+                d for d in _os.listdir(target)
+                if _os.path.isdir(_os.path.join(target, d)))
+            for t in tables:
+                # an import overwrites: clear re-attached EXTERNAL
+                # tables / crash leftovers at the destination first
+                self.warehouse.prepare_write(st.spark, t, overwrite=True)
+            import_database(st.spark, target, tables)
+            for t in tables:
+                self._refresh_everywhere(t)
+                self.warehouse.record(st.spark, t)
+            return StatementResult("update", affected_rows=len(tables))
 
         from gizmosql_spark.sources.registry import copy_to, parse_copy
 

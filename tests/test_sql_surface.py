@@ -163,3 +163,35 @@ def test_copy_denied_for_non_admin(spark, tmp_path):
     with pytest.raises(CommandDenied):
         eng.execute_sql(sid, f"COPY x TO '{tmp_path}/nope'")
     eng.close_session(sid)
+
+
+def test_export_import_database_statements(spark, tmp_path):
+    """EXPORT DATABASE / IMPORT DATABASE as executable SQL (the
+    reference's admin-gated backup pair)."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    for t in ("t_exp_a", "t_exp_b"):
+        eng.execute_sql(sid, f"DROP TABLE IF EXISTS {t}")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_exp_a AS SELECT id FROM range(7)")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_exp_b AS SELECT id * 2 AS d FROM range(3)")
+    out = str(tmp_path / "backup")
+    res = eng.execute_sql(sid, f"EXPORT DATABASE '{out}'")
+    assert res.affected_rows >= 2
+    # wipe, then IMPORT restores both tables
+    eng.execute_sql(sid, "DROP TABLE t_exp_a")
+    eng.execute_sql(sid, "DROP TABLE t_exp_b")
+    res2 = eng.execute_sql(sid, f"IMPORT DATABASE '{out}'")
+    assert res2.affected_rows >= 2
+    assert eng.collect(sid, eng.execute_sql(
+        sid, "SELECT count(*) AS n FROM t_exp_a"))[0]["n"] == 7
+    assert eng.collect(sid, eng.execute_sql(
+        sid, "SELECT sum(d) AS s FROM t_exp_b"))[0]["s"] == 6
+    # the import re-recorded the manifest
+    assert "t_exp_a" in eng.warehouse.tables()
+    for t in ("t_exp_a", "t_exp_b"):
+        eng.execute_sql(sid, f"DROP TABLE {t}")
+    eng.close_session(sid)
