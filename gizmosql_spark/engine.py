@@ -655,6 +655,13 @@ class Engine:
                 self.warehouse.upsert_entry(name, entry)
             return StatementResult("update", df=df, affected_rows=None)
 
+        if __import__("re").match(r"^\s*CHECKPOINT\s*;?\s*$", sql,
+                                  __import__("re").IGNORECASE):
+            # DuckDB CHECKPOINT = flush the WAL; here = snapshot+prune
+            # the catalog commit log (admin-gated by _ADMIN_STMT_RE)
+            seq = self.warehouse.checkpoint_now()
+            return StatementResult("update", affected_rows=seq)
+
         exp = self._EXPORT_DB_RE.match(sql)
         if exp is not None:
             # EXPORT/IMPORT DATABASE statement forms (the reference

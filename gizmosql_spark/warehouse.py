@@ -173,6 +173,15 @@ class WarehouseCatalog:
         with self._lock:
             return self._load()
 
+    def checkpoint_now(self) -> int:
+        """Force a snapshot+prune of the commit log (the CHECKPOINT
+        statement's analog of DuckDB's WAL flush). Returns the
+        checkpointed sequence number."""
+        with self._lock:
+            tables, seq = self._state()
+            self._checkpoint(tables, seq)
+            return seq
+
     def upsert_entry(self, name: str, entry: dict) -> None:
         """Low-level manifest upsert (the CAS-protected write path —
         ``record`` builds the entry from a live table and lands here).

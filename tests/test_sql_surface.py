@@ -195,3 +195,31 @@ def test_export_import_database_statements(spark, tmp_path):
     for t in ("t_exp_a", "t_exp_b"):
         eng.execute_sql(sid, f"DROP TABLE {t}")
     eng.close_session(sid)
+
+
+def test_checkpoint_statement(spark):
+    """CHECKPOINT flushes the catalog commit log into the snapshot
+    (DuckDB's WAL-flush analog); admin-gated."""
+    import os
+
+    from gizmosql_spark.engine import Engine
+    from gizmosql_spark.security import CommandDenied
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_ckpt")
+    eng.execute_sql(sid, "CREATE TABLE t_ckpt AS SELECT 1 AS a")
+    res = eng.execute_sql(sid, "CHECKPOINT")
+    assert res.affected_rows >= 1
+    assert os.path.exists(eng.warehouse.manifest_path)
+    import json
+
+    snap = json.load(open(eng.warehouse.manifest_path))
+    assert "t_ckpt" in snap["tables"]
+    eng.execute_sql(sid, "DROP TABLE t_ckpt")
+    eng.close_session(sid)
+
+    sid2 = eng.create_session(role="user")
+    with pytest.raises(CommandDenied):
+        eng.execute_sql(sid2, "CHECKPOINT")
+    eng.close_session(sid2)
