@@ -85,6 +85,17 @@ def _reattach_bucketed(spark: SparkSession, table: str, key: str) -> bool:
     path = _warehouse_path(spark, table)
     if not os.path.exists(f"{path}/_SUCCESS"):
         return False
+    # only trust the layout if the files actually carry bucket ids
+    # (part-*_NNNNN.c000*): an unbucketed rewrite at the same path —
+    # e.g. an IMPORT DATABASE overwrite — must fall through to a
+    # fresh bucketBy write, not re-attach as CLUSTERED
+    import re as _re
+
+    parts = [f for f in os.listdir(path)
+             if f.startswith("part-") and not f.startswith(".")]
+    if not parts or not all(
+            _re.search(r"_\d{5}(?:\.|-)", f) for f in parts):
+        return False
     try:
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}"
