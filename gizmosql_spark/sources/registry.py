@@ -167,22 +167,70 @@ def copy_to(df: DataFrame, path: str, fmt: str = "parquet",
     writer.save(path)
 
 
+def _table_layout(spark: SparkSession, name: str) -> dict | None:
+    """Bucket spec of a catalog table (None when unbucketed)."""
+    d = {}
+    try:
+        for row in spark.sql(f"DESCRIBE FORMATTED {name}").collect():
+            k = (row["col_name"] or "").strip()
+            if k:
+                d[k] = (row["data_type"] or "").strip()
+    except Exception:
+        return None
+    if not d.get("Num Buckets"):
+        return None
+    cols = [c.strip(" `") for c in
+            d.get("Bucket Columns", "").strip("[]").split(",") if c.strip(" `")]
+    sort = [c.strip(" `") for c in
+            d.get("Sort Columns", "").strip("[]").split(",") if c.strip(" `")]
+    return {"num_buckets": int(d["Num Buckets"]),
+            "bucket_columns": cols, "sort_columns": sort or cols}
+
+
 def export_database(spark: SparkSession, out_dir: str, tables: list[str] | None = None) -> dict[str, int]:
     """EXPORT DATABASE analog: every (or named) catalog table → parquet
-    under out_dir; returns per-table row counts."""
+    under out_dir, plus a ``_layout.json`` carrying bucket specs so an
+    import restores the physical layout (the reference's export writes
+    full DDL for the same reason); returns per-table row counts."""
+    import json as _json
+    import os as _os
+
     names = tables or [t.name for t in spark.catalog.listTables() if not t.isTemporary]
     counts = {}
+    layouts: dict[str, dict] = {}
     for name in names:
         df = spark.table(name)
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}")
         counts[name] = df.count()
+        lay = _table_layout(spark, name)
+        if lay:
+            layouts[name] = lay
+    _os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/_layout.json", "w", encoding="utf-8") as f:
+        _json.dump({"version": 1, "layouts": layouts}, f, indent=1)
     return counts
 
 
 def import_database(spark: SparkSession, in_dir: str, tables: list[str]) -> None:
-    """IMPORT DATABASE analog: parquet dirs → managed tables."""
+    """IMPORT DATABASE analog: parquet dirs → managed tables, restoring
+    any bucket spec recorded by the matching export."""
+    import json as _json
+
+    try:
+        with open(f"{in_dir}/_layout.json", encoding="utf-8") as f:
+            layouts = _json.load(f).get("layouts", {})
+    except (OSError, _json.JSONDecodeError):
+        layouts = {}
     for name in tables:
-        spark.read.parquet(f"{in_dir}/{name}").write.mode("overwrite").saveAsTable(name)
+        df = spark.read.parquet(f"{in_dir}/{name}")
+        lay = layouts.get(name)
+        if lay:
+            (df.write.mode("overwrite")
+             .bucketBy(lay["num_buckets"], *lay["bucket_columns"])
+             .sortBy(*(lay["sort_columns"] or lay["bucket_columns"]))
+             .saveAsTable(name))
+        else:
+            df.write.mode("overwrite").saveAsTable(name)
 
 
 def read_ndjson(spark: SparkSession, path: str) -> DataFrame:

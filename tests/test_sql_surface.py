@@ -223,3 +223,26 @@ def test_checkpoint_statement(spark):
     with pytest.raises(CommandDenied):
         eng.execute_sql(sid2, "CHECKPOINT")
     eng.close_session(sid2)
+
+
+def test_export_import_preserves_bucket_layout(spark, tmp_path):
+    """EXPORT → IMPORT round-trips the bucket spec (the layout the
+    shuffle-free join depends on), not just the rows."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    spark.sql("DROP TABLE IF EXISTS t_exp_bkt")
+    spark.range(1000).selectExpr("id", "id % 10 AS k") \
+        .write.bucketBy(4, "k").sortBy("k").saveAsTable("t_exp_bkt")
+    out = str(tmp_path / "bkt_backup")
+    eng.execute_sql(sid, f"EXPORT DATABASE '{out}'")
+    spark.sql("DROP TABLE t_exp_bkt")
+    eng.execute_sql(sid, f"IMPORT DATABASE '{out}'")
+    d = {r["col_name"].strip(): (r["data_type"] or "").strip()
+         for r in spark.sql("DESCRIBE FORMATTED t_exp_bkt").collect()
+         if r["col_name"]}
+    assert d.get("Num Buckets") == "4", d.get("Num Buckets")
+    assert spark.table("t_exp_bkt").count() == 1000
+    eng.execute_sql(sid, "DROP TABLE t_exp_bkt")
+    eng.close_session(sid)
