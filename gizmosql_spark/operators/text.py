@@ -601,8 +601,45 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between lang and source — the
+    statistical-QA check that a corpus's language mix is (or is not)
+    uniform across sources: chi2 = sum (O-E)^2/E over the contingency
+    table, expected counts from the marginals.
+
+    Scale shape: one (lang, source) partial-agg shuffle builds the
+    contingency table; the marginals and the fold run on that tiny
+    frame (cells = |langs| x |sources|, never corpus-sized). One row
+    out: the statistic, degrees of freedom, and cells."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    cells = (
+        obs.withColumn("n", F.sum("o").over(w_all))
+        .withColumn("row_tot", F.sum("o").over(w_lang))
+        .withColumn("col_tot", F.sum("o").over(w_src))
+        .withColumn(
+            "e", F.col("row_tot") * F.col("col_tot") / F.col("n"))
+        .withColumn(
+            "term", (F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))
+            / F.col("e"))
+    )
+    return (
+        cells.agg(
+            F.round(F.sum("term"), 6).alias("chi2"),
+            ((F.count_distinct("lang") - 1)
+             * (F.count_distinct("source") - 1)).alias("dof"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n").alias("n_docs"),
+        )
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "chi_square_independence": chi_square_independence,
     "zipf_vocab_stats": zipf_vocab_stats,
     "token_fertility": token_fertility,
     "bpe_first_merges": bpe_first_merges,
@@ -624,6 +661,30 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "chi_square_independence": """
+        WITH obs AS (
+            SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        tot AS (SELECT sum(o) AS n FROM obs),
+        rows_t AS (SELECT lang, sum(o) AS row_tot FROM obs GROUP BY lang),
+        cols_t AS (SELECT source, sum(o) AS col_tot FROM obs GROUP BY source),
+        cells AS (
+            SELECT obs.o,
+                   r.row_tot * c.col_tot / t.n AS e
+            FROM obs
+            JOIN rows_t r USING (lang)
+            JOIN cols_t c USING (source)
+            CROSS JOIN tot t
+        )
+        SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+               CAST((SELECT (count(DISTINCT lang) - 1)
+                            * (count(DISTINCT source) - 1)
+                     FROM documents) AS BIGINT) AS dof,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+        FROM cells
+    """,
     "bpe_first_merges": f"""
         WITH words AS (
             SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
