@@ -79,13 +79,16 @@ _PRIORITY = [
     "embedding_quantize",
     "kmeans_embeddings",
     "pagerank_suppliers",    # iterative graph tier (round-3 addition)
-    "approx_distinct_hll",
-    "cms_heavy_hitters",     # Count-Min sketch (round-3 addition)
+    "approx_distinct_hll",   # sketch family rep (CMS/Bloom/histogram
+                             # siblings verified by the repo harness)
     # streaming (includes both r2 FAILs + the session-window re-run
     # FAIL, all fixed r3 — kept here so the fix is officially recorded)
     "stream_tumbling",
     "stream_stream_join",
     "stream_session_windows",
+    "stream_user_stats",     # transformWithStateInPandas over the
+                             # vendored pure-Python protobuf runtime
+                             # (r3 unlock; gizmosql_spark/vendor)
     # scale patterns
     "manyfile_scan_agg",
 ]

