@@ -598,11 +598,9 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-contract entry: the StatefulProcessor pipeline driven to
-    completion; final per-user stats equal the batch aggregate.
-
-    transformWithState requires the RocksDB state store provider
+def _run_with_rocksdb(spark: SparkSession, stream_df: DataFrame,
+                      query_name: str) -> DataFrame:
+    """transformWithState requires the RocksDB state store provider
     (ships in the Spark jars); set for this query only, restored
     after. The availableNow file source processes the single events
     file in one micro-batch, so Update mode emits exactly one row per
@@ -615,15 +613,22 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RocksDBStateStoreProvider",
     )
     try:
-        out = run_to_completion(
-            user_stats_tws(read_event_stream(spark, sf_dir)),
-            "q_stream_user_stats",
-        )
+        return run_to_completion(stream_df, query_name)
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: the StatefulProcessor pipeline driven to
+    completion; final per-user stats equal the batch aggregate."""
+    out = _run_with_rocksdb(
+        spark,
+        user_stats_tws(read_event_stream(spark, sf_dir)),
+        "q_stream_user_stats",
+    )
     # round the float sum: pandas' per-batch accumulation order differs
     # from the oracle's, so last-bit association drift is expected
     return (
@@ -632,6 +637,146 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total", 4).alias("total"), "max_value",
         ).orderBy("user_id")
     )
+
+
+def _type_matrix_processor():
+    """MapState-backed per-user event-type matrix — exercises the map
+    tier of the state protocol (getMapState, containsKey, getValue,
+    updateValue, iterator incl. the requireNextFetch pagination
+    path)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeMatrix(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type STRING", "n LONG, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                agg = pdf.groupby("event_type")["value"].agg(["count", "sum"])
+                for etype, row in agg.iterrows():
+                    mk = (etype,)
+                    prev = (
+                        self._counts.getValue(mk)
+                        if self._counts.containsKey(mk)
+                        else (0, 0.0)
+                    )
+                    self._counts.updateValue(
+                        mk,
+                        (prev[0] + int(row["count"]),
+                         prev[1] + float(row["sum"])),
+                    )
+            cells = sorted(
+                (mk[0], v[0], v[1]) for mk, v in self._counts.iterator()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(cells),
+                    "event_type": [c[0] for c in cells],
+                    "n": [c[1] for c in cells],
+                    "total": [round(c[2], 4) for c in cells],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TypeMatrix()
+
+
+def _recent_events_processor(keep: int = 3):
+    """ListState-backed per-user recent-event tracker — exercises the
+    list tier (getListState, appendList, paginated get)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RecentEvents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._events = handle.getListState(
+                "recent", "ts_us LONG, event_id LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                self._events.appendList(
+                    list(
+                        zip(
+                            (int(v) for v in pdf["ts_us"]),
+                            (int(v) for v in pdf["event_id"]),
+                        )
+                    )
+                )
+            latest = sorted(
+                self._events.get(), key=lambda t: (-t[0], -t[1])
+            )[:keep]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(latest),
+                    "rn": list(range(1, len(latest) + 1)),
+                    "ts_us": [t[0] for t in latest],
+                    "event_id": [t[1] for t in latest],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RecentEvents()
+
+
+def stream_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-(user, event_type) counts + sums via
+    MapState; final map contents equal the batch two-key aggregate."""
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    stream = read_event_stream(spark, sf_dir).groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=_type_matrix_processor(),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = _run_with_rocksdb(spark, stream, "q_stream_user_type_matrix")
+    return out.orderBy("user_id", "event_type")
+
+
+def stream_user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: 3 most-recent events per user via
+    ListState (ties broken on event_id); oracle = ROW_NUMBER top-k."""
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("rn", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+        ]
+    )
+    events = read_event_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    stream = events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_recent_events_processor(),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = _run_with_rocksdb(spark, stream, "q_stream_user_recent")
+    return out.orderBy("user_id", "rn")
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,4 +863,25 @@ if tws_available():
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """
+    QUERIES["stream_user_type_matrix"] = stream_user_type_matrix
+    ORACLE["stream_user_type_matrix"] = """
+        SELECT user_id, event_type, count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM events
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """
+    QUERIES["stream_user_recent_events"] = stream_user_recent_events
+    ORACLE["stream_user_recent_events"] = """
+        SELECT user_id, rn, ts_us, event_id FROM (
+            SELECT user_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+                   epoch_us(ts) AS ts_us,
+                   event_id
+            FROM events
+        ) WHERE rn <= 3
+        ORDER BY user_id, rn
     """
