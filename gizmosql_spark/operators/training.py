@@ -350,52 +350,65 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are rounded to 6 decimals IN the engine (same device as
     kmeans_embeddings) so group-sum association order cannot drift
     across engines; ties in the final top-k break on node id."""
-    # orders is the 1:N small side of the key join — broadcast it so
-    # the lineitem scan never shuffles (at 100 TB orders would still
-    # be ~1% of lineitem; past broadcast size the same join SMJs)
-    o = F.broadcast(_t(spark, sf_dir, "orders")
-                    .select("o_orderkey", "o_custkey"))
-    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # distinct the INT key pair before building node-id strings: the
-    # dedup shuffle moves 16-byte rows instead of strings, and the
-    # concat runs on the deduped frame only
-    trade = (
-        o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select("o_custkey", "l_suppkey")
-        .distinct()
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-    )
-    def _build_weighted():
-        edges = trade.select(
-            F.col("c").alias("src"), F.col("s").alias("dst")
-        ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        # deg is node-sized (~16 bytes/node) — broadcast it into the
-        # edge frame instead of shuffle-joining 2|E| rows; at billions
-        # of nodes drop the hint and the same join SMJs on src
-        return edges.join(F.broadcast(deg), "src")
-
-    # degree pre-joined ONCE; per round the node-sized rank frame
-    # broadcasts into the edge scan, so each iteration costs exactly
-    # one partial-agg shuffle (contributions combine map-side to
-    # <= nodes x partitions). Node frames stay broadcastable far past
-    # this scale (~16 bytes/node); at billions of nodes the same code
-    # minus the broadcast hint is the node-keyed shuffle join.
-    wedges = loader.keyed_persist(
-        spark, f"pagerank.wedges:{sf_dir}", _build_weighted)
-    ranks = wedges.select("src").distinct().withColumn("pr", F.lit(1.0))
-    # size the per-round shuffle to the GRAPH, not the corpus: the
-    # session's shuffle width is tuned for table scans, but each
-    # round's partial agg only moves node-sized data and pays the
-    # per-partition floor three times (same sizing device as
-    # dedup_clusters' propagation loop)
+    # size every shuffle in this operator to the GRAPH, not the
+    # corpus: the session's shuffle width is tuned for table scans,
+    # but edges here are ~1M 30-byte rows and rank frames are
+    # node-sized (same sizing device as dedup_clusters' loop)
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(part_key)
     spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
     try:
+        # shuffle-hash join on orderkey (measured 2x faster locally
+        # than broadcasting the 150k-row orders side — the broadcast
+        # build job costs more than the co-shuffle at this width; at
+        # 100 TB the same plan SMJs on the sorted key)
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey").hint("shuffle_hash")
+        l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        # distinct the INT key pair before building node-id strings:
+        # the dedup shuffle moves 16-byte rows instead of strings, and
+        # the concat runs on the deduped frame only. Persisted: the
+        # undirected-edge union below reads it TWICE — unpersisted,
+        # the lineitem join + distinct shuffle would run twice.
+        trade = loader.keyed_persist(
+            spark,
+            f"pagerank.trade:{sf_dir}",
+            lambda: (
+                o.join(l, o["o_orderkey"] == l["l_orderkey"])
+                .select("o_custkey", "l_suppkey")
+                .distinct()
+                .select(
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+                )
+            ),
+        )
+        edges = trade.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        # deg is node-sized (~16 bytes/node) — persisted so it seeds
+        # the rank vector below without another pass over the edges,
+        # and broadcast into the edge frame instead of shuffle-joining
+        # 2|E| rows; at billions of nodes drop the hint and the same
+        # join SMJs on src
+        deg = loader.keyed_persist(
+            spark,
+            f"pagerank.deg:{sf_dir}",
+            lambda: edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+        )
+        # degree pre-joined ONCE; per round the node-sized rank frame
+        # broadcasts into the edge scan, so each iteration costs
+        # exactly one partial-agg shuffle (contributions combine
+        # map-side to <= nodes x partitions). Node frames stay
+        # broadcastable far past this scale; at billions of nodes the
+        # same code minus the broadcast hint is a node-keyed shuffle
+        # join.
+        wedges = loader.keyed_persist(
+            spark,
+            f"pagerank.wedges:{sf_dir}",
+            lambda: edges.join(F.broadcast(deg), "src"),
+        )
+        ranks = deg.select("src").withColumn("pr", F.lit(1.0))
         for _ in range(_PR_ROUNDS):
             contrib = (
                 wedges.join(F.broadcast(ranks), "src")
@@ -407,8 +420,10 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.lit(1 - _PR_DAMPING)
                         + F.lit(_PR_DAMPING) * F.col("inflow"), 6)
                 .alias("pr"),
-            )
-        ranks = ranks.localCheckpoint()
+            # per-round lineage truncation: without it round N's
+            # broadcast build re-evaluates rounds 1..N-1 (quadratic
+            # re-execution) — the standard iterative-Spark device
+            ).localCheckpoint()
     finally:
         spark.conf.set(part_key, prev_parts)
     return (
