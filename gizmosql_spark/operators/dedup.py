@@ -352,6 +352,63 @@ def _propagate_min_labels(edges: DataFrame):
     return labels, prev_sum
 
 
+_WH_WIN = 40   # window width (chars of normalized text)
+_WH_STRIDE = 10  # stride between window starts
+
+
+def dedup_window_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup via rolling window hashes (the
+    train-data technique of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": hash fixed-width character
+    windows, flag windows whose hash appears in MORE THAN ONE
+    document — those spans are verbatim cross-document repeats).
+
+    Output per document: window count, cross-doc-shared window count,
+    a duplicated-character estimate (shared x stride), and the flag.
+
+    100 TB shape: one explode (windows are |text|/stride rows), one
+    wordcount-shaped groupBy on the hash, one key join back — no
+    pairwise comparisons anywhere, so cost is linear in corpus size.
+    The hash frame is corpus-sized: it shuffle-joins (never
+    broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    w, s = _WH_WIN, _WH_STRIDE
+    wins = (
+        d.select("doc_id", _norm(F.col("text")).alias("norm"))
+        .filter(F.length("norm") >= w)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(floor((length(norm) - {w})"
+                    f" / {s}) as int)),"
+                    f" i -> md5(substring(norm, i * {s} + 1, {w})))"
+                )
+            ).alias("wh"),
+        )
+    )
+    stats = wins.groupBy("wh").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        wins.join(stats, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared",
+            (F.col("n_shared") * s).alias("dup_chars_est"),
+            (F.col("n_shared") > 0).alias("is_substring_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keeper_quality": dedup_keeper_quality,
@@ -359,6 +416,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
+    "dedup_window_hash": dedup_window_hash,
 }
 
 # Shared SQL CTEs for shingling (DuckDB lists are 1-based).
@@ -501,6 +559,32 @@ ORACLE: dict[str, str] = {
         SELECT doc_id,
                string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
         FROM votes
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    "dedup_window_hash": f"""
+        WITH d AS (
+            SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+            WHERE length({_NORM_SQL}) >= {_WH_WIN}
+        ),
+        wins AS (
+            SELECT doc_id,
+                   md5(substr(norm, i * {_WH_STRIDE} + 1, {_WH_WIN})) AS wh
+            FROM d, unnest(range(0,
+                CAST(floor((length(norm) - {_WH_WIN}) / {_WH_STRIDE})
+                     AS BIGINT) + 1)) u(i)
+        ),
+        stats AS (
+            SELECT wh, count(DISTINCT doc_id) AS nd FROM wins GROUP BY wh
+        )
+        SELECT doc_id,
+               count(*) AS n_windows,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * {_WH_STRIDE}
+                   AS dup_chars_est,
+               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
+                   AS is_substring_dup
+        FROM wins JOIN stats USING (wh)
         GROUP BY doc_id
         ORDER BY doc_id
     """,

@@ -904,6 +904,71 @@ def spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_KNN_RADIUS = 15.0  # search radius; grid cell size == radius, so a
+                    # 3x3 neighborhood provably covers every match
+
+
+def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest-neighbor spatial join via grid
+    blocking: each left point probes only the 3x3 grid cells around
+    it (cell size == radius, so coverage is exact, not approximate),
+    candidates equi-join on cell, and the exact distance filter +
+    top-1 pick run on cell-colocated pairs only. The DuckDB oracle is
+    the direct quadratic join — same rows, proving the grid prunes
+    without changing semantics.
+
+    100 TB shape: the join is keyed by grid cell (plain hash
+    shuffle) — never a theta join; the 9x left-side explode is the
+    standard price for exact radius coverage. Ranking uses SQUARED
+    distance (two-term IEEE arithmetic, bit-identical across
+    engines), so the (d2, neighbor-id) struct-min is deterministic."""
+    r = _KNN_RADIUS
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+        F.floor(F.col("value") / r).cast("int").alias("gx"),
+        F.floor(F.col("user_id").cast("double") / r).cast("int").alias("gy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1),"
+        " dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    left = (
+        pts.filter(F.col("event_id") < 500)
+        .select("event_id", "x", "y", "gx", "gy", offsets.alias("o"))
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("x").alias("lx"),
+            F.col("y").alias("ly"),
+            (F.col("gx") + F.col("o.dx")).alias("gx"),
+            (F.col("gy") + F.col("o.dy")).alias("gy"),
+        )
+    )
+    d2 = (F.col("lx") - F.col("x")) * (F.col("lx") - F.col("x")) + (
+        F.col("ly") - F.col("y")
+    ) * (F.col("ly") - F.col("y"))
+    pairs = (
+        left.join(pts, ["gx", "gy"])
+        .filter(F.col("event_id") != F.col("l_id"))
+        .select("l_id", F.col("event_id").alias("nbr"), d2.alias("d2"))
+        .filter(F.col("d2") <= r * r)
+    )
+    return (
+        pairs.groupBy("l_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.round(F.sqrt(F.min("d2")), 6).alias("nearest_dist"),
+            F.min(F.struct("d2", "nbr")).getField("nbr").alias("nearest_id"),
+        )
+        .select(
+            F.col("l_id").alias("event_id"),
+            "n_within", "nearest_dist", "nearest_id",
+        )
+        .orderBy("event_id")
+    )
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2E array/struct/map family (LIST construction + extraction,
     duckdb_server.cpp:674-697 type contract; higher-order transforms):
@@ -980,6 +1045,7 @@ QUERIES = {
     "spatial_funcs3": spatial_funcs3,
     "columns_expansion": columns_expansion,
     "spatial_join": spatial_join,
+    "spatial_knn_join": spatial_knn_join,
     "fuzzy_join": fuzzy_join,
     "data_quality_report": data_quality_report,
     "numeric_funcs2": numeric_funcs2,
@@ -1382,6 +1448,37 @@ ORACLE: dict[str, str] = {
                    AND 50 >= uy - r AND 50 <= uy + r AS env_has_center,
                -uy AS rot_x
         FROM src
+        ORDER BY event_id
+    """,
+    "spatial_knn_join": f"""
+        WITH pts AS (
+            SELECT event_id, value AS x, CAST(user_id AS DOUBLE) AS y
+            FROM events
+        ),
+        pairs AS (
+            SELECT l.event_id AS l_id, p.event_id AS nbr,
+                   (l.x - p.x) * (l.x - p.x)
+                   + (l.y - p.y) * (l.y - p.y) AS d2
+            FROM pts l JOIN pts p ON p.event_id <> l.event_id
+            WHERE l.event_id < 500
+              AND (l.x - p.x) * (l.x - p.x)
+                  + (l.y - p.y) * (l.y - p.y)
+                  <= {_KNN_RADIUS * _KNN_RADIUS}
+        ),
+        ranked AS (
+            SELECT l_id, nbr, d2,
+                   row_number() OVER (
+                       PARTITION BY l_id ORDER BY d2, nbr) AS rn
+            FROM pairs
+        ),
+        agg AS (
+            SELECT l_id, count(*) AS n_within,
+                   round(sqrt(min(d2)), 6) AS nearest_dist
+            FROM pairs GROUP BY l_id
+        )
+        SELECT a.l_id AS event_id, a.n_within, a.nearest_dist,
+               r.nbr AS nearest_id
+        FROM agg a JOIN ranked r ON r.l_id = a.l_id AND r.rn = 1
         ORDER BY event_id
     """,
     "spatial_join": """

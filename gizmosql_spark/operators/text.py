@@ -381,6 +381,60 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_T1 = 3.400  # head/middle xent boundary (fixed report constants;
+_PPL_T2 = 3.404  # the oracle uses the same ones, so any sf agrees)
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document by unigram cross-entropy (the perplexity proxy the
+    pipeline trains a LM for), then split each language into
+    head/middle/tail quality buckets — the mixture knob CCNet feeds
+    to training. Buckets use FIXED xent thresholds rather than
+    per-language quantile ranks: rank-based cuts order on float
+    scores, and a last-ulp cross-engine difference between two
+    near-equal docs would flip bucket counts; fixed thresholds are
+    flip-proof (a doc must sit within float epsilon of the constant).
+
+    Scale shape: shares the persisted vocabulary-sized unigram table
+    with unigram_logprob (broadcast into the scoring join); bucketing
+    is pure column arithmetic; the report agg is (lang x 3)-sized."""
+    from gizmosql_spark.operators import loader
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    uni = loader.keyed_persist(
+        spark,
+        f"unigram_counts:{sf_dir}",
+        lambda: toks.select("doc_id", "tok").groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c")),
+    )
+    total_row = uni.agg(F.sum("c").cast("double").alias("_total"))
+    doc_xent = (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(total_row))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("c") / F.col("_total"))).alias("xent"))
+    )
+    bucket = (
+        F.when(F.col("xent") < _PPL_T1, "head")
+        .when(F.col("xent") < _PPL_T2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        doc_xent.select("lang", bucket.alias("bucket"), "xent")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("xent"), 6).alias("avg_xent"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: token → document frequency, total term
     frequency, and the head of the sorted posting list — the core
@@ -639,6 +693,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "perplexity_buckets": perplexity_buckets,
     "chi_square_independence": chi_square_independence,
     "zipf_vocab_stats": zipf_vocab_stats,
     "token_fertility": token_fertility,
@@ -844,6 +899,29 @@ ORACLE: dict[str, str] = {
                round(min(xent), 6) AS min_xent,
                round(max(xent), 6) AS max_xent
         FROM doc_xent GROUP BY source ORDER BY source
+    """,
+    "perplexity_buckets": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), total AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        doc_xent AS (
+            SELECT t.doc_id, t.lang,
+                   avg(-ln(u.c / (SELECT n FROM total))) AS xent
+            FROM toks t JOIN uni u USING (tok)
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT lang,
+               CASE WHEN xent < {_PPL_T1} THEN 'head'
+                    WHEN xent < {_PPL_T2} THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(xent), 6) AS avg_xent
+        FROM doc_xent
+        GROUP BY lang, bucket
+        ORDER BY lang, bucket
     """,
     "text_redact_pii": f"""
         SELECT doc_id,

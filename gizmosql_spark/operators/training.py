@@ -207,42 +207,51 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _lloyd_final_assign(v: DataFrame) -> DataFrame:
-    """Shared Lloyd's core (kmeans_embeddings + semdedup_prune): seed
-    centroids from vec_id 0..k-1, run _KMEANS_ROUNDS-1 updates, return
-    the final assignment frame (vec_id, e, cid, dist)."""
+def _sqdist_array(centroids: list[list[float]]) -> "F.Column":
+    """array<double> of squared distances from `e` to every centroid
+    (k x d literal broadcast into the expression — no join); each
+    distance is a sequential index-order fold, bit-identical on any
+    engine."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(c) for c in coords]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        for coords in centroids
+    ])
+
+
+def _lloyd_assign(frame: DataFrame,
+                  centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, e, cid, dist): nearest-centroid assignment; ties
+    break toward the lowest centroid id (array_position semantics)."""
+    return frame.select(
+        "vec_id", "e", _sqdist_array(centroids).alias("dists")
+    ).select(
+        "vec_id", "e",
+        (F.array_position(
+            F.col("dists"), F.array_min(F.col("dists"))
+        ) - 1).cast("int").alias("cid"),
+        F.array_min(F.col("dists")).alias("dist"),
+    )
+
+
+def _lloyd_centroids(v: DataFrame) -> list[list[float]]:
+    """Fitted centroids after _KMEANS_ROUNDS-1 updates from the
+    vec_id 0..k-1 seed; each round's means are rounded to 6 decimals
+    IN the engine so group-sum association order cannot drift across
+    engines. Only k*d scalars reach the driver per round."""
     centroids = [
         [round(float(x), 6) for x in r["e"]]
         for r in v.where(F.col("vec_id") < _KMEANS_K)
         .orderBy("vec_id").collect()
     ]
-
-    def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.col("e"),
-                    F.array(*[F.lit(c) for c in coords]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            for coords in centroids
-        ])
-        return frame.select(
-            "vec_id", "e", dists.alias("dists")
-        ).select(
-            "vec_id", "e",
-            (F.array_position(
-                F.col("dists"), F.array_min(F.col("dists"))
-            ) - 1).cast("int").alias("cid"),
-            F.array_min(F.col("dists")).alias("dist"),
-        )
-
-    # ROUNDS assignments total: ROUNDS-1 centroid updates, then the
-    # final assignment below produces the reported clustering
     for _ in range(_KMEANS_ROUNDS - 1):
-        assigned = assign(v)
+        assigned = _lloyd_assign(v, centroids)
         rows = (
             assigned.select("cid", F.posexplode("e").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -255,8 +264,68 @@ def _lloyd_final_assign(v: DataFrame) -> DataFrame:
         )
         by_cid = {r["cid"]: list(r["coords"]) for r in rows}
         centroids = [by_cid.get(i, centroids[i]) for i in range(_KMEANS_K)]
+    return centroids
 
-    return assign(v)
+
+def _lloyd_final_assign(v: DataFrame) -> DataFrame:
+    """Shared Lloyd's core (kmeans_embeddings + semdedup_prune +
+    silhouette_kmeans): seed centroids from vec_id 0..k-1, run
+    _KMEANS_ROUNDS-1 updates, return the final assignment frame
+    (vec_id, e, cid, dist)."""
+    return _lloyd_assign(v, _lloyd_centroids(v))
+
+
+def silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette score over the fitted
+    k-means clustering — the standard cluster-quality gate before a
+    clustering is trusted for curation decisions (SemDeDup sharding,
+    topic balancing). Simplified form (Hruschka et al.): a = distance
+    to own centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b) — avoids the classic all-pairs silhouette
+    (O(n²) per cluster), which is exactly the term that cannot run at
+    100 TB.
+
+    Scale shape: the fit is the shared Lloyd's core; the scoring pass
+    is ONE scan with the k x d centroid literal folded into the
+    expression (no joins), then a k-row partial agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = (
+        e.select(
+            "vec_id",
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("e"),
+        )
+    ).persist()
+    centroids = _lloyd_centroids(v)
+    scored = v.select(
+        "vec_id",
+        _sqdist_array(centroids).alias("dists"),
+    ).select(
+        "vec_id",
+        (F.array_position(
+            F.col("dists"), F.array_min(F.col("dists"))
+        ) - 1).cast("int").alias("cid"),
+        F.sqrt(F.array_min("dists")).alias("a"),
+        F.sqrt(F.element_at(F.array_sort("dists"), 2)).alias("b"),
+    )
+    out = (
+        scored.select(
+            "cid",
+            F.when(F.greatest("a", "b") == 0.0, F.lit(0.0))
+            .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+            .alias("s"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("avg_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+        )
+        .orderBy("cid")
+    )
+    out = out.localCheckpoint()
+    v.unpersist()
+    return out
 
 
 _SEMDEDUP_TAU = 0.35
@@ -440,6 +509,7 @@ QUERIES = {
     "sequence_pack": sequence_pack,
     "embedding_quantize": embedding_quantize,
     "pagerank_suppliers": pagerank_suppliers,
+    "silhouette_kmeans": silhouette_kmeans,
 }
 
 # Shared 3-round Lloyd's CTE chain (kmeans_embeddings + semdedup_prune
@@ -558,6 +628,40 @@ ORACLE = {
                CAST(count(*) AS BIGINT) AS n_vectors,
                round(avg(dist), 6) AS avg_sqdist
         FROM a3 GROUP BY cid ORDER BY cid
+    """,
+    "silhouette_kmeans": f"""
+        WITH {_LLOYD_CTE.format(where="")},
+        alld AS (
+            SELECT v.vec_id, c.cid,
+                   list_aggregate(list_transform(range(1, 65),
+                       i -> (e[i] - c.c[i]) * (e[i] - c.c[i])),
+                       'sum') AS d2
+            FROM v CROSS JOIN c2 c
+        ),
+        ranked AS (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM alld
+        ),
+        stats AS (
+            SELECT vec_id,
+                   max(CASE WHEN rn = 1 THEN cid END) AS cid,
+                   sqrt(max(CASE WHEN rn = 1 THEN d2 END)) AS a,
+                   sqrt(max(CASE WHEN rn = 2 THEN d2 END)) AS b
+            FROM ranked GROUP BY vec_id
+        ),
+        scored AS (
+            SELECT cid,
+                   CASE WHEN greatest(a, b) = 0 THEN 0.0
+                        ELSE (b - a) / greatest(a, b) END AS s
+            FROM stats
+        )
+        SELECT CAST(cid AS INT) AS cid,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(s), 6) AS avg_silhouette,
+               round(min(s), 6) AS min_silhouette
+        FROM scored GROUP BY cid ORDER BY cid
     """,
     "semdedup_prune": f"""
         WITH {_LLOYD_CTE.format(
