@@ -672,24 +672,47 @@ _VERSION_AS_OF_RE = re.compile(
     r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
     re.IGNORECASE)
 
+_TIMESTAMP_AS_OF_RE = re.compile(
+    r"\b(FROM|JOIN)\s+([A-Za-z_]\w*)\s+TIMESTAMP\s+AS\s+OF\s+"
+    r"'([^']+)'"
+    r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+    re.IGNORECASE)
 
-def extract_time_travel(sql: str) -> tuple[str, list[tuple[str, str, int]]]:
-    """Rewrite ``FROM t VERSION AS OF n [alias]`` to versioned temp
-    views; returns (sql, [(view, table, version)])."""
-    found: list[tuple[str, str, int]] = []
-
-    reserved = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "JOIN",
+_TT_RESERVED = {"WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "JOIN",
                 "ON", "UNION", "INTERSECT", "EXCEPT", "QUALIFY",
                 "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "USING",
                 "WINDOW", "VALUES", "SELECT"}
 
-    def _sub(m: re.Match) -> str:
-        kw, table, ver, alias = m.groups()
-        view = f"{table}__v{ver}"
-        found.append((view, table, int(ver)))
-        if alias and alias.upper() in reserved:
-            # not an alias — keep the keyword, bind the original name
-            return f"{kw} {view} {table} {alias}"
-        return f"{kw} {view} {alias or table}"
 
-    return _VERSION_AS_OF_RE.sub(_sub, sql), found
+def extract_time_travel(
+    sql: str,
+) -> tuple[str, list[tuple[str, str, int | str]]]:
+    """Rewrite ``FROM t VERSION AS OF n [alias]`` and Delta-style
+    ``FROM t TIMESTAMP AS OF 'ts' [alias]`` to versioned temp views;
+    returns (sql, [(view, table, spec)]) where spec is the int
+    version or the timestamp string (the engine resolves it against
+    the snapshot archive's commit times)."""
+    found: list[tuple[str, str, int | str]] = []
+
+    def _mk_sub(kind: str):
+        def _sub(m: re.Match) -> str:
+            kw, table, spec, alias = m.groups()
+            if kind == "version":
+                view = f"{table}__v{spec}"
+                found.append((view, table, int(spec)))
+            else:
+                import hashlib
+
+                digest = hashlib.md5(spec.encode()).hexdigest()[:8]
+                view = f"{table}__ts{digest}"
+                found.append((view, table, spec))
+            if alias and alias.upper() in _TT_RESERVED:
+                # not an alias — keep the keyword, bind the original name
+                return f"{kw} {view} {table} {alias}"
+            return f"{kw} {view} {alias or table}"
+
+        return _sub
+
+    sql = _VERSION_AS_OF_RE.sub(_mk_sub("version"), sql)
+    sql = _TIMESTAMP_AS_OF_RE.sub(_mk_sub("timestamp"), sql)
+    return sql, found

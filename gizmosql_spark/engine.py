@@ -587,9 +587,26 @@ class Engine:
         from gizmosql_spark.dialect import extract_time_travel
 
         sql, travels = extract_time_travel(sql)
-        for view, tbl, ver in travels:
-            vpath = self.warehouse.version_path(tbl, ver)
-            st.spark.read.parquet(vpath).createOrReplaceTempView(view)
+        for view, tbl, spec in travels:
+            if isinstance(spec, int):
+                vpath = self.warehouse.version_path(tbl, spec)
+            else:
+                # TIMESTAMP AS OF 'ts' — resolve against archive
+                # commit times; None = live table is the as-of state
+                from datetime import datetime, timezone
+
+                try:
+                    ts = datetime.fromisoformat(spec)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"bad TIMESTAMP AS OF literal {spec!r}") from exc
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                vpath = self.warehouse.version_path_at(tbl, ts.timestamp())
+            if vpath is None:
+                st.spark.table(tbl).createOrReplaceTempView(view)
+            else:
+                st.spark.read.parquet(vpath).createOrReplaceTempView(view)
 
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:

@@ -445,3 +445,15 @@ class WarehouseCatalog:
                 return v["path"]
         raise KeyError(
             f"table {table!r} has no archived version {version}")
+
+    def version_path_at(self, table: str, ts_epoch: float) -> str | None:
+        """Delta-style ``TIMESTAMP AS OF`` resolution: each archive
+        captures the table state just BEFORE the mutation that
+        committed at its ``at`` time, so the state that was current
+        at ``ts_epoch`` is the EARLIEST archive committed after it.
+        Returns None when no archive postdates the timestamp — the
+        live table already is the as-of state."""
+        after = [v for v in self.versions(table) if v.get("at", 0) > ts_epoch]
+        if not after:
+            return None
+        return min(after, key=lambda v: v["at"])["path"]

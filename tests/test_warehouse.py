@@ -188,6 +188,59 @@ class TestTimeTravel:
         eng.execute_sql(sid, "DROP TABLE t_travel")
         eng.close_session(sid)
 
+    def test_timestamp_as_of_resolves_archives(self, spark):
+        """Delta-style TIMESTAMP AS OF: a timestamp between two
+        mutations reads the state that was live then (the earliest
+        archive committed after it); a timestamp after every mutation
+        reads the live table."""
+        import time as _time
+        from datetime import datetime, timezone
+
+        from gizmosql_spark.engine import Engine
+
+        def _iso(t: float) -> str:
+            return datetime.fromtimestamp(t, tz=timezone.utc).isoformat()
+
+        eng = Engine(spark=spark)
+        sid = eng.create_session(role="admin")
+        eng.execute_sql(sid, "DROP TABLE IF EXISTS t_ts_travel")
+        eng.execute_sql(
+            sid, "CREATE TABLE t_ts_travel AS"
+                 " SELECT id, id * 10 AS qty FROM range(5)")
+        t_before_upd = _time.time()
+        _time.sleep(0.02)
+        eng.execute_sql(sid, "UPDATE t_ts_travel SET qty = 999 WHERE id = 2")
+        _time.sleep(0.02)
+        t_between = _time.time()
+        _time.sleep(0.02)
+        eng.execute_sql(sid, "DELETE FROM t_ts_travel WHERE id = 4")
+        _time.sleep(0.02)
+        t_after = _time.time()
+
+        as_of_orig = {(r["id"], r["qty"]) for r in eng.collect(
+            sid, eng.execute_sql(
+                sid,
+                f"SELECT * FROM t_ts_travel TIMESTAMP AS OF"
+                f" '{_iso(t_before_upd)}'"))}
+        assert as_of_orig == {(i, i * 10) for i in range(5)}
+        as_of_mid = {(r["id"], r["qty"]) for r in eng.collect(
+            sid, eng.execute_sql(
+                sid,
+                f"SELECT * FROM t_ts_travel TIMESTAMP AS OF"
+                f" '{_iso(t_between)}'"))}
+        assert (2, 999) in as_of_mid and (4, 40) in as_of_mid
+        as_of_now = {(r["id"], r["qty"]) for r in eng.collect(
+            sid, eng.execute_sql(
+                sid,
+                f"SELECT * FROM t_ts_travel TIMESTAMP AS OF"
+                f" '{_iso(t_after)}'"))}
+        assert (4, 40) not in as_of_now and (2, 999) in as_of_now
+        with pytest.raises(Exception, match="TIMESTAMP AS OF"):
+            eng.execute_sql(
+                sid, "SELECT * FROM t_ts_travel TIMESTAMP AS OF 'nonsense'")
+        eng.execute_sql(sid, "DROP TABLE t_ts_travel")
+        eng.close_session(sid)
+
     def test_drop_clears_archive(self, spark):
         from gizmosql_spark.engine import Engine
 
