@@ -131,6 +131,61 @@ _SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         " p STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS BOOLEAN",
         "p.x >= xmin AND p.x <= xmax AND p.y >= ymin AND p.y <= ymax",
     ),
+    # bearing/projection/spherical tier (docs/geometry.md contract):
+    # all closed-form trig, so DuckDB oracles reproduce within float
+    # tolerance (libm ulp differences only)
+    "st_azimuth": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS DOUBLE",
+        # clockwise-from-north bearing, normalized to [0, 2*pi)
+        "(atan2(b.x - a.x, b.y - a.y) + 2 * pi()) % (2 * pi())",
+    ),
+    "st_project": (
+        "(p STRUCT<x: DOUBLE, y: DOUBLE>, d DOUBLE, az DOUBLE)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "named_struct('x', p.x + d * sin(az), 'y', p.y + d * cos(az))",
+    ),
+    "st_distance_sphere": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS DOUBLE",
+        # haversine over (x=lon deg, y=lat deg), R = 6371000 m
+        "2 * 6371000D * asin(sqrt("
+        " pow(sin(radians(b.y - a.y) / 2), 2)"
+        " + cos(radians(a.y)) * cos(radians(b.y))"
+        "   * pow(sin(radians(b.x - a.x) / 2), 2)))",
+    ),
+    "st_angle": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>,"
+        " c STRUCT<x: DOUBLE, y: DOUBLE>) RETURNS DOUBLE",
+        # angle at vertex b, clockwise from ray b->a to ray b->c
+        "(atan2(c.x - b.x, c.y - b.y) - atan2(a.x - b.x, a.y - b.y)"
+        " + 4 * pi()) % (2 * pi())",
+    ),
+    "st_reverse": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "reverse(line)",
+    ),
+    "st_addpoint": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+        " p STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "array_append(line, p)",
+    ),
+    "st_numpoints": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS INT",
+        "size(line)",
+    ),
+    "st_startpoint": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "element_at(line, 1)",
+    ),
+    "st_endpoint": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
+        "element_at(line, -1)",
+    ),
     # strftime/strptime in DuckDB argument order
     "strftime": (
         "(ts TIMESTAMP, fmt STRING) RETURNS STRING",

@@ -751,6 +751,47 @@ def spatial_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_funcs4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth spatial batch (reference "100+ functions" contract,
+    docs/geometry.md): ST_Azimuth, ST_Project, ST_DistanceSphere
+    (haversine), ST_Angle, ST_Reverse, ST_AddPoint, ST_NumPoints,
+    ST_StartPoint/ST_EndPoint. Bearing/projection/spherical tier —
+    closed-form trig, the oracle reproduces every value to float
+    tolerance (only libm ulp differences remain, absorbed by the
+    harness's relative compare)."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark.geo import register_geo
+
+    gf.register_all(spark)
+    register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp4")
+    return spark.sql("""
+        WITH src AS (
+            SELECT event_id,
+                   st_point(value % 180D - 90D,
+                            CAST(user_id AS DOUBLE) % 120D - 60D) AS p
+            FROM events_sp4 WHERE event_id < 2000
+        )
+        SELECT event_id,
+               round(st_azimuth(p, st_point(0D, 0D)), 6) AS az_to_origin,
+               round(st_project(p, 10D, 1.25D).x, 6) AS proj_x,
+               round(st_project(p, 10D, 1.25D).y, 6) AS proj_y,
+               round(st_distance_sphere(p, st_point(0D, 0D)) / 1000D, 3)
+                   AS dist_km,
+               round(st_angle(st_point(1D, 0D), p, st_point(0D, 1D)), 6)
+                   AS corner_angle,
+               st_numpoints(st_addpoint(
+                   st_makeline(p, st_point(1D, 1D)), st_point(2D, 0D)))
+                   AS n_points,
+               round(st_startpoint(st_reverse(
+                   st_makeline(p, st_point(5D, 5D)))).x, 6) AS rev_start_x,
+               round(st_endpoint(
+                   st_makeline(p, st_point(5D, 5D))).y, 6) AS end_y
+        FROM src
+        ORDER BY event_id
+    """)
+
+
 def columns_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DuckDB ``COLUMNS('regex')`` star-expression (dialect-ism tier):
     the engine rewrite expands the regex against the FROM table's
@@ -1043,6 +1084,7 @@ QUERIES = {
     "spatial_wkb2": spatial_wkb2,
     "spatial_funcs2": spatial_funcs2,
     "spatial_funcs3": spatial_funcs3,
+    "spatial_funcs4": spatial_funcs4,
     "columns_expansion": columns_expansion,
     "spatial_join": spatial_join,
     "spatial_knn_join": spatial_knn_join,
@@ -1406,6 +1448,32 @@ ORACLE: dict[str, str] = {
         SELECT COLUMNS('^l_(orderkey|linenumber|quantity|returnflag)$')
         FROM lineitem WHERE l_orderkey < 200
         ORDER BY l_orderkey, l_linenumber
+    """,
+    "spatial_funcs4": """
+        WITH src AS (
+            SELECT event_id,
+                   fmod(value, 180) - 90 AS px,
+                   fmod(CAST(user_id AS DOUBLE), 120) - 60 AS py
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               round(fmod(atan2(0 - px, 0 - py) + 2 * pi(), 2 * pi()), 6)
+                   AS az_to_origin,
+               round(px + 10 * sin(1.25), 6) AS proj_x,
+               round(py + 10 * cos(1.25), 6) AS proj_y,
+               round(2 * 6371000 * asin(sqrt(
+                   pow(sin(radians(0 - py) / 2), 2)
+                   + cos(radians(py)) * cos(radians(0))
+                     * pow(sin(radians(0 - px) / 2), 2))) / 1000, 3)
+                   AS dist_km,
+               round(fmod(atan2(0 - px, 1 - py)
+                          - atan2(1 - px, 0 - py) + 4 * pi(),
+                          2 * pi()), 6) AS corner_angle,
+               CAST(3 AS INTEGER) AS n_points,
+               round(5.0, 6) AS rev_start_x,
+               round(5.0, 6) AS end_y
+        FROM src
+        ORDER BY event_id
     """,
     "spatial_funcs3": """
         WITH src AS (
