@@ -513,6 +513,11 @@ class Engine:
         if summarize_target is not None:
             return StatementResult(
                 "query", df=self._summarize(st, summarize_target))
+        ea = __import__("re").match(
+            r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", sql,
+            __import__("re").IGNORECASE | __import__("re").DOTALL)
+        if ea is not None:
+            return self._explain_analyze(st, ea.group(1))
         pragma = parse_pragma(sql)
         if pragma is not None:
             return self._run_pragma(st, *pragma)
@@ -974,6 +979,44 @@ class Engine:
         self._maybe_capture_profile(st, result)
         _record("success", rows=len(out["rows"]))
         return out["rows"]
+
+    def _explain_analyze(self, st: SessionState,
+                         inner_sql: str) -> StatementResult:
+        """DuckDB-style ``EXPLAIN ANALYZE <query>``: run the query to
+        completion, then report the AQE-FINALIZED physical plan (the
+        plan Spark actually executed, with runtime-re-planned joins
+        and coalesced partitions) plus wall-clock and row count. The
+        inner statement goes through the normal gate/rewrite path, so
+        readonly/ACL rules apply exactly as for direct execution.
+        Restricted to query statements (documented deviation: DuckDB
+        also accepts DML here) so the EXPLAIN prefix can never smuggle
+        a write past a readonly session's statement classifier."""
+        import time as _time
+
+        if not __import__("re").match(
+            r"^\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", inner_sql,
+            __import__("re").IGNORECASE,
+        ):
+            raise ValueError(
+                "EXPLAIN ANALYZE supports query statements only")
+        result = self._run_statement(st, inner_sql)
+        if result.df is None:
+            raise ValueError("EXPLAIN ANALYZE requires a query statement")
+        t0 = _time.time()
+        n_rows = result.df.count()
+        elapsed = _time.time() - t0
+        try:
+            plan = result.df._sc._jvm.PythonSQLUtils.explainString(
+                result.df._jdf.queryExecution(), "formatted"
+            )
+        except Exception:
+            plan = result.df._jdf.queryExecution().toString()
+        header = (
+            f"rows: {n_rows}\nelapsed_sec: {round(elapsed, 4)}\n"
+        )
+        df = st.spark.createDataFrame(
+            [(header + plan,)], "explain_analyze string")
+        return StatementResult("query", df=df)
 
     def _maybe_capture_profile(self, st: SessionState,
                                result: StatementResult) -> None:

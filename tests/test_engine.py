@@ -711,6 +711,26 @@ class TestSummarizePragma:
             session, "SUMMARIZE SELECT id FROM range(7)"))
         assert rows[0]["count"] == 7
 
+    def test_explain_analyze_runs_and_reports(self, engine, session):
+        rows = engine.collect(session, engine.execute_sql(
+            session,
+            "EXPLAIN ANALYZE SELECT id % 3 AS k, count(*) AS n"
+            " FROM range(100) GROUP BY k"))
+        text = rows[0]["explain_analyze"]
+        assert "rows: 3" in text
+        assert "elapsed_sec:" in text
+        # the AQE-finalized physical plan is included
+        assert "HashAggregate" in text or "Physical Plan" in text
+
+    def test_explain_analyze_rejects_dml(self, engine, session):
+        engine.execute_sql(session, "DROP TABLE IF EXISTS t_ea")
+        engine.execute_sql(
+            session, "CREATE TABLE t_ea AS SELECT id FROM range(3)")
+        with pytest.raises(Exception, match="query statements only"):
+            engine.execute_sql(
+                session, "EXPLAIN ANALYZE UPDATE t_ea SET id = 0")
+        engine.execute_sql(session, "DROP TABLE t_ea")
+
     def test_pragma_version_and_tables(self, engine, session):
         eng, sid = engine, session
         v = eng.collect(sid, eng.execute_sql(sid, "PRAGMA version"))[0]
