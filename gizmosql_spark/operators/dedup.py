@@ -579,9 +579,10 @@ ORACLE: dict[str, str] = {
         )
         SELECT doc_id,
                count(*) AS n_windows,
-               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared,
-               sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * {_WH_STRIDE}
-                   AS dup_chars_est,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * {_WH_STRIDE}
+                   AS BIGINT) AS dup_chars_est,
                sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) > 0
                    AS is_substring_dup
         FROM wins JOIN stats USING (wh)

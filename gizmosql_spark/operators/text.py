@@ -691,8 +691,56 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model head: the 20 most frequent adjacent word
+    pairs with their conditional probability P(w2 | w1), where the
+    conditioning mass is the count of bigrams starting with w1 (so the
+    probabilities over each w1 sum to 1 by construction).
+
+    100 TB shape: tokenize → adjacent-pair explode (pure per-row array
+    arithmetic) → one wordcount-shaped groupBy on (w1, w2) with
+    map-side combine → a window sum over the *aggregated* pair frame
+    (vocabulary-sized, not corpus-sized) → global top-k via
+    TakeOrderedAndProject. No corpus-sized joins; the only full-data
+    shuffle is the pair count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.split(_norm(F.col("text")), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b")
+    )
+    cnt = pairs.groupBy(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    ).agg(F.count(F.lit(1)).alias("c12"))
+    w = Window.partitionBy("w1")
+    return (
+        cnt.select(
+            "w1",
+            "w2",
+            "c12",
+            F.sum("c12").over(w).alias("c1"),
+        )
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "unigram_logprob": unigram_logprob,
+    "bigram_condprob": bigram_condprob,
     "perplexity_buckets": perplexity_buckets,
     "chi_square_independence": chi_square_independence,
     "zipf_vocab_stats": zipf_vocab_stats,
@@ -716,6 +764,26 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "bigram_condprob": f"""
+        WITH toks AS (
+            SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents
+        ),
+        big AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM toks, unnest(range(1, len(t))) u(i)
+            WHERE len(t) >= 2
+        ),
+        cnt AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+            FROM big GROUP BY w1, w2
+        )
+        SELECT w1, w2, c12,
+               CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+               round(c12 / sum(c12) OVER (PARTITION BY w1), 6) AS p
+        FROM cnt
+        ORDER BY c12 DESC, w1, w2
+        LIMIT 20
+    """,
     "chi_square_independence": """
         WITH obs AS (
             SELECT lang, source, CAST(count(*) AS DOUBLE) AS o

@@ -502,8 +502,66 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RC_SIZE = 64    # chunk width (tokens)
+_RC_STRIDE = 48  # stride between chunk starts (tokens) → 16-token overlap
+
+
+def rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: overlapping fixed-width token
+    windows (64 tokens, stride 48 → 16-token overlap), the standard
+    retrieval-corpus preparation step before embedding.
+
+    Chunk starts are ``0, stride, 2·stride, …`` while the start lies
+    inside the document, so trailing chunks may be short (a real
+    pipeline might drop sub-minimum tails; kept here for declarative
+    determinism). Output per document: token count, chunk count, total
+    chunk-token mass (> n_tokens because of overlap), distinct chunk
+    hashes within the doc, and the first chunk's content hash.
+
+    100 TB shape: pure per-row JVM array arithmetic (split → transform/
+    sequence → slice → md5) followed by one partial-aggregable groupBy
+    on doc_id — a single scan, wordcount-shaped shuffle, no joins."""
+    d = _t(spark, sf_dir, "documents")
+    c, s = _RC_SIZE, _RC_STRIDE
+    toks = d.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+        ).alias("t"),
+    )
+    per_chunk = toks.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(floor((size(t) - 1) / {s}) as int)),"
+                f" i -> struct(i AS idx, slice(t, i * {s} + 1, {c}) AS ck))"
+            )
+        ).alias("ch"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("ch.idx").alias("idx"),
+        F.size("ch.ck").cast("bigint").alias("ck_len"),
+        F.md5(F.concat_ws(" ", F.col("ch.ck"))).alias("ck_hash"),
+    )
+    return (
+        per_chunk.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("ck_len").alias("sum_chunk_tokens"),
+            F.count_distinct("ck_hash").alias("n_uniq_chunks"),
+            F.min(F.when(F.col("idx") == 0, F.col("ck_hash"))).alias(
+                "first_chunk_hash"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
+    "rag_chunks": rag_chunks,
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup_prune": semdedup_prune,
     "sequence_pack": sequence_pack,
@@ -585,6 +643,36 @@ _LLOYD_CTE = """v AS (
 
 
 ORACLE = {
+    "rag_chunks": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)),
+                                               '\\s+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   i AS idx,
+                   t[i * {_RC_STRIDE} + 1 : i * {_RC_STRIDE} + {_RC_SIZE}] AS ck
+            FROM toks,
+                 unnest(range(0,
+                     CAST(floor((len(t) - 1) / {_RC_STRIDE}) AS BIGINT) + 1))
+                 u(i)
+        )
+        SELECT doc_id,
+               n_tokens,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(len(ck)) AS BIGINT) AS sum_chunk_tokens,
+               CAST(count(DISTINCT md5(array_to_string(ck, ' ')))
+                    AS BIGINT) AS n_uniq_chunks,
+               min(CASE WHEN idx = 0
+                        THEN md5(array_to_string(ck, ' ')) END)
+                   AS first_chunk_hash
+        FROM chunks
+        GROUP BY doc_id, n_tokens
+        ORDER BY doc_id
+    """,
     "pagerank_suppliers": """
         WITH trade AS (
             SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
