@@ -196,6 +196,9 @@ class Engine:
         from gizmosql_spark.warehouse import WarehouseCatalog
 
         self.warehouse = WarehouseCatalog(self.spark)
+        #: optional catalog-logging sink (docs/catalog_logging.md):
+        #: enabled explicitly via enable_catalog_logging()
+        self.catalog_log = None
         self.reattach()
         #: captured execution profiles (engine.capture_query_profile;
         #: the reference harvests DuckDB's JSON profile per execution,
@@ -477,8 +480,40 @@ class Engine:
         self.telemetry.add_counter("engine.statements_total", status="ok")
         return result
 
+    def enable_catalog_logging(self, path: str | None = None,
+                               queue_max: int = 1000):
+        """Fork the statement-log stream to an append-only ``logs``
+        parquet table (docs/catalog_logging.md): bounded hand-off
+        queue + dedicated writer thread, newest-dropped-on-overflow,
+        batch-atomic appends. Readable only by admins through the
+        ``engine_logs()`` table function; the table is system-managed
+        (not a catalog table — client DML cannot target it, and there
+        is nothing to DETACH)."""
+        from gizmosql_spark.catalog_logging import CatalogLogSink
+        from gizmosql_spark.warehouse import warehouse_dir
+
+        if self.catalog_log is not None:
+            return self.catalog_log
+        path = path or os.path.join(
+            warehouse_dir(self.spark), "_engine_logs", "logs")
+        sink = CatalogLogSink(self.spark, path, queue_max=queue_max)
+        self.catalog_log = sink
+        self.query_log.attach_sink(
+            lambda e: sink.submit(e.at, "INFO", e.session_id, e.sql,
+                                  e.status, e.elapsed_ms))
+        return sink
+
+    def disable_catalog_logging(self) -> None:
+        if self.catalog_log is not None:
+            self.query_log.attach_sink(None)
+            self.catalog_log.close()
+            self.catalog_log = None
+
     _QUERY_LOG_FN_RE = __import__("re").compile(
         r"\bengine_query_log\s*\(\s*\)", __import__("re").IGNORECASE
+    )
+    _CATALOG_LOG_FN_RE = __import__("re").compile(
+        r"\bengine_logs\s*\(\s*\)", __import__("re").IGNORECASE
     )
     _ACCESS_LOG_FN_RE = __import__("re").compile(
         r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
@@ -570,6 +605,24 @@ class Engine:
                 AccessLog.SCHEMA,
             ).filter("method <> ''").createOrReplaceTempView(
                 "engine_access_log")
+        if self._CATALOG_LOG_FN_RE.search(sql):
+            # engine_logs() table function: the catalog-logging table
+            # (docs/catalog_logging.md). System-managed → admin-only
+            # read, exactly like the reference's log catalog.
+            if not st.is_admin:
+                raise security.CommandDenied(
+                    "engine_logs() requires admin role")
+            sql = self._CATALOG_LOG_FN_RE.sub("engine_logs", sql)
+            if self.catalog_log is not None:
+                # drain what queued so far — reads see a consistent
+                # committed prefix of the stream
+                self.catalog_log.flush(timeout=10)
+                df = self.catalog_log.logs_df(st.spark)
+            else:
+                from gizmosql_spark.catalog_logging import LOG_SCHEMA
+
+                df = st.spark.createDataFrame([], LOG_SCHEMA)
+            df.createOrReplaceTempView("engine_logs")
         if self._ADMISSION_FN_RE.search(sql):
             # engine_admission_stats(): statement-queue depth metrics
             # (reference statement_queuing.md depth/peak telemetry)

@@ -68,6 +68,14 @@ class QueryLog:
     def __init__(self, capacity: int = 1000):
         self._entries: deque[LogEntry] = deque(maxlen=capacity)
         self._lock = threading.Lock()
+        self._sink = None
+
+    def attach_sink(self, sink) -> None:
+        """Fork every record to ``sink(entry)`` IN ADDITION to the ring
+        (docs/catalog_logging.md: catalog logging is additive to the
+        stdout/file stream). The sink must be non-blocking; exceptions
+        are swallowed so logging can never fail a client query."""
+        self._sink = sink
 
     def record(self, session_id: str, sql: str, status: str,
                elapsed_ms: float) -> None:
@@ -76,6 +84,11 @@ class QueryLog:
         )
         with self._lock:
             self._entries.append(entry)
+        if self._sink is not None:
+            try:
+                self._sink(entry)
+            except Exception:
+                pass
 
     def entries(self) -> list[LogEntry]:
         with self._lock:
