@@ -515,6 +515,11 @@ class Engine:
     _CATALOG_LOG_FN_RE = __import__("re").compile(
         r"\bengine_logs\s*\(\s*\)", __import__("re").IGNORECASE
     )
+    _TABLE_CHANGES_RE = __import__("re").compile(
+        r"\btable_changes\s*\(\s*'([A-Za-z_][\w.]*)'\s*,\s*(\d+)"
+        r"(?:\s*,\s*(\d+))?\s*\)",
+        __import__("re").IGNORECASE,
+    )
     _ACCESS_LOG_FN_RE = __import__("re").compile(
         r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
     )
@@ -642,6 +647,21 @@ class Engine:
             # instrumentation views refresh on reference
             # (session_instrumentation.md read-only views)
             self.instr.publish(self.spark)
+        for m in list(self._TABLE_CHANGES_RE.finditer(sql)):
+            # table_changes('t', v_from[, v_to]) table function: the
+            # Delta Change-Data-Feed analog over warehouse snapshots
+            # (maintenance.table_changes; deviations documented in
+            # docs/transactions_and_lakehouse.md §4)
+            from gizmosql_spark.maintenance import table_changes
+
+            tbl, v1, v2 = m.group(1), int(m.group(2)), m.group(3)
+            view = __import__("re").sub(
+                r"\W", "_", f"table_changes_{tbl}_{v1}_{v2 or 'live'}")
+            df = table_changes(
+                st.spark, self.warehouse, tbl, v1,
+                int(v2) if v2 is not None else None)
+            df.createOrReplaceTempView(view)
+            sql = sql.replace(m.group(0), view)
         from gizmosql_spark.dialect import extract_time_travel
 
         sql, travels = extract_time_travel(sql)

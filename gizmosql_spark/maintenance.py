@@ -116,6 +116,74 @@ def apply_restore(spark: SparkSession, table: str, version: int,
     )
 
 
+def table_changes(spark: SparkSession, warehouse, table: str,
+                  v_from: int, v_to: int | None = None) -> DataFrame:
+    """Delta-CDF-style change feed between two table states: rows in
+    ``v_to`` (None = live table) that are not in ``v_from`` surface as
+    ``insert``, rows gone from ``v_from`` as ``delete``, with a
+    ``_change_count`` multiplicity for duplicate rows. Without a
+    declared primary key an update is a delete+insert pair — the
+    documented deviation from Delta's keyed update_pre/postimage rows
+    (docs/transactions_and_lakehouse.md §4).
+
+    100 TB shape: both states reduce to (row-hash, count) partial aggs
+    — map-side combinable, one shuffle each — then a hash-keyed
+    full-outer join; nothing corpus-sized ever broadcasts and the
+    diff never leaves the executors. Schema evolution between the
+    versions is handled by projecting both sides onto the union of
+    their columns (missing columns read as NULL), so an added column
+    shows up as delete+insert of the affected rows, same as a
+    copy-on-write rewrite."""
+    from pyspark.sql import functions as F
+
+    def _state(v):
+        if v is None:
+            return spark.table(table)
+        return spark.read.parquet(warehouse.version_path(table, v))
+
+    old, new = _state(v_from), _state(v_to)
+    cols = list(new.columns) + [c for c in old.columns
+                                if c not in new.columns]
+
+    def _counted(df):
+        proj = [
+            (F.col(c) if c in df.columns
+             else F.lit(None).cast("string").alias(c))
+            for c in cols
+        ]
+        d = df.select(*proj)
+        return (
+            d.select(
+                F.md5(F.to_json(F.struct(*cols))).alias("_k"),
+                F.struct(*cols).alias("_row"),
+            )
+            .groupBy("_k")
+            .agg(F.first("_row").alias("_row"),
+                 F.count(F.lit(1)).alias("_n"))
+        )
+
+    o, n = _counted(old), _counted(new)
+    j = n.withColumnRenamed("_row", "_nrow").withColumnRenamed(
+        "_n", "_nn"
+    ).join(
+        o.withColumnRenamed("_row", "_orow").withColumnRenamed("_n", "_on"),
+        "_k",
+        "full_outer",
+    )
+    delta = F.coalesce("_nn", F.lit(0)) - F.coalesce("_on", F.lit(0))
+    return (
+        j.select(F.coalesce("_nrow", "_orow").alias("_row"),
+                 delta.alias("_d"))
+        .filter(F.col("_d") != 0)
+        .select(
+            "_row.*",
+            F.when(F.col("_d") > 0, "insert").otherwise("delete")
+            .alias("_change_type"),
+            F.abs("_d").alias("_change_count"),
+        )
+    )
+
+
 def parse_analyze(sql: str):
     """``ANALYZE TABLE t COMPUTE STATISTICS [FOR …]`` -> table."""
     m = _ANALYZE_RE.match(sql)

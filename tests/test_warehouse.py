@@ -675,3 +675,46 @@ def test_restore_denied_readonly(spark):
     with pytest.raises(CommandDenied):
         eng.execute_sql(sid, "RESTORE TABLE x TO VERSION AS OF 1")
     eng.close_session(sid)
+
+
+def test_table_changes_cdf(spark):
+    """table_changes('t', v_from[, v_to]): the Delta Change-Data-Feed
+    analog — snapshot-diff rows labeled insert/delete with duplicate
+    multiplicity, composable with plain SQL over the result."""
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_cdf")
+    eng.execute_sql(
+        sid, "CREATE TABLE t_cdf AS SELECT id, id * 10 AS qty FROM range(5)")
+    eng.execute_sql(sid, "UPDATE t_cdf SET qty = 999 WHERE id = 2")   # v1
+    eng.execute_sql(sid, "DELETE FROM t_cdf WHERE id = 4")            # v2
+
+    # v1 (pre-update) → live: the update is a delete+insert pair, the
+    # delete is a bare delete
+    rows = eng.collect(sid, eng.execute_sql(
+        sid,
+        "SELECT id, qty, _change_type, _change_count"
+        " FROM table_changes('t_cdf', 1)"
+        " ORDER BY id, _change_type"))
+    got = [(r["id"], r["qty"], r["_change_type"], r["_change_count"])
+           for r in rows]
+    assert got == [
+        (2, 20, "delete", 1),
+        (2, 999, "insert", 1),
+        (4, 40, "delete", 1),
+    ]
+
+    # bounded window v1 → v2 excludes the later delete of id=4
+    rows = eng.collect(sid, eng.execute_sql(
+        sid,
+        "SELECT id, _change_type FROM table_changes('t_cdf', 1, 2)"
+        " ORDER BY id, _change_type"))
+    assert [(r["id"], r["_change_type"]) for r in rows] == [
+        (2, "delete"), (2, "insert")]
+
+    # identical states diff to empty
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT count(*) AS n FROM table_changes('t_cdf', 2, 2)"))
+    assert rows[0]["n"] == 0
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS t_cdf")
+    eng.close_session(sid)
