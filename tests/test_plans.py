@@ -279,3 +279,31 @@ def test_dpp_join_prunes_dynamically(spark, sf_dir):
 
     plan = _plan(scale.dpp_join(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_rag_chunks_single_scan_no_joins(spark, sf_dir):
+    """RAG chunking must stay a single scan + one partial-aggregable
+    groupBy on doc_id: no joins anywhere, and the only exchanges are
+    the doc_id aggregate plus the presentation sort."""
+    import re
+
+    from gizmosql_spark.operators import training
+
+    plan = _plan(training.rag_chunks(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # doc_id+hash partial agg, distinct-merge agg, presentation sort
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "partial_" in plan  # map-side combine on the agg
+
+
+def test_bigram_condprob_topk_no_corpus_join(spark, sf_dir):
+    """Bigram LM head: the window sum runs over the aggregated pair
+    frame (post-groupBy), the final top-20 is TakeOrderedAndProject,
+    and there are no joins at all."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.bigram_condprob(spark, sf_dir))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
