@@ -230,3 +230,40 @@ def test_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == expect
+
+
+def test_both_ts_encodings_agree(spark, sf_dir, tmp_path):
+    """The driver has shipped events.ts as BOTH parquet
+    timestamp[us] and TIMESTAMP(NANOS)-read-as-long across rounds;
+    batch loader and stream reader must produce identical event times
+    for either file encoding (the round-2 regression family)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gizmosql_spark.operators.events import load_events
+
+    # re-encode the fixture's events with ts as int64 nanoseconds
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_ns = pa.compute.multiply(
+        t.column("ts").cast(pa.int64()), pa.scalar(1000, pa.int64()))
+    legacy = t.set_column(t.schema.get_field_index("ts"), "ts", ts_ns)
+    legacy_dir = tmp_path / "legacy"
+    legacy_dir.mkdir()
+    pq.write_table(legacy, str(legacy_dir / "events.parquet"))
+
+    native = load_events(spark, sf_dir).select("event_id", "ts")
+    converted = load_events(spark, str(tmp_path / "legacy")).select(
+        "event_id", "ts")
+    # identical values, and no 1970-collapse
+    assert converted.schema["ts"].dataType.typeName().startswith("timestamp")
+    mism = native.withColumnRenamed("ts", "ts_a").join(
+        converted.withColumnRenamed("ts", "ts_b"), "event_id"
+    ).filter("cast(ts_a as string) <> cast(ts_b as string)")
+    assert mism.count() == 0
+
+    # streaming reader: same conversion guard on the legacy encoding
+    stream = sw.read_event_stream(spark, str(tmp_path / "legacy"))
+    out = sw.run_to_completion(
+        sw.tumbling_counts(stream), "t_tumble_legacy")
+    starts = {r["window_start"].year for r in out.collect()}
+    assert 1970 not in starts
