@@ -457,6 +457,49 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (§2E numeric family): the SQL
+    standard regr_* set — slope/intercept/r²/count/mean-x/mean-y of
+    price on quantity per return flag. All JVM-native partial aggs
+    (one map-side-combinable shuffle); rounded to 6 decimals so the
+    engines' summation orders cannot produce last-bit drift."""
+    l = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def argminmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max + boolean/bitwise aggregates (§2E family:
+    DuckDB arg_min/arg_max ≈ Spark min_by/max_by; bool_and/bool_or;
+    bit_and/bit_or/bit_xor). The arg base is the unique o_orderkey so
+    ties cannot make the answer engine-dependent."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+            F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.bit_and("o_custkey").alias("key_band"),
+            F.bit_or("o_custkey").alias("key_bor"),
+            F.bit_xor("o_custkey").alias("key_bxor"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (median/p90) per group — Spark's
     ``percentile`` matches DuckDB's ``quantile_cont`` definition."""
@@ -1109,6 +1152,8 @@ QUERIES = {
     "datetime_funcs": datetime_funcs,
     "numeric_funcs": numeric_funcs,
     "stats_agg": stats_agg,
+    "regr_agg": regr_agg,
+    "argminmax_agg": argminmax_agg,
     "percentile_agg": percentile_agg,
     "window_topk": window_topk,
     "window_running": window_running,
@@ -1669,6 +1714,32 @@ ORACLE: dict[str, str] = {
                var_samp(l_quantity) AS var_qty,
                corr(l_quantity, l_extendedprice) AS corr_qty_price,
                covar_samp(l_discount, l_tax) AS cov_disc_tax
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "argminmax_agg": """
+        SELECT o_orderpriority,
+               arg_min(o_orderstatus, o_orderkey) AS first_status,
+               arg_max(o_orderstatus, o_orderkey) AS last_status,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               bit_and(o_custkey) AS key_band,
+               bit_or(o_custkey) AS key_bor,
+               bit_xor(o_custkey) AS key_bxor
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "regr_agg": """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+               round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+               round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
