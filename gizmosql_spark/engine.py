@@ -22,6 +22,7 @@ prepare-only pass (duckdb_statement.cpp:2456-2467).
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 import uuid
@@ -199,6 +200,13 @@ class Engine:
         #: optional catalog-logging sink (docs/catalog_logging.md):
         #: enabled explicitly via enable_catalog_logging()
         self.catalog_log = None
+        # secrets manager (DuckDB secrets analog; admin_command_gating
+        # .md:54-55): persistent entries reload from the warehouse
+        from gizmosql_spark.secrets import SecretsManager
+        from gizmosql_spark.warehouse import warehouse_dir
+
+        self.secrets = SecretsManager(
+            store_dir=os.path.join(warehouse_dir(self.spark), "_secrets"))
         self.reattach()
         #: captured execution profiles (engine.capture_query_profile;
         #: the reference harvests DuckDB's JSON profile per execution,
@@ -515,6 +523,9 @@ class Engine:
     _CATALOG_LOG_FN_RE = __import__("re").compile(
         r"\bengine_logs\s*\(\s*\)", __import__("re").IGNORECASE
     )
+    _SECRETS_FN_RE = __import__("re").compile(
+        r"\bengine_secrets\s*\(\s*\)", __import__("re").IGNORECASE
+    )
     _TABLE_CHANGES_RE = __import__("re").compile(
         r"\btable_changes\s*\(\s*'([A-Za-z_][\w.]*)'\s*,\s*(\d+)"
         r"(?:\s*,\s*(\d+))?\s*\)",
@@ -548,6 +559,25 @@ class Engine:
             rewrite_exclude,
             rewrite_qualify,
         )
+
+        from gizmosql_spark.secrets import parse_secret_ddl
+
+        sec_ddl = parse_secret_ddl(sql)
+        if sec_ddl is not None:
+            # CREATE/DROP SECRET (admin-only — check_admin_gate already
+            # rejected non-admins before this point)
+            if sec_ddl[0] == "create":
+                _, secret, replace = sec_ddl
+                self.secrets.create(secret, replace=replace)
+                return StatementResult(
+                    "update", affected_rows=0,
+                    info={"secret": secret.name, "action": "create"})
+            _, sname, if_exists = sec_ddl
+            dropped = self.secrets.drop(sname, if_exists=if_exists)
+            return StatementResult(
+                "update", affected_rows=0,
+                info={"secret": sname,
+                      "action": "drop" if dropped else "noop"})
 
         summarize_target = parse_summarize(sql)
         if summarize_target is not None:
@@ -628,6 +658,21 @@ class Engine:
 
                 df = st.spark.createDataFrame([], LOG_SCHEMA)
             df.createOrReplaceTempView("engine_logs")
+        if self._SECRETS_FN_RE.search(sql):
+            # engine_secrets() table function (duckdb_secrets analog) —
+            # ALWAYS admin-only (admin_command_gating.md:55); values
+            # are masked, raw material never leaves the registry
+            if not st.is_admin:
+                raise security.CommandDenied(
+                    "engine_secrets() requires admin role")
+            sql = self._SECRETS_FN_RE.sub("engine_secrets", sql)
+            st.spark.createDataFrame(
+                self.secrets.listing() or
+                [("", "", "", False, "")],
+                "name string, type string, scope string,"
+                " persistent boolean, options string",
+            ).filter("name <> ''").createOrReplaceTempView(
+                "engine_secrets")
         if self._ADMISSION_FN_RE.search(sql):
             # engine_admission_stats(): statement-queue depth metrics
             # (reference statement_queuing.md depth/peak telemetry)
@@ -688,6 +733,11 @@ class Engine:
 
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:
+            if "://" in path and not path.startswith("file:"):
+                # remote path: apply the best-scope-matching secret's
+                # credentials to the Hadoop conf before the read (the
+                # httpfs-pickup analog; secrets.py)
+                self.secrets.apply_for_path(st.spark, path)
             st.spark.read.format(fmt).load(path).createOrReplaceTempView(view)
 
         # remote-engine scans (flight_scan table function + attached
