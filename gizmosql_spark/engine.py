@@ -751,10 +751,17 @@ class Engine:
             from gizmosql_spark.sources.flight_scan import flight_scan_df
 
             for view, uri, rsql, user, pw in fscans:
+                if user is None and pw is None:
+                    # bare flight_scan: credentials from an adbc-type
+                    # secret scoped to the uri (the reference's
+                    # CREATE SECRET + bare ATTACH flow)
+                    user, pw = self.secrets.flight_credentials(uri)
                 flight_scan_df(
                     st.spark, uri, rsql, user=user, password=pw
                 ).createOrReplaceTempView(view)
             for alias, (uri, user, pw) in st.attached.items():
+                if user is None and pw is None:
+                    user, pw = self.secrets.flight_credentials(uri)
                 pat = __import__("re").compile(
                     rf"\b(FROM|JOIN)\s+{alias}\s*\.\s*([A-Za-z_]\w*)",
                     __import__("re").IGNORECASE)

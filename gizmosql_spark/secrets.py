@@ -168,12 +168,16 @@ class SecretsManager:
                                 key=lambda x: x.name)
             ]
 
-    def lookup(self, path: str) -> Secret | None:
+    def lookup(self, path: str,
+               types: tuple[str, ...] | None = None) -> Secret | None:
         """DuckDB scope semantics: longest matching scope prefix wins;
-        unscoped secrets match any path (weakest)."""
+        unscoped secrets match any path (weakest). ``types`` narrows
+        the candidates (e.g. only adbc secrets for a Flight uri)."""
         with self._lock:
             best, best_len = None, -1
             for s in self._secrets.values():
+                if types is not None and s.type not in types:
+                    continue
                 if s.scope:
                     if path.startswith(s.scope) and len(s.scope) > best_len:
                         best, best_len = s, len(s.scope)
@@ -181,13 +185,24 @@ class SecretsManager:
                     best, best_len = s, 0
             return best
 
+    def flight_credentials(self, uri: str) -> tuple[str | None, str | None]:
+        """(username, password) from the best adbc/flight secret for a
+        remote-engine uri — the reference's `CREATE SECRET (TYPE adbc,
+        SCOPE 'grpc+tls://…', username …, password …)` + bare ATTACH
+        flow (docs/adbc_scanner_duckdb.md:60-92)."""
+        s = self.lookup(uri, types=("adbc", "flight"))
+        if s is None:
+            return None, None
+        o = s.options
+        return o.get("username", o.get("user")), o.get("password")
+
     # -- Spark application -------------------------------------------
 
     def apply_for_path(self, spark, path: str) -> Secret | None:
         """Map the best-matching secret for ``path`` onto the live
         Hadoop configuration (fs.s3a.* / fs.gs.* / fs.azure.*). Pure
         conf — connector jars and network are deploy-time."""
-        s = self.lookup(path)
+        s = self.lookup(path, types=("s3", "r2", "gcs_hmac", "gcs", "azure"))
         if s is None:
             return None
         conf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -331,3 +331,32 @@ def test_do_exchange_transform(remote):
         rsid, remote_eng.execute_sql(rsid, "SHOW TABLES"))]
     assert "exchange_input" not in tables
     remote_eng.close_session(rsid)
+
+
+def test_flight_scan_credentials_from_adbc_secret(remote, local):
+    """The reference's secrets flow (adbc_scanner doc): CREATE SECRET
+    (TYPE adbc, SCOPE uri, username/password) then a BARE flight_scan
+    / ATTACH — credentials resolve from the scoped secret."""
+    _, _, uri = remote
+    eng, sid = local
+    eng.execute_sql(sid, f"""
+        CREATE OR REPLACE SECRET fed_secret (
+            TYPE adbc, SCOPE '{uri}',
+            username 'fed', password 'pw')
+    """)
+    try:
+        row = eng.collect(sid, eng.execute_sql(sid, f"""
+            SELECT sum(qty) AS total
+            FROM flight_scan('{uri}', 'SELECT * FROM t_remote_inv')
+        """))[0]
+        assert row["total"] == 1500
+
+        # bare ATTACH picks up the same secret at use time
+        eng.execute_sql(
+            sid, f"ATTACH '{uri}' AS fedcat (TYPE flight)")
+        row = eng.collect(sid, eng.execute_sql(
+            sid, "SELECT count(*) AS n FROM fedcat.t_remote_inv"))[0]
+        assert row["n"] == 6
+        eng.execute_sql(sid, "DETACH fedcat")
+    finally:
+        eng.execute_sql(sid, "DROP SECRET IF EXISTS fed_secret")
