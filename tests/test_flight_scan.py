@@ -345,18 +345,25 @@ def test_flight_scan_credentials_from_adbc_secret(remote, local):
             username 'fed', password 'pw')
     """)
     try:
+        # ground truth via explicit credentials (earlier tests may
+        # have mutated the remote table — compare, don't hardcode)
+        expect = eng.collect(sid, eng.execute_sql(sid, f"""
+            SELECT sum(qty) AS total, count(*) AS n
+            FROM flight_scan('{uri}', 'SELECT * FROM t_remote_inv',
+                             'fed', 'pw')
+        """))[0]
         row = eng.collect(sid, eng.execute_sql(sid, f"""
             SELECT sum(qty) AS total
             FROM flight_scan('{uri}', 'SELECT * FROM t_remote_inv')
         """))[0]
-        assert row["total"] == 1500
+        assert row["total"] == expect["total"]
 
         # bare ATTACH picks up the same secret at use time
         eng.execute_sql(
             sid, f"ATTACH '{uri}' AS fedcat (TYPE flight)")
         row = eng.collect(sid, eng.execute_sql(
             sid, "SELECT count(*) AS n FROM fedcat.t_remote_inv"))[0]
-        assert row["n"] == 6
+        assert row["n"] == expect["n"]
         eng.execute_sql(sid, "DETACH fedcat")
     finally:
         eng.execute_sql(sid, "DROP SECRET IF EXISTS fed_secret")
