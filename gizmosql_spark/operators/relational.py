@@ -1515,8 +1515,8 @@ ORACLE: dict[str, str] = {
                           - atan2(1 - px, 0 - py) + 4 * pi(),
                           2 * pi()), 6) AS corner_angle,
                CAST(3 AS INTEGER) AS n_points,
-               round(5.0, 6) AS rev_start_x,
-               round(5.0, 6) AS end_y
+               round(CAST(5.0 AS DOUBLE), 6) AS rev_start_x,
+               round(CAST(5.0 AS DOUBLE), 6) AS end_y
         FROM src
         ORDER BY event_id
     """,
