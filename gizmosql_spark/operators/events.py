@@ -461,8 +461,238 @@ def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (gap filling): per user,
+    an hourly spine from the user's first to last active hour, hourly
+    mean value where the user was active, last-observation-carried-
+    forward where not — the feature-store densification step
+    (reference: timeseries gapfill/locf surface, docs/sql_features.md).
+
+    Scale shape: ONE shuffle on user_id carries the hourly partial
+    agg, the spine generation (sequence+explode — rows scale with the
+    covered time span, not the corpus), the spine⋈hourly co-located
+    join, and the LOCF window. Nothing global; no collects."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 40)
+    hourly = (
+        e.select("user_id", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"), "value")
+        .groupBy("user_id", "hour")
+        .agg(F.round(F.avg("value"), 6).alias("hour_avg"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("hour_avg", ignorenulls=True).over(w).alias("filled"),
+            F.col("hour_avg").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+#: EWMA smoothing factor and trailing-window length (rows)
+_EWMA_ALPHA = 0.2
+_EWMA_SPAN = 20
+
+
+def ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over the last
+    20 observations: ewma_i = Σ_{j=0..19} α·(1-α)^j · x_{i-j} — the
+    trailing-window form (zero-init, not mean-init), so the weights
+    are closed-form and engine-portable.
+
+    Spark-first shape: ONE user_id shuffle carries the ordered
+    window; the trailing values ride as a collect_list over a
+    20-row frame and the weighted sum folds JVM-side with
+    ``F.aggregate`` (higher-order function — no Python, no join).
+    The oracle computes the identical weighted sum as a bounded
+    self-join. 100 TB: identical plan; frame arrays are 20 doubles
+    regardless of scale."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    rn = F.row_number().over(w).cast("bigint")
+    vals = F.collect_list(F.struct("rn", "value")).over(frame)
+    a = float(_EWMA_ALPHA)
+    ewma = F.aggregate(
+        vals,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.lit(a)
+        * F.pow(F.lit(1.0 - a), (F.col("rn") - s["rn"]).cast("double"))
+        * s["value"],
+    )
+    return (
+        e.select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", rn)
+        .select(
+            "user_id",
+            "rn",
+            "value",
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval consolidation: each event opens a usage interval
+    [ts, ts + (value%30 + 1) minutes]; merge overlapping intervals
+    per user and report how many merged spans remain and the total
+    covered seconds — the classic coverage/billing consolidation
+    (gaps-and-islands over explicit intervals, beyond sessionize's
+    fixed-gap form).
+
+    Scale shape: one user_id shuffle; islands come from a running
+    max(end) window (new island when start exceeds every prior end),
+    then two partial aggs (island extents → user rollup)."""
+    e = load_events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("start"),
+        (
+            F.col("ts").cast("timestamp")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0),
+                # floor, not cast: DuckDB CAST(double AS INT) rounds
+                # half-away where Spark truncates — floor agrees
+                F.floor("value").cast("int") % 30 + 1,
+            )
+        ).alias("end"),
+    )
+    w = Window.partitionBy("user_id").orderBy("start", "end", "event_id")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col("start") > prev_max_end), 1
+    ).otherwise(0)
+    islands = iv.withColumn(
+        "island",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("start").alias("s"), F.max("end").alias("e")
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.unix_micros("e") - F.unix_micros("s")
+            ).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between each user's value series
+    and its own lag-1 (autocorrelation proxy) over a trailing 20-row
+    frame, sampled every 25th row — the drift/seasonality probe of a
+    monitoring pipeline.
+
+    Scale shape: one user_id shuffle carries the lag and the framed
+    corr; the rn%25 sample bounds output, not compute. corr is a
+    single-pass co-moment aggregate in both engines."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    lagged = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+    )
+    return (
+        lagged.withColumn("c", F.corr("value", "prev").over(frame))
+        .filter((F.col("rn") % 25 == 0) & (F.col("rn") >= _EWMA_SPAN))
+        .select("user_id", "rn", F.round("c", 6).alias("auto_corr"))
+        .orderBy("user_id", "rn")
+    )
+
+
+#: association-rule thresholds: a (type_a → type_b) rule must have
+#: this many distinct-user co-occurrences to surface
+_ASSOC_MIN_SUPPORT = 5
+
+
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type
+    baskets: support / confidence / lift for every ordered pair of
+    distinct event types the same user performed — the co-occurrence
+    mining step (the 2-itemset tier of FP-growth-style pipelines).
+
+    Scale shape: baskets dedup with one (user,type) shuffle; the
+    pair join is user-keyed and co-partitioned with it; item counts
+    are a vocabulary-sized frame broadcast into the rule scoring.
+    Domain-bounded output (|types|² rows)."""
+    e = load_events(spark, sf_dir)
+    basket = e.select("user_id", "event_type").distinct()
+    # 1-row user-count frame cross-joined in (no separate .count()
+    # action — the whole rule table is one plan, one basket build)
+    n_users_df = basket.agg(
+        F.count_distinct("user_id").cast("double").alias("n_users"))
+    a = basket.select("user_id", F.col("event_type").alias("ante"))
+    b = basket.select("user_id", F.col("event_type").alias("cons"))
+    pair_n = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    item_n = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("item_n"))
+    ante_n = item_n.select(F.col("event_type").alias("ante"),
+                           F.col("item_n").alias("ante_n"))
+    cons_n = item_n.select(F.col("event_type").alias("cons"),
+                           F.col("item_n").alias("cons_n"))
+    return (
+        pair_n.join(F.broadcast(ante_n), "ante")
+        .join(F.broadcast(cons_n), "cons")
+        .crossJoin(F.broadcast(n_users_df))
+        .filter(F.col("both_n") >= _ASSOC_MIN_SUPPORT)
+        .select(
+            "ante",
+            "cons",
+            "both_n",
+            F.round(F.col("both_n") / F.col("n_users"), 6)
+             .alias("support"),
+            F.round(F.col("both_n") / F.col("ante_n"), 6)
+             .alias("confidence"),
+            F.round(
+                (F.col("both_n") / F.col("n_users"))
+                / ((F.col("ante_n") / F.col("n_users"))
+                   * (F.col("cons_n") / F.col("n_users"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("ante", "cons")
+    )
+
+
 QUERIES = {
     "events_json": events_json,
+    "events_gap_fill": events_gap_fill,
+    "ewma_value": ewma_value,
+    "interval_union": interval_union,
+    "rolling_corr": rolling_corr,
+    "assoc_rules": assoc_rules,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -482,6 +712,133 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "events_gap_fill": """
+        WITH hourly AS (
+            SELECT user_id,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   round(avg(value), 6) AS hour_avg
+            FROM events WHERE user_id < 40
+            GROUP BY 1, 2
+        ), spine AS (
+            SELECT user_id,
+                   unnest(generate_series(min(hour), max(hour),
+                                          INTERVAL 1 HOUR)) AS hour
+            FROM hourly GROUP BY user_id
+        )
+        SELECT s.user_id, s.hour,
+               last_value(h.hour_avg IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled,
+               h.hour_avg IS NULL AS is_gap
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.hour = h.hour
+        ORDER BY s.user_id, s.hour
+    """,
+    "ewma_value": """
+        WITH src AS (
+            SELECT user_id, event_id, value,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events WHERE user_id < 20
+        )
+        SELECT a.user_id, a.rn, a.value,
+               round(sum(0.2 * power(0.8, a.rn - b.rn) * b.value), 6)
+                   AS ewma
+        FROM src a JOIN src b
+          ON a.user_id = b.user_id
+         AND b.rn BETWEEN a.rn - 19 AND a.rn
+        GROUP BY a.user_id, a.rn, a.value
+        ORDER BY a.user_id, a.rn
+    """,
+    "interval_union": """
+        WITH iv AS (
+            SELECT user_id, event_id,
+                   CAST(ts AS TIMESTAMP) AS s,
+                   CAST(ts AS TIMESTAMP)
+                       + (CAST(floor(value) AS INTEGER) % 30 + 1)
+                         * INTERVAL 1 MINUTE AS e
+            FROM events
+        ), flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                        ) IS NULL
+                         OR s > max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING
+                        ) THEN 1 ELSE 0 END AS is_new
+            FROM iv
+        ), islands AS (
+            SELECT user_id, s, e,
+                   sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ), spans AS (
+            SELECT user_id, island, min(s) AS s, max(e) AS e
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT)
+                   AS covered_us
+        FROM spans GROUP BY user_id
+        ORDER BY user_id
+    """,
+    "rolling_corr": """
+        WITH lagged AS (
+            SELECT user_id, value,
+                   lag(value) OVER w AS prev,
+                   CAST(row_number() OVER w AS BIGINT) AS rn
+            FROM events WHERE user_id < 100
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, rn, auto_corr FROM (
+            SELECT user_id, rn,
+                   round(corr(value, prev) OVER (
+                       PARTITION BY user_id ORDER BY rn
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+                   ), 6) AS auto_corr
+            FROM lagged
+        ) WHERE rn % 25 = 0 AND rn >= 20
+        ORDER BY user_id, rn
+    """,
+    "assoc_rules": """
+        WITH basket AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), n AS (
+            SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+            FROM basket
+        ), pair_n AS (
+            SELECT a.event_type AS ante, b.event_type AS cons,
+                   CAST(count(*) AS BIGINT) AS both_n
+            FROM basket a JOIN basket b ON a.user_id = b.user_id
+            WHERE a.event_type <> b.event_type
+            GROUP BY 1, 2
+        ), item_n AS (
+            SELECT event_type, count(*) AS item_n
+            FROM basket GROUP BY event_type
+        )
+        SELECT p.ante, p.cons, p.both_n,
+               round(p.both_n / n.n_users, 6) AS support,
+               round(CAST(p.both_n AS DOUBLE) / a.item_n, 6)
+                   AS confidence,
+               round((p.both_n / n.n_users)
+                     / ((a.item_n / n.n_users)
+                        * (c.item_n / n.n_users)), 6) AS lift
+        FROM pair_n p
+        JOIN item_n a ON p.ante = a.event_type
+        JOIN item_n c ON p.cons = c.event_type
+        CROSS JOIN n
+        WHERE p.both_n >= 5
+        ORDER BY p.ante, p.cons
+    """,
     "pyds_synthetic_agg": """
         WITH gen AS (
             SELECT i AS event_id,

@@ -1120,8 +1120,84 @@ def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts no other part beats on
+    BOTH price (lower better) and size (higher better) — the classic
+    preference/top-k-without-a-scoring-function query.
+
+    Spark-first shape: instead of the naive O(n²) dominance anti-join,
+    the frontier falls out of one window pass over the price ordering
+    (the textbook sort-scan skyline): a (price, size) point survives
+    iff its size equals the running max over all points priced <= it
+    AND strictly exceeds the max over all points priced < it. RANGE
+    frames on integer cents make both bounds exact. One shuffle
+    (the global sort = range partition at scale); no joins."""
+    p = _t(spark, sf_dir, "part")
+    pts = (
+        p.select(
+            F.round(F.col("p_retailprice") * 100).cast("bigint")
+            .alias("price_cents"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .distinct()
+    )
+    w_le = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lt = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        pts.withColumn("max_le", F.max("size").over(w_le))
+        .withColumn("max_lt", F.max("size").over(w_lt))
+        .filter(
+            (F.col("size") == F.col("max_le"))
+            & (F.col("max_lt").isNull() | (F.col("size") > F.col("max_lt")))
+        )
+        .select("price_cents", "size")
+        .orderBy("price_cents")
+    )
+
+
+def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of lineitem extended prices: observed
+    leading-digit distribution vs log10(1 + 1/d), with per-digit
+    chi-square contributions — the fraud/data-quality screen over a
+    measure column.
+
+    Scale shape: one scan, one 9-group partial agg; the total-count
+    normalization rides a window over the 9-row aggregate (no second
+    scan)."""
+    l = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("string"), 1, 1).cast("int")
+    per_digit = (
+        l.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_all = Window.partitionBy()
+    total = F.sum("n").over(w_all)
+    expected = F.log10(1 + 1 / F.col("digit"))
+    observed = F.col("n") / total
+    return (
+        per_digit.select(
+            "digit",
+            "n",
+            F.round(observed, 6).alias("observed_p"),
+            F.round(expected, 6).alias("benford_p"),
+            F.round(
+                F.pow(observed - expected, 2) / expected * total, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
     "range_band_join": range_band_join,
+    "skyline_parts": skyline_parts,
+    "benford_prices": benford_prices,
     "spatial_funcs": spatial_funcs,
     "spatial_wkb": spatial_wkb,
     "spatial_wkb2": spatial_wkb2,
@@ -1168,6 +1244,49 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "skyline_parts": """
+        WITH pts AS (
+            SELECT DISTINCT
+                   CAST(round(p_retailprice * 100) AS BIGINT)
+                       AS price_cents,
+                   CAST(p_size AS INTEGER) AS size
+            FROM part
+        ), scanned AS (
+            SELECT price_cents, size,
+                   max(size) OVER (
+                       ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS max_le,
+                   max(size) OVER (
+                       ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS max_lt
+            FROM pts
+        )
+        SELECT price_cents, size
+        FROM scanned
+        WHERE size = max_le AND (max_lt IS NULL OR size > max_lt)
+        ORDER BY price_cents
+    """,
+    "benford_prices": """
+        WITH per_digit AS (
+            SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1
+        )
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / sum(n) OVER (), 6)
+                   AS observed_p,
+               round(log10(1 + 1.0 / digit), 6) AS benford_p,
+               round(pow(CAST(n AS DOUBLE) / sum(n) OVER ()
+                         - log10(1 + 1.0 / digit), 2)
+                     / log10(1 + 1.0 / digit) * sum(n) OVER (), 6)
+                   AS chi2_term
+        FROM per_digit
+        ORDER BY digit
+    """,
     "numeric_funcs2": """
         SELECT l_orderkey, l_linenumber,
                round(cbrt(l_quantity), 6) AS cbrt_q,

@@ -281,8 +281,49 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample size and hash-uniform resolution (8 hex digits)
+_WS_K = 100
+_WS_RES = 16 ** 8
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    exponential-race form): each document draws a deterministic
+    uniform u from md5(doc_id), races with key = -ln(u) / weight
+    (weight = n_chars), and the k smallest keys win — selection
+    probability proportional to length, exactly reproducible on any
+    engine / any parallelism because the "randomness" is the hash.
+
+    Scale shape: per-row hash + ln, then TakeOrderedAndProject top-k —
+    one scan, no shuffle beyond the k-row final. Keys are rounded to
+    12 decimals IN the engine before ranking so last-ulp ln()
+    differences between runtimes cannot flip the order; remaining
+    ties break on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    u_int = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (u_int + 0.5) / F.lit(float(_WS_RES))
+    key = F.round(-F.log(u) / F.col("n_chars"), 12)
+    ranked = d.select(
+        "doc_id", "source", "n_chars", key.alias("race_key"))
+    w = Window.orderBy("race_key", "doc_id")
+    return (
+        ranked.orderBy("race_key", "doc_id")
+        .limit(_WS_K)
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES = {
     "dataset_split": dataset_split,
+    "weighted_sample": weighted_sample,
     "grouped_split": grouped_split,
     "systematic_sample": systematic_sample,
     "temperature_resample": temperature_resample,
@@ -291,7 +332,34 @@ QUERIES = {
     "grouped_head": grouped_head,
 }
 
+#: hex→uint32 expansion for the oracle (column ``h`` = md5 hex string)
+_WS_HEX_U = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
 ORACLE: dict[str, str] = {
+    "weighted_sample": f"""
+        WITH hashed AS (
+            SELECT doc_id, source, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, source, n_chars,
+                   round(-ln((({_WS_HEX_U}) + 0.5) / {float(_WS_RES)})
+                         / n_chars, 12) AS race_key
+            FROM hashed
+        ), topk AS (
+            SELECT doc_id, source, n_chars, race_key
+            FROM keyed ORDER BY race_key, doc_id LIMIT {_WS_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY race_key, doc_id)
+                    AS INTEGER) AS rank,
+               doc_id, source, n_chars
+        FROM topk
+        ORDER BY rank
+    """,
     "mixture_plan": f"""
         WITH t AS (
             SELECT source,

@@ -502,6 +502,151 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: co-occurrence graph cut: keep the strongest edges by support with
+#: a full (support, a, b) ordering so the cut is deterministic
+_GRAPH_TOP_EDGES = 5000
+_BFS_ROUNDS = 3
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-occurrence graph: an edge (a < b) for every pair of
+    suppliers that fill the same order, kept to the top
+    ``_GRAPH_TOP_EDGES`` by co-occurrence count (ties broken on the
+    key pair, so the cut is total-ordered and engine-portable).
+
+    Scale shape: the (order, supplier) dedup and the pair self-join
+    shuffle once on l_orderkey (co-partitioned); supports partial-agg
+    on the pair key; the cut is TakeOrderedAndProject — the graph
+    frame that emerges is edge-bounded (constant size at any SF), the
+    standard support-threshold sparsification of market-basket /
+    co-occurrence mining."""
+    def _build() -> DataFrame:
+        os_ = (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+        )
+        return (
+            os_.alias("a")
+            .join(
+                os_.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            )
+            .groupBy(
+                F.col("a.l_suppkey").alias("x"),
+                F.col("b.l_suppkey").alias("y"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "x", "y")
+            .limit(_GRAPH_TOP_EDGES)
+            .select("x", "y")
+        )
+
+    return loader.keyed_persist(spark, f"graph.supedges:{sf_dir}", _build)
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-occurrence graph: which
+    suppliers sit in the most tightly-clustered trade neighborhoods
+    (the clustering-coefficient numerator, the standard graph-quality
+    probe next to PageRank's centrality).
+
+    Scale shape: edges are oriented a<b so each triangle is
+    enumerated exactly once via the two-hop wedge join; the bounded
+    edge frame broadcasts into both joins (at web scale: degree-
+    ordered orientation + shuffle join on the wedge key — same
+    algebra). Per-node counts are one explode + partial agg;
+    output is top-k."""
+    ed = _supplier_edges(spark, sf_dir)
+    e1, e2, e3 = ed.alias("e1"), ed.alias("e2"), ed.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e1.y") == F.col("e2.x"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.x") == F.col("e1.x"))
+            & (F.col("e3.y") == F.col("e2.y")),
+        )
+        .select(
+            F.col("e1.x").alias("a"),
+            F.col("e1.y").alias("b"),
+            F.col("e2.y").alias("c"),
+        )
+    )
+    nodes = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node"))
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(20)
+    )
+
+
+def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source-free BFS: shortest hop distance from the lowest-
+    keyed supplier over the undirected customer↔supplier trade graph
+    (shares pagerank's persisted edge frame), 3 rounds — the
+    reachability/ego-network tier of the graph family.
+
+    Scale shape per round: one frontier⋈edges shuffle join (both
+    graph-keyed and sized to the graph via the same partition-sizing
+    device as pagerank), a distinct, and an anti-join against the
+    visited frame; localCheckpoint keeps lineage flat. Output is one
+    row per BFS level."""
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
+    try:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey").hint("shuffle_hash")
+        l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        trade = loader.keyed_persist(
+            spark,
+            f"pagerank.trade:{sf_dir}",
+            lambda: (
+                o.join(l, o["o_orderkey"] == l["l_orderkey"])
+                .select("o_custkey", "l_suppkey")
+                .distinct()
+                .select(
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+                )
+            ),
+        )
+        edges = trade.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        src_row = l.agg(F.min("l_suppkey").alias("m"))
+        source = src_row.select(
+            F.concat(F.lit("s"), F.col("m")).alias("node"))
+        visited = source.withColumn(
+            "dist", F.lit(0)).localCheckpoint()
+        frontier = visited.select("node")
+        for r in range(1, _BFS_ROUNDS + 1):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(r))
+                .localCheckpoint()
+            )
+            visited = visited.union(nxt).localCheckpoint()
+            frontier = nxt.select("node")
+    finally:
+        spark.conf.set(part_key, prev_parts)
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("first_node"),
+            F.max("node").alias("last_node"),
+        )
+        .orderBy("dist")
+    )
+
+
 _RC_SIZE = 64    # chunk width (tokens)
 _RC_STRIDE = 48  # stride between chunk starts (tokens) → 16-token overlap
 
@@ -567,6 +712,8 @@ QUERIES = {
     "sequence_pack": sequence_pack,
     "embedding_quantize": embedding_quantize,
     "pagerank_suppliers": pagerank_suppliers,
+    "triangle_count": triangle_count,
+    "bfs_suppliers": bfs_suppliers,
     "silhouette_kmeans": silhouette_kmeans,
 }
 
@@ -672,6 +819,55 @@ ORACLE = {
         FROM chunks
         GROUP BY doc_id, n_tokens
         ORDER BY doc_id
+    """,
+    "triangle_count": """
+        WITH os_ AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS x, b.l_suppkey AS y,
+                   count(*) AS cnt
+            FROM os_ a JOIN os_ b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), ed AS (
+            SELECT x, y FROM pairs
+            ORDER BY cnt DESC, x, y LIMIT 5000
+        ), tri AS (
+            SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM ed e1
+            JOIN ed e2 ON e1.y = e2.x
+            JOIN ed e3 ON e3.x = e1.x AND e3.y = e2.y
+        ), nodes AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM nodes GROUP BY node
+        ORDER BY n_tri DESC, node LIMIT 20
+    """,
+    "bfs_suppliers": """
+        WITH RECURSIVE trade AS (
+            SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM trade
+            UNION ALL
+            SELECT s AS src, c AS dst FROM trade
+        ), bfs(node, dist) AS (
+            SELECT 's' || min(l_suppkey), 0 FROM lineitem
+            UNION
+            SELECT e.dst, b.dist + 1
+            FROM bfs b JOIN edges e ON e.src = b.node
+            WHERE b.dist < 3
+        ), min_d AS (
+            SELECT node, CAST(min(dist) AS INTEGER) AS dist
+            FROM bfs GROUP BY node
+        )
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+               min(node) AS first_node, max(node) AS last_node
+        FROM min_d GROUP BY dist ORDER BY dist
     """,
     "pagerank_suppliers": """
         WITH trade AS (

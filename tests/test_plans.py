@@ -307,3 +307,60 @@ def test_bigram_condprob_topk_no_corpus_join(spark, sf_dir):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Window" in plan
+
+
+def test_weighted_sample_topk_single_scan(spark, sf_dir):
+    """A-ES weighted sampling: per-row hash+ln then top-k — the plan
+    must be one parquet scan and TakeOrderedAndProject (never a
+    global sort of the corpus), with no joins."""
+    from gizmosql_spark.operators import sampling
+
+    plan = _plan(sampling.weighted_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_skyline_single_sort_no_join(spark, sf_dir):
+    """Sort-scan skyline: the frontier comes from window maxima over
+    one price ordering — no dominance self-join, no cartesian."""
+    from gizmosql_spark.operators import relational
+
+    plan = _plan(relational.skyline_parts(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_assoc_rules_broadcasts_item_counts(spark, sf_dir):
+    """Association rules: the pair join is user-keyed; the item-count
+    and user-count normalizers are vocabulary-sized broadcasts."""
+    from gizmosql_spark.operators import events
+
+    plan = _plan(events.assoc_rules(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_triangle_count_broadcasts_bounded_edges(spark, sf_dir):
+    """Triangle counting: the bounded edge frame broadcasts into both
+    wedge joins; nothing shuffles the corpus twice."""
+    from gizmosql_spark.operators import training
+
+    plan = _plan(training.triangle_count(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ewma_single_user_shuffle(spark, sf_dir):
+    """EWMA: the trailing-window fold is JVM-side over ONE user_id
+    window shuffle — no joins, no Python."""
+    from gizmosql_spark.operators import events
+
+    plan = _plan(events.ewma_value(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Python" not in plan  # higher-order aggregate, not a UDF
