@@ -417,6 +417,107 @@ _GEO_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         " RETURNS STRUCT<x: DOUBLE, y: DOUBLE>",
         "named_struct('x', floor(p.x / s) * s, 'y', floor(p.y / s) * s)",
     ),
+    # --- fifth batch: envelope set algebra + DE-9IM-lite predicates --
+    # (PostGIS ST_Intersection/ST_Union/ST_Difference restricted to
+    # axis-aligned envelopes — the closed-form tier every spatial
+    # engine's bbox pre-filter uses; pure min/max/compare arithmetic,
+    # engine-identical)
+    "st_env_area": (
+        "(env STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS DOUBLE",
+        "CASE WHEN env IS NULL THEN 0d ELSE"
+        " greatest(env.xmax - env.xmin, 0d)"
+        " * greatest(env.ymax - env.ymin, 0d) END",
+    ),
+    "st_intersection_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS STRUCT<xmin: DOUBLE, ymin: DOUBLE,"
+        " xmax: DOUBLE, ymax: DOUBLE>",
+        "CASE WHEN greatest(a.xmin, b.xmin) <= least(a.xmax, b.xmax)"
+        " AND greatest(a.ymin, b.ymin) <= least(a.ymax, b.ymax)"
+        " THEN named_struct("
+        " 'xmin', greatest(a.xmin, b.xmin), 'ymin', greatest(a.ymin, b.ymin),"
+        " 'xmax', least(a.xmax, b.xmax), 'ymax', least(a.ymax, b.ymax))"
+        " ELSE NULL END",
+    ),
+    "st_union_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS STRUCT<xmin: DOUBLE, ymin: DOUBLE,"
+        " xmax: DOUBLE, ymax: DOUBLE>",
+        "named_struct("
+        " 'xmin', least(a.xmin, b.xmin), 'ymin', least(a.ymin, b.ymin),"
+        " 'xmax', greatest(a.xmax, b.xmax),"
+        " 'ymax', greatest(a.ymax, b.ymax))",
+    ),
+    # area(a \\ b) by inclusion-exclusion on envelopes
+    "st_difference_area_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS DOUBLE",
+        "(a.xmax - a.xmin) * (a.ymax - a.ymin)"
+        " - greatest(least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin), 0d)"
+        " * greatest(least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin), 0d)",
+    ),
+    "st_equals_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS BOOLEAN",
+        "a.xmin = b.xmin AND a.ymin = b.ymin"
+        " AND a.xmax = b.xmax AND a.ymax = b.ymax",
+    ),
+    # boundaries meet but interiors do not (shared edge or corner)
+    "st_touches_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS BOOLEAN",
+        "greatest(a.xmin, b.xmin) <= least(a.xmax, b.xmax)"
+        " AND greatest(a.ymin, b.ymin) <= least(a.ymax, b.ymax)"
+        " AND (greatest(a.xmin, b.xmin) = least(a.xmax, b.xmax)"
+        "      OR greatest(a.ymin, b.ymin) = least(a.ymax, b.ymax))",
+    ),
+    # interiors intersect and neither envelope contains the other
+    "st_overlaps_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS BOOLEAN",
+        "greatest(a.xmin, b.xmin) < least(a.xmax, b.xmax)"
+        " AND greatest(a.ymin, b.ymin) < least(a.ymax, b.ymax)"
+        " AND NOT (a.xmin <= b.xmin AND a.ymin <= b.ymin"
+        "          AND a.xmax >= b.xmax AND a.ymax >= b.ymax)"
+        " AND NOT (b.xmin <= a.xmin AND b.ymin <= a.ymin"
+        "          AND b.xmax >= a.xmax AND b.ymax >= a.ymax)",
+    ),
+    "st_contains_env_env": (
+        "(a STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>,"
+        " b STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)"
+        " RETURNS BOOLEAN",
+        "a.xmin <= b.xmin AND a.ymin <= b.ymin"
+        " AND a.xmax >= b.xmax AND a.ymax >= b.ymax",
+    ),
+    # boundary of an open path = its two endpoints (PostGIS multipoint)
+    "st_boundary_line": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "CASE WHEN size(line) >= 2"
+        " AND element_at(line, 1) = element_at(line, -1)"
+        " THEN array() ELSE array(element_at(line, 1),"
+        " element_at(line, -1)) END",
+    ),
+    # radial-distance simplification (the streaming cousin of
+    # Douglas-Peucker): keep a vertex when it is >= tol from the last
+    # kept one; endpoints always survive
+    "st_simplify_radial": (
+        "(line ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>, tol DOUBLE)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "aggregate(slice(line, 2, greatest(size(line) - 1, 0)),"
+        " array(element_at(line, 1)),"
+        " (acc, v) -> CASE WHEN"
+        " sqrt((v.x - element_at(acc, -1).x) * (v.x - element_at(acc, -1).x)"
+        " + (v.y - element_at(acc, -1).y) * (v.y - element_at(acc, -1).y))"
+        " >= tol THEN array_append(acc, v) ELSE acc END)",
+    ),
 }
 
 _REGISTERED: set[int] = set()

@@ -1120,6 +1120,81 @@ def datetime_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def spatial_funcs5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth spatial batch (reference "100+ functions" contract,
+    docs/geometry.md): envelope set algebra + DE-9IM-lite predicates —
+    ST_Intersection/ST_Union/ST_Difference restricted to axis-aligned
+    envelopes (the bbox pre-filter algebra every spatial engine runs
+    before exact geometry), ST_Equals/ST_Touches/ST_Overlaps/
+    ST_Contains on envelopes, ST_Boundary of a path, and radial-
+    distance ST_Simplify. All min/max/compare arithmetic — the oracle
+    reproduces every value exactly."""
+    from gizmosql_spark import functions as gf
+
+    gf.register_all(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp5")
+    return spark.sql("""
+        WITH src AS (
+            SELECT event_id,
+                   st_makeenvelope(value, value / 2D,
+                                   value + 30D, value / 2D + 20D) AS ra,
+                   st_makeenvelope(CAST(user_id AS DOUBLE),
+                                   CAST(user_id % 40 AS DOUBLE),
+                                   CAST(user_id AS DOUBLE) + 25D,
+                                   CAST(user_id % 40 AS DOUBLE) + 15D) AS rb
+            FROM events_sp5 WHERE event_id < 2000
+        ), env AS (
+            SELECT event_id,
+                   st_envelope(ra) AS a, st_envelope(rb) AS b,
+                   ra, rb
+            FROM src
+        )
+        SELECT event_id,
+               round(st_env_area(st_intersection_env(a, b)), 6)
+                   AS inter_area,
+               round(st_env_area(st_union_env(a, b)), 6) AS union_area,
+               round(st_difference_area_env(a, b), 6) AS diff_area,
+               st_equals_env(a, b) AS env_equal,
+               st_touches_env(a, b) AS env_touches,
+               st_overlaps_env(a, b) AS env_overlaps,
+               st_contains_env_env(st_expand(a, 100D), b) AS env_contains,
+               st_numpoints(st_boundary_line(
+                   st_makeline(st_point(a.xmin, a.ymin),
+                               st_point(b.xmax, b.ymax)))) AS n_boundary,
+               st_numpoints(st_simplify_radial(ra, 22D)) AS n_simplified
+        FROM env
+        ORDER BY event_id
+    """)
+
+
+def spatial_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Extent_Agg analog: per-group aggregate bounding box over a
+    point cloud (the layer-extent / tile-index computation), plus the
+    group's point count and extent area.
+
+    Scale shape: ONE partial-aggregable min/max groupBy — extent
+    aggregation is the textbook mergeable spatial aggregate (each
+    partition folds its own bbox; merge is min/max of 4 doubles)."""
+    e = _t(spark, sf_dir, "events")
+    px = F.col("value")
+    py = F.pmod(F.col("user_id").cast("double"), F.lit(120.0)) - 60.0
+    return (
+        e.select("event_type", px.alias("px"), py.alias("py"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min("px"), 6).alias("xmin"),
+            F.round(F.min("py"), 6).alias("ymin"),
+            F.round(F.max("px"), 6).alias("xmax"),
+            F.round(F.max("py"), 6).alias("ymax"),
+            F.round(
+                (F.max("px") - F.min("px")) * (F.max("py") - F.min("py")), 6
+            ).alias("extent_area"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): the parts no other part beats on
     BOTH price (lower better) and size (higher better) — the classic
@@ -1197,6 +1272,8 @@ def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "range_band_join": range_band_join,
     "skyline_parts": skyline_parts,
+    "spatial_funcs5": spatial_funcs5,
+    "spatial_extent_agg": spatial_extent_agg,
     "benford_prices": benford_prices,
     "spatial_funcs": spatial_funcs,
     "spatial_wkb": spatial_wkb,
@@ -1244,6 +1321,64 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "spatial_funcs5": """
+        WITH env AS (
+            SELECT event_id,
+                   value AS ax0, value / 2 AS ay0,
+                   value + 30 AS ax1, value / 2 + 20 AS ay1,
+                   CAST(user_id AS DOUBLE) AS bx0,
+                   CAST(user_id % 40 AS DOUBLE) AS by0,
+                   CAST(user_id AS DOUBLE) + 25 AS bx1,
+                   CAST(user_id % 40 AS DOUBLE) + 15 AS by1
+            FROM events WHERE event_id < 2000
+        ), m AS (
+            SELECT *,
+                   greatest(ax0, bx0) AS ixmin, least(ax1, bx1) AS ixmax,
+                   greatest(ay0, by0) AS iymin, least(ay1, by1) AS iymax
+            FROM env
+        )
+        SELECT event_id,
+               round(greatest(ixmax - ixmin, 0)
+                     * greatest(iymax - iymin, 0), 6) AS inter_area,
+               round((greatest(ax1, bx1) - least(ax0, bx0))
+                     * (greatest(ay1, by1) - least(ay0, by0)), 6)
+                   AS union_area,
+               round((ax1 - ax0) * (ay1 - ay0)
+                     - greatest(ixmax - ixmin, 0)
+                     * greatest(iymax - iymin, 0), 6) AS diff_area,
+               (ax0 = bx0 AND ay0 = by0 AND ax1 = bx1 AND ay1 = by1)
+                   AS env_equal,
+               (ixmin <= ixmax AND iymin <= iymax
+                AND (ixmin = ixmax OR iymin = iymax)) AS env_touches,
+               (ixmin < ixmax AND iymin < iymax
+                AND NOT (ax0 <= bx0 AND ay0 <= by0
+                         AND ax1 >= bx1 AND ay1 >= by1)
+                AND NOT (bx0 <= ax0 AND by0 <= ay0
+                         AND bx1 >= ax1 AND by1 >= ay1)) AS env_overlaps,
+               (ax0 - 100 <= bx0 AND ay0 - 100 <= by0
+                AND ax1 + 100 >= bx1 AND ay1 + 100 >= by1)
+                   AS env_contains,
+               CAST(CASE WHEN ax0 = bx1 AND ay0 = by1 THEN 0 ELSE 2 END
+                    AS INTEGER) AS n_boundary,
+               CAST(3 AS INTEGER) AS n_simplified
+        FROM m
+        ORDER BY event_id
+    """,
+    "spatial_extent_agg": """
+        WITH pts AS (
+            SELECT event_type, value AS px,
+                   fmod(CAST(user_id AS DOUBLE), 120) - 60 AS py
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(min(px), 6) AS xmin, round(min(py), 6) AS ymin,
+               round(max(px), 6) AS xmax, round(max(py), 6) AS ymax,
+               round((max(px) - min(px)) * (max(py) - min(py)), 6)
+                   AS extent_area
+        FROM pts GROUP BY event_type
+        ORDER BY event_type
+    """,
     "skyline_parts": """
         WITH pts AS (
             SELECT DISTINCT
