@@ -514,29 +514,33 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_GRAPH_TOP_EDGES`` by co-occurrence count (ties broken on the
     key pair, so the cut is total-ordered and engine-portable).
 
-    Scale shape: the (order, supplier) dedup and the pair self-join
-    shuffle once on l_orderkey (co-partitioned); supports partial-agg
-    on the pair key; the cut is TakeOrderedAndProject — the graph
-    frame that emerges is edge-bounded (constant size at any SF), the
-    standard support-threshold sparsification of market-basket /
-    co-occurrence mining."""
+    Scale shape: NO self-join — suppliers collect per order as a
+    sorted set (one l_orderkey shuffle, sets are order-sized: ≤ ~16
+    elements), pairs explode from each set with a JVM higher-order
+    double-transform, and supports partial-agg on the pair key. The
+    cut is TakeOrderedAndProject. The emerging graph frame is
+    edge-bounded (constant size at any SF) — the standard
+    support-threshold sparsification of co-occurrence mining.
+    (Measured 10.1 s → ~2 s at sf0.1 vs the distinct+self-join form:
+    the join shuffled the 600k-row pair stream twice; the set form
+    shuffles each lineitem row once.)"""
     def _build() -> DataFrame:
-        os_ = (
+        by_order = (
             _t(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_suppkey")
-            .distinct()
+            .groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
         )
+        pairs = by_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (v, i) ->"
+                    " transform(slice(ss, i + 2, size(ss)),"
+                    " w -> struct(v AS x, w AS y))))"
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
         return (
-            os_.alias("a")
-            .join(
-                os_.alias("b"),
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-            )
-            .groupBy(
-                F.col("a.l_suppkey").alias("x"),
-                F.col("b.l_suppkey").alias("y"),
-            )
+            pairs.groupBy("x", "y")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), "x", "y")
             .limit(_GRAPH_TOP_EDGES)
@@ -589,11 +593,15 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shares pagerank's persisted edge frame), 3 rounds — the
     reachability/ego-network tier of the graph family.
 
-    Scale shape per round: one frontier⋈edges shuffle join (both
-    graph-keyed and sized to the graph via the same partition-sizing
-    device as pagerank), a distinct, and an anti-join against the
-    visited frame; localCheckpoint keeps lineage flat. Output is one
-    row per BFS level."""
+    Scale shape: unrolled BFS with LATE dedupe — each level is the
+    edge frame probed by a BROADCAST of the previous level's node
+    frame (node frames are graph-node-sized, ≤ ~16 bytes/node, so
+    they broadcast far past this scale), all levels union, and ONE
+    min-dist partial agg dedupes at the end. No per-round anti-join,
+    no per-round distinct, no checkpoint: for a small fixed depth the
+    late-dedupe form trades bounded re-visits for round-trip-free
+    map-side expansion (at web-scale depth, flip back to
+    frontier-dedupe-per-round — the classic BFS trade-off)."""
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(part_key)
     spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
@@ -614,30 +622,41 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        edges = trade.select(
-            F.col("c").alias("src"), F.col("s").alias("dst")
-        ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        src_row = l.agg(F.min("l_suppkey").alias("m"))
-        source = src_row.select(
+        source = l.agg(F.min("l_suppkey").alias("m")).select(
             F.concat(F.lit("s"), F.col("m")).alias("node"))
-        visited = source.withColumn(
-            "dist", F.lit(0)).localCheckpoint()
-        frontier = visited.select("node")
-        for r in range(1, _BFS_ROUNDS + 1):
-            nxt = (
-                frontier.join(edges, frontier["node"] == edges["src"])
-                .select(F.col("dst").alias("node"))
-                .distinct()
-                .join(visited.select("node"), "node", "left_anti")
-                .withColumn("dist", F.lit(r))
-                .localCheckpoint()
-            )
-            visited = visited.union(nxt).localCheckpoint()
-            frontier = nxt.select("node")
+        # bipartite levels alternate supplier/customer sides, so each
+        # hop is one directed probe of the persisted trade frame
+        # trade is distinct on (c, s): one source supplier ⇒ each
+        # customer appears once, no dedupe needed before broadcast
+        lvl1 = (
+            trade.join(
+                F.broadcast(source), trade["s"] == source["node"])
+            .select(F.col("c").alias("node"))
+        )
+        lvl2 = (
+            trade.alias("t")
+            .join(F.broadcast(lvl1.alias("f")),
+                  F.col("t.c") == F.col("f.node"))
+            .select(F.col("t.s").alias("node"))
+            .distinct()
+        )
+        lvl3 = (
+            trade.alias("t")
+            .join(F.broadcast(lvl2.alias("f")),
+                  F.col("t.s") == F.col("f.node"))
+            .select(F.col("t.c").alias("node"))
+        )
+        levels = (
+            source.withColumn("dist", F.lit(0))
+            .union(lvl1.withColumn("dist", F.lit(1)))
+            .union(lvl2.withColumn("dist", F.lit(2)))
+            .union(lvl3.withColumn("dist", F.lit(3)))
+        )
+        min_d = levels.groupBy("node").agg(F.min("dist").alias("dist"))
     finally:
         spark.conf.set(part_key, prev_parts)
     return (
-        visited.groupBy("dist")
+        min_d.groupBy("dist")
         .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.min("node").alias("first_node"),
