@@ -627,6 +627,65 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: attribution lookback window (microseconds): 7 days
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: credit each purchase to the
+    user's most recent preceding non-purchase event within a 7-day
+    lookback ('direct' when none qualifies), and report conversions,
+    revenue, and mean minutes-to-convert per channel.
+
+    Scale shape: ONE user_id shuffle carries the masked last-ignore-
+    nulls windows; the rollup is a channels-sized partial agg. The
+    masked-window device (CASE inside last IGNORE NULLS) is the
+    standard way to express 'most recent row of another kind' without
+    a self-join."""
+    e = load_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touch_ts = F.last(
+        F.when(not_purchase, F.unix_micros(F.col("ts").cast("timestamp"))),
+        ignorenulls=True,
+    ).over(w)
+    touch_type = F.last(
+        F.when(not_purchase, F.col("event_type")), ignorenulls=True
+    ).over(w)
+    purchases = (
+        e.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("t_ts", touch_ts)
+        .withColumn("t_type", touch_type)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "delta_us",
+            F.unix_micros(F.col("ts").cast("timestamp")) - F.col("t_ts"),
+        )
+    )
+    qualified = F.col("t_ts").isNotNull() & (
+        F.col("delta_us") <= _ATTR_WINDOW_US)
+    return (
+        purchases.select(
+            F.when(qualified, F.col("t_type"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+            F.when(qualified, F.col("delta_us") / 60e6).alias("mins"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+            F.round(F.avg("mins"), 4).alias("avg_mins_to_convert"),
+        )
+        .orderBy("channel")
+    )
+
+
 #: association-rule thresholds: a (type_a → type_b) rule must have
 #: this many distinct-user co-occurrences to surface
 _ASSOC_MIN_SUPPORT = 5
@@ -693,6 +752,7 @@ QUERIES = {
     "interval_union": interval_union,
     "rolling_corr": rolling_corr,
     "assoc_rules": assoc_rules,
+    "events_attribution": events_attribution,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -808,6 +868,36 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "events_attribution": """
+        WITH touched AS (
+            SELECT user_id, event_id, event_type, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                        THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS) OVER w AS t_ts,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS) OVER w AS t_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+        ), purchases AS (
+            SELECT CASE WHEN t_ts IS NOT NULL
+                         AND ts_us - t_ts <= 604800000000
+                        THEN t_type ELSE 'direct' END AS channel,
+                   value,
+                   CASE WHEN t_ts IS NOT NULL
+                         AND ts_us - t_ts <= 604800000000
+                        THEN (ts_us - t_ts) / 60000000.0 END AS mins
+            FROM touched WHERE event_type = 'purchase'
+        )
+        SELECT channel,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               round(sum(value), 4) AS revenue,
+               round(avg(mins), 4) AS avg_mins_to_convert
+        FROM purchases GROUP BY channel
+        ORDER BY channel
     """,
     "assoc_rules": """
         WITH basket AS (

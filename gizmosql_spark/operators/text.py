@@ -738,7 +738,68 @@ def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by the mean
+    log-ratio of a TARGET unigram distribution (here: the English
+    shard) to the RAW corpus distribution — the data-selection signal
+    that upweights documents that look like the target domain.
+    Add-one smoothing on the target side (raw-vocab words absent from
+    the target shard).
+
+    Scale shape: raw unigram table = the persisted corpus wordcount
+    shared with unigram_logprob/perplexity_buckets; target table is a
+    second vocabulary-sized wordcount. Both broadcast into the scoring
+    scan; per-doc mean is one partial agg; report is top-k."""
+    from gizmosql_spark.operators import loader
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", "lang",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    uni = loader.keyed_persist(
+        spark,
+        f"unigram_counts:{sf_dir}",
+        lambda: toks.select("doc_id", "tok").groupBy("tok").agg(
+            F.count(F.lit(1)).alias("c")),
+    )
+    tgt = loader.keyed_persist(
+        spark,
+        f"unigram_counts_tgt:{sf_dir}",
+        lambda: toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct")),
+    )
+    # 1-row normalizer frame: raw total, target total, raw vocab size
+    norms = (
+        uni.agg(
+            F.sum("c").cast("double").alias("_raw_total"),
+            F.count(F.lit(1)).cast("double").alias("_vocab"),
+        )
+        .crossJoin(
+            tgt.agg(F.sum("ct").cast("double").alias("_tgt_total")))
+    )
+    log_ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+        / (F.col("_tgt_total") + F.col("_vocab"))
+    ) - F.log(F.col("c") / F.col("_raw_total"))
+    return (
+        toks.join(F.broadcast(uni), "tok")
+        .join(F.broadcast(tgt), "tok", "left")
+        .crossJoin(F.broadcast(norms))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.avg(log_ratio), 6).alias("dsir_w"),
+        )
+        .orderBy(F.desc("dsir_w"), "doc_id")
+        .limit(25)
+    )
+
+
 QUERIES = {
+    "dsir_importance": dsir_importance,
     "unigram_logprob": unigram_logprob,
     "bigram_condprob": bigram_condprob,
     "perplexity_buckets": perplexity_buckets,
@@ -764,6 +825,34 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "dsir_importance": """
+        WITH toks AS (
+            SELECT doc_id, source, lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), uni AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), tgt AS (
+            SELECT tok, count(*) AS ct FROM toks
+            WHERE lang = 'en' GROUP BY tok
+        ), norms AS (
+            SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS raw_total,
+                   (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS vocab,
+                   (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS tgt_total
+        )
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               round(avg(
+                   ln((coalesce(g.ct, 0) + 1) / (n.tgt_total + n.vocab))
+                   - ln(u.c / n.raw_total)), 6) AS dsir_w
+        FROM toks t
+        JOIN uni u USING (tok)
+        LEFT JOIN tgt g USING (tok)
+        CROSS JOIN norms n
+        GROUP BY doc_id, source
+        ORDER BY dsir_w DESC, doc_id
+        LIMIT 25
+    """,
     "bigram_condprob": f"""
         WITH toks AS (
             SELECT string_split({_NORM_SQL}, ' ') AS t FROM documents

@@ -723,8 +723,43 @@ def rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LB_BIN = 64      # token-length bucket width
+_LB_BATCH = 16    # sequences per batch
+
+
+def length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching plan: group documents into token-
+    length bins (width 64) and report, per bin, the batch count at
+    batch-size 16 and the padding waste if every sequence pads to the
+    bin ceiling — the packing-efficiency planner that decides whether
+    a training run pads, packs, or sorts-by-length.
+
+    Scale shape: per-row token count + integer bin key, then ONE
+    partial-aggregable groupBy on the bin — a single scan; the plan
+    frame is bins-sized."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    bin_top = (F.floor((n_tok - 1) / _LB_BIN) + 1) * _LB_BIN
+    return (
+        d.select(n_tok.alias("n_tok"), bin_top.alias("bin_top"))
+        .groupBy("bin_top")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.ceil(F.count(F.lit(1)) / float(_LB_BATCH)).alias("n_batches"),
+            F.sum(F.col("bin_top") - F.col("n_tok")).alias("pad_tokens"),
+            F.round(
+                F.sum("n_tok")
+                / (F.col("bin_top") * F.count(F.lit(1))).cast("double"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bin_top")
+    )
+
+
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
+    "length_batch_plan": length_batch_plan,
     "rag_chunks": rag_chunks,
     "kmeans_embeddings": kmeans_embeddings,
     "semdedup_prune": semdedup_prune,
@@ -838,6 +873,25 @@ ORACLE = {
         FROM chunks
         GROUP BY doc_id, n_tokens
         ORDER BY doc_id
+    """,
+    "length_batch_plan": """
+        WITH toks AS (
+            SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ), binned AS (
+            SELECT n_tok,
+                   (CAST(floor((n_tok - 1) / 64) AS BIGINT) + 1) * 64
+                       AS bin_top
+            FROM toks
+        )
+        SELECT bin_top,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(ceil(count(*) / 16.0) AS BIGINT) AS n_batches,
+               CAST(sum(bin_top - n_tok) AS BIGINT) AS pad_tokens,
+               round(sum(n_tok) / CAST(bin_top * count(*) AS DOUBLE), 6)
+                   AS fill_ratio
+        FROM binned GROUP BY bin_top
+        ORDER BY bin_top
     """,
     "triangle_count": """
         WITH os_ AS (
