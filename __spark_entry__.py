@@ -31,17 +31,17 @@ _PRIORITY = [
     # family representatives and stay verified by the repo harness
     # (q04's exists/anti family is also repped by semi_anti_join below,
     # so its slot goes to the round-3 pattern-detection family)
-    "q01", "q02", "q03", "q05", "q06", "q09", "q18",
-    # relational families beyond TPC-H
+    "q01", "q02", "q05", "q06", "q09", "q18",
+    # relational families beyond TPC-H (members not listed here — the
+    # top-k/pivot/set-op/semi-anti siblings — stay verified by the
+    # repo harness, as in round 2)
     "range_band_join",      # theta/range join (expression-banded plan)
-    "window_topk",          # window functions
+    "window_topk",          # window functions (+ top-k plan family)
     "grouping_sets_agg",    # grouping sets / cube / rollup family
-    "set_ops_all",          # UNION/INTERSECT/EXCEPT ALL
     "recursive_cte",        # recursive CTE
     "lateral_join",         # LATERAL
-    "pivot_counts",         # PIVOT
     "full_outer_join",      # outer joins
-    "semi_anti_join",       # semi/anti joins
+    "skyline_parts",        # preference/Pareto tier (round-3)
     # scalar-function families
     "numeric_funcs",
     "string_funcs",
@@ -51,15 +51,19 @@ _PRIORITY = [
     "json_funcs",
     "variant_funcs",        # Spark 4 VariantType
     "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier)
-    "spatial_wkb2",         # polygon tier: buffer/area/centroid/within
-    # events (JSON extraction family is repped by json_funcs above)
+    "spatial_funcs5",       # envelope set algebra + DE-9IM-lite (r3)
+    # events
     "events_asof_join",
     "events_sessionize",
-    "events_error_burst",  # MATCH_RECOGNIZE-lite pattern detection
-    # text analysis
-    "lang_id",
+    "events_error_burst",   # MATCH_RECOGNIZE-lite pattern detection
+    "events_gap_fill",      # time-series resample + LOCF (round-3)
+    "ewma_value",           # trailing EWMA via JVM fold (round-3)
+    "events_attribution",   # last-touch attribution (round-3)
+    "assoc_rules",          # market-basket mining (round-3)
+    # text analysis / data selection
     "tfidf_top_terms",
     "unigram_logprob",
+    "dsir_importance",      # DSIR importance weights (round-3)
     # dedup tier (simhash verified by repo harness)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -67,28 +71,26 @@ _PRIORITY = [
     # similarity tier
     "ann_bruteforce_topk",
     "ann_ivf",
-    "embedding_neardup_lsh",
     # multimodal (meta tier verified by repo harness)
     "multimodal_features",
     # sampling / dataset splitting
     "dataset_split",
-    "temperature_resample",
+    "weighted_sample",      # Efraimidis-Spirakis race (round-3)
     # training-corpus prep + sketches
     "decontaminate_ngram",
     "sequence_pack",
-    "embedding_quantize",
     "kmeans_embeddings",
-    "pagerank_suppliers",    # iterative graph tier (round-3 addition)
+    "pagerank_suppliers",    # iterative graph tier
+    "triangle_count",        # graph clustering tier (round-3)
     "approx_distinct_hll",   # sketch family rep (CMS/Bloom/histogram
                              # siblings verified by the repo harness)
     # streaming (includes both r2 FAILs + the session-window re-run
-    # FAIL, all fixed r3 — kept here so the fix is officially recorded)
+    # FAIL, all fixed — kept here so the fix is officially recorded)
     "stream_tumbling",
     "stream_stream_join",
     "stream_session_windows",
     "stream_user_stats",     # transformWithStateInPandas over the
                              # vendored pure-Python protobuf runtime
-                             # (r3 unlock; gizmosql_spark/vendor)
     # scale patterns
     "manyfile_scan_agg",
 ]

