@@ -38,6 +38,49 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _CONFD.add(id(spark))
 
 
+#: Input-size threshold for runtime re-planning. AQE's per-stage
+#: materialization (stage submit → stats → re-optimize) costs
+#: ~100-150 ms per query on a warm local session — pure overhead when
+#: the whole input is megabytes and every stage finishes in
+#: milliseconds, but exactly the machinery that re-picks join
+#: strategies, coalesces shuffles, and splits skew once stages carry
+#: real data. The engine therefore keys adaptivity off the input
+#: size: below the threshold the static plan (with the same broadcast
+#: thresholds and partition counts) runs as-is; at the 100 TB design
+#: point every scan crosses it and AQE is always on. Override with
+#: SPARK_GRAFT_AQE_MIN_BYTES (0 = always adaptive).
+AQE_MIN_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(1 << 30)))
+
+_AQE_TUNED: dict[tuple[int, str], bool] = {}
+
+
+def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
+    """Set spark.sql.adaptive.enabled from the fixture directory's
+    total parquet bytes (once per (session, dir))."""
+    key = (id(spark), sf_dir)
+    if key in _AQE_TUNED:
+        return
+    size = None
+    try:
+        size = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        pass
+    if size is not None:
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.enabled",
+                "true" if size >= AQE_MIN_INPUT_BYTES else "false",
+            )
+        except Exception:
+            pass
+    _AQE_TUNED[key] = True
+
+
 _PERSISTED: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -57,6 +100,7 @@ def keyed_persist(spark: SparkSession, key: str, builder) -> DataFrame:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
+    tune_adaptivity(spark, sf_dir)
     key = (id(spark), sf_dir, name)
     df = _CACHE.get(key)
     if df is None:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from gizmosql_spark.operators import loader
 
-N_SALT = 16
+N_SALT = 8
 N_BUCKETS = 8
 
 

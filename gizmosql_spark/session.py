@@ -36,6 +36,9 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #:   µs (duckdb_statement.cpp:658-659); also required for the DuckDB
 #:   differential oracle.
 BASE_CONFS: dict[str, str] = {
+    # AQE defaults on; operators.loader.tune_adaptivity flips it per
+    # input size (runtime re-planning is a ~100-150 ms/query tax that
+    # only pays once stages carry real data — see SCALING.md §1)
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -227,3 +227,57 @@ def test_affine_and_measure_functions(spark):
     assert (row["rp"]["x"], row["rp"]["y"]) == (0.0, 4.0)
     assert row["len"] == 5.0
     assert row["closed"] is True and row["open"] is False
+
+
+def test_envelope_set_algebra(spark):
+    """Fifth-batch functions: envelope intersection/union/difference,
+    equals/touches/overlaps/contains, boundary, radial simplify —
+    closed-form cases with every predicate branch exercised."""
+    from gizmosql_spark import functions as gf
+
+    gf.register_all(spark)
+    row = spark.sql("""
+        WITH e AS (SELECT
+            named_struct('xmin', 0D, 'ymin', 0D, 'xmax', 4D, 'ymax', 4D) AS a,
+            named_struct('xmin', 2D, 'ymin', 2D, 'xmax', 6D, 'ymax', 6D) AS b,
+            named_struct('xmin', 4D, 'ymin', 0D, 'xmax', 8D, 'ymax', 4D) AS t,
+            named_struct('xmin', 9D, 'ymin', 9D, 'xmax', 10D, 'ymax', 10D)
+                AS far,
+            named_struct('xmin', 1D, 'ymin', 1D, 'xmax', 2D, 'ymax', 2D)
+                AS inner)
+        SELECT st_intersection_env(a, b) AS ab,
+               st_intersection_env(a, far) AS none,
+               st_env_area(st_intersection_env(a, b)) AS ab_area,
+               st_env_area(st_intersection_env(a, far)) AS none_area,
+               st_env_area(st_union_env(a, b)) AS u_area,
+               st_difference_area_env(a, b) AS d_area,
+               st_equals_env(a, a) AS eq_self,
+               st_touches_env(a, t) AS touch_edge,
+               st_touches_env(a, b) AS touch_overlap,
+               st_overlaps_env(a, b) AS ovl,
+               st_overlaps_env(a, inner) AS ovl_contained,
+               st_contains_env_env(a, inner) AS cont,
+               st_numpoints(st_boundary_line(array(
+                   st_point(0D, 0D), st_point(1D, 1D)))) AS open_bnd,
+               st_numpoints(st_boundary_line(array(
+                   st_point(0D, 0D), st_point(1D, 1D), st_point(0D, 0D))))
+                   AS closed_bnd,
+               st_simplify_radial(array(
+                   st_point(0D, 0D), st_point(0.5D, 0D), st_point(3D, 0D),
+                   st_point(3.4D, 0D), st_point(7D, 0D)), 1D) AS simp
+        FROM e
+    """).collect()[0]
+    assert (row["ab"]["xmin"], row["ab"]["xmax"]) == (2.0, 4.0)
+    assert row["none"] is None and row["none_area"] == 0.0
+    assert row["ab_area"] == 4.0
+    assert row["u_area"] == 36.0
+    assert row["d_area"] == 12.0          # 16 - 4
+    assert row["eq_self"] is True
+    assert row["touch_edge"] is True      # shared x=4 edge
+    assert row["touch_overlap"] is False  # interiors intersect
+    assert row["ovl"] is True
+    assert row["ovl_contained"] is False  # containment is not overlap
+    assert row["cont"] is True
+    assert row["open_bnd"] == 2 and row["closed_bnd"] == 0
+    # radial simplify keeps 0, 3, 7 (0.5 and 3.4 are < tol from kept)
+    assert [p["x"] for p in row["simp"]] == [0.0, 3.0, 7.0]

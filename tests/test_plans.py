@@ -87,9 +87,16 @@ def test_range_band_join_is_projection_not_bnlj(spark, sf_dir):
 
 def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     """AQE folds the 32 static shuffle partitions down for small data
-    (the runtime re-plan the 100 TB design leans on)."""
-    df = tpch.q01(spark, sf_dir)
-    df.collect()
+    (the runtime re-plan the 100 TB design leans on). The engine's
+    size policy (loader.tune_adaptivity) turns AQE off below the
+    input threshold, so pin it on explicitly for this plan probe."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        df = tpch.q01(spark, sf_dir)
+        df.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     final = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "simple"
     )
