@@ -98,41 +98,9 @@ _PRIORITY = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    from gizmosql_spark.operators.registry import pipeline_queries
 
-    from gizmosql_spark.operators import (
-        dedup,
-        events,
-        extensions,
-        multimodal,
-        quality,
-        relational,
-        sampling,
-        scale,
-        similarity,
-        text,
-        sketch,
-        tpch,
-        training,
-    )
-
-    from gizmosql_spark.streaming import windows as streaming_windows
-
-    merged.update(tpch.QUERIES)
-    merged.update(relational.QUERIES)
-    merged.update(events.QUERIES)
-    merged.update(text.QUERIES)
-    merged.update(quality.QUERIES)
-    merged.update(dedup.QUERIES)
-    merged.update(similarity.QUERIES)
-    merged.update(multimodal.QUERIES)
-    merged.update(sampling.QUERIES)
-    merged.update(training.QUERIES)
-    merged.update(sketch.QUERIES)
-    merged.update(streaming_windows.QUERIES)
-    merged.update(scale.QUERIES)
-    merged.update(extensions.QUERIES)
-
+    merged = pipeline_queries()
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
         if name in merged:
@@ -145,38 +113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL, keyed identically to ``queries()``."""
-    out: dict[str, str] = {}
+    from gizmosql_spark.operators.registry import pipeline_oracles
 
-    from gizmosql_spark.operators import (
-        dedup,
-        events,
-        extensions,
-        multimodal,
-        quality,
-        relational,
-        sampling,
-        scale,
-        similarity,
-        text,
-        sketch,
-        tpch,
-        training,
-    )
-
-    from gizmosql_spark.streaming import windows as streaming_windows
-
-    out.update(tpch.ORACLE)
-    out.update(relational.ORACLE)
-    out.update(events.ORACLE)
-    out.update(text.ORACLE)
-    out.update(quality.ORACLE)
-    out.update(dedup.ORACLE)
-    out.update(similarity.ORACLE)
-    out.update(multimodal.ORACLE)
-    out.update(sampling.ORACLE)
-    out.update(training.ORACLE)
-    out.update(sketch.ORACLE)
-    out.update(streaming_windows.ORACLE)
-    out.update(scale.ORACLE)
-    out.update(extensions.ORACLE)
-    return out
+    return dict(pipeline_oracles())

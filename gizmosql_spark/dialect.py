@@ -328,6 +328,37 @@ def extract_file_scans(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
     return out, scans
 
 
+# --- pipeline-operator table function -------------------------------
+# ``pipeline_op('<name>', '<dir>')`` exposes every registered pipeline
+# operator (operators/registry.py — dedup tiers, quality gates,
+# samplers, sketches, …) to SQL clients over the same wire as any
+# query, so a Flight SQL user can run the training-data operators
+# without touching Python. Local dirs inherit the read_* admin gate
+# (security._GATED_FN_RE).
+
+_PIPELINE_OP_RE = re.compile(
+    r"\bpipeline_op\s*\(\s*'([A-Za-z0-9_]+)'\s*,\s*'([^']+)'\s*\)",
+    re.IGNORECASE,
+)
+
+
+def extract_pipeline_ops(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
+    """Rewrite pipeline_op(name, dir) calls to named view references.
+
+    Returns (rewritten_sql, [(view_name, op_name, sf_dir), ...]); the
+    caller materializes each operator DataFrame as a temp view."""
+    ops: list[tuple[str, str, str]] = []
+
+    def _sub(m: re.Match) -> str:
+        name, sf_dir = m.group(1), m.group(2)
+        view = "pipeline_op_" + re.sub(
+            r"[^A-Za-z0-9]", "_", f"{name}_{sf_dir}").strip("_")
+        ops.append((view, name, sf_dir))
+        return view
+
+    return _PIPELINE_OP_RE.sub(_sub, sql), ops
+
+
 # --- remote-engine scans over Arrow Flight (adbc_scanner analog,
 # docs/adbc_scanner_duckdb.md:60-120) --------------------------------
 

@@ -731,6 +731,23 @@ class Engine:
             else:
                 st.spark.read.parquet(vpath).createOrReplaceTempView(view)
 
+        # pipeline-operator table function: every registered operator
+        # (dedup, quality, sampling, sketches, …) callable from SQL —
+        # the SQL surface a reference user gets for the extension tier.
+        # Local dirs passed the read_* admin gate upstream
+        # (security.check_admin_gate).
+        from gizmosql_spark.dialect import extract_pipeline_ops
+
+        sql, pops = extract_pipeline_ops(sql)
+        for view, op_name, op_dir in pops:
+            from gizmosql_spark.operators import registry as op_registry
+
+            try:
+                fn = op_registry.resolve(op_name)
+            except KeyError as exc:
+                raise ValueError(str(exc)) from exc
+            fn(st.spark, op_dir).createOrReplaceTempView(view)
+
         sql, scans = extract_file_scans(sql)
         for view, fmt, path in scans:
             if "://" in path and not path.startswith("file:"):

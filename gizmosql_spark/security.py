@@ -37,7 +37,7 @@ _ADMIN_STMT_RE = re.compile(
 _GATED_FN_RE = re.compile(
     r"\b(read_parquet|parquet_scan|parquet_metadata|parquet_schema|read_csv_auto"
     r"|read_csv|sniff_csv|read_json_auto|read_json|read_ndjson_auto|read_ndjson"
-    r"|read_text|read_blob|glob)\s*\(",
+    r"|read_text|read_blob|glob|pipeline_op)\s*\(",
     re.IGNORECASE,
 )
 

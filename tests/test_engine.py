@@ -752,3 +752,47 @@ class TestSummarizePragma:
 
         with _pytest.raises(Exception):
             engine.execute_sql(session, "PRAGMA wal_autocheckpoint")
+
+
+class TestPipelineOpTableFunction:
+    """pipeline_op('<name>', '<dir>'): every registered operator
+    callable from SQL over the engine (and hence the Flight wire) —
+    the SQL surface for the extension tier."""
+
+    def test_select_from_pipeline_op(self, engine, session):
+        res = engine.execute_sql(
+            session,
+            "SELECT * FROM pipeline_op('token_count',"
+            " '/root/testdata/sf0.001') LIMIT 5",
+        )
+        rows = engine.collect(session, res)
+        assert 0 < len(rows) <= 5
+
+    def test_pipeline_op_composes_with_sql(self, engine, session):
+        res = engine.execute_sql(
+            session,
+            "SELECT count(*) AS n FROM pipeline_op('dataset_split',"
+            " '/root/testdata/sf0.001') WHERE n_docs > 0",
+        )
+        rows = engine.collect(session, res)
+        assert rows[0]["n"] >= 1
+
+    def test_unknown_operator_rejected(self, engine, session):
+        with pytest.raises(Exception, match="unknown pipeline operator"):
+            engine.execute_sql(
+                session,
+                "SELECT * FROM pipeline_op('no_such_op',"
+                " '/root/testdata/sf0.001')",
+            )
+
+    def test_non_admin_local_dir_denied(self, engine):
+        sid = engine.create_session(role="user")
+        try:
+            with pytest.raises(security.CommandDenied):
+                engine.execute_sql(
+                    sid,
+                    "SELECT * FROM pipeline_op('token_count',"
+                    " '/root/testdata/sf0.001')",
+                )
+        finally:
+            engine.close_session(sid)
