@@ -236,6 +236,7 @@ _HELP = """\
 .read FILE          run a ';'-separated SQL script
 .tables             list tables
 .catalogs           list catalogs
+.ops [FILTER]       list pipeline_op() operator names
 .schema TABLE       show CREATE-style schema
 .describe TABLE     column name/type table
 .show               show current settings
@@ -342,6 +343,14 @@ class Shell:
             self.stdout.write(("\n".join(names) or "(no tables)") + "\n")
         elif cmd == "catalogs":
             self.stdout.write("\n".join(self.conn.catalogs()) + "\n")
+        elif cmd == "ops":
+            from gizmosql_spark.operators.registry import pipeline_queries
+
+            names = sorted(pipeline_queries())
+            if arg:
+                names = [n for n in names if arg.lower() in n.lower()]
+            self.stdout.write(
+                ("\n".join(names) or "(no matching operators)") + "\n")
         elif cmd in ("schema", "describe"):
             if not arg:
                 self.stdout.write("usage: .schema TABLE\n")

@@ -682,6 +682,114 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for connected supplier pairs:
+    |N(x)∩N(y)| / |N(x)∪N(y)| over the support-cut co-occurrence
+    graph — the link-prediction / role-equivalence probe of the graph
+    family (top-20 most-similar adjacent pairs).
+
+    Scale shape: degrees and common-neighbor counts come from
+    broadcast wedge joins on the bounded edge frame (at web scale:
+    shuffle join on the shared-neighbor key — same algebra); the
+    ratio is computed on the edge-sized frame, output is top-k."""
+    ed = _supplier_edges(spark, sf_dir)
+    und = ed.select(F.col("x").alias("src"), F.col("y").alias("dst")).union(
+        ed.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = und.alias("a"), und.alias("b")
+    common = (
+        a.join(F.broadcast(b), F.col("a.dst") == F.col("b.dst"))
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("x"), F.col("b.src").alias("y"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dx = deg.select(F.col("src").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("src").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        ed.join(F.broadcast(common), ["x", "y"])
+        .join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "x", "y")
+        .limit(20)
+    )
+
+
+#: Holt double-exponential smoothing constants
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) forecasting of the hourly
+    event-count series per event type: level/trend fold over the
+    ordered series, then h-step-ahead forecasts — the capacity-
+    planning primitive of a monitoring pipeline.
+
+    Scale shape: ONE (type, hour) partial agg builds the series; the
+    per-type fold runs JVM-side over a collected array (series length
+    = covered hours, bounded by the time span — NOT the corpus; a
+    years-long span would chunk the fold the same way sequence
+    packing does). Determinism: both engines fold the identical
+    recurrence in the same order; outputs round to 4."""
+    from gizmosql_spark.operators.events import load_events
+
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    a, bcoef = _HOLT_ALPHA, _HOLT_BETA
+    series = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "n"))), lambda s: s["n"]
+        ).alias("xs")
+    )
+    # fold state: (l, t, i); seeded l=x0, t=0; standard Holt update
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.struct(
+            F.element_at("xs", 1).alias("l"),
+            F.lit(0.0).alias("t"),
+        ),
+        lambda acc, x: F.struct(
+            (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["t"])).alias("l"),
+            (
+                F.lit(bcoef)
+                * (F.lit(a) * x + F.lit(1 - a) * (acc["l"] + acc["t"])
+                   - acc["l"])
+                + F.lit(1 - bcoef) * acc["t"]
+            ).alias("t"),
+        ),
+    )
+    return (
+        series.select("event_type", F.size("xs").alias("n_hours"),
+                      fold.alias("st"))
+        .select(
+            "event_type",
+            "n_hours",
+            F.round(F.col("st.l"), 4).alias("level"),
+            F.round(F.col("st.t"), 4).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.t"), 4).alias("forecast_1h"),
+            F.round(F.col("st.l") + 3 * F.col("st.t"), 4).alias("forecast_3h"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _RC_SIZE = 64    # chunk width (tokens)
 _RC_STRIDE = 48  # stride between chunk starts (tokens) → 16-token overlap
 
@@ -784,6 +892,8 @@ QUERIES = {
     "pagerank_suppliers": pagerank_suppliers,
     "triangle_count": triangle_count,
     "bfs_suppliers": bfs_suppliers,
+    "node_similarity": node_similarity,
+    "holt_forecast": holt_forecast,
     "silhouette_kmeans": silhouette_kmeans,
 }
 
@@ -908,6 +1018,72 @@ ORACLE = {
                    AS fill_ratio
         FROM binned GROUP BY bin_top
         ORDER BY bin_top
+    """,
+    "node_similarity": """
+        WITH os_ AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS x, b.l_suppkey AS y,
+                   count(*) AS cnt
+            FROM os_ a JOIN os_ b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), ed AS (
+            SELECT x, y FROM pairs
+            ORDER BY cnt DESC, x, y LIMIT 5000
+        ), und AS (
+            SELECT x AS src, y AS dst FROM ed
+            UNION ALL
+            SELECT y AS src, x AS dst FROM ed
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM und GROUP BY src
+        ), common AS (
+            SELECT a.src AS x, b.src AS y, count(*) AS common
+            FROM und a JOIN und b
+              ON a.dst = b.dst AND a.src < b.src
+            GROUP BY 1, 2
+        )
+        SELECT e.x, e.y, CAST(c.common AS BIGINT) AS common,
+               round(CAST(c.common AS DOUBLE)
+                     / (dx.deg + dy.deg - c.common), 6) AS jaccard
+        FROM ed e
+        JOIN common c ON e.x = c.x AND e.y = c.y
+        JOIN deg dx ON dx.src = e.x
+        JOIN deg dy ON dy.src = e.y
+        ORDER BY jaccard DESC, e.x, e.y
+        LIMIT 20
+    """,
+    "holt_forecast": """
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        ), series AS (
+            -- accumulator is a [level, trend] DOUBLE list: DuckDB
+            -- 1.0's list_reduce mis-types struct accumulators (field
+            -- exprs see a stale/partially-folded acc); the list form
+            -- folds the identical recurrence correctly
+            SELECT event_type,
+                   CAST(count(*) AS INTEGER) AS n_hours,
+                   list_reduce(
+                       list_transform(list(n ORDER BY h),
+                           x -> [CAST(x AS DOUBLE), CAST(0 AS DOUBLE)]),
+                       (acc, e) -> [
+                           0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                           0.3 * (0.5 * e[1] + 0.5 * (acc[1] + acc[2])
+                                  - acc[1]) + 0.7 * acc[2]
+                       ]) AS st
+            FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_hours,
+               round(st[1], 4) AS level,
+               round(st[2], 4) AS trend,
+               round(st[1] + st[2], 4) AS forecast_1h,
+               round(st[1] + 3 * st[2], 4) AS forecast_3h
+        FROM series
+        ORDER BY event_type
     """,
     "triangle_count": """
         WITH os_ AS (

@@ -55,7 +55,7 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
     "spark.default.parallelism": str(DEFAULT_CPUS),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/gizmosql-warehouse"
     ),

@@ -196,3 +196,13 @@ def test_flight_connection_shell(spark):
         conn.close()
     finally:
         srv.shutdown()
+
+
+def test_ops_listing(shell):
+    sh, out = shell
+    sh.dot(".ops dedup")
+    listing = _last(out)
+    assert "dedup_exact" in listing and "dedup_minhash_lsh" in listing
+    out.truncate(0); out.seek(0)
+    sh.dot(".ops nosuchfilter123")
+    assert "no matching operators" in _last(out)

@@ -301,3 +301,16 @@ def test_ticket_is_one_shot(client, admin_session):
     client.do_get(ticket, options=opts).read_all()
     with pytest.raises(flight.FlightError):
         client.do_get(ticket, options=opts).read_all()
+
+
+def test_pipeline_op_over_flight(client, admin_session):
+    """The operator tier through the wire: pipeline_op as a table
+    function inside a plain Flight SQL statement."""
+    sid, opts = admin_session
+    t = _run_query(
+        client, opts, sid,
+        f"SELECT * FROM pipeline_op('dataset_split', '{SF_DIR}')"
+        " ORDER BY split",
+    )
+    assert t.num_rows >= 1
+    assert "split" in t.schema.names and "n_docs" in t.schema.names

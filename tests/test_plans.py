@@ -371,3 +371,25 @@ def test_ewma_single_user_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" in plan
     assert "Python" not in plan  # higher-order aggregate, not a UDF
+
+
+def test_node_similarity_broadcast_wedges(spark, sf_dir):
+    """Node similarity: common-neighbor counting joins broadcast the
+    bounded adjacency; top-k presentation."""
+    from gizmosql_spark.operators import training
+
+    plan = _plan(training.node_similarity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_holt_forecast_single_agg_no_joins(spark, sf_dir):
+    """Holt forecasting: one (type, hour) partial agg + per-type
+    JVM-side fold — no joins, no Python."""
+    from gizmosql_spark.operators import training
+
+    plan = _plan(training.holt_forecast(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "partial_" in plan
