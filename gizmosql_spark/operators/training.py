@@ -682,6 +682,81 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PCA_ROUNDS = 3
+_PCA_DIM = 64
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component by power iteration (3 unrolled rounds)
+    over the embedding corpus, reported as per-label projection
+    statistics — the feature-space drift/separability probe (and the
+    ML primitive behind PCA whitening of embedding stores).
+
+    Math: center X by the mean vector μ, iterate v ← Xᵀ(Xv)/‖·‖ from
+    the deterministic all-ones seed; canonical sign = first loading
+    non-negative. Determinism: v is rounded to 6 decimals IN the
+    engine after every normalization (the kmeans_embeddings device),
+    so cross-engine float drift cannot accumulate across rounds.
+
+    Scale shape per round: ONE partial-agg shuffle of width d=64 (the
+    per-row contribution x·(xᵀv) explodes to (pos, val) pairs that
+    combine map-side); μ and v are model-sized driver scalars —
+    identical to the Lloyd's loop. The final report is one scan with
+    the v literal folded in + a labels-sized agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # mean vector: one 64-wide partial agg, collected (model-sized)
+    mu_rows = (
+        emb.select(F.posexplode(e).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * _PCA_DIM
+    for r in mu_rows:
+        mu[r["pos"]] = r["m"]
+    mu_lit = F.array(*[F.lit(v) for v in mu])
+    centered = emb.select(
+        "vec_id", "label",
+        F.zip_with(e, mu_lit, lambda a, b: a - b).alias("c"),
+    )
+    v = [round(1.0 / _PCA_DIM ** 0.5, 6)] * _PCA_DIM
+    for _ in range(_PCA_ROUNDS):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("c"), v_lit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        w_rows = (
+            centered.select(
+                F.posexplode(
+                    F.transform(F.col("c"), lambda x: x * dot)
+                ).alias("pos", "wx"))
+            .groupBy("pos")
+            .agg(F.sum("wx").alias("w"))
+            .collect()
+        )
+        w = [0.0] * _PCA_DIM
+        for r in w_rows:
+            w[r["pos"]] = r["w"]
+        norm = sum(x * x for x in w) ** 0.5
+        sign = -1.0 if w[0] < 0 else 1.0
+        v = [round(sign * x / norm, 6) for x in w]
+    v_lit = F.array(*[F.lit(x) for x in v])
+    score = F.aggregate(
+        F.zip_with(F.col("c"), v_lit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        centered.select("label", score.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 4).alias("mean_score"),
+            F.round(F.stddev_pop("s"), 4).alias("sd_score"),
+        )
+        .orderBy("label")
+    )
+
+
 def node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood Jaccard similarity for connected supplier pairs:
     |N(x)∩N(y)| / |N(x)∪N(y)| over the support-cut co-occurrence
@@ -894,6 +969,7 @@ QUERIES = {
     "bfs_suppliers": bfs_suppliers,
     "node_similarity": node_similarity,
     "holt_forecast": holt_forecast,
+    "pca_power_iteration": pca_power_iteration,
     "silhouette_kmeans": silhouette_kmeans,
 }
 
@@ -969,6 +1045,70 @@ _LLOYD_CTE = """v AS (
 """
 
 
+# Unrolled power-iteration CTE chain (pca_power_iteration oracle):
+# same per-round in-engine rounding device as the Lloyd's chain.
+def _pca_round(r: int) -> str:
+    prev = f"p{r - 1}"
+    return f"""
+        d{r} AS (
+            SELECT c.label, c.c,
+                   list_aggregate(list_transform(range(1, 65),
+                       i -> c.c[i] * p.v[i]), 'sum') AS dot
+            FROM c, {prev} p
+        ),
+        w{r} AS (
+            SELECT list(w ORDER BY pos) AS w FROM (
+                SELECT i AS pos, sum(d.c[i] * d.dot) AS w
+                FROM d{r} d, unnest(range(1, 65)) u(i)
+                GROUP BY i)
+        ),
+        p{r} AS (
+            SELECT list_transform(range(1, 65),
+                i -> round((CASE WHEN w.w[1] < 0 THEN -1 ELSE 1 END)
+                           * w.w[i]
+                           / sqrt(list_aggregate(
+                               list_transform(range(1, 65),
+                                   j -> w.w[j] * w.w[j]), 'sum')), 6))
+                AS v
+            FROM w{r} w
+        )"""
+
+
+_PCA_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    mu AS (
+        SELECT list(m ORDER BY pos) AS m FROM (
+            SELECT i AS pos, round(avg(e[i]), 6) AS m
+            FROM v, unnest(range(1, 65)) u(i)
+            GROUP BY i)
+    ),
+    c AS (
+        SELECT vec_id, label,
+               list_transform(range(1, 65), i -> e[i] - mu.m[i]) AS c
+        FROM v, mu
+    ),
+    p0 AS (
+        SELECT list_transform(range(1, 65),
+            i -> CAST(0.125 AS DOUBLE)) AS v
+    ),{",".join(_pca_round(r) for r in (1, 2, 3))},
+    scores AS (
+        SELECT c.label,
+               list_aggregate(list_transform(range(1, 65),
+                   i -> c.c[i] * p.v[i]), 'sum') AS s
+        FROM c, p3 p
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 4) AS mean_score,
+           round(stddev_pop(s), 4) AS sd_score
+    FROM scores GROUP BY label
+    ORDER BY label
+"""
+
+
 ORACLE = {
     "rag_chunks": f"""
         WITH toks AS (
@@ -1019,6 +1159,7 @@ ORACLE = {
         FROM binned GROUP BY bin_top
         ORDER BY bin_top
     """,
+    "pca_power_iteration": _PCA_ORACLE,
     "node_similarity": """
         WITH os_ AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem

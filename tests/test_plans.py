@@ -393,3 +393,23 @@ def test_holt_forecast_single_agg_no_joins(spark, sf_dir):
     assert "Join" not in plan
     assert "Python" not in plan
     assert "partial_" in plan
+
+
+def test_pca_round_is_width_bounded_partial_agg(spark, sf_dir):
+    """Power iteration: each round's X^T(Xv) is a posexplode +
+    pos-keyed partial agg — shuffle width d=64 regardless of rows;
+    no joins anywhere."""
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.operators import loader
+
+    emb = loader.table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    round_df = (
+        emb.select(F.posexplode(e).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum("x").alias("w"))
+    )
+    plan = _plan(round_df)
+    assert "Join" not in plan
+    assert "partial_sum" in plan
