@@ -627,6 +627,46 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability bins: treat value/100 as a
+    predicted purchase probability, event_type='purchase' as the
+    outcome, and report per-decile mean prediction vs observed rate
+    plus each bin's expected-calibration-error contribution — the
+    eval-harness primitive behind every classifier scorecard.
+
+    Scale shape: one scan, one 10-group partial agg; the ECE
+    normalizer rides a window over the 10-row frame."""
+    e = load_events(spark, sf_dir)
+    score = F.least(F.col("value") / 100.0, F.lit(0.9999))
+    hit = (F.col("event_type") == "purchase").cast("double")
+    binned = e.select(
+        F.floor(score * 10).cast("int").alias("bin"),
+        score.alias("score"),
+        hit.alias("hit"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_pred"),
+            F.round(F.avg("hit"), 6).alias("obs_rate"),
+        )
+        .select(
+            "bin",
+            "n",
+            "mean_pred",
+            "obs_rate",
+            F.round(
+                F.abs(F.col("mean_pred") - F.col("obs_rate"))
+                * F.col("n") / F.sum("n").over(w_all),
+                6,
+            ).alias("ece_term"),
+        )
+        .orderBy("bin")
+    )
+
+
 #: attribution lookback window (microseconds): 7 days
 _ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
 
@@ -753,6 +793,7 @@ QUERIES = {
     "rolling_corr": rolling_corr,
     "assoc_rules": assoc_rules,
     "events_attribution": events_attribution,
+    "calibration_bins": calibration_bins,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -868,6 +909,26 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "calibration_bins": """
+        WITH binned AS (
+            SELECT CAST(floor(least(value / 100.0, 0.9999) * 10) AS
+                        INTEGER) AS bin,
+                   least(value / 100.0, 0.9999) AS score,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 1.0 ELSE 0.0 END AS hit
+            FROM events
+        ), agg AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(score), 6) AS mean_pred,
+                   round(avg(hit), 6) AS obs_rate
+            FROM binned GROUP BY bin
+        )
+        SELECT bin, n, mean_pred, obs_rate,
+               round(abs(mean_pred - obs_rate) * n
+                     / sum(n) OVER (), 6) AS ece_term
+        FROM agg
+        ORDER BY bin
     """,
     "events_attribution": """
         WITH touched AS (

@@ -274,6 +274,70 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 5
+_KNN_PROBE_MOD = 10  # every 10th vector is a held-out probe
+
+
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier evaluation: predict each held-out probe's label
+    by majority vote of its 5 cosine nearest neighbors (ties break on
+    the smaller label), report accuracy per true label — the
+    embedding-quality eval every retrieval/classification pipeline
+    runs before trusting a vector store.
+
+    Scale shape: the probe shard broadcasts against the corpus scan
+    (ann_topk_batch's pattern); vote counting and the argmax ride
+    per-probe windows on the k·|probes|-sized frame. At 100 TB the
+    probe set stays sample-sized and the corpus side swaps to the IVF
+    tier — same vote/argmax tail."""
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("label").alias("true_label"),
+    )
+    cos = F.round(F.expr(_COS_EXPR.format(a="emb", b="q_emb")), 6)
+    w_rank = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), "vec_id")
+    neighbors = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "true_label", "label", cos.alias("cos_sim"),
+                "vec_id")
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _KNN_K)
+    )
+    votes = neighbors.groupBy("q_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"))
+    w_vote = Window.partitionBy("q_id").orderBy(
+        F.desc("n_votes"), "label")
+    preds = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "true_label",
+                F.col("label").alias("pred_label"))
+    )
+    return (
+        preds.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1)
+                .otherwise(0)
+            ).alias("n_correct"),
+            F.round(
+                F.avg(
+                    F.when(F.col("pred_label") == F.col("true_label"), 1.0)
+                    .otherwise(0.0)
+                ),
+                4,
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
+
+
 def _bucket_expr() -> F.Column:
     bits = []
     for j in range(N_PLANES):
@@ -323,6 +387,7 @@ QUERIES = {
     "ann_topk_batch": ann_topk_batch,
     "embedding_neardup": embedding_neardup,
     "ann_recall": ann_recall,
+    "knn_label_eval": knn_label_eval,
 }
 
 _COS_SQL = (
@@ -441,4 +506,42 @@ ORACLE["ann_recall"] = f"""
            CAST(count(a.vec_id) AS BIGINT) AS n_hits,
            round(count(a.vec_id) / {float(TOP_K)}, 6) AS recall_at_k
     FROM exact e LEFT JOIN approx a ON e.vec_id = a.vec_id
+"""
+
+ORACLE["knn_label_eval"] = f"""
+    WITH probes AS (
+        SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
+        FROM embeddings WHERE vec_id % {_KNN_PROBE_MOD} = 0
+    ), neighbors AS (
+        SELECT * FROM (
+        SELECT q_id, true_label, label, cos_sim, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM (
+            SELECT p.q_id, p.true_label, e.label,
+                   round({_COS_SQL.format(a="e.embedding", b="p.q_emb", dim=DIM)}, 6)
+                       AS cos_sim,
+                   e.vec_id
+            FROM embeddings e CROSS JOIN probes p
+            WHERE e.vec_id <> p.q_id))
+        WHERE rank <= {_KNN_K}
+    ), votes AS (
+        SELECT q_id, true_label, label, count(*) AS n_votes
+        FROM neighbors GROUP BY 1, 2, 3
+    ), preds AS (
+        SELECT q_id, true_label, label AS pred_label
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY n_votes DESC, label) AS vr
+            FROM votes)
+        WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(avg(CASE WHEN pred_label = true_label
+                     THEN 1.0 ELSE 0.0 END), 4) AS accuracy
+    FROM preds GROUP BY true_label
+    ORDER BY true_label
 """

@@ -738,6 +738,40 @@ def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source (the
+    information-theoretic sibling of chi_square_independence): per
+    language, the summed I(lang; source) contribution
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))), plus the corpus total on every
+    row — how much knowing the source tells you about the language
+    (corpus-mixing health).
+
+    Scale shape: one (lang, source) partial agg; all probability
+    arithmetic runs on the cells frame (|langs|·|sources| rows);
+    marginals and totals ride windows over that tiny frame."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("nxy"))
+    w_all = Window.partitionBy()
+    w_lang = Window.partitionBy("lang")
+    w_src = Window.partitionBy("source")
+    n = F.sum("nxy").over(w_all).cast("double")
+    pxy = F.col("nxy") / n
+    px = F.sum("nxy").over(w_lang) / n
+    py = F.sum("nxy").over(w_src) / n
+    contrib = cells.select(
+        "lang",
+        (pxy * F.log(pxy / (px * py))).alias("i_term"),
+    )
+    per_lang = contrib.groupBy("lang").agg(
+        F.round(F.sum("i_term"), 6).alias("mi_contrib"))
+    return per_lang.select(
+        "lang",
+        "mi_contrib",
+        F.round(F.sum("mi_contrib").over(w_all), 6).alias("mi_total"),
+    ).orderBy("lang")
+
+
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Data Selection via Importance
     Resampling, Xie et al. 2023): score every document by the mean
@@ -800,6 +834,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dsir_importance": dsir_importance,
+    "mutual_information": mutual_information,
     "unigram_logprob": unigram_logprob,
     "bigram_condprob": bigram_condprob,
     "perplexity_buckets": perplexity_buckets,
@@ -825,6 +860,29 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "mutual_information": """
+        WITH cells AS (
+            SELECT lang, source, count(*) AS nxy
+            FROM documents GROUP BY lang, source
+        ), probs AS (
+            SELECT lang,
+                   (nxy / CAST(sum(nxy) OVER () AS DOUBLE))
+                   * ln((nxy / CAST(sum(nxy) OVER () AS DOUBLE))
+                        / ((sum(nxy) OVER (PARTITION BY lang)
+                            / CAST(sum(nxy) OVER () AS DOUBLE))
+                           * (sum(nxy) OVER (PARTITION BY source)
+                              / CAST(sum(nxy) OVER () AS DOUBLE))))
+                       AS i_term
+            FROM cells
+        ), per_lang AS (
+            SELECT lang, round(sum(i_term), 6) AS mi_contrib
+            FROM probs GROUP BY lang
+        )
+        SELECT lang, mi_contrib,
+               round(sum(mi_contrib) OVER (), 6) AS mi_total
+        FROM per_lang
+        ORDER BY lang
+    """,
     "dsir_importance": """
         WITH toks AS (
             SELECT doc_id, source, lang,
