@@ -337,20 +337,22 @@ def extract_file_scans(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
 # (security._GATED_FN_RE).
 
 _PIPELINE_OP_RE = re.compile(
-    r"\bpipeline_op\s*\(\s*'([A-Za-z0-9_]+)'\s*,\s*'([^']+)'\s*\)",
+    r"\bpipeline_op\s*\(\s*'([A-Za-z0-9_]+)'\s*(?:,\s*'([^']+)'\s*)?\)",
     re.IGNORECASE,
 )
 
 
 def extract_pipeline_ops(sql: str) -> tuple[str, list[tuple[str, str, str]]]:
-    """Rewrite pipeline_op(name, dir) calls to named view references.
+    """Rewrite pipeline_op(name[, dir]) calls to named view references.
 
     Returns (rewritten_sql, [(view_name, op_name, sf_dir), ...]); the
-    caller materializes each operator DataFrame as a temp view."""
+    caller materializes each operator DataFrame as a temp view. The
+    dir argument may be omitted — sf_dir is then '' and the engine
+    resolves it from the ``engine.pipeline_data_dir`` setting."""
     ops: list[tuple[str, str, str]] = []
 
     def _sub(m: re.Match) -> str:
-        name, sf_dir = m.group(1), m.group(2)
+        name, sf_dir = m.group(1), m.group(2) or ""
         view = "pipeline_op_" + re.sub(
             r"[^A-Za-z0-9]", "_", f"{name}_{sf_dir}").strip("_")
         ops.append((view, name, sf_dir))

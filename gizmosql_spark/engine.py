@@ -742,6 +742,15 @@ class Engine:
         for view, op_name, op_dir in pops:
             from gizmosql_spark.operators import registry as op_registry
 
+            if not op_dir:
+                op_dir = str(
+                    st.settings.get(
+                        "engine.pipeline_data_dir", self.global_settings)
+                    or "")
+                if not op_dir:
+                    raise ValueError(
+                        "pipeline_op: no data dir given and "
+                        "engine.pipeline_data_dir is not set")
             try:
                 fn = op_registry.resolve(op_name)
             except KeyError as exc:

@@ -83,6 +83,10 @@ REGISTRY: dict[str, Setting] = {
         Setting("engine.shutdown_grace_period_seconds", 30, "global", "int",
                 "Grace period before force-interrupt on shutdown", _positive_int,
                 admin_only=True),
+        Setting("engine.pipeline_data_dir", "", "both", "str",
+                "Default data directory for pipeline_op('<name>') "
+                "calls that omit the directory argument", str,
+                admin_only=True),
     ]
 }
 

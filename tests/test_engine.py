@@ -796,3 +796,17 @@ class TestPipelineOpTableFunction:
                 )
         finally:
             engine.close_session(sid)
+
+    def test_default_data_dir_setting(self, engine, session):
+        engine.execute_sql(
+            session,
+            "SET engine.pipeline_data_dir = '/root/testdata/sf0.001'",
+        )
+        res = engine.execute_sql(
+            session, "SELECT * FROM pipeline_op('dataset_split')")
+        rows = engine.collect(session, res)
+        assert len(rows) >= 1
+        engine.execute_sql(session, "SET engine.pipeline_data_dir = ''")
+        with pytest.raises(Exception, match="pipeline_data_dir"):
+            engine.execute_sql(
+                session, "SELECT * FROM pipeline_op('dataset_split')")
