@@ -627,6 +627,51 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative hour-of-day seasonality per event type: each
+    hour-slot's average event count divided by the type's all-hours
+    average — the load-shaping profile that capacity planning and
+    anomaly baselines consume (the seasonal component Holt's trend
+    fold deliberately leaves out).
+
+    Scale shape: one (type, date, hour) partial agg builds the daily
+    grid, a second collapses to (type, hour); the normalizer rides a
+    window over the 24·|types| frame. Output pivots compactly to one
+    row per type with a 24-slot index array."""
+    e = load_events(spark, sf_dir)
+    per_day = (
+        e.select(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+            F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+        )
+        .groupBy("event_type", "d", "hr")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    per_slot = per_day.groupBy("event_type", "hr").agg(
+        F.avg("n").alias("slot_avg"))
+    w_type = Window.partitionBy("event_type")
+    idx = per_slot.select(
+        "event_type",
+        "hr",
+        F.round(
+            F.col("slot_avg") / F.avg("slot_avg").over(w_type), 6
+        ).alias("season_idx"),
+    )
+    return (
+        idx.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hr", "season_idx"))),
+                lambda s: s["season_idx"],
+            ).alias("hourly_index"),
+            F.round(F.max("season_idx"), 6).alias("peak"),
+            F.round(F.min("season_idx"), 6).alias("trough"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-calibration reliability bins: treat value/100 as a
     predicted purchase probability, event_type='purchase' as the
@@ -794,6 +839,7 @@ QUERIES = {
     "assoc_rules": assoc_rules,
     "events_attribution": events_attribution,
     "calibration_bins": calibration_bins,
+    "seasonality_index": seasonality_index,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -909,6 +955,29 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "seasonality_index": """
+        WITH per_day AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   extract(hour FROM CAST(ts AS TIMESTAMP)) AS hr,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2, 3
+        ), per_slot AS (
+            SELECT event_type, hr, avg(n) AS slot_avg
+            FROM per_day GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, hr,
+                   round(slot_avg / avg(slot_avg) OVER (
+                       PARTITION BY event_type), 6) AS season_idx
+            FROM per_slot
+        )
+        SELECT event_type,
+               list(season_idx ORDER BY hr) AS hourly_index,
+               round(max(season_idx), 6) AS peak,
+               round(min(season_idx), 6) AS trough
+        FROM idx GROUP BY event_type
+        ORDER BY event_type
     """,
     "calibration_bins": """
         WITH binned AS (

@@ -682,6 +682,45 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier co-occurrence graph with a
+    power-law check: per-degree node counts plus the ln-ln
+    least-squares slope (the graph-health sibling of zipf_vocab_stats
+    — scale-free graphs show slope ≈ -2..-3).
+
+    Scale shape: one degree partial agg over the bounded edge frame,
+    one histogram agg over the node-sized degree frame; the
+    regression rides a window over the histogram (≤ max-degree
+    rows)."""
+    from pyspark.sql import Window
+
+    ed = _supplier_edges(spark, sf_dir)
+    und = ed.select(F.col("x").alias("n")).union(
+        ed.select(F.col("y").alias("n")))
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"))
+    w_all = Window.partitionBy()
+    return (
+        hist.select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.sum("n_nodes").over(
+                    Window.orderBy("degree").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow))
+                / F.sum("n_nodes").over(w_all),
+                6,
+            ).alias("cum_frac"),
+            F.round(
+                F.expr("regr_slope(ln(n_nodes), ln(degree))").over(w_all),
+                6,
+            ).alias("loglog_slope"),
+        )
+        .orderBy("degree")
+    )
+
+
 _PCA_ROUNDS = 3
 _PCA_DIM = 64
 
@@ -970,6 +1009,7 @@ QUERIES = {
     "node_similarity": node_similarity,
     "holt_forecast": holt_forecast,
     "pca_power_iteration": pca_power_iteration,
+    "degree_distribution": degree_distribution,
     "silhouette_kmeans": silhouette_kmeans,
 }
 
@@ -1160,6 +1200,39 @@ ORACLE = {
         ORDER BY bin_top
     """,
     "pca_power_iteration": _PCA_ORACLE,
+    "degree_distribution": """
+        WITH os_ AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS x, b.l_suppkey AS y,
+                   count(*) AS cnt
+            FROM os_ a JOIN os_ b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), ed AS (
+            SELECT x, y FROM pairs
+            ORDER BY cnt DESC, x, y LIMIT 5000
+        ), deg AS (
+            SELECT n, count(*) AS degree FROM (
+                SELECT x AS n FROM ed
+                UNION ALL SELECT y AS n FROM ed)
+            GROUP BY n
+        ), hist AS (
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        )
+        SELECT degree, n_nodes,
+               round(sum(n_nodes) OVER (ORDER BY degree
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     / CAST(sum(n_nodes) OVER () AS DOUBLE), 6)
+                   AS cum_frac,
+               round(regr_slope(ln(n_nodes), ln(degree)) OVER (), 6)
+                   AS loglog_slope
+        FROM hist
+        ORDER BY degree
+    """,
     "node_similarity": """
         WITH os_ AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
