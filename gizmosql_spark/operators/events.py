@@ -627,6 +627,55 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users cohorted by first-activity
+    week; per (cohort, weeks-since-start) report active users and the
+    cohort's cumulative value per original member — the
+    revenue-retention sibling of events_retention's user counts.
+
+    Scale shape: the first-event frame is one user agg joined back
+    co-partitioned on user_id; the curve is a (cohort, age) partial
+    agg plus windows over the cohorts×ages frame."""
+    e = load_events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.col("ts").cast("timestamp")))
+        .alias("cohort_week"))
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    aged = (
+        e.join(first, "user_id")
+        .select(
+            "user_id", "value", "cohort_week",
+            F.floor(
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros("cohort_week"))
+                / (7 * 24 * 3600 * 1_000_000)
+            ).cast("int").alias("age_weeks"),
+        )
+    )
+    curve = aged.groupBy("cohort_week", "age_weeks").agg(
+        F.count_distinct("user_id").alias("active_users"),
+        F.sum("value").alias("week_value"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        curve.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "active_users",
+            F.round(
+                F.sum("week_value").over(w_cum) / F.col("n_users"), 4
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
 def seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiplicative hour-of-day seasonality per event type: each
     hour-slot's average event count divided by the type's all-hours
@@ -840,6 +889,7 @@ QUERIES = {
     "events_attribution": events_attribution,
     "calibration_bins": calibration_bins,
     "seasonality_index": seasonality_index,
+    "cohort_ltv": cohort_ltv,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -955,6 +1005,36 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "cohort_ltv": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP)))
+                        AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ), cohort_size AS (
+            SELECT cohort_week, count(*) AS n_users
+            FROM first GROUP BY cohort_week
+        ), aged AS (
+            SELECT e.user_id, e.value, f.cohort_week,
+                   CAST(floor((epoch_us(CAST(e.ts AS TIMESTAMP))
+                               - epoch_us(f.cohort_week))
+                              / 604800000000.0) AS INTEGER) AS age_weeks
+            FROM events e JOIN first f USING (user_id)
+        ), curve AS (
+            SELECT cohort_week, age_weeks,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS active_users,
+                   sum(value) AS week_value
+            FROM aged GROUP BY 1, 2
+        )
+        SELECT c.cohort_week, c.age_weeks, c.active_users,
+               round(sum(c.week_value) OVER (
+                   PARTITION BY c.cohort_week ORDER BY c.age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / s.n_users, 4) AS cum_ltv_per_user
+        FROM curve c JOIN cohort_size s USING (cohort_week)
+        ORDER BY c.cohort_week, c.age_weeks
     """,
     "seasonality_index": """
         WITH per_day AS (

@@ -426,8 +426,58 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DP release parameters: Laplace scale b = sensitivity/epsilon
+_DP_EPSILON = 0.5
+_DP_SCALE = 1.0 / _DP_EPSILON
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    ε=0.5, sensitivity 1) over (event_type, user-decile) cells — the
+    privacy-preserving aggregate-release pattern, with the noise made
+    REPRODUCIBLE for the differential harness: the Laplace draw comes
+    from the md5 hash of the cell key via inverse-CDF
+    (u ∈ (-0.5, 0.5), noise = -b·sign(u)·ln(1-2|u|)), so any engine
+    releases the identical table. A production release swaps the hash
+    for a real RNG — one expression; the mechanism, sensitivity
+    bookkeeping, and post-processing are what this operator pins.
+
+    Scale shape: one cells partial agg; noise is per-cell closed-form
+    arithmetic on the tiny release frame."""
+    e = _t(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 10).cast("int").alias("user_decile"),
+        )
+        .groupBy("event_type", "user_decile")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = (
+        _hex_val(F.substring(
+            F.md5(F.concat_ws("|", "event_type", "user_decile")), 1, 1))
+        * 16 + _hex_val(F.substring(
+            F.md5(F.concat_ws("|", "event_type", "user_decile")), 2, 1))
+    ) / 256.0 - 0.5
+    noise = (
+        -F.lit(_DP_SCALE)
+        * F.signum(u)
+        * F.log(1 - 2 * F.abs(u) + F.lit(1e-12))
+    )
+    return (
+        cells.select(
+            "event_type",
+            "user_decile",
+            F.round(F.col("true_n") + noise, 4).alias("released_n"),
+            F.round(F.abs(noise), 4).alias("abs_noise"),
+        )
+        .orderBy("event_type", "user_decile")
+    )
+
+
 QUERIES = {
     "approx_distinct_hll": approx_distinct_hll,
+    "dp_noisy_counts": dp_noisy_counts,
     "hll_by_group": hll_by_group,
     "cms_heavy_hitters": cms_heavy_hitters,
     "bloom_probe": bloom_probe,
@@ -578,7 +628,31 @@ _BLOOM_ORACLE = f"""
     FROM joined GROUP BY source ORDER BY source
 """
 
+_DP_U_SQL = (
+    "(( (strpos('0123456789abcdef', substr(md5(concat_ws('|',"
+    " event_type, user_decile)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(concat_ws('|',"
+    " event_type, user_decile)), 2, 1)) - 1)) / 256.0 - 0.5)"
+)
+
 ORACLE = {
+    "dp_noisy_counts": f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(user_id % 10 AS INTEGER) AS user_decile,
+                   count(*) AS true_n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, user_decile,
+               round(true_n + (-{_DP_SCALE} * sign({_DP_U_SQL})
+                     * ln(1 - 2 * abs({_DP_U_SQL}) + 1e-12)), 4)
+                   AS released_n,
+               round(abs(-{_DP_SCALE} * sign({_DP_U_SQL})
+                     * ln(1 - 2 * abs({_DP_U_SQL}) + 1e-12)), 4)
+                   AS abs_noise
+        FROM cells
+        ORDER BY event_type, user_decile
+    """,
     "approx_distinct_hll": (
         _oracle_one("orders", "o_custkey")
         + " UNION ALL "

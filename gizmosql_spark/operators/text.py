@@ -738,6 +738,65 @@ def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty saturation: walking documents in doc_id order,
+    what fraction of each decile's 3-grams was never seen in any
+    earlier document? The curve every data-collection effort watches —
+    when novelty flattens, more of the same source stops paying.
+
+    Scale shape: one trigram explode (wordcount-shaped), one
+    first-seen agg (min doc_id per distinct trigram — partial-agg
+    friendly), one co-keyed join back, then a deciles-sized rollup.
+    No quadratic anything: 'seen earlier' is the min-doc_id device,
+    not a self-join."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(_norm(F.col("text")), " ").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat_ws(' ', t[i - 1], t[i], t[i + 1]))"
+            )
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    n_docs_df = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        per_doc.crossJoin(F.broadcast(n_docs_df))
+        .select(
+            F.least(
+                F.floor(F.col("doc_id") / (F.col("n_docs") / 10))
+                .cast("int"),
+                F.lit(9),
+            ).alias("decile"),
+            "n_grams",
+            "n_novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("novel_grams"),
+            F.round(F.sum("n_novel") / F.sum("n_grams"), 6)
+            .alias("novelty_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
 def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between document language and source (the
     information-theoretic sibling of chi_square_independence): per
@@ -835,6 +894,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dsir_importance": dsir_importance,
     "mutual_information": mutual_information,
+    "ngram_novelty": ngram_novelty,
     "unigram_logprob": unigram_logprob,
     "bigram_condprob": bigram_condprob,
     "perplexity_buckets": perplexity_buckets,
@@ -860,6 +920,41 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "ngram_novelty": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(lower(text)),
+                       '\s+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))
+                       AS g
+            FROM toks
+        ), first_seen AS (
+            SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+        ), per_doc AS (
+            SELECT gr.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN f.first_doc = gr.doc_id
+                            THEN 1 ELSE 0 END) AS n_novel
+            FROM grams gr JOIN first_seen f USING (g)
+            GROUP BY gr.doc_id
+        ), n AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+        )
+        SELECT CAST(least(CAST(floor(doc_id / (n.n_docs / 10))
+                              AS INTEGER), 9) AS INTEGER) AS decile,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+               round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6)
+                   AS novelty_rate
+        FROM per_doc CROSS JOIN n
+        GROUP BY decile
+        ORDER BY decile
+    """,
     "mutual_information": """
         WITH cells AS (
             SELECT lang, source, count(*) AS nxy
