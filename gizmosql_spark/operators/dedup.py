@@ -241,6 +241,77 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     )
 
 
+#: pair-classification thresholds: containment (|A∩B|/min size)
+#: catches subset/quote-expansion relationships Jaccard misses
+_CONTAIN_MIN = 0.6
+_CONTAIN_SUBSET = 0.9
+_JACC_NEARID = 0.85
+
+
+def dedup_pair_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair classification: for LSH-banded candidate pairs,
+    compute BOTH Jaccard and containment (|A∩B| / min(|A|,|B|)) and
+    label the relationship — ``near_identical`` (high Jaccard),
+    ``subset`` (one document mostly inside the other: the
+    quote-expansion / boilerplate-wrapping case symmetric Jaccard
+    under-scores), or ``overlap``. The dedup policy tier consumes
+    this to decide drop-vs-keep-longest.
+
+    Scale shape: shares the persisted shingle postings and the banded
+    candidate join with the LSH tier; the verify join and both
+    normalizers are the same wordcount-shaped aggregations."""
+    sh = loader.keyed_persist(
+        spark, f"dedup.shingles:{sf_dir}",
+        lambda: _shingles(spark, sf_dir))
+    bands = _minhash_bands(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    za = sizes.select(F.col("doc_id").alias("a_id"),
+                      F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("b_id"),
+                      F.col("sz").alias("szb"))
+    jac = F.col("cc").cast("double") / (
+        F.col("sza") + F.col("szb") - F.col("cc"))
+    con = F.col("cc").cast("double") / F.least("sza", "szb")
+    rel = (
+        F.when(F.round(jac, 6) >= _JACC_NEARID, "near_identical")
+        .when(F.round(con, 6) >= _CONTAIN_SUBSET, "subset")
+        .otherwise("overlap")
+    )
+    return (
+        common.join(za, "a_id")
+        .join(zb, "b_id")
+        .filter(F.round(con, 6) >= _CONTAIN_MIN)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(con, 6).alias("containment"),
+            rel.alias("relationship"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from distinct-token md5 bits.
 
@@ -414,6 +485,7 @@ QUERIES = {
     "dedup_keeper_quality": dedup_keeper_quality,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_pair_classify": dedup_pair_classify,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "dedup_window_hash": dedup_window_hash,
@@ -590,3 +662,43 @@ ORACLE: dict[str, str] = {
         ORDER BY doc_id
     """,
 }
+
+ORACLE["dedup_pair_classify"] = f"""
+    WITH {_SHINGLES_CTE},
+    minh AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES))}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM minh"
+            for b in range(N_BANDS))}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id),
+    common AS (
+        SELECT c.a_id, c.b_id, count(*) AS cc
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.a_id
+        JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+        GROUP BY c.a_id, c.b_id),
+    scored AS (
+        SELECT a_id, b_id,
+               round(CAST(cc AS DOUBLE) / (za.sz + zb.sz - cc), 6)
+                   AS jaccard,
+               round(CAST(cc AS DOUBLE) / least(za.sz, zb.sz), 6)
+                   AS containment
+        FROM common
+        JOIN sizes za ON za.doc_id = a_id
+        JOIN sizes zb ON zb.doc_id = b_id)
+    SELECT a_id, b_id, jaccard, containment,
+           CASE WHEN jaccard >= {_JACC_NEARID} THEN 'near_identical'
+                WHEN containment >= {_CONTAIN_SUBSET} THEN 'subset'
+                ELSE 'overlap' END AS relationship
+    FROM scored
+    WHERE containment >= {_CONTAIN_MIN}
+    ORDER BY a_id, b_id
+"""

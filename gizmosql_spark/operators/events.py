@@ -627,6 +627,55 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, the time from first view → first
+    click and first click → first purchase (only when ordered
+    correctly); report conversions, median and p90 hours per
+    transition — the timing companion to events_funnel's counts.
+
+    Scale shape: one user agg computes all three first-touch
+    timestamps (conditional min — no joins at all), then a 2-row
+    rollup with exact percentiles over the per-user deltas."""
+    e = load_events(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts_us)).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", ts_us)).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_us)).alias("p"),
+    )
+    deltas = firsts.select(
+        F.when(
+            F.col("c").isNotNull() & F.col("v").isNotNull()
+            & (F.col("c") >= F.col("v")),
+            (F.col("c") - F.col("v")) / 3.6e9,
+        ).alias("view_to_click_h"),
+        F.when(
+            F.col("p").isNotNull() & F.col("c").isNotNull()
+            & (F.col("p") >= F.col("c")),
+            (F.col("p") - F.col("c")) / 3.6e9,
+        ).alias("click_to_purchase_h"),
+    )
+    stages = deltas.select(
+        F.lit("1_view_to_click").alias("stage"),
+        F.col("view_to_click_h").alias("h"),
+    ).union(
+        deltas.select(
+            F.lit("2_click_to_purchase").alias("stage"),
+            F.col("click_to_purchase_h").alias("h"),
+        )
+    )
+    return (
+        stages.filter(F.col("h").isNotNull())
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(F.percentile("h", F.lit(0.5)), 4).alias("median_h"),
+            F.round(F.percentile("h", F.lit(0.9)), 4).alias("p90_h"),
+        )
+        .orderBy("stage")
+    )
+
+
 def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves: users cohorted by first-activity
     week; per (cohort, weeks-since-start) report active users and the
@@ -890,6 +939,7 @@ QUERIES = {
     "calibration_bins": calibration_bins,
     "seasonality_index": seasonality_index,
     "cohort_ltv": cohort_ltv,
+    "funnel_timing": funnel_timing,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -1005,6 +1055,35 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "funnel_timing": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                       THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+                   min(CASE WHEN event_type = 'click'
+                       THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+                   min(CASE WHEN event_type = 'purchase'
+                       THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+            FROM events GROUP BY user_id
+        ), stages AS (
+            SELECT '1_view_to_click' AS stage,
+                   CASE WHEN c IS NOT NULL AND v IS NOT NULL
+                         AND c >= v THEN (c - v) / 3.6e9 END AS h
+            FROM firsts
+            UNION ALL
+            SELECT '2_click_to_purchase' AS stage,
+                   CASE WHEN p IS NOT NULL AND c IS NOT NULL
+                         AND p >= c THEN (p - c) / 3.6e9 END AS h
+            FROM firsts
+        )
+        SELECT stage,
+               CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(h, 0.5), 4) AS median_h,
+               round(quantile_cont(h, 0.9), 4) AS p90_h
+        FROM stages WHERE h IS NOT NULL
+        GROUP BY stage
+        ORDER BY stage
     """,
     "cohort_ltv": """
         WITH first AS (
