@@ -627,6 +627,73 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value concentration within each
+    event type — the inequality screen (is 1% of users generating 90%
+    of the value?) that decides whether aggregates need heavy-hitter
+    treatment. Computed with the sorted-cumulative formula
+    G = (2·Σ i·x_i)/(n·Σ x_i) − (n+1)/n over per-user totals ranked
+    within each type.
+
+    Scale shape: one (type, user) partial agg, one rank window over
+    the users-sized frame, one closing agg. Ties rank by user_id so
+    the index is total-ordered and engine-portable."""
+    e = load_events(spark, sf_dir)
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.withColumn(
+        "i", F.row_number().over(w).cast("double"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                2 * F.sum(F.col("i") * F.col("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard: for each age-week k (weeks since a
+    user's first event), the probability a user's LAST activity falls
+    at age k given they survived to k — the survival-analysis curve
+    behind retention forecasting (events_retention counts cohorts;
+    this estimates the hazard function).
+
+    Scale shape: one user agg (first/last timestamps), one age
+    partial agg, then windows over the ≤max-age frame for the
+    at-risk denominator."""
+    e = load_events(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = e.groupBy("user_id").agg(
+        F.min(ts_us).alias("first_us"), F.max(ts_us).alias("last_us"))
+    week_us = 7 * 24 * 3600 * 1_000_000
+    last_age = spans.select(
+        F.floor((F.col("last_us") - F.col("first_us")) / week_us)
+        .cast("int").alias("age"))
+    ended = last_age.groupBy("age").agg(
+        F.count(F.lit(1)).alias("n_ended"))
+    w_desc = Window.orderBy(F.desc("age")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        ended.withColumn("at_risk", F.sum("n_ended").over(w_desc))
+        .select(
+            "age",
+            "n_ended",
+            "at_risk",
+            F.round(F.col("n_ended") / F.col("at_risk"), 6)
+            .alias("hazard"),
+        )
+        .orderBy("age")
+    )
+
+
 def funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel latency: per user, the time from first view → first
     click and first click → first purchase (only when ordered
@@ -940,6 +1007,8 @@ QUERIES = {
     "seasonality_index": seasonality_index,
     "cohort_ltv": cohort_ltv,
     "funnel_timing": funnel_timing,
+    "gini_value_concentration": gini_value_concentration,
+    "churn_hazard": churn_hazard,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
     "events_error_burst": events_error_burst,
@@ -1055,6 +1124,48 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "gini_value_concentration": """
+        WITH per_user AS (
+            SELECT event_type, user_id, sum(value) AS x
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY x, user_id) AS DOUBLE) AS i
+            FROM per_user
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(2 * sum(i * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "churn_hazard": """
+        WITH spans AS (
+            SELECT user_id,
+                   min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+                   max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+            FROM events GROUP BY user_id
+        ), last_age AS (
+            SELECT CAST(floor((last_us - first_us) / 604800000000.0)
+                        AS INTEGER) AS age
+            FROM spans
+        ), ended AS (
+            SELECT age, CAST(count(*) AS BIGINT) AS n_ended
+            FROM last_age GROUP BY age
+        )
+        SELECT age, n_ended,
+               CAST(sum(n_ended) OVER (ORDER BY age DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS at_risk,
+               round(CAST(n_ended AS DOUBLE)
+                     / sum(n_ended) OVER (ORDER BY age DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW), 6) AS hazard
+        FROM ended
+        ORDER BY age
     """,
     "funnel_timing": """
         WITH firsts AS (

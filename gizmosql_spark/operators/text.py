@@ -738,6 +738,45 @@ def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document-length quantiles per source: the
+    length a token drawn at random lands in (weighted median / p90 of
+    n_chars, weight = token count) — the budget-planning view where
+    long documents count by their mass, not once each (unweighted
+    quantiles over doc counts mislead token budgeting).
+
+    Discrete weighted quantile: sort by (n_chars, doc_id) within
+    source, take the first value whose cumulative weight fraction
+    reaches q — exact, no interpolation, engine-portable. One source
+    shuffle carries the cumsum window and the closing agg."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("double")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = (
+        d.select("source", "doc_id", "n_chars", toks.alias("wt"))
+        .withColumn("cumfrac",
+                    F.sum("wt").over(w) / F.sum("wt").over(w_all))
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(
+                F.when(F.col("cumfrac") >= 0.5, F.col("n_chars"))
+            ).alias("wq50_chars"),
+            F.min(
+                F.when(F.col("cumfrac") >= 0.9, F.col("n_chars"))
+            ).alias("wq90_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus novelty saturation: walking documents in doc_id order,
     what fraction of each decile's 3-grams was never seen in any
@@ -895,6 +934,7 @@ QUERIES = {
     "dsir_importance": dsir_importance,
     "mutual_information": mutual_information,
     "ngram_novelty": ngram_novelty,
+    "weighted_quantile": weighted_quantile,
     "unigram_logprob": unigram_logprob,
     "bigram_condprob": bigram_condprob,
     "perplexity_buckets": perplexity_buckets,
@@ -920,6 +960,27 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "weighted_quantile": """
+        WITH cum AS (
+            SELECT source, n_chars,
+                   sum(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                   / sum(CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       OVER (PARTITION BY source) AS cumfrac
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(CASE WHEN cumfrac >= 0.5 THEN n_chars END)
+                   AS wq50_chars,
+               min(CASE WHEN cumfrac >= 0.9 THEN n_chars END)
+                   AS wq90_chars
+        FROM cum GROUP BY source
+        ORDER BY source
+    """,
     "ngram_novelty": r"""
         WITH toks AS (
             SELECT doc_id,
