@@ -627,6 +627,57 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic aggregation (Lin et al. 2003): z-normalize each
+    event type's hourly count series and map each hour to a 4-symbol
+    alphabet (breakpoints −0.6745/0/0.6745 — the standard-normal
+    quartiles), emitting one 24-char word per (type, day) — the
+    discretization that turns time-series motif/anomaly mining into
+    string algorithms (the dedup/winnowing machinery then applies
+    as-is).
+
+    Scale shape: one (type, day, hour) partial agg; μ/σ ride windows
+    over the per-type frame; the word assembly is a days-sized
+    collect. Z-scores round to 6 in-engine before symbol compare so a
+    breakpoint can't flip between engines."""
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+            F.hour(F.col("ts").cast("timestamp")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    w_type = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("n") - F.avg("n").over(w_type))
+        / F.stddev_pop("n").over(w_type),
+        6,
+    )
+    sym = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    return (
+        hourly.select("event_type", "d", "hr", sym.alias("s"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hr", "s"))),
+                    lambda x: x["s"],
+                ),
+            ).alias("sax_word"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
 def gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user value concentration within each
     event type — the inequality screen (is 1% of users generating 90%
@@ -1008,6 +1059,7 @@ QUERIES = {
     "cohort_ltv": cohort_ltv,
     "funnel_timing": funnel_timing,
     "gini_value_concentration": gini_value_concentration,
+    "sax_symbolization": sax_symbolization,
     "churn_hazard": churn_hazard,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
@@ -1124,6 +1176,33 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "sax_symbolization": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   extract(hour FROM CAST(ts AS TIMESTAMP)) AS hr,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2, 3
+        ), scored AS (
+            SELECT event_type, d, hr,
+                   round((n - avg(n) OVER (PARTITION BY event_type))
+                         / stddev_pop(n) OVER (PARTITION BY event_type),
+                         6) AS z
+            FROM hourly
+        ), syms AS (
+            SELECT event_type, d, hr,
+                   CASE WHEN z < -0.6745 THEN 'a'
+                        WHEN z < 0.0 THEN 'b'
+                        WHEN z < 0.6745 THEN 'c'
+                        ELSE 'd' END AS s
+            FROM scored
+        )
+        SELECT event_type, d,
+               string_agg(s, '' ORDER BY hr) AS sax_word,
+               CAST(count(*) AS BIGINT) AS n_hours
+        FROM syms GROUP BY event_type, d
+        ORDER BY event_type, d
     """,
     "gini_value_concentration": """
         WITH per_user AS (

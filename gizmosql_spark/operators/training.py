@@ -682,6 +682,42 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction score for connected supplier
+    pairs: Σ over common neighbors z of 1/ln(deg(z)) — the weighted
+    sibling of node_similarity's Jaccard (rare shared neighbors count
+    more), the standard who-will-trade-next baseline.
+
+    Scale shape: the wedge join carries each common neighbor's degree
+    as a broadcast probe, so the score is one partial agg over wedge
+    rows; top-k presentation."""
+    ed = _supplier_edges(spark, sf_dir)
+    und = ed.select(F.col("x").alias("src"), F.col("y").alias("dst")).union(
+        ed.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = und.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = und.join(F.broadcast(deg), "dst")
+    a, b = wedges.alias("a"), wedges.alias("b")
+    scores = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("x"), F.col("b.src").alias("y"))
+        .agg(
+            F.round(F.sum(1 / F.log(F.col("a.deg"))), 6).alias("aa_score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    return (
+        ed.join(F.broadcast(scores), ["x", "y"])
+        .select("x", "y", "n_common", "aa_score")
+        .orderBy(F.desc("aa_score"), "x", "y")
+        .limit(20)
+    )
+
+
 def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the supplier co-occurrence graph with a
     power-law check: per-degree node counts plus the ln-ln
@@ -1010,6 +1046,7 @@ QUERIES = {
     "holt_forecast": holt_forecast,
     "pca_power_iteration": pca_power_iteration,
     "degree_distribution": degree_distribution,
+    "adamic_adar": adamic_adar,
     "silhouette_kmeans": silhouette_kmeans,
 }
 
@@ -1200,6 +1237,41 @@ ORACLE = {
         ORDER BY bin_top
     """,
     "pca_power_iteration": _PCA_ORACLE,
+    "adamic_adar": """
+        WITH os_ AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS x, b.l_suppkey AS y,
+                   count(*) AS cnt
+            FROM os_ a JOIN os_ b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), ed AS (
+            SELECT x, y FROM pairs
+            ORDER BY cnt DESC, x, y LIMIT 5000
+        ), und AS (
+            SELECT x AS src, y AS dst FROM ed
+            UNION ALL
+            SELECT y AS src, x AS dst FROM ed
+        ), deg AS (
+            SELECT dst, count(*) AS deg FROM und GROUP BY dst
+        ), wedges AS (
+            SELECT u.src, u.dst, d.deg
+            FROM und u JOIN deg d USING (dst)
+        ), scores AS (
+            SELECT a.src AS x, b.src AS y,
+                   round(sum(1.0 / ln(a.deg)), 6) AS aa_score,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM wedges a JOIN wedges b
+              ON a.dst = b.dst AND a.src < b.src
+            GROUP BY 1, 2
+        )
+        SELECT e.x, e.y, s.n_common, s.aa_score
+        FROM ed e JOIN scores s ON e.x = s.x AND e.y = s.y
+        ORDER BY s.aa_score DESC, e.x, e.y
+        LIMIT 20
+    """,
     "degree_distribution": """
         WITH os_ AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
