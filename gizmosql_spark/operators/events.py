@@ -627,6 +627,95 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type: the cumulative sum
+    of deviations of daily mean value from the type's overall mean;
+    the day where |S| peaks is the most likely changepoint, and the
+    peak magnitude (normalized by σ·√n) is the drift signal — the
+    monitoring primitive behind data-drift alarms.
+
+    Scale shape: one (type, day) partial agg; mean/σ and the cumsum
+    ride windows over the types×days frame; the argmax is one more
+    window. All tie-breaks on date."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        )
+        .agg(F.avg("value").alias("m"))
+    )
+    w_type = Window.partitionBy("event_type")
+    w_cum = w_type.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    scored = daily.select(
+        "event_type",
+        "d",
+        F.sum(F.col("m") - F.avg("m").over(w_type)).over(w_cum).alias("s"),
+        F.stddev_pop("m").over(w_type).alias("sd"),
+        F.count(F.lit(1)).over(w_type).alias("n"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("s"))), "d")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("changepoint_day"),
+            F.round(F.abs("s") / (F.col("sd") * F.sqrt("n")), 6)
+            .alias("drift_stat"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: are values above/
+    below the type median randomly ordered in time, or do they
+    cluster (trend/regime behavior)? Reports observed runs, expected
+    runs, and the z-statistic — the sequence-randomness QA check.
+
+    Scale shape: the median is a per-type exact percentile; the
+    above/below flags and run boundaries ride one time-ordered window
+    per type; the closing agg is types-sized."""
+    e = load_events(spark, sf_dir)
+    w_type = Window.partitionBy("event_type")
+    w_seq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    flagged = (
+        e.select("event_type", "ts", "event_id", "value")
+        .withColumn("med", F.percentile("value", F.lit(0.5)).over(w_type))
+        .filter(F.col("value") != F.col("med"))
+        .withColumn("above", (F.col("value") > F.col("med")).cast("int"))
+    )
+    runs = flagged.withColumn(
+        "new_run",
+        F.when(
+            F.lag("above").over(w_seq).isNull()
+            | (F.lag("above").over(w_seq) != F.col("above")),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("new_run").alias("n_runs"),
+        F.sum("above").cast("double").alias("n_pos"),
+        F.sum(1 - F.col("above")).cast("double").alias("n_neg"),
+    )
+    n = F.col("n_pos") + F.col("n_neg")
+    exp_runs = 2 * F.col("n_pos") * F.col("n_neg") / n + 1
+    var_runs = (
+        (exp_runs - 1) * (exp_runs - 2) / (n - 1)
+    )
+    return agg.select(
+        "event_type",
+        "n_runs",
+        F.round(exp_runs, 4).alias("expected_runs"),
+        F.round((F.col("n_runs") - exp_runs) / F.sqrt(var_runs), 4)
+        .alias("z_stat"),
+    ).orderBy("event_type")
+
+
 def sax_symbolization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolic aggregation (Lin et al. 2003): z-normalize each
     event type's hourly count series and map each hour to a 4-symbol
@@ -1060,6 +1149,8 @@ QUERIES = {
     "funnel_timing": funnel_timing,
     "gini_value_concentration": gini_value_concentration,
     "sax_symbolization": sax_symbolization,
+    "cusum_changepoint": cusum_changepoint,
+    "runs_test": runs_test,
     "churn_hazard": churn_hazard,
     "pyds_synthetic_agg": pyds_synthetic_agg,
     "events_funnel": events_funnel,
@@ -1176,6 +1267,70 @@ ORACLE: dict[str, str] = {
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
+    """,
+    "cusum_changepoint": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   avg(value) AS m
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, avg(m) AS mu,
+                   stddev_pop(m) AS sd, count(*) AS n
+            FROM daily GROUP BY event_type
+        ), scored AS (
+            SELECT dd.event_type, dd.d,
+                   sum(dd.m - st.mu)
+                       OVER (PARTITION BY dd.event_type ORDER BY dd.d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS s,
+                   st.sd, st.n
+            FROM daily dd JOIN stats st USING (event_type)
+        ), picked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY abs(s) DESC, d) AS rk
+            FROM scored
+        )
+        SELECT event_type, d AS changepoint_day,
+               round(abs(s) / (sd * sqrt(n)), 6) AS drift_stat,
+               CAST(n AS BIGINT) AS n_days
+        FROM picked WHERE rk = 1
+        ORDER BY event_type
+    """,
+    "runs_test": """
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), flagged AS (
+            SELECT e.event_type, e.ts, e.event_id,
+                   CASE WHEN e.value > m.med THEN 1 ELSE 0 END AS above
+            FROM events e JOIN med m USING (event_type)
+            WHERE e.value <> m.med
+        ), runs AS (
+            SELECT event_type, above,
+                   CASE WHEN lag(above) OVER w IS NULL
+                         OR lag(above) OVER w <> above
+                        THEN 1 ELSE 0 END AS new_run
+            FROM flagged
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY ts, event_id)
+        ), agg AS (
+            SELECT event_type,
+                   CAST(sum(new_run) AS BIGINT) AS n_runs,
+                   CAST(sum(above) AS DOUBLE) AS n_pos,
+                   CAST(sum(1 - above) AS DOUBLE) AS n_neg
+            FROM runs GROUP BY event_type
+        )
+        SELECT event_type, n_runs,
+               round(2 * n_pos * n_neg / (n_pos + n_neg) + 1, 4)
+                   AS expected_runs,
+               round((n_runs - (2 * n_pos * n_neg / (n_pos + n_neg) + 1))
+                     / sqrt((2 * n_pos * n_neg / (n_pos + n_neg))
+                            * (2 * n_pos * n_neg / (n_pos + n_neg) - 1)
+                            / (n_pos + n_neg - 1)), 4) AS z_stat
+        FROM agg
+        ORDER BY event_type
     """,
     "sax_symbolization": """
         WITH hourly AS (

@@ -738,6 +738,36 @@ def bigram_condprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary diversity per source: Simpson/Herfindahl
+    concentration Σp² over the token distribution and its inverse
+    (the 'effective vocabulary size') — the diversity lens on
+    corpus-mixing next to zipf's rank-slope and char_entropy's
+    character view.
+
+    Scale shape: one (source, token) wordcount shuffle; the
+    concentration arithmetic runs on the vocabulary-sized frame (one
+    more source-level partial agg)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    per_src = counts.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("sq"),
+    )
+    simpson = F.col("sq") / (F.col("n") * F.col("n"))
+    return per_src.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "vocab",
+        F.round(simpson, 6).alias("simpson"),
+        F.round(1.0 / simpson, 4).alias("effective_vocab"),
+    ).orderBy("source")
+
+
 def weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted document-length quantiles per source: the
     length a token drawn at random lands in (weighted median / p90 of
@@ -935,6 +965,7 @@ QUERIES = {
     "mutual_information": mutual_information,
     "ngram_novelty": ngram_novelty,
     "weighted_quantile": weighted_quantile,
+    "simpson_diversity": simpson_diversity,
     "unigram_logprob": unigram_logprob,
     "bigram_condprob": bigram_condprob,
     "perplexity_buckets": perplexity_buckets,
@@ -960,6 +991,30 @@ QUERIES = {
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 ORACLE: dict[str, str] = {
+    "simpson_diversity": r"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split(regexp_replace(trim(lower(text)),
+                       '\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents
+        ), counts AS (
+            SELECT source, tok, count(*) AS c
+            FROM toks GROUP BY 1, 2
+        ), per_src AS (
+            SELECT source,
+                   CAST(sum(c) AS DOUBLE) AS n,
+                   CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(c * c) AS DOUBLE) AS sq
+            FROM counts GROUP BY source
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_tokens,
+               vocab,
+               round(sq / (n * n), 6) AS simpson,
+               round((n * n) / sq, 4) AS effective_vocab
+        FROM per_src
+        ORDER BY source
+    """,
     "weighted_quantile": """
         WITH cum AS (
             SELECT source, n_chars,
