@@ -1135,7 +1135,171 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of "value predicts purchase" via the Mann-Whitney rank
+    identity — the ranking-model evaluation head (CTR/quality-score
+    models are judged exactly this way). Ties get the standard 0.5
+    credit; the all-integer numerator (2·cumNeg + negEq per score)
+    divides once at the end, so both engines produce the identical
+    double.
+
+    Scale shape: scores discretize to 4 decimals IN the engine, so
+    the (score → pos/neg counts) partial agg is bounded by the score
+    grid, not the row count; the cumulative window rides that scores
+    frame. At 100 TB this is the standard binned-AUC single pass."""
+    e = load_events(spark, sf_dir)
+    scored = e.select(
+        F.round(F.col("value"), 4).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("is_pos"),
+    )
+    counts = scored.groupBy("s").agg(
+        F.sum("is_pos").alias("pos_c"),
+        F.sum(1 - F.col("is_pos")).alias("neg_c"),
+    )
+    w_cum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    terms = counts.select(
+        "pos_c",
+        "neg_c",
+        (F.sum("neg_c").over(w_cum) - F.col("neg_c")).alias("neg_below"),
+    )
+    return terms.agg(
+        F.sum("pos_c").alias("n_pos"),
+        F.sum("neg_c").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos_c") * (2 * F.col("neg_below") + F.col("neg_c")))
+            / (2.0 * F.sum("pos_c") * F.sum("neg_c")),
+            6,
+        ).alias("auc"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        F.round(2 * F.col("auc") - 1, 6).alias("gini_rank"),
+    )
+
+
+_ACF_MAX_LAG = 12
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series per
+    type, lags 1..12 — the periodicity probe (a daily rhythm shows as
+    high ACF at lag 24, burstiness as fast decay) that drives
+    seasonality-aware forecasting and anomaly baselines.
+
+    Scale shape: the corpus collapses to a (type, hour) count frame
+    in one partial agg; the lag self-join and the Pearson sums run on
+    that bounded series frame (hours × types rows, never row-scale).
+    All sums are exact integers; one division + sqrt at the end."""
+    e = load_events(spark, sf_dir)
+    s = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_timestamp(cast(ts as timestamp)) div 3600")
+            .alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = s.select(
+        F.col("event_type").alias("et"),
+        F.col("h").alias("h1"),
+        F.col("c").alias("x"),
+    ).withColumn(
+        "lag", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))))
+    b = s.select(
+        F.col("event_type").alias("et2"),
+        F.col("h").alias("h2"),
+        F.col("c").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("et") == F.col("et2"))
+        & (F.col("h2") == F.col("h1") + F.col("lag")),
+    )
+    agg = pairs.groupBy(F.col("et").alias("event_type"), "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r = (
+        (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+            * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return (
+        agg.select(
+            "event_type", "lag", "n_pairs", F.round(r, 6).alias("acf"))
+        .orderBy("event_type", "lag")
+    )
+
+
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the median of all
+    pairwise day-to-day slopes of the daily mean value — the
+    outlier-proof drift estimator (one crazy day moves OLS, not the
+    pairwise median), reported next to the OLS slope for contrast.
+
+    Scale shape: the corpus collapses to a (type, day) mean frame in
+    one partial agg (means rounded IN the engine so pair slopes are
+    engine-portable); the day×day pair join and the median run on
+    that bounded frame (days² per type, not rows). The OLS slope is
+    a second partial agg on the same frame."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("d1"),
+        F.col("m").alias("m1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"),
+        F.col("m").alias("m2"),
+    )
+    pairs = a.join(
+        b, (F.col("et") == F.col("et2")) & (F.col("d1") < F.col("d2")))
+    slopes = pairs.select(
+        "et",
+        (
+            (F.col("m2") - F.col("m1"))
+            / F.datediff(F.col("d2"), F.col("d1"))
+        ).alias("slope"),
+    )
+    ts_agg = slopes.groupBy(F.col("et").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median("slope"), 6).alias("ts_slope"),
+    )
+    ols = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.regr_slope(
+                "m", F.datediff(F.col("d"), F.lit("2024-01-01")).cast("double")
+            ),
+            6,
+        ).alias("ols_slope"),
+    )
+    return (
+        ts_agg.join(ols, "event_type")
+        .select("event_type", "n_days", "n_pairs", "ts_slope", "ols_slope")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "auc_roc": auc_roc,
+    "acf_lags": acf_lags,
+    "theil_sen": theil_sen,
     "events_json": events_json,
     "events_gap_fill": events_gap_fill,
     "ewma_value": ewma_value,
@@ -1171,6 +1335,83 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "auc_roc": """
+        WITH scored AS (
+            SELECT round(value, 4) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_pos
+            FROM events
+        ), counts AS (
+            SELECT s, sum(is_pos) AS pos_c, sum(1 - is_pos) AS neg_c
+            FROM scored GROUP BY s
+        ), terms AS (
+            SELECT pos_c, neg_c,
+                   sum(neg_c) OVER (ORDER BY s) - neg_c AS neg_below
+            FROM counts
+        ), agg AS (
+            SELECT CAST(sum(pos_c) AS BIGINT) AS n_pos,
+                   CAST(sum(neg_c) AS BIGINT) AS n_neg,
+                   round(sum(pos_c * (2 * neg_below + neg_c))
+                         / (2e0 * sum(pos_c) * sum(neg_c)), 6) AS auc
+            FROM terms
+        )
+        SELECT n_pos, n_neg, auc, round(2 * auc - 1, 6) AS gini_rank
+        FROM agg
+    """,
+    "acf_lags": """
+        WITH s AS (
+            SELECT event_type,
+                   date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', ts)
+                       AS h,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+            FROM s a
+            CROSS JOIN range(1, 13) l(lag)
+            JOIN s b ON b.event_type = a.event_type
+                    AND b.h = a.h + l.lag
+        ), agg AS (
+            SELECT event_type, lag,
+                   count(*) AS n_pairs,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy,
+                   sum(x * y) AS sxy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS INTEGER) AS lag,
+               n_pairs,
+               round((n_pairs * sxy - sx * sy)
+                     / sqrt(CAST((n_pairs * sxx - sx * sx) AS DOUBLE)
+                            * (n_pairs * syy - sy * sy)), 6) AS acf
+        FROM agg
+        ORDER BY event_type, lag
+    """,
+    "theil_sen": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   round(avg(value), 6) AS m
+            FROM events GROUP BY 1, 2
+        ), slopes AS (
+            SELECT a.event_type,
+                   (b.m - a.m) / date_diff('day', a.d, b.d) AS slope
+            FROM daily a
+            JOIN daily b ON b.event_type = a.event_type AND a.d < b.d
+        ), ts_agg AS (
+            SELECT event_type, count(*) AS n_pairs,
+                   round(quantile_cont(slope, 0.5), 6) AS ts_slope
+            FROM slopes GROUP BY 1
+        ), ols AS (
+            SELECT event_type, count(*) AS n_days,
+                   round(regr_slope(
+                       m, CAST(date_diff('day', DATE '2024-01-01', d)
+                               AS DOUBLE)), 6) AS ols_slope
+            FROM daily GROUP BY 1
+        )
+        SELECT t.event_type, o.n_days, t.n_pairs, t.ts_slope, o.ols_slope
+        FROM ts_agg t JOIN ols o USING (event_type)
+        ORDER BY t.event_type
+    """,
     "events_gap_fill": """
         WITH hourly AS (
             SELECT user_id,

@@ -960,7 +960,290 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed query
+    (terms {spark, join, window}; Robertson k1=1.2 b=0.75, Lucene
+    idf = ln(1 + (N-df+0.5)/(df+0.5))) and return the top-10 — the
+    classic lexical-retrieval head next to the TF-IDF tier.
+
+    Scale shape: the corpus scans once into (doc, query-term) tf
+    partial aggs — the filter to the 3 query terms collapses the
+    stream before the doc_id shuffle; doc lengths are a second scan
+    partial agg co-keyed on doc_id; N/avgdl are one broadcast scalar
+    row and df is a query-terms-sized broadcast. Presentation is
+    TakeOrderedAndProject top-k. No corpus-×-corpus joins anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = F.round(
+        idf
+        * F.col("tf") * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        9,
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: find documents containing the exact
+    token sequence "hash join" via a positional inverted index —
+    token positions for each phrase word, joined on adjacency. The
+    phrase/proximity tier the flat inverted_index can't answer.
+
+    Scale shape: the corpus explodes once into (doc, pos, tok) and
+    filters to the 2 phrase terms BEFORE any shuffle, so the
+    adjacency join runs on phrase-term postings only, co-keyed on
+    (doc_id, pos). Counts are one partial agg; top-k presentation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(_norm(F.col("text")), " ")).alias("pos", "tok"),
+    ).select("doc_id", (F.col("pos") + 1).alias("pos"), "tok")
+    first = toks.filter(F.col("tok") == "hash").select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"))
+    second = toks.filter(F.col("tok") == "join").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"))
+    hits = first.join(
+        second,
+        (F.col("d1") == F.col("d2")) & (F.col("p2") == F.col("p1") + 1),
+    ).select(F.col("d1").alias("doc_id"), "p1")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("p1").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_matches"), "doc_id")
+        .limit(15)
+    )
+
+
+def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift screen: each source's
+    document-length distribution vs the pooled rest of the corpus —
+    D = max |ECDF_src - ECDF_rest| plus the scaled statistic
+    D·√(n·m/(n+m)). The standard per-shard distribution-drift alarm
+    for a training mixture.
+
+    Scale shape: lengths partial-agg to (source, len) and (len) count
+    frames; the ECDF grid is sources × distinct lengths (bounded,
+    never row-scale), with cumulative windows riding the grid. All
+    arithmetic is exact-integer ratios until the final rounding."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c"))
+    pooled = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("pc"))
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = d.count()
+    w_pool = Window.orderBy("n_chars")
+    pooled_cum = pooled.select(
+        "n_chars", F.sum("pc").over(w_pool).alias("cum_all"))
+    grid = (
+        srcs.crossJoin(pooled_cum)
+        .join(counts, ["source", "n_chars"], "left")
+        .na.fill({"c": 0})
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars")
+    ecdf = grid.select(
+        "source",
+        "n_chars",
+        "n_src",
+        "cum_all",
+        F.sum("c").over(w_src).alias("cum_src"),
+    )
+    diff = F.abs(
+        F.col("cum_src") / F.col("n_src")
+        - (F.col("cum_all") - F.col("cum_src")) / (total - F.col("n_src"))
+    )
+    return (
+        ecdf.groupBy("source", "n_src")
+        .agg(F.round(F.max(diff), 6).alias("ks_d"))
+        .select(
+            "source",
+            "n_src",
+            (total - F.col("n_src")).alias("n_rest"),
+            "ks_d",
+            F.round(
+                F.col("ks_d")
+                * F.sqrt(
+                    F.col("n_src").cast("double")
+                    * (total - F.col("n_src"))
+                    / F.lit(float(total))
+                ),
+                6,
+            ).alias("ks_scaled"),
+        )
+        .orderBy(F.desc("ks_scaled"), "source")
+        .limit(10)
+    )
+
+
+#: Poisson(1) CDF thresholds for the inverse-CDF bootstrap weights —
+#: identical literals in the Spark expression and the oracle SQL, so
+#: both engines draw the exact same integer weight from the hash.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+_BOOT_B = 200
+_BOOT_RES = 2**32
+
+
+def _pois_weight(u: F.Column) -> F.Column:
+    w = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the corpus mean
+    document length: each (doc, replicate) pair draws a deterministic
+    Poisson(1) weight from md5(doc:b) via the inverse CDF, replicate
+    means are weighted ratios, and the 95% CI is the exact 5th/196th
+    order statistic of the B=200 replicate means. Poisson
+    bootstrapping IS the at-scale bootstrap (Chamandy et al., Google):
+    one pass, no resampled copies of the data.
+
+    Scale shape: the corpus scans once, exploded ×B into (b, w·x)
+    partial aggs — map-side combine collapses to B rows per partition
+    before the shuffle; quantiles and the SE ride the B-row frame.
+    The hash-derived weights make every engine/parallelism draw the
+    identical replicate, so the oracle matches bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    reps = d.select(
+        "doc_id", "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("b"))), 1, 8),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(_BOOT_RES))
+    rep_means = (
+        reps.select("b", "n_chars", _pois_weight(u).alias("w"))
+        .groupBy("b")
+        .agg((F.sum(F.col("w") * F.col("n_chars"))
+              / F.sum("w")).alias("m"))
+    )
+    w_rk = Window.orderBy("m", "b")
+    ranked = rep_means.select("m", F.row_number().over(w_rk).alias("rk"))
+    lo_rk, hi_rk = 5, _BOOT_B - 4
+    base = d.agg(
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("mean_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        base.crossJoin(
+            ranked.filter(F.col("rk") == lo_rk)
+            .select(F.round("m", 6).alias("ci_lo")))
+        .crossJoin(
+            ranked.filter(F.col("rk") == hi_rk)
+            .select(F.round("m", 6).alias("ci_hi")))
+        .crossJoin(
+            rep_means.agg(
+                F.round(F.stddev_pop("m"), 6).alias("boot_se"),
+                F.count(F.lit(1)).alias("n_reps")))
+        .select("mean_len", "ci_lo", "ci_hi", "boot_se", "n_docs", "n_reps")
+    )
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    pooled corpus distribution: doc at within-source quantile p maps
+    to the pooled value at the same (discrete floor) quantile — the
+    batch-effect corrector that puts shards from different pipelines
+    on one length scale before mixing.
+
+    Scale shape: within-source ranks are source-partitioned windows;
+    the pooled order statistic here rides one global rank window — at
+    100 TB that global rank becomes the standard two-pass
+    range-partition + per-partition-offset prefix (zipWithIndex
+    shape); the rank→rank equi-join is unchanged. Integer-exact
+    (floor position, no interpolation) so engines can't drift."""
+    d = _t(spark, sf_dir, "documents")
+    n_total = d.count()
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_cnt = Window.partitionBy("source")
+    ranked = d.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(w_src).alias("rk"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_src"),
+    )
+    w_pool = Window.orderBy("n_chars", "doc_id")
+    pooled = d.select(
+        F.col("n_chars").alias("norm_len"),
+        F.row_number().over(w_pool).alias("pos"),
+    )
+    # discrete quantile position: floor(p * (N-1)) + 1, p = (rk-1)/(n-1)
+    pos = (
+        F.when(F.col("n_src") == 1, F.lit(1))
+        .otherwise(
+            F.floor(
+                (F.col("rk") - 1)
+                * F.lit(n_total - 1)
+                / (F.col("n_src") - 1)
+            )
+            + 1
+        )
+        .alias("pos")
+    )
+    return (
+        ranked.select("doc_id", "source", "n_chars", pos)
+        .join(pooled, "pos")
+        .select("doc_id", "source", "n_chars", "norm_len")
+        .orderBy("doc_id")
+        .limit(40)
+    )
+
+
 QUERIES = {
+    "bm25_topk": bm25_topk,
+    "phrase_search": phrase_search,
+    "ks_test_sources": ks_test_sources,
+    "bootstrap_ci_mean": bootstrap_ci_mean,
+    "quantile_normalize": quantile_normalize,
     "dsir_importance": dsir_importance,
     "mutual_information": mutual_information,
     "ngram_novelty": ngram_novelty,
@@ -990,7 +1273,161 @@ QUERIES = {
 
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
+#: hex→uint32 expansion for oracles (column ``h`` = md5 hex string),
+#: mirroring sampling._WS_HEX_U
+_HEX_U32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_POIS1_CASE = " ".join(
+    f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+)
+
 ORACLE: dict[str, str] = {
+    "bm25_topk": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks
+            WHERE tok IN ('spark', 'join', 'window')
+            GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), scored AS (
+            SELECT t.doc_id,
+                   round(
+                       ln(1e0 + (s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0))
+                       * t.tf * 2.2e0
+                       / (t.tf + 1.2e0
+                          * (1e0 - 0.75e0 + 0.75e0 * d.dl / s.avgdl)),
+                       9) AS contrib
+            FROM tf t
+            JOIN dl d USING (doc_id)
+            JOIN dfreq f USING (tok)
+            CROSS JOIN stats s
+        )
+        SELECT doc_id, round(sum(contrib), 6) AS bm25,
+               count(*) AS terms_hit
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    "phrase_search": f"""
+        WITH toks AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+            FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS l
+                  FROM documents)
+        ), f AS (
+            SELECT doc_id, pos AS p1 FROM toks WHERE tok = 'hash'
+        ), s AS (
+            SELECT doc_id, pos AS p2 FROM toks WHERE tok = 'join'
+        )
+        SELECT f.doc_id, count(*) AS n_matches,
+               CAST(min(f.p1) AS INTEGER) AS first_pos
+        FROM f JOIN s ON s.doc_id = f.doc_id AND s.p2 = f.p1 + 1
+        GROUP BY f.doc_id
+        ORDER BY n_matches DESC, f.doc_id LIMIT 15
+    """,
+    "ks_test_sources": """
+        WITH counts AS (
+            SELECT source, n_chars, count(*) AS c
+            FROM documents GROUP BY 1, 2
+        ), pooled_cum AS (
+            SELECT n_chars, sum(pc) OVER (ORDER BY n_chars) AS cum_all
+            FROM (SELECT n_chars, count(*) AS pc
+                  FROM documents GROUP BY 1)
+        ), srcs AS (
+            SELECT source, count(*) AS n_src FROM documents GROUP BY 1
+        ), total AS (SELECT count(*) AS n FROM documents),
+        ecdf AS (
+            SELECT s.source, p.n_chars, s.n_src, p.cum_all,
+                   sum(coalesce(c.c, 0)) OVER (
+                       PARTITION BY s.source ORDER BY p.n_chars
+                   ) AS cum_src
+            FROM srcs s
+            CROSS JOIN pooled_cum p
+            LEFT JOIN counts c
+              ON c.source = s.source AND c.n_chars = p.n_chars
+        ), d AS (
+            SELECT source, n_src,
+                   round(max(abs(
+                       cum_src / n_src
+                       - (cum_all - cum_src) / (t.n - n_src))), 6) AS ks_d,
+                   any_value(t.n) AS n
+            FROM ecdf CROSS JOIN total t
+            GROUP BY source, n_src
+        )
+        SELECT source, n_src, n - n_src AS n_rest, ks_d,
+               round(ks_d * sqrt(CAST(n_src AS DOUBLE) * (n - n_src)
+                                 / CAST(n AS DOUBLE)), 6) AS ks_scaled
+        FROM d
+        ORDER BY ks_scaled DESC, source LIMIT 10
+    """,
+    "bootstrap_ci_mean": f"""
+        WITH reps AS (
+            SELECT d.doc_id, d.n_chars, t.b,
+                   md5(CAST(d.doc_id AS VARCHAR) || ':'
+                       || CAST(t.b AS VARCHAR)) AS h
+            FROM documents d CROSS JOIN range(0, {_BOOT_B}) t(b)
+        ), weights AS (
+            SELECT b, n_chars,
+                   CASE {_POIS1_CASE} ELSE {len(_POIS1_CDF)} END AS w
+            FROM (SELECT b, n_chars,
+                         (({_HEX_U32}) + 0.5) / {float(_BOOT_RES)!r} AS u
+                  FROM reps)
+        ), rep_means AS (
+            SELECT b, sum(w * n_chars) / CAST(sum(w) AS DOUBLE) AS m
+            FROM weights GROUP BY b
+        ), ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, b) AS rk
+            FROM rep_means
+        ), base AS (
+            SELECT round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6)
+                       AS mean_len,
+                   count(*) AS n_docs
+            FROM documents
+        )
+        SELECT base.mean_len, lo.ci_lo, hi.ci_hi, se.boot_se,
+               base.n_docs, se.n_reps
+        FROM base
+        CROSS JOIN (SELECT round(m, 6) AS ci_lo FROM ranked
+                    WHERE rk = 5) lo
+        CROSS JOIN (SELECT round(m, 6) AS ci_hi FROM ranked
+                    WHERE rk = {_BOOT_B - 4}) hi
+        CROSS JOIN (SELECT round(stddev_pop(m), 6) AS boot_se,
+                           count(*) AS n_reps
+                    FROM rep_means) se
+    """,
+    "quantile_normalize": """
+        WITH ranked AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n_src
+            FROM documents
+        ), pooled AS (
+            SELECT n_chars AS norm_len,
+                   row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+            FROM documents
+        ), total AS (SELECT count(*) AS n FROM documents)
+        SELECT r.doc_id, r.source, r.n_chars, p.norm_len
+        FROM ranked r
+        CROSS JOIN total t
+        JOIN pooled p
+          ON p.pos = CASE WHEN r.n_src = 1 THEN 1
+                          ELSE CAST(floor((r.rk - 1) * (t.n - 1)
+                               / CAST(r.n_src - 1 AS DOUBLE)) + 1 AS BIGINT)
+                     END
+        ORDER BY r.doc_id LIMIT 40
+    """,
     "simpson_diversity": r"""
         WITH toks AS (
             SELECT source,

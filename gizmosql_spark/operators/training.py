@@ -1031,7 +1031,55 @@ def length_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 3 unrolled rounds) over the supplier
+    co-occurrence graph: repeatedly drop nodes with degree < k and
+    the edges they carried — the standard dense-subgraph extraction
+    that separates the trading core from the periphery (and, in
+    pipelines, spam rings from long-tail users). Reports nodes/edges
+    surviving each round.
+
+    Scale shape: each round is one degree partial agg over the
+    bounded edge frame plus two semi-joins against the (≤nodes-sized)
+    keep list; per-round stats are 1-row aggregates unioned lazily —
+    nothing collects until the 3-row presentation."""
+    ed = _supplier_edges(spark, sf_dir)
+
+    def stats(e: DataFrame, rnd: int) -> DataFrame:
+        nodes = e.select(F.explode(F.array("x", "y")).alias("n"))
+        return (
+            nodes.agg(F.countDistinct("n").alias("n_nodes"))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(
+                F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        )
+    out = [stats(ed, 0)]
+    cur = ed
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        und = cur.select(F.col("x").alias("n")).union(
+            cur.select(F.col("y").alias("n")))
+        keep = (
+            und.groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("n")
+        )
+        cur = cur.join(
+            F.broadcast(keep.withColumnRenamed("n", "x")), "x", "semi"
+        ).join(F.broadcast(keep.withColumnRenamed("n", "y")), "y", "semi")
+        out.append(stats(cur, rnd))
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionAll(frame)
+    return res.orderBy("round")
+
+
 QUERIES = {
+    "kcore_graph": kcore_graph,
     "decontaminate_ngram": decontaminate_ngram,
     "length_batch_plan": length_batch_plan,
     "rag_chunks": rag_chunks,
@@ -1187,6 +1235,64 @@ _PCA_ORACLE = f"""
 
 
 ORACLE = {
+    "kcore_graph": """
+        WITH os_ AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_suppkey AS x, b.l_suppkey AS y, count(*) AS cnt
+            FROM os_ a JOIN os_ b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ), ed0 AS (
+            SELECT x, y FROM pairs ORDER BY cnt DESC, x, y LIMIT 5000
+        ), k1 AS (
+            SELECT n FROM (
+                SELECT n, count(*) AS deg FROM (
+                    SELECT x AS n FROM ed0 UNION ALL SELECT y FROM ed0)
+                GROUP BY n) WHERE deg >= 3
+        ), ed1 AS (
+            SELECT x, y FROM ed0
+            WHERE x IN (SELECT n FROM k1) AND y IN (SELECT n FROM k1)
+        ), k2 AS (
+            SELECT n FROM (
+                SELECT n, count(*) AS deg FROM (
+                    SELECT x AS n FROM ed1 UNION ALL SELECT y FROM ed1)
+                GROUP BY n) WHERE deg >= 3
+        ), ed2 AS (
+            SELECT x, y FROM ed1
+            WHERE x IN (SELECT n FROM k2) AND y IN (SELECT n FROM k2)
+        ), k3 AS (
+            SELECT n FROM (
+                SELECT n, count(*) AS deg FROM (
+                    SELECT x AS n FROM ed2 UNION ALL SELECT y FROM ed2)
+                GROUP BY n) WHERE deg >= 3
+        ), ed3 AS (
+            SELECT x, y FROM ed2
+            WHERE x IN (SELECT n FROM k3) AND y IN (SELECT n FROM k3)
+        )
+        SELECT 0 AS round,
+               (SELECT count(DISTINCT n) FROM (
+                   SELECT x AS n FROM ed0 UNION ALL SELECT y FROM ed0))
+                   AS n_nodes,
+               (SELECT count(*) FROM ed0) AS n_edges
+        UNION ALL
+        SELECT 1,
+               (SELECT count(DISTINCT n) FROM (
+                   SELECT x AS n FROM ed1 UNION ALL SELECT y FROM ed1)),
+               (SELECT count(*) FROM ed1)
+        UNION ALL
+        SELECT 2,
+               (SELECT count(DISTINCT n) FROM (
+                   SELECT x AS n FROM ed2 UNION ALL SELECT y FROM ed2)),
+               (SELECT count(*) FROM ed2)
+        UNION ALL
+        SELECT 3,
+               (SELECT count(DISTINCT n) FROM (
+                   SELECT x AS n FROM ed3 UNION ALL SELECT y FROM ed3)),
+               (SELECT count(*) FROM ed3)
+        ORDER BY round
+    """,
     "rag_chunks": f"""
         WITH toks AS (
             SELECT doc_id,
