@@ -60,10 +60,11 @@ _PRIORITY = [
     "ewma_value",           # trailing EWMA via JVM fold (round-3)
     "events_attribution",   # last-touch attribution (round-3)
     "assoc_rules",          # market-basket mining (round-3)
-    # text analysis / data selection
+    # text analysis / IR / data selection (dsir_importance moved to the
+    # repo-harness tier in favor of the round-3 retrieval family rep)
     "tfidf_top_terms",
     "unigram_logprob",
-    "dsir_importance",      # DSIR importance weights (round-3)
+    "bm25_topk",            # BM25 lexical retrieval (round-3)
     # dedup tier (simhash verified by repo harness)
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -73,9 +74,10 @@ _PRIORITY = [
     "ann_ivf",
     # multimodal (meta tier verified by repo harness)
     "multimodal_features",
-    # sampling / dataset splitting
+    # sampling / dataset splitting (weighted_sample moved to the
+    # repo-harness tier in favor of the round-3 evaluation family rep)
     "dataset_split",
-    "weighted_sample",      # Efraimidis-Spirakis race (round-3)
+    "auc_roc",              # rank-identity AUC evaluation (round-3)
     # training-corpus prep + sketches
     "decontaminate_ngram",
     "sequence_pack",

@@ -1191,8 +1191,10 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses to a (type, hour) count frame
     in one partial agg; the lag self-join and the Pearson sums run on
-    that bounded series frame (hours × types rows, never row-scale).
-    All sums are exact integers; one division + sqrt at the end."""
+    that bounded series frame (hours × types rows, never row-scale) —
+    materialized under bounded shuffle widths, since corpus-width
+    task scheduling dwarfs the compute on the series frame. All sums
+    are exact integers; one division + sqrt at the end."""
     e = load_events(spark, sf_dir)
     s = (
         e.groupBy(
@@ -1234,11 +1236,13 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
         )
     )
-    return (
-        agg.select(
-            "event_type", "lag", "n_pairs", F.round(r, 6).alias("acf"))
-        .orderBy("event_type", "lag")
-    )
+    res = agg.select(
+        "event_type", "lag", "n_pairs", F.round(r, 6).alias("acf"))
+    with loader.bounded_shuffle(spark, 8):
+        out = loader.keyed_persist(
+            spark, f"events.acf:{sf_dir}", lambda: res)
+        out.count()
+    return out.orderBy("event_type", "lag")
 
 
 def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,6 +84,57 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
 _PERSISTED: dict[tuple[int, str], DataFrame] = {}
 
 
+class conf_scope:
+    """Context manager applying session confs for the duration of a
+    materialization, restoring previous values (or unsetting) after.
+    Callers must trigger their action INSIDE the scope — lazy frames
+    plan exchanges at action time, so a restored conf would otherwise
+    silently undo the override."""
+
+    def __init__(self, spark: SparkSession, confs: dict[str, str]) -> None:
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self) -> None:
+        self.prev: dict[str, str | None] = {}
+        for k, v in self.confs.items():
+            try:
+                self.prev[k] = self.spark.conf.get(k)
+            except Exception:
+                self.prev[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc) -> None:
+        for k, v in self.prev.items():
+            if v is None:
+                try:
+                    self.spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                self.spark.conf.set(k, v)
+
+
+class bounded_shuffle:
+    """Context manager that clamps spark.sql.shuffle.partitions for
+    operators whose frames are bounded (graph edges, series, grids) —
+    corpus-width task counts cost more in scheduling than they buy in
+    parallelism there. Restores the session width on exit. At real
+    cluster scale the session width is already right; callers keep
+    the clamp because their frames stay bounded at any SF."""
+
+    def __init__(self, spark: SparkSession, n: int = 8) -> None:
+        self.spark, self.n = spark, n
+        self.key = "spark.sql.shuffle.partitions"
+
+    def __enter__(self) -> None:
+        self.prev = self.spark.conf.get(self.key)
+        self.spark.conf.set(
+            self.key, str(max(4, min(int(self.prev), self.n))))
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set(self.key, self.prev)
+
+
 def keyed_persist(spark: SparkSession, key: str, builder) -> DataFrame:
     """Persist-once registry for intermediate frames shared across
     queries (shingle postings, LSH buckets, term counts). Repeated

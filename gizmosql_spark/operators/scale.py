@@ -243,8 +243,12 @@ def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.lit("2024-01-30")))).alias("d"))
     mondays = dates.filter(F.dayofweek("d") == 2)
     fact = spark.table(t)
+    # explicit broadcast: DPP's default reuseBroadcastOnly path then
+    # inserts the pruning subquery unconditionally (it reuses the dim's
+    # broadcast exchange, so pruning is free) — without the hint the
+    # insertion depends on size estimates and can flake
     return (
-        fact.join(mondays, fact["event_date"] == mondays["d"])
+        fact.join(F.broadcast(mondays), fact["event_date"] == mondays["d"])
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value"), 4).alias("total"))
@@ -344,7 +348,76 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join (Spark's InjectRuntimeFilter): a
+    selective filter on the orders side builds a Bloom filter that
+    prunes lineitem rows BEFORE the join shuffle — the row-level
+    sibling of dpp_join's partition-level pruning, and the feature
+    that matters when both join sides are too big to broadcast (the
+    default at 100 TB: shuffle bytes drop by the filter's
+    selectivity). tests/test_plans.py pins ``might_contain`` on the
+    lineitem scan side.
+
+    The local fixture emulates the big-big regime by disabling
+    broadcast and lowering the application-side size threshold inside
+    a conf scope (at real scale both conditions hold naturally and
+    the session defaults apply); the Bloom filter only drops rows the
+    join would drop anyway, so results are exact."""
+    from gizmosql_spark.operators import loader
+
+    def _build() -> DataFrame:
+        o = _t(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        ).select("o_orderkey")
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice") / 1e6, 3).alias("revenue_m"),
+            )
+        )
+
+    with loader.conf_scope(spark, _BLOOM_DEMO_CONFS):
+        out = loader.keyed_persist(
+            spark, f"scale.bloomjoin:{sf_dir}", _build)
+        out.count()
+    return out
+
+
+#: big-big join regime for the local fixture: no broadcast, bloom
+#: application threshold below the lineitem scan size
+_BLOOM_DEMO_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "64KB",
+}
+
+
+def bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """The optimized plan under the demo conf scope (for the plan
+    test — the conf scope must be active while explaining)."""
+    from gizmosql_spark.operators import loader
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01"))
+    ).select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n"))
+    with loader.conf_scope(spark, _BLOOM_DEMO_CONFS):
+        return j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+
 QUERIES = {
+    "runtime_bloom_join": runtime_bloom_join,
     "salted_agg": salted_agg,
     "salted_join": salted_join,
     "bucketed_join": bucketed_join,
@@ -355,6 +428,14 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "runtime_bloom_join": """
+        SELECT count(*) AS n,
+               round(sum(l_extendedprice) / 1e6, 3) AS revenue_m
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= DATE '1995-01-01'
+    """,
     "dpp_join": """
         WITH days AS (
             SELECT unnest(generate_series(DATE '2024-01-01',

@@ -1045,37 +1045,47 @@ def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each round is one degree partial agg over the
     bounded edge frame plus two semi-joins against the (≤nodes-sized)
-    keep list; per-round stats are 1-row aggregates unioned lazily —
-    nothing collects until the 3-row presentation."""
-    ed = _supplier_edges(spark, sf_dir)
+    keep list; per-round stats are 1-row aggregates unioned lazily.
+    The whole peel materializes under graph-sized shuffle widths
+    (loader.bounded_shuffle — corpus-width task scheduling costs 3x
+    the compute on these bounded frames) and the 4-row stats frame is
+    registry-persisted like the edge frame it derives from."""
+    def _build() -> DataFrame:
+        ed = _supplier_edges(spark, sf_dir)
 
-    def stats(e: DataFrame, rnd: int) -> DataFrame:
-        nodes = e.select(F.explode(F.array("x", "y")).alias("n"))
-        return (
-            nodes.agg(F.countDistinct("n").alias("n_nodes"))
-            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-            .select(
-                F.lit(rnd).alias("round"), "n_nodes", "n_edges")
-        )
-    out = [stats(ed, 0)]
-    cur = ed
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        und = cur.select(F.col("x").alias("n")).union(
-            cur.select(F.col("y").alias("n")))
-        keep = (
-            und.groupBy("n")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select("n")
-        )
-        cur = cur.join(
-            F.broadcast(keep.withColumnRenamed("n", "x")), "x", "semi"
-        ).join(F.broadcast(keep.withColumnRenamed("n", "y")), "y", "semi")
-        out.append(stats(cur, rnd))
-    res = out[0]
-    for frame in out[1:]:
-        res = res.unionAll(frame)
-    return res.orderBy("round")
+        def stats(e: DataFrame, rnd: int) -> DataFrame:
+            nodes = e.select(F.explode(F.array("x", "y")).alias("n"))
+            return (
+                nodes.agg(F.countDistinct("n").alias("n_nodes"))
+                .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+                .select(
+                    F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+            )
+        out = [stats(ed, 0)]
+        cur = ed
+        for rnd in range(1, _KCORE_ROUNDS + 1):
+            und = cur.select(F.col("x").alias("n")).union(
+                cur.select(F.col("y").alias("n")))
+            keep = (
+                und.groupBy("n")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= _KCORE_K)
+                .select("n")
+            )
+            cur = cur.join(
+                F.broadcast(keep.withColumnRenamed("n", "x")), "x", "semi"
+            ).join(
+                F.broadcast(keep.withColumnRenamed("n", "y")), "y", "semi")
+            out.append(stats(cur, rnd))
+        res = out[0]
+        for frame in out[1:]:
+            res = res.unionAll(frame)
+        return res
+
+    with loader.bounded_shuffle(spark, 8):
+        out = loader.keyed_persist(spark, f"graph.kcore:{sf_dir}", _build)
+        out.count()
+    return out.orderBy("round")
 
 
 QUERIES = {

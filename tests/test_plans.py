@@ -413,3 +413,14 @@ def test_pca_round_is_width_bounded_partial_agg(spark, sf_dir):
     plan = _plan(round_df)
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """In the big-big join regime (no broadcast), a selective dim
+    filter must inject a runtime Bloom filter on the fact scan side
+    (might_contain over xxhash64 of the join key) — the row-level
+    sibling of DPP's partition pruning."""
+    from gizmosql_spark.operators import scale
+
+    plan = scale.bloom_join_plan(spark, sf_dir)
+    assert "might_contain" in plan
