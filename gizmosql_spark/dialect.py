@@ -452,6 +452,80 @@ def _find_top_level(masked: str, keyword: str, start: int = 0) -> int | None:
     return None
 
 
+_ASOF_RE = re.compile(
+    r"\bASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\b",
+    re.IGNORECASE,
+)
+_ASOF_INEQ_RE = re.compile(r"(<=|>=|<|>)")
+
+
+def rewrite_asof_join(sql: str) -> str:
+    """DuckDB's ``ASOF [LEFT] JOIN`` → a correlated LATERAL LIMIT-1
+    subquery (reference: DuckDB asof join docs; the engine-level
+    operator sibling is operators/events.events_asof_join).
+
+    ``a ASOF JOIN b ON a.k = b.k AND a.ts >= b.ts`` picks, per left
+    row, the single b row with the greatest b.ts satisfying the
+    inequality (least for a flipped comparator). Spark decorrelates
+    the LATERAL LIMIT 1 into a hash join + per-key top-1 — no
+    nested-loop join. Scope: one ASOF join per statement, plain-table
+    right side, conjunctive ON with exactly one inequality."""
+    masked = _mask_literals(sql)
+    m = _ASOF_RE.search(masked)
+    if m is None:
+        return sql
+    # the ON condition runs to the next top-level clause keyword
+    cond_start = m.end()
+    end = len(sql)
+    for kw in ("WHERE", "GROUP\\s+BY", "HAVING", "WINDOW", "QUALIFY",
+               "ORDER\\s+BY", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
+               "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS"):
+        j = _find_top_level(masked, kw, cond_start)
+        if j is not None and j < end:
+            end = j
+    cond = sql[cond_start:end].strip()
+    suffix = sql[end:]
+    is_left = bool(m.group(1))
+    rtbl, ralias = m.group(2), m.group(3) or m.group(2)
+
+    # locate the single inequality term and its right-side ts column
+    terms = re.split(r"\bAND\b", cond, flags=re.IGNORECASE)
+    ineq_col, ineq_desc = None, True
+    for t in terms:
+        mm = _ASOF_INEQ_RE.search(t)
+        if not mm:
+            continue
+        op = mm.group(1)
+        lhs, rhs = t[:mm.start()].strip(), t[mm.end():].strip()
+        r_pref = f"{ralias}."
+        if lhs.lower().startswith(r_pref.lower()):
+            ineq_col = lhs[len(r_pref):]
+            ineq_desc = op in ("<", "<=")
+        elif rhs.lower().startswith(r_pref.lower()):
+            ineq_col = rhs[len(r_pref):]
+            ineq_desc = op in (">", ">=")
+        else:
+            raise ValueError(
+                "ASOF JOIN inequality must reference the right table")
+        break
+    if ineq_col is None:
+        raise ValueError("ASOF JOIN requires an inequality in ON")
+    cond_inner = re.sub(
+        rf"\b{re.escape(ralias)}\.", "__asof_r.", cond,
+        flags=re.IGNORECASE)
+    direction = "DESC" if ineq_desc else "ASC"
+    sub = (
+        f"(SELECT * FROM {rtbl} __asof_r WHERE {cond_inner}"
+        f" ORDER BY __asof_r.{ineq_col} {direction} LIMIT 1) {ralias}"
+    )
+    joiner = (
+        f"LEFT JOIN LATERAL {sub} ON true" if is_left
+        else f"JOIN LATERAL {sub}"
+    )
+    return f"{sql[:m.start()]}{joiner} {suffix}".rstrip()
+
+
 def rewrite_qualify(sql: str) -> str:
     """DuckDB's QUALIFY clause → standard Spark SQL (SURVEY §7 hard
     part 6: dialect permissiveness). The window predicate moves into

@@ -555,6 +555,7 @@ class Engine:
         from gizmosql_spark.dialect import (
             parse_pragma,
             parse_summarize,
+            rewrite_asof_join,
             rewrite_distinct_on,
             rewrite_exclude,
             rewrite_qualify,
@@ -593,6 +594,8 @@ class Engine:
             return self._run_pragma(st, *pragma)
 
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
+        if "ASOF" in sql.upper():
+            sql = rewrite_asof_join(sql)
         sql = rewrite_qualify(sql)
         sql = rewrite_distinct_on(sql)
         sql = rewrite_exclude(sql)

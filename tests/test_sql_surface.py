@@ -246,3 +246,60 @@ def test_export_import_preserves_bucket_layout(spark, tmp_path):
     assert spark.table("t_exp_bkt").count() == 1000
     eng.execute_sql(sid, "DROP TABLE t_exp_bkt")
     eng.close_session(sid)
+
+
+def test_asof_join_matches_duckdb(spark):
+    """DuckDB ASOF [LEFT] JOIN dialect-ism: the IDENTICAL SQL runs
+    through the engine (LATERAL LIMIT-1 rewrite) and natively in
+    DuckDB, and the results agree — including the no-match NULL rows
+    of the LEFT form and the flipped-comparator direction."""
+    import duckdb
+
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(
+        sid, "CREATE OR REPLACE TEMP VIEW asof_trades AS SELECT * FROM"
+             " VALUES (1, 12, 100.0), (1, 25, 101.0), (2, 14, 102.0),"
+             " (3, 9, 103.0) AS t(k, tts, amount)")
+    eng.execute_sql(
+        sid, "CREATE OR REPLACE TEMP VIEW asof_quotes AS SELECT * FROM"
+             " VALUES (1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0),"
+             " (2, 15, 5.0) AS t(k, qts, px)")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE asof_trades AS SELECT * FROM (VALUES"
+                " (1, 12, 100.0), (1, 25, 101.0), (2, 14, 102.0),"
+                " (3, 9, 103.0)) t(k, tts, amount)")
+    con.execute("CREATE TABLE asof_quotes AS SELECT * FROM (VALUES"
+                " (1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0),"
+                " (2, 15, 5.0)) t(k, qts, px)")
+
+    cases = [
+        # inner, right-ts <= left-ts (most recent quote at trade time)
+        "SELECT t.k, t.tts, q.qts, q.px FROM asof_trades t"
+        " ASOF JOIN asof_quotes q ON t.k = q.k AND q.qts <= t.tts"
+        " ORDER BY t.k, t.tts",
+        # left outer form keeps unmatched trades with NULLs
+        "SELECT t.k, t.tts, q.qts, q.px FROM asof_trades t"
+        " ASOF LEFT JOIN asof_quotes q ON t.k = q.k AND q.qts <= t.tts"
+        " ORDER BY t.k, t.tts",
+        # flipped comparator: next quote AT or AFTER the trade
+        "SELECT t.k, t.tts, q.qts FROM asof_trades t"
+        " ASOF LEFT JOIN asof_quotes q ON t.k = q.k AND q.qts >= t.tts"
+        " ORDER BY t.k, t.tts",
+    ]
+    for sql in cases:
+        got = [
+            tuple(None if v is None else float(v) if isinstance(v, float)
+                  else v for v in r)
+            for r in eng.collect(sid, eng.execute_sql(sid, sql))
+        ]
+        want = [
+            tuple(None if v is None else float(v) if isinstance(v, float)
+                  else v for v in r)
+            for r in con.execute(sql).fetchall()
+        ]
+        assert got == want, sql
+    con.close()
+    eng.close_session(sid)
