@@ -1300,10 +1300,247 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over engineered event
+    features (value, hour-of-day, day-of-week, props-JSON length) —
+    the feature-screening pass before any model fit, computed as ONE
+    wide partial aggregate (all 6 pair moments in a single scan).
+
+    Scale shape: no joins, no per-pair passes — the moment sums
+    partial-agg map-side and the matrix assembles from one 1-row
+    frame via stack/unpivot. Row count never touches the shuffle."""
+    e = load_events(spark, sf_dir)
+    feats = e.select(
+        F.col("value").alias("f_value"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double")
+        .alias("f_hod"),
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("double")
+        .alias("f_dow"),
+        F.length("props").cast("double").alias("f_plen"),
+    )
+    names = ["f_value", "f_hod", "f_dow", "f_plen"]
+    aggs = []
+    pair_cols = []
+    for i, x in enumerate(names):
+        for y in names[i + 1:]:
+            c = f"c_{x}_{y}"
+            aggs.append(F.round(F.corr(x, y), 6).alias(c))
+            pair_cols.append((x, y, c))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    one = feats.agg(*aggs)
+    stack = ", ".join(
+        f"'{x}', '{y}', {c}" for x, y, c in pair_cols)
+    return (
+        one.selectExpr(
+            "n",
+            f"stack({len(pair_cols)}, {stack}) AS (feat_x, feat_y, corr)",
+        )
+        .select("feat_x", "feat_y", "corr", "n")
+        .orderBy("feat_x", "feat_y")
+    )
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and hour-of-day per
+    event type — the monotonic-association screen that survives
+    outliers and nonlinearity where Pearson doesn't. Standard
+    average-rank tie handling; ranks are exact halves, so every sum
+    is exactly representable and the statistic is engine-portable
+    without rounding tricks.
+
+    Scale shape: two rank windows on the same type-partitioned
+    shuffle; the Pearson-on-ranks sums are one per-type partial
+    agg."""
+    e = load_events(spark, sf_dir)
+    base = e.select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("hd"),
+    )
+    w_v = Window.partitionBy("event_type").orderBy("v")
+    w_vt = Window.partitionBy("event_type", "v")
+    w_h = Window.partitionBy("event_type").orderBy("hd")
+    w_ht = Window.partitionBy("event_type", "hd")
+    ranked = base.select(
+        "event_type",
+        (F.rank().over(w_v)
+         + (F.count(F.lit(1)).over(w_vt) - 1) / 2.0).alias("rx"),
+        (F.rank().over(w_h)
+         + (F.count(F.lit(1)).over(w_ht) - 1) / 2.0).alias("ry"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    rho = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return (
+        agg.select("event_type", "n", F.round(rho, 6).alias("spearman_rho"))
+        .orderBy("event_type")
+    )
+
+
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily mean
+    series: S = Σ sign(m_j − m_i) for i<j, tie-corrected variance,
+    and the continuity-corrected z statistic — the nonparametric
+    companion to theil_sen's slope (is the trend significant, not
+    just how steep). Integer-exact until the final sqrt.
+
+    Scale shape: everything after the one (type, day) partial agg
+    runs on the bounded daily frame (pairs, tie groups, variance)."""
+    e = load_events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("d1"), F.col("m").alias("m1"))
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("d").alias("d2"), F.col("m").alias("m2"))
+    s_agg = (
+        a.join(b, (F.col("et") == F.col("et2")) & (F.col("d1") < F.col("d2")))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("m2") - F.col("m1")).cast("long"))
+            .alias("s_stat"))
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "m")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).alias("tie_corr"))
+    )
+    var_s = (
+        (F.col("n_days") * (F.col("n_days") - 1)
+         * (2 * F.col("n_days") + 5) - F.col("tie_corr")) / 18.0
+    )
+    z = (
+        F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s_agg.join(nd, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_s", F.round(var_s, 4))
+        .select(
+            "event_type", "n_days", "s_stat", "var_s",
+            F.round(z, 6).alias("z_stat"),
+            F.when(F.abs(F.round(z, 6)) > 1.96,
+                   F.when(F.col("s_stat") > 0, "increasing")
+                   .otherwise("decreasing"))
+            .otherwise(F.lit("no-trend")).alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interarrival-time statistics per event type: mean gap, the
+    coefficient of variation, and the Goh-Barabási burstiness
+    B = (σ−μ)/(σ+μ) (−1 periodic, 0 Poisson, →1 bursty) — the
+    arrival-process fingerprint behind capacity planning and anomaly
+    baselines.
+
+    Scale shape: one time-ordered lag window per type (the same
+    type-keyed shuffle carries the closing partial agg); gaps are
+    exact µs integers before the double statistics."""
+    e = load_events(spark, sf_dir)
+    # µs epoch is order-isomorphic to ts, so the lag window sorts on it
+    w_seq = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        e.select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+        )
+        .withColumn("gap_s", (F.col("us") - F.lag("us").over(w_seq)) / 1e6)
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.stddev_pop("gap_s") / F.avg("gap_s"), 6).alias("cv"),
+            F.round(
+                (F.stddev_pop("gap_s") - F.avg("gap_s"))
+                / (F.stddev_pop("gap_s") + F.avg("gap_s")),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def markov_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov analysis of per-user event-type sequences:
+    transition counts (prev → next) and the per-state transition
+    entropy H(next | prev) in bits — how predictable each state's
+    continuation is (the sequence-compressibility signal next to
+    events_top_paths' raw trigrams).
+
+    Scale shape: one user-keyed lag window builds transitions, one
+    (prev, next) partial agg counts them; entropy terms are rounded
+    per-contribution IN the engine before the ≤states-sized sum so
+    group-sum order can't drift."""
+    e = load_events(spark, sf_dir)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w_seq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    scored = trans.select(
+        "prev_type",
+        "c",
+        F.round(
+            -(F.col("c") / F.sum("c").over(w_prev))
+            * F.log2(F.col("c") / F.sum("c").over(w_prev)),
+            9,
+        ).alias("h_term"),
+    )
+    return (
+        scored.groupBy("prev_type")
+        .agg(
+            F.sum("c").alias("n_trans"),
+            F.round(F.sum("h_term"), 6).alias("entropy_bits"),
+        )
+        .orderBy("prev_type")
+    )
+
+
 QUERIES = {
     "auc_roc": auc_roc,
     "acf_lags": acf_lags,
     "theil_sen": theil_sen,
+    "corr_matrix": corr_matrix,
+    "spearman_corr": spearman_corr,
+    "mann_kendall": mann_kendall,
+    "interarrival_stats": interarrival_stats,
+    "markov_transition_entropy": markov_transition_entropy,
     "events_json": events_json,
     "events_gap_fill": events_gap_fill,
     "ewma_value": ewma_value,
@@ -1339,6 +1576,143 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "corr_matrix": """
+        WITH feats AS (
+            SELECT value AS f_value,
+                   CAST(hour(ts) AS DOUBLE) AS f_hod,
+                   CAST(dayofweek(ts) + 1 AS DOUBLE) AS f_dow,
+                   CAST(length(props) AS DOUBLE) AS f_plen
+            FROM events
+        ), one AS (
+            SELECT count(*) AS n,
+                   round(corr(f_value, f_hod), 6) AS c1,
+                   round(corr(f_value, f_dow), 6) AS c2,
+                   round(corr(f_value, f_plen), 6) AS c3,
+                   round(corr(f_hod, f_dow), 6) AS c4,
+                   round(corr(f_hod, f_plen), 6) AS c5,
+                   round(corr(f_dow, f_plen), 6) AS c6
+            FROM feats
+        )
+        SELECT 'f_value' AS feat_x, 'f_hod' AS feat_y, c1 AS corr, n
+        FROM one
+        UNION ALL SELECT 'f_value', 'f_dow', c2, n FROM one
+        UNION ALL SELECT 'f_value', 'f_plen', c3, n FROM one
+        UNION ALL SELECT 'f_hod', 'f_dow', c4, n FROM one
+        UNION ALL SELECT 'f_hod', 'f_plen', c5, n FROM one
+        UNION ALL SELECT 'f_dow', 'f_plen', c6, n FROM one
+        ORDER BY feat_x, feat_y
+    """,
+    "spearman_corr": """
+        WITH base AS (
+            SELECT event_type, value AS v,
+                   CAST(hour(ts) AS DOUBLE) AS hd
+            FROM events
+        ), ranked AS (
+            SELECT event_type,
+                   rank() OVER (PARTITION BY event_type ORDER BY v)
+                   + (count(*) OVER (PARTITION BY event_type, v) - 1)
+                     / 2e0 AS rx,
+                   rank() OVER (PARTITION BY event_type ORDER BY hd)
+                   + (count(*) OVER (PARTITION BY event_type, hd) - 1)
+                     / 2e0 AS ry
+            FROM base
+        ), agg AS (
+            SELECT event_type, count(*) AS n,
+                   sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                   sum(rx * ry) AS sxy
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx)
+                            * (n * syy - sy * sy)), 6) AS spearman_rho
+        FROM agg ORDER BY event_type
+    """,
+    "mann_kendall": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   round(avg(value), 6) AS m
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT a.event_type,
+                   CAST(sum(sign(b.m - a.m)) AS BIGINT) AS s_stat
+            FROM daily a
+            JOIN daily b ON b.event_type = a.event_type AND a.d < b.d
+            GROUP BY 1
+        ), nd AS (
+            SELECT event_type, count(*) AS n_days
+            FROM daily GROUP BY 1
+        ), ties AS (
+            SELECT event_type,
+                   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_corr
+            FROM (SELECT event_type, m, count(*) AS t
+                  FROM daily GROUP BY 1, 2)
+            GROUP BY 1
+        ), v AS (
+            SELECT s.event_type, nd.n_days, s.s_stat,
+                   round((nd.n_days * (nd.n_days - 1)
+                          * (2 * nd.n_days + 5) - ties.tie_corr)
+                         / 18e0, 4) AS var_s
+            FROM s JOIN nd USING (event_type)
+            JOIN ties USING (event_type)
+        ), z AS (
+            SELECT event_type, n_days, s_stat, var_s,
+                   round(CASE WHEN s_stat > 0
+                              THEN (s_stat - 1) / sqrt(var_s)
+                              WHEN s_stat < 0
+                              THEN (s_stat + 1) / sqrt(var_s)
+                              ELSE 0e0 END, 6) AS z_stat
+            FROM v
+        )
+        SELECT event_type, n_days, s_stat, var_s, z_stat,
+               CASE WHEN abs(z_stat) > 1.96
+                    THEN CASE WHEN s_stat > 0 THEN 'increasing'
+                              ELSE 'decreasing' END
+                    ELSE 'no-trend' END AS trend
+        FROM z ORDER BY event_type
+    """,
+    "interarrival_stats": """
+        WITH gaps AS (
+            SELECT event_type,
+                   (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id))
+                   / 1e6 AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_gaps,
+               round(avg(gap_s), 6) AS mean_gap_s,
+               round(stddev_pop(gap_s) / avg(gap_s), 6) AS cv,
+               round((stddev_pop(gap_s) - avg(gap_s))
+                     / (stddev_pop(gap_s) + avg(gap_s)), 6) AS burstiness
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "markov_transition_entropy": """
+        WITH trans AS (
+            SELECT prev_type, event_type, count(*) AS c
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT prev_type, c,
+                   round(-(c / sum(c) OVER (PARTITION BY prev_type))
+                         * log2(c / sum(c) OVER (PARTITION BY prev_type)),
+                         9) AS h_term
+            FROM trans
+        )
+        SELECT prev_type, CAST(sum(c) AS BIGINT) AS n_trans,
+               round(sum(h_term), 6) AS entropy_bits
+        FROM scored GROUP BY prev_type ORDER BY prev_type
+    """,
     "auc_roc": """
         WITH scored AS (
             SELECT round(value, 4) AS s,

@@ -388,7 +388,54 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_LAGS = (1, 17, 101)
+
+
+def cosine_pair_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space geometry diagnostic: the cosine-similarity
+    distribution over a deterministic pair sample (lagged pairs
+    vec_id ↔ vec_id+k for k ∈ {1, 17, 101}), reported as a 20-bin
+    histogram over [-1, 1] — the hubness / anisotropy check run
+    before trusting any ANN index on a new embedding model.
+
+    Scale shape: the lag fan-out is a per-row explode (3 probes per
+    vector), the pair join is an integer equi-join, and the histogram
+    is one bounded partial agg. Cosines use the same sequential JVM
+    fold as the oracle's list_sum, so bin assignment is bit-exact."""
+    e = _emb(spark, sf_dir)
+    probes = e.select(
+        F.col("vec_id").alias("aid"),
+        F.col("emb").alias("ea"),
+        F.explode(
+            F.array(*[F.lit(k) for k in _PAIR_LAGS])).alias("k"),
+    ).withColumn("bid", F.col("aid") + F.col("k"))
+    b = e.select(F.col("vec_id").alias("bid"), F.col("emb").alias("eb"))
+    cos = F.expr(_COS_EXPR.format(a="ea", b="eb"))
+    binned = (
+        probes.join(b, "bid")
+        .select(
+            F.least(F.lit(19), F.floor((cos + 1) * 10)).alias("bin"),
+            cos.alias("c"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("c"), 6).alias("avg_cos"),
+        )
+        .select(
+            "bin",
+            (F.round(F.col("bin") / 10.0 - 1, 1)).alias("bin_lo"),
+            "n_pairs",
+            "avg_cos",
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
+    "cosine_pair_hist": cosine_pair_hist,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_lsh_buckets": ann_lsh_buckets,
@@ -417,6 +464,25 @@ _LSH_BIT_SQL = " || ".join(
 ).format(dim=DIM)
 
 ORACLE: dict[str, str] = {
+    "cosine_pair_hist": f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS aid, a.embedding AS ea, b.embedding AS eb
+            FROM embeddings a
+            CROSS JOIN (VALUES (1), (17), (101)) k(k)
+            JOIN embeddings b ON b.vec_id = a.vec_id + k.k
+        ), cosv AS (
+            SELECT {_COS_SQL.format(a="ea", b="eb", dim=DIM)} AS c
+            FROM pairs
+        ), binned AS (
+            SELECT CAST(least(19, floor((c + 1) * 10)) AS BIGINT) AS bin,
+                   c
+            FROM cosv
+        )
+        SELECT bin, round(bin / 10e0 - 1, 1) AS bin_lo,
+               count(*) AS n_pairs,
+               round(avg(c), 6) AS avg_cos
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
     "ann_bruteforce_topk": f"""
         SELECT e.vec_id,
                round({_COS_SQL.format(a="e.embedding", b="q.embedding", dim=DIM)}, 6)

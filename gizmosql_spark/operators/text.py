@@ -960,6 +960,50 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled ``lang`` vs the stopword
+    heuristic's prediction (shares lang_id's scoring), with each
+    cell's share of its labeled row — the classifier-evaluation view
+    (which languages the detector confuses) on top of the per-doc
+    lang_id output.
+
+    Scale shape: the per-doc scoring is the same single codegen scan
+    as lang_id; the confusion matrix is one (lang, pred) partial agg
+    and the row shares ride a window over the ≤|langs|² cells."""
+    d = _t(spark, sf_dir, "documents")
+    norm = _norm(F.col("text"))
+    scores = {
+        k: F.size(F.regexp_extract_all(norm, F.lit(v), 0)).cast("int")
+        for k, v in STOPWORDS.items()
+    }
+    scores["zh"] = F.length(
+        F.regexp_replace(norm, f"[^{_CJK}]", "")).cast("int")
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(scores["en"] == best, "en")
+        .when(scores["de"] == best, "de")
+        .when(scores["fr"] == best, "fr")
+        .when(scores["es"] == best, "es")
+        .otherwise("zh")
+    )
+    cells = (
+        d.select(F.col("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_row = Window.partitionBy("lang")
+    return (
+        cells.select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(w_row), 6)
+            .alias("row_share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
 _BM25_TERMS = ("spark", "join", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
@@ -1239,6 +1283,7 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "lang_confusion": lang_confusion,
     "bm25_topk": bm25_topk,
     "phrase_search": phrase_search,
     "ks_test_sources": ks_test_sources,
@@ -1286,6 +1331,44 @@ _POIS1_CASE = " ".join(
 )
 
 ORACLE: dict[str, str] = {
+    "lang_confusion": f"""
+        WITH s AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(the|a|of|and|to|in|is)\\b')) AS INTEGER)
+                       AS en_score,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(der|die|das|und|ist|ein|zu)\\b')) AS INTEGER)
+                       AS de_score,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(le|les|et|est|une|dans|pour)\\b')) AS INTEGER)
+                       AS fr_score,
+                   CAST(len(regexp_extract_all({_NORM_SQL},
+                        '\\b(el|los|y|es|una|en|por)\\b')) AS INTEGER)
+                       AS es_score,
+                   CAST(length(regexp_replace({_NORM_SQL},
+                        '[^{_CJK}]', '', 'g')) AS INTEGER) AS zh_score
+            FROM documents
+        ), preds AS (
+            SELECT lang,
+                   CASE WHEN en_score = greatest(en_score, de_score,
+                             fr_score, es_score, zh_score) THEN 'en'
+                        WHEN de_score = greatest(en_score, de_score,
+                             fr_score, es_score, zh_score) THEN 'de'
+                        WHEN fr_score = greatest(en_score, de_score,
+                             fr_score, es_score, zh_score) THEN 'fr'
+                        WHEN es_score = greatest(en_score, de_score,
+                             fr_score, es_score, zh_score) THEN 'es'
+                        ELSE 'zh' END AS pred_lang
+            FROM s
+        ), cells AS (
+            SELECT lang, pred_lang, count(*) AS n
+            FROM preds GROUP BY 1, 2
+        )
+        SELECT lang, pred_lang, n,
+               round(n / sum(n) OVER (PARTITION BY lang), 6) AS row_share
+        FROM cells ORDER BY lang, pred_lang
+    """,
     "bm25_topk": f"""
         WITH toks AS (
             SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
