@@ -452,6 +452,135 @@ def _find_top_level(masked: str, keyword: str, start: int = 0) -> int | None:
     return None
 
 
+_CREATE_MACRO_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?MACRO\s+"
+    r"([A-Za-z_]\w*)\s*\(",
+    re.IGNORECASE,
+)
+_DROP_MACRO_RE = re.compile(
+    r"^\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_create_macro(sql: str):
+    """DuckDB ``CREATE [OR REPLACE] [TEMP] MACRO name(params) AS
+    [TABLE] body`` → (name, params, defaults, body, is_table, replace)
+    or None. Macros are bind-time textual templates in DuckDB
+    (macro_function.cpp semantics) — parameters are untyped, so the
+    engine expands call sites textually rather than declaring typed
+    SQL UDFs. Defaults use ``p := expr``."""
+    m = _CREATE_MACRO_RE.match(sql)
+    if m is None:
+        return None
+    name, replace = m.group(2), bool(m.group(1))
+    # balanced-paren parameter list
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unterminated MACRO parameter list")
+    raw_params = sql[m.end():i - 1]
+    rest = sql[i:].strip()
+    mm = re.match(r"AS\s+(TABLE\s+)?(.*)$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    if mm is None:
+        raise ValueError("MACRO requires AS <expression>")
+    is_table = bool(mm.group(1))
+    body = mm.group(2).strip().rstrip(";").strip()
+    params, defaults = [], {}
+    for p in _split_top_level_commas(raw_params):
+        p = p.strip()
+        if not p:
+            continue
+        dm = re.match(r"([A-Za-z_]\w*)\s*:=\s*(.+)$", p, re.DOTALL)
+        if dm:
+            params.append(dm.group(1))
+            defaults[dm.group(1)] = dm.group(2).strip()
+        else:
+            if not re.fullmatch(r"[A-Za-z_]\w*", p):
+                raise ValueError(f"bad MACRO parameter {p!r}")
+            params.append(p)
+    return name, params, defaults, body, is_table, replace
+
+
+def parse_drop_macro(sql: str):
+    """``DROP MACRO [IF EXISTS] name`` → (name, if_exists) or None."""
+    m = _DROP_MACRO_RE.match(sql)
+    if m is None:
+        return None
+    return m.group(2), bool(m.group(1))
+
+
+_MACRO_MAX_DEPTH = 8
+
+
+def expand_macros(sql: str, macros: dict) -> str:
+    """Expand registered macro invocations textually (DuckDB binds
+    macros as templates the same way). Handles nested parens in
+    arguments, named ``p := v`` arguments, defaults, and
+    macro-calling-macro up to a fixed depth; skips occurrences inside
+    string literals."""
+    for _ in range(_MACRO_MAX_DEPTH):
+        replaced = False
+        for name, (params, defaults, body, _is_table) in macros.items():
+            pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+            pos = 0
+            while True:
+                masked = _mask_literals(sql)
+                m = pat.search(masked, pos)
+                if m is None:
+                    break
+                # parse balanced argument list
+                depth, i = 1, m.end()
+                while i < len(sql) and depth:
+                    if masked[i] == "(":
+                        depth += 1
+                    elif masked[i] == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    break
+                args = [
+                    a.strip()
+                    for a in _split_top_level_commas(sql[m.end():i - 1])
+                    if a.strip()
+                ]
+                named, positional = {}, []
+                for a in args:
+                    am = re.match(
+                        r"([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+                    if am and am.group(1) in params:
+                        named[am.group(1)] = am.group(2).strip()
+                    else:
+                        positional.append(a)
+                bound = dict(defaults) | named
+                free = [p for p in params if p not in named]
+                if len(positional) > len(free):
+                    raise ValueError(
+                        f"macro {name} got too many arguments")
+                for p, a in zip(free, positional):
+                    bound[p] = a
+                missing = [p for p in params if p not in bound]
+                if missing:
+                    raise ValueError(
+                        f"macro {name} missing argument(s) {missing}")
+                expansion = body
+                for p in sorted(params, key=len, reverse=True):
+                    expansion = re.sub(
+                        rf"\b{re.escape(p)}\b", f"({bound[p]})", expansion)
+                sql = f"{sql[:m.start()]}({expansion}){sql[i:]}"
+                pos = m.start() + 1
+                replaced = True
+        if not replaced:
+            return sql
+    raise ValueError("macro expansion exceeded max depth (cycle?)")
+
+
 _ASOF_RE = re.compile(
     r"\bASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_][\w.]*)"
     r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\b",

@@ -207,6 +207,9 @@ class Engine:
 
         self.secrets = SecretsManager(
             store_dir=os.path.join(warehouse_dir(self.spark), "_secrets"))
+        #: DuckDB-style macros: lower-name → (params, defaults, body,
+        #: is_table); expanded textually at bind time (dialect.py)
+        self.macros: dict[str, tuple] = {}
         self.reattach()
         #: captured execution profiles (engine.capture_query_profile;
         #: the reference harvests DuckDB's JSON profile per execution,
@@ -579,6 +582,36 @@ class Engine:
                 "update", affected_rows=0,
                 info={"secret": sname,
                       "action": "drop" if dropped else "noop"})
+
+        if "MACRO" in sql.upper():
+            from gizmosql_spark.dialect import (
+                parse_create_macro,
+                parse_drop_macro,
+            )
+
+            cm = parse_create_macro(sql)
+            if cm is not None:
+                name, params, defaults, body, is_table, replace = cm
+                key = name.lower()
+                if key in self.macros and not replace:
+                    raise ValueError(f"macro {name} already exists")
+                self.macros[key] = (params, defaults, body, is_table)
+                return StatementResult(
+                    "update", affected_rows=0,
+                    info={"macro": name, "action": "create"})
+            dm = parse_drop_macro(sql)
+            if dm is not None:
+                name, if_exists = dm
+                if name.lower() not in self.macros and not if_exists:
+                    raise ValueError(f"macro {name} does not exist")
+                self.macros.pop(name.lower(), None)
+                return StatementResult(
+                    "update", affected_rows=0,
+                    info={"macro": name, "action": "drop"})
+        if self.macros:
+            from gizmosql_spark.dialect import expand_macros
+
+            sql = expand_macros(sql, self.macros)
 
         summarize_target = parse_summarize(sql)
         if summarize_target is not None:

@@ -303,3 +303,69 @@ def test_asof_join_matches_duckdb(spark):
         assert got == want, sql
     con.close()
     eng.close_session(sid)
+
+
+def test_create_macro_matches_duckdb(spark):
+    """DuckDB CREATE MACRO dialect-ism: the IDENTICAL statements run
+    through the engine (bind-time textual expansion) and natively in
+    DuckDB — scalar macros, defaults (:=), named arguments, nesting,
+    and table macros."""
+    import duckdb
+
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    con = duckdb.connect()
+    eng.execute_sql(
+        sid, "CREATE OR REPLACE TEMP VIEW m_nums AS"
+             " SELECT * FROM VALUES (1, 10.0), (2, 20.0), (3, 35.0)"
+             " AS t(k, amt)")
+    con.execute("CREATE TABLE m_nums AS SELECT * FROM (VALUES"
+                " (1, 10.0), (2, 20.0), (3, 35.0)) t(k, amt)")
+    stmts = [
+        "CREATE MACRO with_tax(x, rate := 0.2) AS x * (1 + rate)",
+        "CREATE MACRO clamp2(v, lo, hi) AS least(greatest(v, lo), hi)",
+        # macro calling macro
+        "CREATE MACRO taxed_clamp(v) AS clamp2(with_tax(v), 12.0, 30.0)",
+        "CREATE MACRO big_nums() AS TABLE"
+        " SELECT k, amt FROM m_nums WHERE amt > 15",
+    ]
+    for s in stmts:
+        eng.execute_sql(sid, s)
+        con.execute(s)
+    cases = [
+        "SELECT k, with_tax(amt) AS t1,"
+        " with_tax(amt, rate := 0.5) AS t2,"
+        " taxed_clamp(amt) AS t3 FROM m_nums ORDER BY k",
+        "SELECT * FROM big_nums() ORDER BY k",
+    ]
+    for sql in cases:
+        got = [tuple(float(v) if isinstance(v, float) else v for v in r)
+               for r in eng.collect(sid, eng.execute_sql(sid, sql))]
+        want = [tuple(float(v) for v in r) for r in con.execute(sql).fetchall()]
+        assert got == want, sql
+    # DROP MACRO removes the template
+    eng.execute_sql(sid, "DROP MACRO taxed_clamp")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.collect(sid, eng.execute_sql(
+            sid, "SELECT taxed_clamp(amt) FROM m_nums"))
+    con.close()
+    eng.close_session(sid)
+
+
+def test_from_first_syntax(spark):
+    """DuckDB's FROM-first forms (`FROM t SELECT …`, bare `FROM t`)
+    run natively on Spark 4 — pinned so the parity surface stays."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "FROM range(3) SELECT id * 2 AS v ORDER BY v"))
+    assert [r["v"] for r in rows] == [0, 2, 4]
+    rows = eng.collect(sid, eng.execute_sql(sid, "FROM range(2)"))
+    assert [r["id"] for r in rows] == [0, 1]
+    eng.close_session(sid)
