@@ -1214,23 +1214,23 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rk = Window.orderBy("m", "b")
     ranked = rep_means.select("m", F.row_number().over(w_rk).alias("rk"))
     lo_rk, hi_rk = 5, _BOOT_B - 4
+    # ONE pass over the B-row ranked frame yields both order statistics
+    # and the SE — the replicate pipeline (the corpus scan) runs once,
+    # not once per output column
+    boot = ranked.agg(
+        F.round(F.min(F.when(F.col("rk") == lo_rk, F.col("m"))), 6)
+        .alias("ci_lo"),
+        F.round(F.min(F.when(F.col("rk") == hi_rk, F.col("m"))), 6)
+        .alias("ci_hi"),
+        F.round(F.stddev_pop("m"), 6).alias("boot_se"),
+        F.count(F.lit(1)).alias("n_reps"),
+    )
     base = d.agg(
         F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("mean_len"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    return (
-        base.crossJoin(
-            ranked.filter(F.col("rk") == lo_rk)
-            .select(F.round("m", 6).alias("ci_lo")))
-        .crossJoin(
-            ranked.filter(F.col("rk") == hi_rk)
-            .select(F.round("m", 6).alias("ci_hi")))
-        .crossJoin(
-            rep_means.agg(
-                F.round(F.stddev_pop("m"), 6).alias("boot_se"),
-                F.count(F.lit(1)).alias("n_reps")))
-        .select("mean_len", "ci_lo", "ci_hi", "boot_se", "n_docs", "n_reps")
-    )
+    return base.crossJoin(boot).select(
+        "mean_len", "ci_lo", "ci_hi", "boot_se", "n_docs", "n_reps")
 
 
 def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -424,3 +424,62 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
 
     plan = scale.bloom_join_plan(spark, sf_dir)
     assert "might_contain" in plan
+
+
+def test_bm25_no_corpus_cross_join(spark, sf_dir):
+    """BM25: the query-term filter must collapse the token stream
+    before any join; df/stats sides broadcast; no cartesian/BNLJ."""
+    from gizmosql_spark.operators import text
+
+    import re
+
+    plan = _plan(text.bm25_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join allowed is the 1-row scalar attach
+    # (broadcast cross of the N/avgdl stats row)
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_phrase_search_filters_before_join(spark, sf_dir):
+    """Phrase search: both join inputs must be filtered to the phrase
+    terms (postings), never the full token stream."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.phrase_search(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the tok = 'hash' / 'join' filters sit under the join
+    assert plan.count("Filter") >= 2
+
+
+def test_auc_roc_single_scan_no_joins(spark, sf_dir):
+    """AUC: one scan, score-bounded agg + window, no joins."""
+    from gizmosql_spark.operators import events
+
+    plan = _plan(events.auc_roc(spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_corr_matrix_one_wide_agg_no_joins(spark, sf_dir):
+    """Correlation matrix: all pair moments in ONE aggregate pass."""
+    from gizmosql_spark.operators import events
+
+    plan = _plan(events.corr_matrix(spark, sf_dir))
+    assert "Join" not in plan
+    assert "partial_corr" in plan or "partial_" in plan
+
+
+def test_bootstrap_single_scan(spark, sf_dir):
+    """Poisson bootstrap: the corpus scans once (explode ×B), no
+    joins on the corpus side before the B-row frame."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.bootstrap_ci_mean(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) <= 2  # replicate pass + the base-mean pass
