@@ -137,7 +137,8 @@ def classify_command(sql: str):
 #: convention, duckdb_statement.cpp:2341-2380 — Spark returns no count,
 #: so the engine measures the target table instead)
 _DML_TARGET_RE = re.compile(
-    r"^\s*(?:INSERT\s+(?:INTO|OVERWRITE)(?:\s+TABLE)?|DELETE\s+FROM"
+    r"^\s*(?:INSERT\s+(?:OR\s+REPLACE\s+)?(?:INTO|OVERWRITE)(?:\s+TABLE)?"
+    r"|DELETE\s+FROM"
     r"|UPDATE|MERGE\s+INTO)\s+([A-Za-z_][\w.]*|`[^`]+`)",
     re.IGNORECASE,
 )
@@ -450,6 +451,97 @@ def _find_top_level(masked: str, keyword: str, start: int = 0) -> int | None:
                 return i
         i += 1
     return None
+
+
+_UPSERT_RE = re.compile(
+    r"^\s*INSERT\s+(OR\s+REPLACE\s+)?INTO\s+([A-Za-z_][\w.]*)"
+    r"\s*(?:\(([^)]*)\))?\s*(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_CONFLICT_RE = re.compile(
+    r"\sON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+"
+    r"(NOTHING|UPDATE\s+SET\s+(.*))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_insert_upsert(sql: str, spark, pk_of) -> str:
+    """DuckDB upsert forms → MERGE INTO (executed by dml.apply_merge):
+
+    - ``INSERT OR REPLACE INTO t …`` — conflict target = t's declared
+      primary key; the whole row image is replaced (unspecified
+      columns become NULL, DuckDB insert-or-replace semantics)
+    - ``INSERT INTO t … ON CONFLICT [(cols)] DO UPDATE SET a =
+      excluded.a`` — ``excluded`` is the candidate row (→ src)
+    - ``… ON CONFLICT [(cols)] DO NOTHING`` — matched rows keep their
+      target image
+
+    ``pk_of(table)`` supplies declared key columns when the conflict
+    target is implicit. Plain INSERTs pass through unchanged."""
+    m = _UPSERT_RE.match(sql)
+    if m is None:
+        return sql
+    or_replace, table, col_list, source = m.groups()
+    oc = _ON_CONFLICT_RE.search(_mask_literals(sql))
+    if not or_replace and oc is None:
+        return sql
+    conflict_cols, action, set_clause = None, None, None
+    if oc is not None:
+        # slice from the ORIGINAL sql (masking only located it)
+        source = source[: oc.start() - m.start(4)]
+        conflict_cols = (
+            [c.strip() for c in oc.group(1).split(",")] if oc.group(1)
+            else None)
+        action = "nothing" if oc.group(2).upper() == "NOTHING" else "update"
+        set_clause = oc.group(3)
+    if conflict_cols is None:
+        conflict_cols = list(pk_of(table) or ())
+        if not conflict_cols:
+            raise ValueError(
+                f"upsert into {table} needs a declared PRIMARY KEY or an"
+                " explicit ON CONFLICT (columns) target")
+    source = source.strip().rstrip(";").strip()
+    if re.match(r"^VALUES\b", source, re.IGNORECASE):
+        source = f"SELECT * FROM ({source}) __v"
+    tgt_fields = [f.name for f in spark.table(table).schema.fields]
+    ins_cols = (
+        [c.strip().strip("`") for c in col_list.split(",")] if col_list
+        else tgt_fields)
+    src_names = spark.sql(source).columns
+    if len(src_names) != len(ins_cols):
+        raise ValueError(
+            f"upsert column count mismatch: {len(src_names)} vs"
+            f" {len(ins_cols)}")
+    proj = ", ".join(
+        f"__s.{s} AS {t}" for s, t in zip(src_names, ins_cols))
+    using = f"(SELECT {proj} FROM ({source}) __s)"
+    on = " AND ".join(f"tgt.{c} = src.{c}" for c in conflict_cols)
+    if or_replace:
+        sets = []
+        for c in tgt_fields:
+            if c in conflict_cols:
+                continue
+            sets.append(
+                f"{c} = src.{c}" if c in ins_cols
+                else f"{c} = CAST(NULL AS STRING)")
+        if not sets:  # key-only table: matched rows keep their image
+            pk = conflict_cols[0]
+            sets = [f"{pk} = tgt.{pk}"]
+        set_sql = ", ".join(sets)
+    elif action == "nothing":
+        pk = conflict_cols[0]
+        set_sql = f"{pk} = tgt.{pk}"
+    else:
+        set_sql = re.sub(
+            r"\bexcluded\.", "src.", set_clause, flags=re.IGNORECASE
+        ).strip()
+    ins_vals = ", ".join(f"src.{c}" for c in ins_cols)
+    return (
+        f"MERGE INTO {table} AS tgt USING {using} AS src ON {on}"
+        f" WHEN MATCHED THEN UPDATE SET {set_sql}"
+        f" WHEN NOT MATCHED THEN INSERT ({', '.join(ins_cols)})"
+        f" VALUES ({ins_vals})"
+    )
 
 
 _CREATE_MACRO_RE = re.compile(

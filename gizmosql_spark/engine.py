@@ -967,6 +967,15 @@ class Engine:
         if target is not None:
             from gizmosql_spark import dml
 
+            up = sql.upper()
+            if "OR REPLACE INTO" in up or "ON CONFLICT" in up:
+                from gizmosql_spark.dialect import rewrite_insert_upsert
+
+                sql = rewrite_insert_upsert(
+                    sql, st.spark,
+                    lambda t: self.system_catalog.registry.primary_keys
+                    .get(t.split(".")[-1].lower()))
+
             mrg = dml.parse_merge(sql)
             if mrg is not None:
                 if st.txn is not None:

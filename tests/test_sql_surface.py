@@ -369,3 +369,48 @@ def test_from_first_syntax(spark):
     rows = eng.collect(sid, eng.execute_sql(sid, "FROM range(2)"))
     assert [r["id"] for r in rows] == [0, 1]
     eng.close_session(sid)
+
+
+def test_upsert_matches_duckdb(spark):
+    """DuckDB upsert dialect-isms (INSERT OR REPLACE / ON CONFLICT DO
+    UPDATE / DO NOTHING) rewritten to MERGE: final table state equals
+    DuckDB running the IDENTICAL statements on a PK'd table."""
+    import duckdb
+
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "DROP TABLE IF EXISTS ups_t")
+    eng.execute_sql(
+        sid, "CREATE TABLE ups_t AS SELECT * FROM VALUES"
+             " (1, 'a', 10.0), (2, 'b', 20.0) AS t(k, tag, amt)")
+    eng.system_catalog.registry.declare_primary_key("ups_t", "k")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ups_t (k INT PRIMARY KEY, tag VARCHAR,"
+                " amt DECIMAL(5, 1))")
+    con.execute("INSERT INTO ups_t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+
+    stmts = [
+        "INSERT OR REPLACE INTO ups_t VALUES (2, 'B', 21.0), (3, 'c', 30.0)",
+        "INSERT INTO ups_t VALUES (1, 'x', 99.0), (4, 'd', 40.0)"
+        " ON CONFLICT DO NOTHING",
+        "INSERT INTO ups_t VALUES (3, 'C', 31.0), (5, 'e', 50.0)"
+        " ON CONFLICT (k) DO UPDATE SET tag = excluded.tag,"
+        " amt = excluded.amt + 0.5",
+    ]
+    for s in stmts:
+        eng.execute_sql(sid, s)
+        con.execute(s)
+    got = sorted(
+        (r["k"], r["tag"], float(r["amt"]))
+        for r in eng.collect(sid, eng.execute_sql(
+            sid, "SELECT k, tag, amt FROM ups_t")))
+    want = sorted(
+        (k, tag, float(amt))
+        for k, tag, amt in con.execute(
+            "SELECT k, tag, amt FROM ups_t").fetchall())
+    assert got == want
+    eng.execute_sql(sid, "DROP TABLE ups_t")
+    con.close()
+    eng.close_session(sid)
