@@ -453,6 +453,80 @@ def _find_top_level(masked: str, keyword: str, start: int = 0) -> int | None:
     return None
 
 
+_PIVOT_STMT_RE = re.compile(
+    r"^\s*PIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+([A-Za-z_]\w*)"
+    r"(?:\s+USING\s+(.+?))?(?:\s+GROUP\s+BY\s+(.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNPIVOT_STMT_RE = re.compile(
+    r"^\s*UNPIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+(.+?)"
+    r"(?:\s+INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def rewrite_pivot_statement(sql: str, spark) -> str:
+    """DuckDB's simplified ``PIVOT t ON col [USING aggs] [GROUP BY
+    cols]`` statement → standard Spark PIVOT. DuckDB detects the
+    pivot values with a bind-time DISTINCT scan (pivot.cpp) — the
+    rewrite does the identical probe, so both engines emit one column
+    per observed value in sorted order."""
+    m = _PIVOT_STMT_RE.match(sql)
+    if m is None:
+        return sql
+    table, on_col, using, group_by = m.groups()
+    using = (using or "count(*)").strip()
+    vals = [
+        r[0]
+        for r in spark.sql(
+            f"SELECT DISTINCT {on_col} FROM {table}"
+            f" WHERE {on_col} IS NOT NULL ORDER BY 1"
+        ).collect()
+    ]
+    if not vals:
+        raise ValueError(f"PIVOT ON {on_col}: no values")
+    quoted = ", ".join(
+        f"'{str(v).replace(chr(39), chr(39) * 2)}'"
+        if isinstance(v, str) else str(v)
+        for v in vals
+    )
+    if group_by:
+        # restrict the id columns: the inner projection keeps only the
+        # GROUP BY cols, the pivot col, and columns the aggs reference
+        cols = [f.name for f in spark.table(table).schema.fields]
+        used = {
+            c for c in cols
+            if re.search(rf"\b{re.escape(c)}\b", using, re.IGNORECASE)
+        }
+        keep = [c.strip() for c in group_by.split(",")] + [on_col] + [
+            c for c in cols
+            if c in used and c != on_col
+        ]
+        src = f"(SELECT {', '.join(dict.fromkeys(keep))} FROM {table})"
+    else:
+        src = table
+    return (
+        f"SELECT * FROM {src}"
+        f" PIVOT ({using} FOR {on_col} IN ({quoted}))"
+    )
+
+
+def rewrite_unpivot_statement(sql: str) -> str:
+    """DuckDB's ``UNPIVOT t ON c1, c2 [INTO NAME n VALUE v]`` →
+    standard Spark UNPIVOT (defaults: name/value)."""
+    m = _UNPIVOT_STMT_RE.match(sql)
+    if m is None:
+        return sql
+    table, on_cols, name_col, value_col = m.groups()
+    name_col = name_col or "name"
+    value_col = value_col or "value"
+    return (
+        f"SELECT * FROM {table}"
+        f" UNPIVOT ({value_col} FOR {name_col} IN ({on_cols}))"
+    )
+
+
 _UPSERT_RE = re.compile(
     r"^\s*INSERT\s+(OR\s+REPLACE\s+)?INTO\s+([A-Za-z_][\w.]*)"
     r"\s*(?:\(([^)]*)\))?\s*(.*)$",

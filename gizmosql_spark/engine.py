@@ -613,6 +613,16 @@ class Engine:
 
             sql = expand_macros(sql, self.macros)
 
+        up0 = sql.upper().lstrip()
+        if up0.startswith("PIVOT"):
+            from gizmosql_spark.dialect import rewrite_pivot_statement
+
+            sql = rewrite_pivot_statement(sql, st.spark)
+        elif up0.startswith("UNPIVOT"):
+            from gizmosql_spark.dialect import rewrite_unpivot_statement
+
+            sql = rewrite_unpivot_statement(sql)
+
         summarize_target = parse_summarize(sql)
         if summarize_target is not None:
             return StatementResult(

@@ -414,3 +414,43 @@ def test_upsert_matches_duckdb(spark):
     eng.execute_sql(sid, "DROP TABLE ups_t")
     con.close()
     eng.close_session(sid)
+
+
+def test_pivot_statement_matches_duckdb(spark):
+    """DuckDB's simplified PIVOT/UNPIVOT statements: identical SQL
+    through the engine (bind-time DISTINCT probe → Spark PIVOT) and
+    natively in DuckDB."""
+    import duckdb
+
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    seed = ("SELECT * FROM VALUES"
+            " ('us', 'a', 2024, 10.0), ('us', 'b', 2024, 12.0),"
+            " ('eu', 'a', 2024, 7.0), ('eu', 'a', 2025, 8.0),"
+            " ('us', 'b', 2025, 15.0) AS t(region, sku, yr, amt)")
+    eng.execute_sql(
+        sid, f"CREATE OR REPLACE TEMP VIEW pv_sales AS {seed}")
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE pv_sales AS {seed.replace(' AS t(', ' t(')}")
+
+    sql = ("PIVOT pv_sales ON yr USING sum(amt) GROUP BY region"
+           )
+    got = sorted(
+        tuple(None if v is None else float(v) if isinstance(v, float)
+              else v for v in r)
+        for r in eng.collect(sid, eng.execute_sql(sid, sql)))
+    want = sorted(
+        tuple(None if v is None else float(v) if v is not None and
+              not isinstance(v, str) else v for v in r)
+        for r in con.execute(sql).fetchall())
+    assert got == want, (got, want)
+
+    sql = "UNPIVOT pv_sales ON region, sku INTO NAME attr VALUE val"
+    got = sorted(map(tuple, (
+        r for r in eng.collect(sid, eng.execute_sql(sid, sql)))))
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert [g[-2:] for g in got] == [w[-2:] for w in want]
+    con.close()
+    eng.close_session(sid)
