@@ -1282,7 +1282,171 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimates of document length per source: the
+    plain mean next to the 10%-trimmed mean (drop the tail ranks) and
+    the winsorized mean (clamp the tails to the p10/p90 order
+    statistics) — the outlier-proof summary trio for corpus length
+    budgeting. Rank-based, so every number is a ratio of exact
+    integer sums.
+
+    Scale shape: one source-partitioned rank window; all three means
+    come out of a single conditional partial agg over the ranked
+    rows."""
+    d = _t(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_cnt = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w_src).alias("rk"),
+        F.count(F.lit(1)).over(w_cnt).alias("n"),
+    ).withColumn("cut", F.floor(F.col("n") / 10))
+    kept = (F.col("rk") > F.col("cut")) & (
+        F.col("rk") <= F.col("n") - F.col("cut"))
+    lo_v = F.min(F.when(kept, F.col("n_chars")))
+    hi_v = F.max(F.when(kept, F.col("n_chars")))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 6)
+            .alias("mean_len"),
+            F.round(
+                F.sum(F.when(kept, F.col("n_chars")))
+                / F.sum(F.when(kept, 1)), 6).alias("trimmed_mean"),
+            F.round(
+                (F.sum(F.when(kept, F.col("n_chars")))
+                 + F.max("cut") * lo_v + F.max("cut") * hi_v)
+                / F.count(F.lit(1)), 6).alias("winsorized_mean"),
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_TOP = 20
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing diagnostic: pairwise Jaccard overlap of each
+    source's top-20 vocabulary — which shards speak the same language
+    (near-1 overlap ⇒ redundant mixture weight, near-0 ⇒ domain
+    novelty). The source-level sibling of dedup's document tiers.
+
+    Scale shape: one wordcount shuffle to per-source counts, a rank
+    window over the vocabulary frame, then the pair join runs on the
+    sources×top-k frame (bounded); |union| = 2k − |∩| is closed-form
+    so only the intersection is ever joined."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rk = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    top = counts.select(
+        "source", "tok", F.row_number().over(w_rk).alias("rk")
+    ).filter(F.col("rk") <= _VOCAB_TOP)
+    a = top.select(F.col("source").alias("s1"), "tok")
+    b = top.select(F.col("source").alias("s2"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.select(
+            "s1",
+            "s2",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / (2 * _VOCAB_TOP - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(15)
+    )
+
+
+def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-agreement evaluation between two retrieval scorers for
+    the same query (BM25 vs raw term-frequency): overlap@k and
+    Spearman rho over the common documents — the metric pair used to
+    decide whether a cheaper ranker can replace an expensive one.
+
+    Scale shape: both rankings are top-k TakeOrdered frames; the
+    comparison joins two k-row frames. Rank arithmetic is exact
+    integers."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("raw_tf"))
+    )
+    k = 20
+    w_tf = Window.orderBy(F.desc("raw_tf"), "doc_id")
+    tf_top = tf.select(
+        "doc_id", F.row_number().over(w_tf).alias("rk_tf")
+    ).filter(F.col("rk_tf") <= k)
+    # BM25 ranking at k=20 (bm25_topk presents k=10; same formula)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf2 = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf2.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = F.round(
+        idf * F.col("tf") * (_BM25_K1 + 1)
+        / (F.col("tf") + _BM25_K1
+           * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))),
+        9,
+    )
+    scores = (
+        tf2.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
+    bm_top = scores.select(
+        "doc_id", F.row_number().over(w_bm).alias("rk_bm")
+    ).filter(F.col("rk_bm") <= k)
+    common = tf_top.join(bm_top, "doc_id")
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("rk_tf"), F.sum("rk_bm")
+    sxx = F.sum(F.col("rk_tf") * F.col("rk_tf"))
+    syy = F.sum(F.col("rk_bm") * F.col("rk_bm"))
+    sxy = F.sum(F.col("rk_tf") * F.col("rk_bm"))
+    rho = (
+        (n * sxy - sx * sy)
+        / F.sqrt(
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)).cast("double"))
+    )
+    return common.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_common"),
+        F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("overlap_at_k"),
+        F.round(rho, 6).alias("rank_rho"),
+    )
+
+
 QUERIES = {
+    "trimmed_stats": trimmed_stats,
+    "source_vocab_overlap": source_vocab_overlap,
+    "ranking_agreement": ranking_agreement,
     "lang_confusion": lang_confusion,
     "bm25_topk": bm25_topk,
     "phrase_search": phrase_search,
@@ -1331,6 +1495,118 @@ _POIS1_CASE = " ".join(
 )
 
 ORACLE: dict[str, str] = {
+    "trimmed_stats": """
+        WITH ranked AS (
+            SELECT source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents
+        ), c AS (
+            SELECT source, n_chars, rk, n,
+                   CAST(floor(n / 10) AS BIGINT) AS cut,
+                   (rk > floor(n / 10)
+                    AND rk <= n - floor(n / 10)) AS kept
+            FROM ranked
+        )
+        SELECT source, count(*) AS n_docs,
+               round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6)
+                   AS mean_len,
+               round(sum(CASE WHEN kept THEN n_chars END)
+                     / CAST(sum(CASE WHEN kept THEN 1 END) AS DOUBLE), 6)
+                   AS trimmed_mean,
+               round((sum(CASE WHEN kept THEN n_chars END)
+                      + max(cut) * min(CASE WHEN kept THEN n_chars END)
+                      + max(cut) * max(CASE WHEN kept THEN n_chars END))
+                     / CAST(count(*) AS DOUBLE), 6) AS winsorized_mean
+        FROM c GROUP BY source ORDER BY source
+    """,
+    "source_vocab_overlap": f"""
+        WITH counts AS (
+            SELECT source, tok, count(*) AS c FROM (
+                SELECT source,
+                       unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents)
+            GROUP BY source, tok
+        ), top AS (
+            SELECT source, tok FROM (
+                SELECT source, tok,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY c DESC, tok
+                       ) AS rk
+                FROM counts)
+            WHERE rk <= {_VOCAB_TOP}
+        )
+        SELECT a.source AS s1, b.source AS s2,
+               count(*) AS n_inter,
+               round(count(*)
+                     / CAST({2 * _VOCAB_TOP} - count(*) AS DOUBLE), 6)
+                   AS jaccard
+        FROM top a JOIN top b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY jaccard DESC, s1, s2 LIMIT 15
+    """,
+    "ranking_agreement": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ), tf_raw AS (
+            SELECT doc_id, count(*) AS raw_tf FROM toks
+            WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id
+        ), tf_top AS (
+            SELECT doc_id, rk_tf FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY raw_tf DESC, doc_id) AS rk_tf
+                FROM tf_raw) WHERE rk_tf <= 20
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ), tf2 AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks
+            WHERE tok IN ('spark', 'join', 'window')
+            GROUP BY doc_id, tok
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf2 GROUP BY tok
+        ), scored AS (
+            SELECT t.doc_id, round(sum(
+                       round(
+                           ln(1e0 + (s.n_docs - f.df + 0.5e0)
+                              / (f.df + 0.5e0))
+                           * t.tf * 2.2e0
+                           / (t.tf + 1.2e0
+                              * (1e0 - 0.75e0
+                                 + 0.75e0 * d.dl / s.avgdl)), 9)), 6)
+                       AS bm25
+            FROM tf2 t
+            JOIN dl d USING (doc_id)
+            JOIN dfreq f USING (tok)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        ), bm_top AS (
+            SELECT doc_id, rk_bm FROM (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id) AS rk_bm
+                FROM scored) WHERE rk_bm <= 20
+        ), common AS (
+            SELECT rk_tf, rk_bm FROM tf_top JOIN bm_top USING (doc_id)
+        )
+        SELECT 20 AS k,
+               count(*) AS n_common,
+               round(count(*) / 20e0, 6) AS overlap_at_k,
+               round((count(*) * sum(rk_tf * rk_bm)
+                      - sum(rk_tf) * sum(rk_bm))
+                     / sqrt(CAST((count(*) * sum(rk_tf * rk_tf)
+                                  - sum(rk_tf) * sum(rk_tf))
+                                 * (count(*) * sum(rk_bm * rk_bm)
+                                    - sum(rk_bm) * sum(rk_bm))
+                            AS DOUBLE)), 6) AS rank_rho
+        FROM common
+    """,
     "lang_confusion": f"""
         WITH s AS (
             SELECT lang,
