@@ -1532,7 +1532,51 @@ def markov_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 24-hour half-life decay rate (ln 2 / 24h); identical literal in
+#: the oracle so both engines evaluate the same exponent
+_DECAY_LAMBDA = __import__("math").log(2) / 24.0
+
+
+def decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed user engagement score: Σ value · exp(−λ·Δhours)
+    with a 24-hour half-life, anchored at the corpus max event time —
+    the recency-weighted feature that powers "current activity"
+    rankings without any windowing state.
+
+    Scale shape: the anchor is a 1-row broadcast; scoring is one scan
+    + one user partial agg (map-side combine); top-k presentation.
+    A 1-ulp libm exp() difference moves a term by ~1e-14, absorbed by
+    the 6-decimal rounding of the per-user sum."""
+    e = load_events(spark, sf_dir)
+    anchor = e.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_us"))
+    scored = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.exp(
+                -F.lit(_DECAY_LAMBDA)
+                * (
+                    F.col("max_us")
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
+                )
+                / 3.6e9
+            )
+        ).alias("contrib"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("contrib"), 6).alias("decayed_score"),
+        )
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "decayed_user_score": decayed_user_score,
     "auc_roc": auc_roc,
     "acf_lags": acf_lags,
     "theil_sen": theil_sen,
@@ -1576,6 +1620,21 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "decayed_user_score": f"""
+        WITH anchor AS (
+            SELECT max(epoch_us(ts)) AS max_us FROM events
+        ), scored AS (
+            SELECT user_id,
+                   value * exp(-{_DECAY_LAMBDA!r}
+                               * (a.max_us - epoch_us(ts)) / 3.6e9)
+                       AS contrib
+            FROM events CROSS JOIN anchor a
+        )
+        SELECT user_id, count(*) AS n_events,
+               round(sum(contrib), 6) AS decayed_score
+        FROM scored GROUP BY user_id
+        ORDER BY decayed_score DESC, user_id LIMIT 20
+    """,
     "corr_matrix": """
         WITH feats AS (
             SELECT value AS f_value,

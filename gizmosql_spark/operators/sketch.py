@@ -475,7 +475,87 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLL_DAYS = 3
+
+
+def hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-day distinct users via HLL register MERGING: daily
+    register tables merge by per-bucket max across the window — the
+    property that makes sketches the only viable sliding-window
+    COUNT(DISTINCT) at 100 TB (re-counting each window re-scans the
+    corpus; merging touches only day × m register rows).
+
+    Scale shape: one (day, bucket) partial agg builds the daily
+    registers; the rolling max rides a bucket-partitioned window over
+    the days × m grid (bounded); the exact check joins the bounded
+    days frame back to events once."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    bucket, rho = _bucket_rho(F.col("user_id"))
+    daily = (
+        e.select(day.alias("d"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    days = daily.select("d").distinct()
+    buckets = daily.select("bucket").distinct()
+    grid = days.crossJoin(buckets).join(daily, ["d", "bucket"], "left")
+    w_roll = (
+        Window.partitionBy("bucket")
+        .orderBy(F.datediff(F.col("d"), F.lit("2024-01-01")))
+        .rangeBetween(-(_ROLL_DAYS - 1), 0)
+    )
+    merged = grid.select(
+        "d", "bucket", F.max("m_j").over(w_roll).alias("mm"))
+    folded = (
+        merged.filter(F.col("mm").isNotNull())
+        .groupBy("d")
+        .agg(
+            F.sum(F.lit(1.0) / F.expr("cast(shiftleft(1L, mm) as double)"))
+            .alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            "d",
+            (F.col("s_present") + (F.lit(_M) - F.col("n_present")))
+            .alias("s"),
+            (F.lit(_M) - F.col("n_present")).alias("v"),
+        )
+    )
+    raw = F.lit(_ALPHA) * F.lit(float(_M * _M)) / F.col("s")
+    est = F.when(
+        (raw <= F.lit(2.5 * _M)) & (F.col("v") > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
+    ).otherwise(raw)
+    exact = (
+        days.alias("w")
+        .join(
+            e.select(day.alias("ed"), "user_id"),
+            (F.col("ed") <= F.col("w.d"))
+            & (F.col("ed") >= F.date_sub(F.col("w.d"), _ROLL_DAYS - 1)),
+        )
+        .groupBy(F.col("w.d").alias("d"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_roll"))
+    )
+    return (
+        folded.select("d", F.round(est, 4).alias("hll_estimate"))
+        .join(exact, "d")
+        .select(
+            F.col("d").alias("day"),
+            "hll_estimate",
+            "exact_roll",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_roll"))
+                / F.col("exact_roll") * 100.0, 4).alias("rel_error_pct"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
+    "hll_rolling_merge": hll_rolling_merge,
     "approx_distinct_hll": approx_distinct_hll,
     "dp_noisy_counts": dp_noisy_counts,
     "hll_by_group": hll_by_group,
@@ -635,7 +715,82 @@ _DP_U_SQL = (
     " event_type, user_decile)), 2, 1)) - 1)) / 256.0 - 0.5)"
 )
 
+def _hll_rolling_oracle() -> str:
+    hexv = "strpos('0123456789abcdef', {c}) - 1"
+    h1 = hexv.format(c="substr(h, 1, 1)")
+    h2 = hexv.format(c="substr(h, 2, 1)")
+    h3 = hexv.format(c="substr(h, 3, 1)")
+    fv = hexv.format(c="substr(tail, zeros + 1, 1)")
+    return f"""
+        WITH daily AS (
+            SELECT d, bucket, max(rho) AS m_j FROM (
+                SELECT d,
+                       (({h1}) * 256 + ({h2}) * 16 + ({h3})) % {_M}
+                           AS bucket,
+                       CASE WHEN zeros = 13 THEN 53
+                            ELSE zeros * 4 + (4 - CASE
+                                WHEN ({fv}) >= 8 THEN 4
+                                WHEN ({fv}) >= 4 THEN 3
+                                WHEN ({fv}) >= 2 THEN 2
+                                ELSE 1 END) + 1
+                       END AS rho
+                FROM (
+                    SELECT d, h, substr(h, 4, 13) AS tail,
+                           length(regexp_extract(substr(h, 4, 13),
+                                                 '^(0*)', 1)) AS zeros
+                    FROM (SELECT CAST(ts AS DATE) AS d,
+                                 md5(CAST(user_id AS VARCHAR)) AS h
+                          FROM events)
+                )
+            ) GROUP BY d, bucket
+        ), days AS (SELECT DISTINCT d FROM daily),
+        buckets AS (SELECT DISTINCT bucket FROM daily),
+        grid AS (
+            SELECT dy.d, b.bucket, da.m_j
+            FROM days dy CROSS JOIN buckets b
+            LEFT JOIN daily da
+              ON da.d = dy.d AND da.bucket = b.bucket
+        ), merged AS (
+            SELECT d, bucket,
+                   max(m_j) OVER (
+                       PARTITION BY bucket
+                       ORDER BY date_diff('day', DATE '2024-01-01', d)
+                       RANGE BETWEEN {_ROLL_DAYS - 1} PRECEDING
+                                 AND CURRENT ROW) AS mm
+            FROM grid
+        ), folded AS (
+            SELECT d,
+                   sum(1.0 / CAST(CAST(1 AS BIGINT) << mm AS DOUBLE))
+                       + ({_M} - count(*)) AS s,
+                   {_M} - count(*) AS v
+            FROM merged WHERE mm IS NOT NULL GROUP BY d
+        ), est AS (
+            SELECT d,
+                   CASE WHEN {_ALPHA!r}::DOUBLE * {float(_M * _M)!r}::DOUBLE
+                             / s <= {2.5 * _M!r}::DOUBLE AND v > 0
+                        THEN round({float(_M)!r}::DOUBLE
+                                   * ln({float(_M)!r}::DOUBLE / v), 4)
+                        ELSE round({_ALPHA!r}::DOUBLE
+                                   * {float(_M * _M)!r}::DOUBLE / s, 4)
+                   END AS hll_estimate
+            FROM folded
+        ), exact AS (
+            SELECT w.d,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS exact_roll
+            FROM days w JOIN events e
+              ON CAST(e.ts AS DATE) <= w.d
+             AND CAST(e.ts AS DATE) >= w.d - {_ROLL_DAYS - 1}
+            GROUP BY w.d
+        )
+        SELECT est.d AS day, est.hll_estimate, exact.exact_roll,
+               round(abs(hll_estimate - exact_roll)
+                     / exact_roll * 100.0, 4) AS rel_error_pct
+        FROM est JOIN exact USING (d) ORDER BY day
+    """
+
+
 ORACLE = {
+    "hll_rolling_merge": _hll_rolling_oracle(),
     "dp_noisy_counts": f"""
         WITH cells AS (
             SELECT event_type,
