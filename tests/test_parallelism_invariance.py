@@ -26,6 +26,13 @@ _INVARIANT_OPS = [
     "skyline_parts",
     "assoc_rules",
     "mutual_information",
+    # round-3 determinism devices: Poisson-bootstrap hash weights,
+    # integer-exact rank statistics, register merging, score decay
+    "bootstrap_ci_mean",
+    "auc_roc",
+    "spearman_corr",
+    "hll_rolling_merge",
+    "decayed_user_score",
 ]
 
 
