@@ -537,6 +537,9 @@ class Engine:
     _ACCESS_LOG_FN_RE = __import__("re").compile(
         r"\bengine_access_log\s*\(\s*\)", __import__("re").IGNORECASE
     )
+    _MACROS_FN_RE = __import__("re").compile(
+        r"\bengine_macros\s*\(\s*\)", __import__("re").IGNORECASE
+    )
     _EXPORT_DB_RE = __import__("re").compile(
         r"^\s*(EXPORT|IMPORT)\s+DATABASE\s+'([^']+)'\s*;?\s*$",
         __import__("re").IGNORECASE,
@@ -673,6 +676,22 @@ class Engine:
                 "session_id string, sql string, status string,"
                 " elapsed_ms double, at double",
             ).createOrReplaceTempView("engine_query_log")
+        if self._MACROS_FN_RE.search(sql):
+            # engine_macros() table function: registered macro
+            # templates (duckdb_functions() lists macros the same way)
+            sql = self._MACROS_FN_RE.sub("engine_macros", sql)
+            rows = [
+                (name, list(params), str(dict(defaults)), body,
+                 "table" if is_table else "scalar")
+                for name, (params, defaults, body, is_table)
+                in sorted(self.macros.items())
+            ] or [("", [], "", "", "")]
+            st.spark.createDataFrame(
+                rows,
+                "macro_name string, parameters array<string>,"
+                " defaults string, body string, macro_type string",
+            ).filter("macro_name <> ''").createOrReplaceTempView(
+                "engine_macros")
         if self._ACCESS_LOG_FN_RE.search(sql):
             # engine_access_log() table function: the per-call access
             # log (method/peer/identity/status/duration, redacted) as

@@ -454,3 +454,24 @@ def test_pivot_statement_matches_duckdb(spark):
     assert [g[-2:] for g in got] == [w[-2:] for w in want]
     con.close()
     eng.close_session(sid)
+
+
+def test_engine_macros_listing(spark):
+    """engine_macros() lists registered templates (duckdb_functions()
+    analog for macros)."""
+    from gizmosql_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    sid = eng.create_session(role="admin")
+    eng.execute_sql(sid, "CREATE MACRO m_list_probe(x) AS x * 2")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT macro_name, parameters, macro_type FROM"
+             " engine_macros() WHERE macro_name = 'm_list_probe'"))
+    assert [(r["macro_name"], list(r["parameters"]), r["macro_type"])
+            for r in rows] == [("m_list_probe", ["x"], "scalar")]
+    eng.execute_sql(sid, "DROP MACRO m_list_probe")
+    rows = eng.collect(sid, eng.execute_sql(
+        sid, "SELECT count(*) AS n FROM engine_macros()"
+             " WHERE macro_name = 'm_list_probe'"))
+    assert rows[0]["n"] == 0
+    eng.close_session(sid)
