@@ -480,7 +480,52 @@ def dedup_window_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: the verified MinHash-LSH
+    pairs rolled up by (source, source) — which shards copy from each
+    other (the mixture-level view a dedup report leads with: heavy
+    within-source dup is re-crawl noise, heavy CROSS-source dup means
+    double-weighted content).
+
+    Scale shape: reuses the persisted verified-pair frame; the source
+    attach is two broadcast joins of the doc→source map; the rollup
+    is a partial agg on the pairs frame."""
+    pairs = _lsh_pairs(spark, sf_dir).select("a_id", "b_id", "jaccard")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = (
+        pairs.join(
+            F.broadcast(src.withColumnRenamed("source", "sa")),
+            pairs["a_id"] == src["doc_id"],
+        )
+        .drop("doc_id")
+        .join(
+            F.broadcast(src.withColumnRenamed("source", "sb")),
+            pairs["b_id"] == src["doc_id"],
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("s1"),
+            F.greatest("sa", "sb").alias("s2"),
+            "jaccard",
+        )
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .select(
+            "s1", "s2", "n_pairs", "avg_jaccard",
+            F.when(F.col("s1") == F.col("s2"), "within")
+            .otherwise("cross").alias("relation"),
+        )
+        .orderBy(F.desc("n_pairs"), "s1", "s2")
+        .limit(15)
+    )
+
+
 QUERIES = {
+    "cross_source_dups": cross_source_dups,
     "dedup_exact": dedup_exact,
     "dedup_keeper_quality": dedup_keeper_quality,
     "dedup_clusters": dedup_clusters,
@@ -701,4 +746,49 @@ ORACLE["dedup_pair_classify"] = f"""
     FROM scored
     WHERE containment >= {_CONTAIN_MIN}
     ORDER BY a_id, b_id
+"""
+
+
+ORACLE["cross_source_dups"] = f"""
+    WITH {_SHINGLES_CTE},
+    minh AS (
+        SELECT doc_id,
+               {", ".join(f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(N_HASHES))}
+        FROM shingles GROUP BY doc_id),
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_idx, md5(h{2*b} || h{2*b+1}) AS band_key FROM minh"
+            for b in range(N_BANDS))}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id),
+    common AS (
+        SELECT c.a_id, c.b_id, count(*) AS cc
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.a_id
+        JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+        GROUP BY c.a_id, c.b_id),
+    pairs AS (
+        SELECT a_id, b_id,
+               CAST(cc AS DOUBLE) / (za.sz + zb.sz - cc) AS jaccard
+        FROM common
+        JOIN sizes za ON za.doc_id = a_id
+        JOIN sizes zb ON zb.doc_id = b_id
+        WHERE CAST(cc AS DOUBLE) / (za.sz + zb.sz - cc)
+              >= {JACCARD_THRESHOLD})
+    SELECT least(da.source, db.source) AS s1,
+           greatest(da.source, db.source) AS s2,
+           count(*) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard,
+           CASE WHEN least(da.source, db.source)
+                     = greatest(da.source, db.source)
+                THEN 'within' ELSE 'cross' END AS relation
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.a_id
+    JOIN documents db ON db.doc_id = pairs.b_id
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, s1, s2 LIMIT 15
 """

@@ -1443,7 +1443,47 @@ def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OOV_KS = (10, 20, 50, 100)
+
+
+def oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing curve: corpus OOV rate at top-k
+    vocabularies for k ∈ {10, 20, 50, 100} — the sweep that picks a
+    vocab size (vocab_oov_rate fixes one k per source; this is the
+    budget curve the sizing decision actually reads).
+
+    Scale shape: one wordcount shuffle; the sweep is conditional sums
+    over the VOCABULARY frame only (one rank window + one agg), and
+    the curve assembles via stack on a 1-row frame."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = counts.select("c", F.row_number().over(w).alias("rk"))
+    one = ranked.agg(
+        F.sum("c").alias("total"),
+        *[
+            F.sum(F.when(F.col("rk") > k, F.col("c"))).alias(f"oov_{k}")
+            for k in _OOV_KS
+        ],
+    )
+    stack = ", ".join(
+        f"{k}, round(oov_{k} / cast(total as double), 6)" for k in _OOV_KS)
+    return (
+        one.selectExpr(
+            "total",
+            f"stack({len(_OOV_KS)}, {stack}) AS (vocab_k, oov_rate)",
+        )
+        .select("vocab_k", "oov_rate", F.col("total").alias("total_tokens"))
+        .orderBy("vocab_k")
+    )
+
+
 QUERIES = {
+    "oov_curve": oov_curve,
     "trimmed_stats": trimmed_stats,
     "source_vocab_overlap": source_vocab_overlap,
     "ranking_agreement": ranking_agreement,
@@ -1495,6 +1535,29 @@ _POIS1_CASE = " ".join(
 )
 
 ORACLE: dict[str, str] = {
+    "oov_curve": f"""
+        WITH counts AS (
+            SELECT tok, count(*) AS c FROM (
+                SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+                FROM documents)
+            GROUP BY tok
+        ), ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+            FROM counts
+        ), one AS (
+            SELECT sum(c) AS total,
+                   {", ".join(
+                       f"sum(CASE WHEN rk > {k} THEN c END) AS oov_{k}"
+                       for k in _OOV_KS)}
+            FROM ranked
+        )
+        {" UNION ALL ".join(
+            f"SELECT {k} AS vocab_k,"
+            f" round(oov_{k} / CAST(total AS DOUBLE), 6) AS oov_rate,"
+            f" CAST(total AS BIGINT) AS total_tokens FROM one"
+            for k in _OOV_KS)}
+        ORDER BY vocab_k
+    """,
     "trimmed_stats": """
         WITH ranked AS (
             SELECT source, n_chars,

@@ -1088,7 +1088,70 @@ def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
+_CONTRASTIVE_ANCHORS = 20
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: for each
+    anchor document, a deterministic RANDOM negative (hash-race over
+    other-source docs — the easy negative) and a HARD negative (same
+    source, closest length, the near-miss that actually shapes the
+    margin). The pair-building pass every contrastive/triplet-loss
+    dataset needs.
+
+    Scale shape: anchors are a bounded broadcast frame; both
+    negatives come from ONE corpus scan with two conditional
+    string-min partial aggs per anchor (no per-anchor sorts, no
+    self-join). Keys are md5/zero-padded composites, so the argmin is
+    a portable lexicographic min."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    anchors = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .orderBy("doc_id")
+        .limit(_CONTRASTIVE_ANCHORS)
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("a_source"),
+            F.col("n_chars").alias("a_len"),
+        )
+    )
+    joined = d.crossJoin(F.broadcast(anchors)).filter(
+        F.col("doc_id") != F.col("anchor_id"))
+    rand_key = F.concat(
+        F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("doc_id"))),
+        F.lit(":"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+    )
+    hard_key = F.concat(
+        F.lpad(F.abs(F.col("n_chars") - F.col("a_len")).cast("string"),
+               8, "0"),
+        F.lit(":"),
+        F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+    )
+    picked = joined.groupBy("anchor_id", "a_source").agg(
+        F.min(F.when(F.col("source") != F.col("a_source"), rand_key))
+        .alias("rand_k"),
+        F.min(F.when(F.col("source") == F.col("a_source"), hard_key))
+        .alias("hard_k"),
+    )
+    return (
+        picked.select(
+            "anchor_id",
+            "a_source",
+            F.split(F.col("rand_k"), ":").getItem(1).cast("bigint")
+            .alias("rand_neg_id"),
+            F.split(F.col("hard_k"), ":").getItem(1).cast("bigint")
+            .alias("hard_neg_id"),
+            F.split(F.col("hard_k"), ":").getItem(0).cast("int")
+            .alias("hard_len_gap"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
 QUERIES = {
+    "contrastive_pairs": contrastive_pairs,
     "kcore_graph": kcore_graph,
     "decontaminate_ngram": decontaminate_ngram,
     "length_batch_plan": length_batch_plan,
@@ -1245,6 +1308,39 @@ _PCA_ORACLE = f"""
 
 
 ORACLE = {
+    "contrastive_pairs": f"""
+        WITH anchors AS (
+            SELECT doc_id AS anchor_id, source AS a_source,
+                   n_chars AS a_len
+            FROM documents WHERE doc_id % 25 = 0
+            ORDER BY doc_id LIMIT {_CONTRASTIVE_ANCHORS}
+        ), joined AS (
+            SELECT a.anchor_id, a.a_source, a.a_len,
+                   d.doc_id, d.source, d.n_chars
+            FROM documents d CROSS JOIN anchors a
+            WHERE d.doc_id <> a.anchor_id
+        ), picked AS (
+            SELECT anchor_id, a_source,
+                   min(CASE WHEN source <> a_source THEN
+                       md5(CAST(anchor_id AS VARCHAR) || ':'
+                           || CAST(doc_id AS VARCHAR))
+                       || ':' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                       END) AS rand_k,
+                   min(CASE WHEN source = a_source THEN
+                       lpad(CAST(abs(n_chars - a_len) AS VARCHAR), 8, '0')
+                       || ':' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                       END) AS hard_k
+            FROM joined GROUP BY 1, 2
+        )
+        SELECT anchor_id, a_source,
+               CAST(string_split(rand_k, ':')[2] AS BIGINT)
+                   AS rand_neg_id,
+               CAST(string_split(hard_k, ':')[2] AS BIGINT)
+                   AS hard_neg_id,
+               CAST(string_split(hard_k, ':')[1] AS INTEGER)
+                   AS hard_len_gap
+        FROM picked ORDER BY anchor_id
+    """,
     "kcore_graph": """
         WITH os_ AS (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
