@@ -195,7 +195,16 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
 
     t = _bucket_table_name(sf_dir, "events_bydate")
     if spark.catalog.tableExists(t):
-        return t
+        # trust the table only if event_date is really registered as a
+        # partition column — a same-named unpartitioned leftover (e.g.
+        # from an interrupted write) would silently disable partition
+        # pruning and DPP for every query downstream
+        if any(
+            c.name == "event_date" and c.isPartition
+            for c in spark.catalog.listColumns(t)
+        ):
+            return t
+        spark.sql(f"DROP TABLE {t}")
     import shutil
 
     shutil.rmtree(_warehouse_path(spark, t), ignore_errors=True)

@@ -284,6 +284,11 @@ def test_dpp_join_prunes_dynamically(spark, sf_dir):
     filtered date dim — no literal date appears in the query."""
     from gizmosql_spark.operators import scale
 
+    # cached-plan substitution from any earlier test would swap the
+    # partitioned parquet scan for an InMemoryRelation, which cannot
+    # carry partition filters — clear it so the assertion tests DPP,
+    # not the suite's cache state
+    spark.catalog.clearCache()
     plan = _plan(scale.dpp_join(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
 
