@@ -201,6 +201,25 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tc) over the _norm tokenization, persisted once
+    per fixture dir and shared by every operator that needs normalized
+    term counts (tfidf_top_terms, oov_curve): one explode + one
+    (doc, term) aggregation; doc lengths, document frequencies, and
+    corpus vocabularies all derive from this frame instead of
+    re-running the explode per consumer (3x scan -> 1x at scale)."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = (
+        d.select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term"))
+    )
+    return loader.keyed_persist(
+        spark, f"text.term_counts:{sf_dir}",
+        lambda: tokens.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tc")))
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document.
 
@@ -210,18 +229,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the term aggregation is the classic map-side-combined
     wordcount shuffle and the doc-count is a broadcast 1-row frame."""
     d = _t(spark, sf_dir, "documents")
-    tokens = (
-        d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term"))
-    )
-    # one explode + one (doc, term) aggregation; doc lengths and
-    # document frequencies derive from the persisted tc frame instead
-    # of re-running the explode per branch (3x scan -> 1x at scale)
-    tc = loader.keyed_persist(
-        spark, f"text.term_counts:{sf_dir}",
-        lambda: tokens.groupBy("doc_id", "term").agg(
-            F.count(F.lit(1)).alias("tc")))
+    tc = _term_counts(spark, sf_dir)
     doc_len = tc.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
     df_ = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1452,26 +1460,40 @@ def oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab size (vocab_oov_rate fixes one k per source; this is the
     budget curve the sizing decision actually reads).
 
-    Scale shape: one wordcount shuffle; the sweep is conditional sums
-    over the VOCABULARY frame only (one rank window + one agg), and
-    the curve assembles via stack on a 1-row frame."""
-    d = _t(spark, sf_dir, "documents")
+    Scale shape: vocabulary counts derive from the shared persisted
+    (doc, term) frame (no extra corpus pass); the top-k cut is a
+    TakeOrdered over the vocabulary (never a global row_number window
+    over the full vocabulary — that single-partitions a frame that is
+    ~1e8 rows at 100 TB); oov_k = total - kept_k where kept_k sums a
+    kmax-row frame, and the curve assembles via stack on a 1-row
+    cross-join."""
+    tc = _term_counts(spark, sf_dir)
     counts = (
-        d.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+        tc.groupBy("term").agg(F.sum("tc").alias("c"))
+        .select(F.col("term").alias("tok"), "c")
     )
+    kmax = max(_OOV_KS)
+    # same tie-break as the oracle's row_number (c DESC, tok ASC):
+    # limit(kmax) keeps exactly the rows with rk <= kmax
+    topk = counts.orderBy(F.desc("c"), "tok").limit(kmax)
     w = Window.orderBy(F.desc("c"), "tok")
-    ranked = counts.select("c", F.row_number().over(w).alias("rk"))
-    one = ranked.agg(
-        F.sum("c").alias("total"),
-        *[
-            F.sum(F.when(F.col("rk") > k, F.col("c"))).alias(f"oov_{k}")
+    kept = (
+        topk.select("c", F.row_number().over(w).alias("rk"))
+        .agg(*[
+            F.sum(F.when(F.col("rk") <= k, F.col("c"))).alias(f"kept_{k}")
             for k in _OOV_KS
-        ],
+        ])
     )
+    # vocab-size guard preserves the row_number formulation's edge
+    # semantics: when the vocabulary has <= k types, sum(c WHERE rk>k)
+    # aggregates zero rows and is NULL, not 0
+    one = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vsz")
+    ).crossJoin(kept)
     stack = ", ".join(
-        f"{k}, round(oov_{k} / cast(total as double), 6)" for k in _OOV_KS)
+        f"{k}, case when vsz > {k} then"
+        f" round((total - kept_{k}) / cast(total as double), 6) end"
+        for k in _OOV_KS)
     return (
         one.selectExpr(
             "total",
