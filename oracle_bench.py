@@ -19,7 +19,15 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
+
+#: per-query wall cap + resource fences: a single runaway oracle
+#: (quadratic self-join, recursive CTE blowup) must fail its own row,
+#: not fill the disk with spill files and stall the whole record
+QUERY_TIMEOUT_S = float(os.environ.get("ORACLE_BENCH_TIMEOUT_S", "180"))
+MEMORY_LIMIT = os.environ.get("ORACLE_BENCH_MEMORY", "24GB")
+TEMP_CAP = os.environ.get("ORACLE_BENCH_TEMP_CAP", "20GiB")
 
 
 def main() -> None:
@@ -34,12 +42,21 @@ def main() -> None:
     failed: list[str] = []
     for name in sorted(oracles):
         t0 = time.perf_counter()
+        timer = None
         try:
             con = duckdb_conn(sf_dir)
+            con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
+            con.execute("SET temp_directory='.tmp'")
+            con.execute(f"SET max_temp_directory_size='{TEMP_CAP}'")
+            timer = threading.Timer(QUERY_TIMEOUT_S, con.interrupt)
+            timer.start()
             con.execute(oracles[name]).fetchall()
             timings[name] = round(time.perf_counter() - t0, 4)
+            timer.cancel()
             con.close()
         except Exception as e:
+            if timer is not None:
+                timer.cancel()
             timings[name] = None
             failed.append(name)
             print(f"# oracle error {name}: {e}", file=sys.stderr)
