@@ -88,19 +88,22 @@ def main() -> None:
         sum(v for k, v in timings.items()
             if v is not None and k.startswith("stream")), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    payload = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full record (per-query map) goes to BENCH_LOCAL.json; stdout gets a
+    # SHORT summary line (~150 bytes) that survives any tail-bounded
+    # capture — three rounds of 8 KB lines came back `parsed: null`.
+    full = {
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "batch_value": round(total - streaming, 4),
         "streaming_value": streaming,
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "queries": {k: v for k, v in timings.items() if v is not None},
+        "sf": sf_val,
     }
     if failed:
-        payload["failed"] = failed
-    line = json.dumps(payload)
-    # Belt-and-braces: also persist to a file the driver can't truncate.
+        full["failed"] = failed
     try:
         with open(
             os.path.join(
@@ -108,10 +111,11 @@ def main() -> None:
             ),
             "w",
         ) as f:
-            f.write(line + "\n")
+            f.write(json.dumps(full) + "\n")
     except OSError:
         pass
-    os.write(real_stdout, (line + "\n").encode())
+    summary = {k: v for k, v in full.items() if k != "queries"}
+    os.write(real_stdout, (json.dumps(summary) + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -50,16 +50,95 @@ EVENT_SCHEMA = StructType(
 )
 
 
+#: State-store partition count for streaming queries. Baked into the
+#: checkpoint at query start, so it is a first-run sizing decision:
+#: match it to stateful-key cardinality / executor count on a real
+#: cluster (hundreds at 100 TB), keep it small at test scale — each
+#: partition materializes a state-store instance per micro-batch, so
+#: 32 stores over a few thousand rows is pure constant overhead
+#: (measured 3-4x on the bounded fixtures).
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+_STREAM_SESSION: SparkSession | None = None
+
+
+def streaming_session(spark: SparkSession) -> SparkSession:
+    """Conf-isolated session clone all streaming queries run in.
+
+    Streaming bakes ``spark.sql.shuffle.partitions`` into the
+    checkpoint at query start, so sizing the state store used to mean
+    mutating the shared session conf around each query — and the
+    engine is explicitly multi-session (engine.py shares one
+    SparkSession across clients), so a concurrent statement planned
+    inside that window silently picked up the streaming width. A
+    ``newSession()`` clone shares the SparkContext (executors, caches)
+    but owns its SessionState/conf, so the streaming width and the
+    RocksDB state-store provider live here permanently and the main
+    session is never touched."""
+    global _STREAM_SESSION
+    if _STREAM_SESSION is None or \
+            _STREAM_SESSION.sparkContext is not spark.sparkContext:
+        s = spark.newSession()
+        s.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+        from gizmosql_spark.operators.loader import ensure_session_confs
+
+        ensure_session_confs(s)
+        _STREAM_SESSION = s
+    return _STREAM_SESSION
+
+
+#: Exception-message fragments that mark a worker/channel *crash* (not
+#: a wrong answer): the TWS Python state-server or a Py4J callback
+#: channel dying under CPU/memory contention. Crashes are retried
+#: (crash ≠ wrong answer — a deterministic failure raises again on the
+#: final attempt and is reported unchanged).
+_CRASH_SIGNS = (
+    "exited unexpectedly",
+    "Python Proxy",
+    "Py4JNetworkError",
+    "Connection reset",
+    "EOFException",
+    "worker crashed",
+    "PythonWorkerFactory",
+    "STREAM_FAILED",
+    "FOREACH_BATCH_USER_FUNCTION_ERROR",
+)
+
+STREAM_RETRIES = int(os.environ.get("SPARK_GRAFT_STREAM_RETRIES", "3"))
+
+
+def _retry_streaming(attempt, attempts: int = STREAM_RETRIES):
+    """Run ``attempt()`` up to ``attempts`` times, retrying only on
+    crash-signature failures (worker/channel death under load — the
+    round-3 official record's one red row was exactly this). Each
+    attempt is self-contained: callers put checkpoint creation and any
+    sink reset INSIDE the closure."""
+    import time as _time
+
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return attempt()
+        except Exception as ex:  # noqa: BLE001 — classified below
+            msg = str(ex)
+            if i + 1 >= attempts or not any(s in msg for s in _CRASH_SIGNS):
+                raise
+            last = ex
+            _time.sleep(1.0 + i)
+    raise last  # pragma: no cover — loop always returns or raises
+
+
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream, robust to either fixture
     encoding: TIMESTAMP(NANOS) read as long ns (legacy nanosAsLong) or
     native timestamp[us]/TIMESTAMP_NTZ. The readStream schema is
     derived from a batch read of the same parquet so it always matches
     the file, and the ns→µs conversion mirrors
-    operators/events.load_events (applied only when ts is long ns)."""
-    from gizmosql_spark.operators.loader import ensure_session_confs
-
-    ensure_session_confs(spark)
+    operators/events.load_events (applied only when ts is long ns).
+    Built on the streaming session clone — see streaming_session."""
+    spark = streaming_session(spark)
     batch = (
         spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     )
@@ -164,49 +243,40 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-#: State-store partition count for streaming queries. Baked into the
-#: checkpoint at query start, so it is a first-run sizing decision:
-#: match it to stateful-key cardinality / executor count on a real
-#: cluster (hundreds at 100 TB), keep it small at test scale — each
-#: partition materializes a state-store instance per micro-batch, so
-#: 32 stores over a few thousand rows is pure constant overhead
-#: (measured 3-4x on the bounded fixtures).
-STREAM_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
-
-
 def run_to_completion(stream_df: DataFrame, query_name: str,
                       output_mode: str | None = None) -> DataFrame:
     """Drive a streaming frame over all available input synchronously
     (availableNow + memory sink); returns the sink contents. Local test
-    harness — a deployment would use a real sink + continuous trigger."""
+    harness — a deployment would use a real sink + continuous trigger.
+    Crash-signature failures (worker/channel death under load) are
+    retried with a fresh checkpoint; see _retry_streaming."""
     import shutil
     import tempfile
 
     spark = stream_df.sparkSession
     mode = output_mode or ("complete" if _has_agg(stream_df) else "update")
-    part_key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(part_key)
-    spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
-    # state-store checkpoint on the ram-backed tmpfs when present:
-    # per-batch state commits fsync; on the throwaway local harness
-    # checkpoint durability buys nothing (a deployment points this at
-    # reliable storage instead)
-    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    ckpt = tempfile.mkdtemp(prefix="gizmosql-ckpt-", dir=ckpt_base)
-    try:
-        q = (
-            stream_df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(part_key, prev)
-        shutil.rmtree(ckpt, ignore_errors=True)
+
+    def attempt() -> None:
+        # state-store checkpoint on the ram-backed tmpfs when present:
+        # per-batch state commits fsync; on the throwaway local harness
+        # checkpoint durability buys nothing (a deployment points this
+        # at reliable storage instead)
+        ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        ckpt = tempfile.mkdtemp(prefix="gizmosql-ckpt-", dir=ckpt_base)
+        try:
+            q = (
+                stream_df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(query_name)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    _retry_streaming(attempt)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -254,6 +324,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as a file-source stream (for streaming dedup)."""
+    spark = streaming_session(spark)
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -287,6 +358,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream joins a static (broadcast)
     dimension — the canonical enrichment topology; the static side is
     re-read per micro-batch, the stream side never shuffles."""
+    spark = streaming_session(spark)
     tiers = spark.range(0, 1000).select(
         F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
     )
@@ -323,23 +395,23 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    spark = streaming_session(spark)
     table = "stream_sink_rollup_tbl"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a previous PROCESS may have left the managed location behind
-    # (in-memory catalog forgets tables at exit; the data dir stays,
-    # and saveAsTable refuses to create over it) — clear it
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    shutil.rmtree(
-        f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
     agg = tumbling_counts(read_event_stream(spark, sf_dir))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").saveAsTable(table)
 
-    part_key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(part_key)
-    spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
-    try:
+    def attempt() -> None:
+        # reset the sink per attempt so a crash-retry never double-
+        # appends; a previous PROCESS may also have left the managed
+        # location behind (in-memory catalog forgets tables at exit;
+        # the data dir stays, and saveAsTable refuses to create over
+        # it) — clear both
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
         with tempfile.TemporaryDirectory(
                 dir="/dev/shm" if os.path.isdir("/dev/shm")
                 else None) as ckpt:
@@ -351,8 +423,8 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    finally:
-        spark.conf.set(part_key, prev)
+
+    _retry_streaming(attempt)
     # the landed table stays live for the returned lazy frame; the
     # next run's leading DROP makes reruns idempotent
     return (
@@ -384,11 +456,8 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    spark = streaming_session(spark)
     table = "stream_upsert_state_tbl"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    shutil.rmtree(
-        f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
 
     from pyspark.sql import Window as W
 
@@ -406,7 +475,6 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = load_events(spark, sf_dir).filter(
         F.col("event_id") < 100).select(*cols)
-    _latest(seed).write.saveAsTable(table)
 
     ev = read_event_stream(spark, sf_dir).select(*cols)
 
@@ -417,10 +485,15 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.table(table).unionByName(_latest(batch_df)))
         dml._overwrite_via_stage(spark, table, merged)
 
-    part_key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(part_key)
-    spark.conf.set(part_key, str(STREAM_STATE_PARTITIONS))
-    try:
+    def attempt() -> None:
+        # re-seed per attempt so a crash-retry replays the merge from
+        # the same initial state (the fold is associative, but the seed
+        # table is mutated in place by _upsert)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        shutil.rmtree(
+            f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
+        _latest(seed).write.saveAsTable(table)
         with tempfile.TemporaryDirectory(
                 dir="/dev/shm" if os.path.isdir("/dev/shm")
                 else None) as ckpt:
@@ -432,8 +505,8 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    finally:
-        spark.conf.set(part_key, prev)
+
+    _retry_streaming(attempt)
     return (
         spark.table(table)
         .groupBy("event_type")
@@ -613,13 +686,55 @@ def user_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_TWS_WARMED = False
+
+
+def _prewarm_tws(spark: SparkSession) -> None:
+    """Run one trivial transformWithState query over a 4-row fixture
+    before the first real TWS query. The TWS tier spawns a separate
+    Python state-server worker whose cold start is the fragile moment
+    under CPU/load contention (the round-3 official record's one red
+    row was this worker dying, not a wrong answer); warming it JITs
+    the path and leaves the worker pool live, so the recorded queries
+    hit a warm, stable channel. Crashes during the warm-up itself are
+    retried and ultimately non-fatal (the real query still has its own
+    retry)."""
+    global _TWS_WARMED
+    if _TWS_WARMED:
+        return
+    _TWS_WARMED = True  # set first: _run_with_rocksdb re-enters here
+    import datetime
+    import shutil
+    import tempfile
+
+    spark = streaming_session(spark)
+    tmp = tempfile.mkdtemp(prefix="gizmosql-twswarm-")
+    try:
+        rows = [
+            (i, datetime.datetime(2024, 1, 1, 0, i), i % 2, "warm", 1.0, "{}")
+            for i in range(4)
+        ]
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite").parquet(tmp)
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(tmp)
+        _run_with_rocksdb(
+            spark, user_stats_tws(stream), "q_tws_prewarm").count()
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _run_with_rocksdb(spark: SparkSession, stream_df: DataFrame,
                       query_name: str) -> DataFrame:
     """transformWithState requires the RocksDB state store provider
-    (ships in the Spark jars); set for this query only, restored
+    (ships in the Spark jars); set for this query only on the
+    streaming session clone (never the shared main session), restored
     after. The availableNow file source processes the single events
     file in one micro-batch, so Update mode emits exactly one row per
     key — the final state."""
+    _prewarm_tws(spark)
+    spark = stream_df.sparkSession
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(provider_key, None)
     spark.conf.set(
