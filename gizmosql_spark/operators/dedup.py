@@ -362,28 +362,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint to reliable storage). The convergence probe collects a
     single scalar per round, not data."""
     pairs = _lsh_pairs(spark, sf_dir).select("a_id", "b_id")
-    edges = pairs.union(
+    sym = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).persist()
     # propagate only over nodes that appear in the pair graph — at
     # 100 TB the graph is a sliver of the corpus (most docs are
-    # singletons) and must not ride through every iteration
+    # singletons) and must not ride through every iteration.
     # Size the propagation shuffles to the GRAPH, not the corpus: the
     # session's shuffle width is tuned for corpus scans, but the pair
-    # graph is orders of magnitude smaller (most docs are singletons),
-    # and an iterative loop pays the per-partition floor every round.
-    # ~50k edges per partition; measured 10.1 s -> 1.5 s at sf0.1.
-    n_edges = edges.count()
-    spark = pairs.sparkSession
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    loop_parts = max(4, min(int(prev_parts), n_edges // 50_000 + 1))
-    spark.conf.set(part_key, str(loop_parts))
-    try:
-        labels, prev_sum = _propagate_min_labels(edges)
-    finally:
-        spark.conf.set(part_key, prev_parts)
+    # graph is orders of magnitude smaller, and an iterative loop pays
+    # the per-partition floor every round. ~50k edges per partition;
+    # measured 10.1 s -> 1.5 s at sf0.1. The width is expressed on the
+    # loop FRAMES (repartition on the join key — every loop shuffle
+    # then co-partitions against it), never via the session conf: the
+    # engine is multi-session, and a set-then-restore window would
+    # leak the clamped width into concurrently planned statements.
+    n_edges = sym.count()
+    session_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(4, min(session_parts, n_edges // 50_000 + 1))
+    edges = sym.repartition(loop_parts, "a_id").persist()
+    labels, prev_sum = _propagate_min_labels(edges, loop_parts)
     edges.unpersist()
+    sym.unpersist()
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, docs["doc_id"] == labels["id"], "left")
@@ -392,7 +393,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _propagate_min_labels(edges: DataFrame):
+def _propagate_min_labels(edges: DataFrame, width: int):
+    """Min-label propagation over an edge frame pre-partitioned on
+    ``a_id`` with ``width`` partitions. Every shuffle in the loop is
+    pinned to ``width`` structurally: the label frame co-partitions
+    with the edges (distinct/joins reuse the hash partitioning), and
+    the one aggregation per round repartitions on its key first so
+    the agg exchange is the explicit one. The map-side combine the
+    implicit agg exchange would have done is skipped, but the join
+    output is edge-sized (degrees are small in near-dup graphs) so
+    the combine saves little."""
     labels = (
         edges.select(F.col("a_id").alias("id"))
         .distinct()
@@ -403,7 +413,9 @@ def _propagate_min_labels(edges: DataFrame):
     for _ in range(20):
         prop = (
             edges.join(labels, edges["a_id"] == labels["id"])
-            .groupBy(F.col("b_id").alias("nid"))
+            .select(F.col("b_id").alias("nid"), "label")
+            .repartition(width, "nid")
+            .groupBy("nid")
             .agg(F.min("label").alias("nlabel"))
         )
         labels = (

@@ -1195,6 +1195,7 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized under bounded shuffle widths, since corpus-width
     task scheduling dwarfs the compute on the series frame. All sums
     are exact integers; one division + sqrt at the end."""
+    spark = loader.bounded_session(spark)
     e = load_events(spark, sf_dir)
     s = (
         e.groupBy(
@@ -1238,10 +1239,9 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = agg.select(
         "event_type", "lag", "n_pairs", F.round(r, 6).alias("acf"))
-    with loader.bounded_shuffle(spark, 8):
-        out = loader.keyed_persist(
-            spark, f"events.acf:{sf_dir}", lambda: res)
-        out.count()
+    out = loader.keyed_persist(
+        spark, f"events.acf:{sf_dir}", lambda: res)
+    out.count()
     return out.orderBy("event_type", "lag")
 
 

@@ -52,33 +52,38 @@ def ensure_session_confs(spark: SparkSession) -> None:
 AQE_MIN_INPUT_BYTES = int(
     os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(1 << 30)))
 
-_AQE_TUNED: dict[tuple[int, str], bool] = {}
+_AQE_DECISION: dict[str, str | None] = {}
 
 
 def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
-    """Set spark.sql.adaptive.enabled from the fixture directory's
-    total parquet bytes (once per (session, dir))."""
-    key = (id(spark), sf_dir)
-    if key in _AQE_TUNED:
-        return
-    size = None
-    try:
-        size = sum(
-            os.path.getsize(os.path.join(sf_dir, f))
-            for f in os.listdir(sf_dir)
-            if f.endswith(".parquet")
-        )
-    except OSError:
-        pass
-    if size is not None:
+    """Align spark.sql.adaptive.enabled with the fixture directory's
+    total parquet bytes. The size probe is cached per dir; the conf is
+    re-aligned on EVERY table() call so the setting always tracks the
+    dir being queried — the previous once-per-(session, dir) form left
+    the conf wherever the most recently *first-seen* dir put it, so
+    one small-dir operator could park AQE off for every later query
+    on a big dir (and switching back to the first dir was a no-op)."""
+    decision = _AQE_DECISION.get(sf_dir, "unset")
+    if decision == "unset":
+        size = None
         try:
-            spark.conf.set(
-                "spark.sql.adaptive.enabled",
-                "true" if size >= AQE_MIN_INPUT_BYTES else "false",
+            size = sum(
+                os.path.getsize(os.path.join(sf_dir, f))
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
             )
+        except OSError:
+            pass
+        decision = (
+            None if size is None
+            else ("true" if size >= AQE_MIN_INPUT_BYTES else "false"))
+        _AQE_DECISION[sf_dir] = decision
+    if decision is not None:
+        try:
+            if spark.conf.get("spark.sql.adaptive.enabled") != decision:
+                spark.conf.set("spark.sql.adaptive.enabled", decision)
         except Exception:
             pass
-    _AQE_TUNED[key] = True
 
 
 _PERSISTED: dict[tuple[int, str], DataFrame] = {}
@@ -114,25 +119,42 @@ class conf_scope:
                 self.spark.conf.set(k, v)
 
 
-class bounded_shuffle:
-    """Context manager that clamps spark.sql.shuffle.partitions for
+_BOUNDED: dict[int, SparkSession] = {}
+
+#: Shuffle width for the bounded clone — graph edges, day grids, and
+#: other frames whose size is constant (or corpus-sliver) at any SF.
+BOUNDED_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_BOUNDED_PARTITIONS", "8"))
+
+
+def bounded_session(spark: SparkSession) -> SparkSession:
+    """Conf-isolated session clone with a small shuffle width, for
     operators whose frames are bounded (graph edges, series, grids) —
     corpus-width task counts cost more in scheduling than they buy in
-    parallelism there. Restores the session width on exit. At real
-    cluster scale the session width is already right; callers keep
-    the clamp because their frames stay bounded at any SF."""
+    parallelism there (measured 3-4x on the graph family at sf0.1).
 
-    def __init__(self, spark: SparkSession, n: int = 8) -> None:
-        self.spark, self.n = spark, n
-        self.key = "spark.sql.shuffle.partitions"
-
-    def __enter__(self) -> None:
-        self.prev = self.spark.conf.get(self.key)
-        self.spark.conf.set(
-            self.key, str(max(4, min(int(self.prev), self.n))))
-
-    def __exit__(self, *exc) -> None:
-        self.spark.conf.set(self.key, self.prev)
+    This replaces the old set-then-restore clamp on the SHARED
+    session conf: the engine is multi-session (engine.py shares one
+    SparkSession across clients), so a concurrent statement planned
+    inside the restore window silently inherited the clamped width.
+    A ``newSession()`` clone shares the SparkContext (executors,
+    block manager, broadcast caches) but owns its conf, so the clamp
+    is permanent here and invisible everywhere else. Frames built on
+    the clone plan their shuffles at the clamped width; keyed_persist
+    keys on session id, so operators that share cached graph frames
+    must consistently build them through this clone."""
+    key = id(spark.sparkContext)
+    s = _BOUNDED.get(key)
+    if s is None:
+        s = spark.newSession()
+        s.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, min(int(spark.conf.get(
+                "spark.sql.shuffle.partitions")),
+                BOUNDED_SHUFFLE_PARTITIONS))))
+        ensure_session_confs(s)
+        _BOUNDED[key] = s
+    return s
 
 
 def keyed_persist(spark: SparkSession, key: str, builder) -> DataFrame:

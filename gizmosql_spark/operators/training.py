@@ -422,79 +422,75 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size every shuffle in this operator to the GRAPH, not the
     # corpus: the session's shuffle width is tuned for table scans,
     # but edges here are ~1M 30-byte rows and rank frames are
-    # node-sized (same sizing device as dedup_clusters' loop)
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
-    try:
-        # shuffle-hash join on orderkey (measured 2x faster locally
-        # than broadcasting the 150k-row orders side — the broadcast
-        # build job costs more than the co-shuffle at this width; at
-        # 100 TB the same plan SMJs on the sorted key)
-        o = _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey").hint("shuffle_hash")
-        l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-        # distinct the INT key pair before building node-id strings:
-        # the dedup shuffle moves 16-byte rows instead of strings, and
-        # the concat runs on the deduped frame only. Persisted: the
-        # undirected-edge union below reads it TWICE — unpersisted,
-        # the lineitem join + distinct shuffle would run twice.
-        trade = loader.keyed_persist(
-            spark,
-            f"pagerank.trade:{sf_dir}",
-            lambda: (
-                o.join(l, o["o_orderkey"] == l["l_orderkey"])
-                .select("o_custkey", "l_suppkey")
-                .distinct()
-                .select(
-                    F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-                )
-            ),
-        )
-        edges = trade.select(
-            F.col("c").alias("src"), F.col("s").alias("dst")
-        ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        # deg is node-sized (~16 bytes/node) — persisted so it seeds
-        # the rank vector below without another pass over the edges,
-        # and broadcast into the edge frame instead of shuffle-joining
-        # 2|E| rows; at billions of nodes drop the hint and the same
-        # join SMJs on src
-        deg = loader.keyed_persist(
-            spark,
-            f"pagerank.deg:{sf_dir}",
-            lambda: edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
-        )
-        # degree pre-joined ONCE; per round the node-sized rank frame
-        # broadcasts into the edge scan, so each iteration costs
-        # exactly one partial-agg shuffle (contributions combine
-        # map-side to <= nodes x partitions). Node frames stay
-        # broadcastable far past this scale; at billions of nodes the
-        # same code minus the broadcast hint is a node-keyed shuffle
-        # join.
-        wedges = loader.keyed_persist(
-            spark,
-            f"pagerank.wedges:{sf_dir}",
-            lambda: edges.join(F.broadcast(deg), "src"),
-        )
-        ranks = deg.select("src").withColumn("pr", F.lit(1.0))
-        for _ in range(_PR_ROUNDS):
-            contrib = (
-                wedges.join(F.broadcast(ranks), "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+    # node-sized. Built on the bounded clone so the width never
+    # touches the shared session conf (loader.bounded_session).
+    spark = loader.bounded_session(spark)
+    # shuffle-hash join on orderkey (measured 2x faster locally
+    # than broadcasting the 150k-row orders side — the broadcast
+    # build job costs more than the co-shuffle at this width; at
+    # 100 TB the same plan SMJs on the sorted key)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").hint("shuffle_hash")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # distinct the INT key pair before building node-id strings:
+    # the dedup shuffle moves 16-byte rows instead of strings, and
+    # the concat runs on the deduped frame only. Persisted: the
+    # undirected-edge union below reads it TWICE — unpersisted,
+    # the lineitem join + distinct shuffle would run twice.
+    trade = loader.keyed_persist(
+        spark,
+        f"pagerank.trade:{sf_dir}",
+        lambda: (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .select("o_custkey", "l_suppkey")
+            .distinct()
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
             )
-            ranks = contrib.select(
-                F.col("dst").alias("src"),
-                F.round(F.lit(1 - _PR_DAMPING)
-                        + F.lit(_PR_DAMPING) * F.col("inflow"), 6)
-                .alias("pr"),
-            # per-round lineage truncation: without it round N's
-            # broadcast build re-evaluates rounds 1..N-1 (quadratic
-            # re-execution) — the standard iterative-Spark device
-            ).localCheckpoint()
-    finally:
-        spark.conf.set(part_key, prev_parts)
+        ),
+    )
+    edges = trade.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(trade.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    # deg is node-sized (~16 bytes/node) — persisted so it seeds
+    # the rank vector below without another pass over the edges,
+    # and broadcast into the edge frame instead of shuffle-joining
+    # 2|E| rows; at billions of nodes drop the hint and the same
+    # join SMJs on src
+    deg = loader.keyed_persist(
+        spark,
+        f"pagerank.deg:{sf_dir}",
+        lambda: edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+    )
+    # degree pre-joined ONCE; per round the node-sized rank frame
+    # broadcasts into the edge scan, so each iteration costs
+    # exactly one partial-agg shuffle (contributions combine
+    # map-side to <= nodes x partitions). Node frames stay
+    # broadcastable far past this scale; at billions of nodes the
+    # same code minus the broadcast hint is a node-keyed shuffle
+    # join.
+    wedges = loader.keyed_persist(
+        spark,
+        f"pagerank.wedges:{sf_dir}",
+        lambda: edges.join(F.broadcast(deg), "src"),
+    )
+    ranks = deg.select("src").withColumn("pr", F.lit(1.0))
+    for _ in range(_PR_ROUNDS):
+        contrib = (
+            wedges.join(F.broadcast(ranks), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("inflow"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            F.round(F.lit(1 - _PR_DAMPING)
+                    + F.lit(_PR_DAMPING) * F.col("inflow"), 6)
+            .alias("pr"),
+        # per-round lineage truncation: without it round N's
+        # broadcast build re-evaluates rounds 1..N-1 (quadratic
+        # re-execution) — the standard iterative-Spark device
+        ).localCheckpoint()
     return (
         ranks.select(F.col("src").alias("node"), "pr")
         .orderBy(F.desc("pr"), "node")
@@ -524,6 +520,8 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Measured 10.1 s → ~2 s at sf0.1 vs the distinct+self-join form:
     the join shuffled the 600k-row pair stream twice; the set form
     shuffles each lineitem row once.)"""
+    spark = loader.bounded_session(spark)
+
     def _build() -> DataFrame:
         by_order = (
             _t(spark, sf_dir, "lineitem")
@@ -550,15 +548,12 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the persisted frame under graph-sized shuffles (same
     # device as pagerank/dedup_clusters): the pair stream is ~1M
     # 16-byte rows — corpus-width partitions pay task overhead 3x the
-    # compute here (measured 4.4 s → 1.6 s at sf0.1)
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
-    try:
-        ed = loader.keyed_persist(spark, f"graph.supedges:{sf_dir}", _build)
-        ed.count()
-    finally:
-        spark.conf.set(part_key, prev_parts)
+    # compute here (measured 4.4 s → 1.6 s at sf0.1). The bounded
+    # clone keeps the width off the shared session conf; downstream
+    # consumers (triangle/adamic-adar/k-core) inherit it because the
+    # returned frame is clone-bound.
+    ed = loader.keyed_persist(spark, f"graph.supedges:{sf_dir}", _build)
+    ed.count()
     return ed
 
 
@@ -614,63 +609,58 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-dedupe form trades bounded re-visits for round-trip-free
     map-side expansion (at web-scale depth, flip back to
     frontier-dedupe-per-round — the classic BFS trade-off)."""
-    part_key = "spark.sql.shuffle.partitions"
-    prev_parts = spark.conf.get(part_key)
-    spark.conf.set(part_key, str(max(4, min(int(prev_parts), 8))))
-    try:
-        o = _t(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey").hint("shuffle_hash")
-        l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-        trade = loader.keyed_persist(
-            spark,
-            f"pagerank.trade:{sf_dir}",
-            lambda: (
-                o.join(l, o["o_orderkey"] == l["l_orderkey"])
-                .select("o_custkey", "l_suppkey")
-                .distinct()
-                .select(
-                    F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-                )
-            ),
-        )
-        # materialize the shared edge frame inside the graph-sized
-        # shuffle scope (keyed_persist is lazy; without this the build
-        # would run corpus-width at the caller's first action)
-        trade.count()
-        source = l.agg(F.min("l_suppkey").alias("m")).select(
-            F.concat(F.lit("s"), F.col("m")).alias("node"))
-        # bipartite levels alternate supplier/customer sides, so each
-        # hop is one directed probe of the persisted trade frame
-        # trade is distinct on (c, s): one source supplier ⇒ each
-        # customer appears once, no dedupe needed before broadcast
-        lvl1 = (
-            trade.join(
-                F.broadcast(source), trade["s"] == source["node"])
-            .select(F.col("c").alias("node"))
-        )
-        lvl2 = (
-            trade.alias("t")
-            .join(F.broadcast(lvl1.alias("f")),
-                  F.col("t.c") == F.col("f.node"))
-            .select(F.col("t.s").alias("node"))
+    spark = loader.bounded_session(spark)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey").hint("shuffle_hash")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    trade = loader.keyed_persist(
+        spark,
+        f"pagerank.trade:{sf_dir}",
+        lambda: (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .select("o_custkey", "l_suppkey")
             .distinct()
-        )
-        lvl3 = (
-            trade.alias("t")
-            .join(F.broadcast(lvl2.alias("f")),
-                  F.col("t.s") == F.col("f.node"))
-            .select(F.col("t.c").alias("node"))
-        )
-        levels = (
-            source.withColumn("dist", F.lit(0))
-            .union(lvl1.withColumn("dist", F.lit(1)))
-            .union(lvl2.withColumn("dist", F.lit(2)))
-            .union(lvl3.withColumn("dist", F.lit(3)))
-        )
-        min_d = levels.groupBy("node").agg(F.min("dist").alias("dist"))
-    finally:
-        spark.conf.set(part_key, prev_parts)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            )
+        ),
+    )
+    # materialize the shared edge frame inside the graph-sized
+    # shuffle scope (keyed_persist is lazy; without this the build
+    # would run corpus-width at the caller's first action)
+    trade.count()
+    source = l.agg(F.min("l_suppkey").alias("m")).select(
+        F.concat(F.lit("s"), F.col("m")).alias("node"))
+    # bipartite levels alternate supplier/customer sides, so each
+    # hop is one directed probe of the persisted trade frame
+    # trade is distinct on (c, s): one source supplier ⇒ each
+    # customer appears once, no dedupe needed before broadcast
+    lvl1 = (
+        trade.join(
+            F.broadcast(source), trade["s"] == source["node"])
+        .select(F.col("c").alias("node"))
+    )
+    lvl2 = (
+        trade.alias("t")
+        .join(F.broadcast(lvl1.alias("f")),
+              F.col("t.c") == F.col("f.node"))
+        .select(F.col("t.s").alias("node"))
+        .distinct()
+    )
+    lvl3 = (
+        trade.alias("t")
+        .join(F.broadcast(lvl2.alias("f")),
+              F.col("t.s") == F.col("f.node"))
+        .select(F.col("t.c").alias("node"))
+    )
+    levels = (
+        source.withColumn("dist", F.lit(0))
+        .union(lvl1.withColumn("dist", F.lit(1)))
+        .union(lvl2.withColumn("dist", F.lit(2)))
+        .union(lvl3.withColumn("dist", F.lit(3)))
+    )
+    min_d = levels.groupBy("node").agg(F.min("dist").alias("dist"))
     return (
         min_d.groupBy("dist")
         .agg(
@@ -1047,9 +1037,11 @@ def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded edge frame plus two semi-joins against the (≤nodes-sized)
     keep list; per-round stats are 1-row aggregates unioned lazily.
     The whole peel materializes under graph-sized shuffle widths
-    (loader.bounded_shuffle — corpus-width task scheduling costs 3x
+    (loader.bounded_session — corpus-width task scheduling costs 3x
     the compute on these bounded frames) and the 4-row stats frame is
     registry-persisted like the edge frame it derives from."""
+    spark = loader.bounded_session(spark)
+
     def _build() -> DataFrame:
         ed = _supplier_edges(spark, sf_dir)
 
@@ -1082,9 +1074,8 @@ def kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             res = res.unionAll(frame)
         return res
 
-    with loader.bounded_shuffle(spark, 8):
-        out = loader.keyed_persist(spark, f"graph.kcore:{sf_dir}", _build)
-        out.count()
+    out = loader.keyed_persist(spark, f"graph.kcore:{sf_dir}", _build)
+    out.count()
     return out.orderBy("round")
 
 
