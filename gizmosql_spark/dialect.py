@@ -466,6 +466,26 @@ _UNPIVOT_STMT_RE = re.compile(
 )
 
 
+def _pivot_literal(v) -> str:
+    """SQL literal for a collected pivot value, typed by the Python
+    object the column's dataType produced — ``str(v)`` unquoted turned
+    DATE/TIMESTAMP/BOOLEAN values into invalid or silently-wrong IN
+    entries (``IN (2024-01-01)`` parses as integer arithmetic)."""
+    import datetime
+    import decimal
+
+    q = str(v).replace("'", "''")
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{q}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{q}'"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    return f"'{q}'"
+
+
 def rewrite_pivot_statement(sql: str, spark) -> str:
     """DuckDB's simplified ``PIVOT t ON col [USING aggs] [GROUP BY
     cols]`` statement → standard Spark PIVOT. DuckDB detects the
@@ -477,20 +497,24 @@ def rewrite_pivot_statement(sql: str, spark) -> str:
         return sql
     table, on_col, using, group_by = m.groups()
     using = (using or "count(*)").strip()
+    # bound bind-time probe: a pivot over a high-cardinality column
+    # would otherwise collect unbounded values onto the driver AND
+    # emit an absurd column count — refuse past the cap (DuckDB's
+    # bind-time pivot has the same practical ceiling)
+    cap = 10_000
     vals = [
         r[0]
         for r in spark.sql(
             f"SELECT DISTINCT {on_col} FROM {table}"
-            f" WHERE {on_col} IS NOT NULL ORDER BY 1"
+            f" WHERE {on_col} IS NOT NULL ORDER BY 1 LIMIT {cap + 1}"
         ).collect()
     ]
     if not vals:
         raise ValueError(f"PIVOT ON {on_col}: no values")
-    quoted = ", ".join(
-        f"'{str(v).replace(chr(39), chr(39) * 2)}'"
-        if isinstance(v, str) else str(v)
-        for v in vals
-    )
+    if len(vals) > cap:
+        raise ValueError(
+            f"PIVOT ON {on_col}: more than {cap} distinct values")
+    quoted = ", ".join(_pivot_literal(v) for v in vals)
     if group_by:
         # restrict the id columns: the inner projection keeps only the
         # GROUP BY cols, the pivot col, and columns the aggs reference
@@ -735,10 +759,25 @@ def expand_macros(sql: str, macros: dict) -> str:
                 if missing:
                     raise ValueError(
                         f"macro {name} missing argument(s) {missing}")
+                # substitute all params in ONE simultaneous pass over
+                # the literal-masked body: masking keeps a body string
+                # literal containing a param-name word intact, and the
+                # single pass keeps an ARGUMENT containing another
+                # param's name (as literal text or a column reference)
+                # from being re-substituted
                 expansion = body
-                for p in sorted(params, key=len, reverse=True):
-                    expansion = re.sub(
-                        rf"\b{re.escape(p)}\b", f"({bound[p]})", expansion)
+                if params:
+                    ppat = re.compile("|".join(
+                        rf"\b{re.escape(p)}\b"
+                        for p in sorted(params, key=len, reverse=True)))
+                    masked_body = _mask_literals(body)
+                    parts, last = [], 0
+                    for pm in ppat.finditer(masked_body):
+                        parts.append(body[last:pm.start()])
+                        parts.append(f"({bound[body[pm.start():pm.end()]]})")
+                        last = pm.end()
+                    parts.append(body[last:])
+                    expansion = "".join(parts)
                 sql = f"{sql[:m.start()]}({expansion}){sql[i:]}"
                 pos = m.start() + 1
                 replaced = True
@@ -770,19 +809,39 @@ def rewrite_asof_join(sql: str) -> str:
     m = _ASOF_RE.search(masked)
     if m is None:
         return sql
-    # the ON condition runs to the next top-level clause keyword
+    # the ON condition runs to the next clause keyword at the SAME
+    # paren depth, or to the first unmatched ')' — an ASOF JOIN inside
+    # a subquery/CTE must not swallow the subquery's closing paren and
+    # the outer statement into its condition
     cond_start = m.end()
     end = len(sql)
-    for kw in ("WHERE", "GROUP\\s+BY", "HAVING", "WINDOW", "QUALIFY",
-               "ORDER\\s+BY", "LIMIT", "UNION", "INTERSECT", "EXCEPT",
-               "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS"):
-        j = _find_top_level(masked, kw, cond_start)
-        if j is not None and j < end:
-            end = j
+    kw_re = re.compile(
+        r"\b(WHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT"
+        r"|UNION|INTERSECT|EXCEPT|JOIN|LEFT|RIGHT|FULL|INNER|CROSS)\b",
+        re.IGNORECASE)
+    depth, i = 0, cond_start
+    while i < len(masked):
+        c = masked[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                end = i
+                break
+            depth -= 1
+        elif depth == 0 and kw_re.match(masked, i):
+            end = i
+            break
+        i += 1
     cond = sql[cond_start:end].strip()
     suffix = sql[end:]
     is_left = bool(m.group(1))
-    rtbl, ralias = m.group(2), m.group(3) or m.group(2)
+    rtbl = m.group(2)
+    # a schema-qualified right table with no explicit alias cannot be
+    # reused as the subquery alias (") sch.tbl" is invalid) — alias to
+    # its last path component, which is also how the ON condition
+    # typically references it
+    ralias = m.group(3) or rtbl.split(".")[-1]
 
     # locate the single inequality term and its right-side ts column
     terms = re.split(r"\bAND\b", cond, flags=re.IGNORECASE)
@@ -809,6 +868,10 @@ def rewrite_asof_join(sql: str) -> str:
     cond_inner = re.sub(
         rf"\b{re.escape(ralias)}\.", "__asof_r.", cond,
         flags=re.IGNORECASE)
+    if rtbl != ralias:
+        cond_inner = re.sub(
+            rf"\b{re.escape(rtbl)}\.", "__asof_r.", cond_inner,
+            flags=re.IGNORECASE)
     direction = "DESC" if ineq_desc else "ASC"
     sub = (
         f"(SELECT * FROM {rtbl} __asof_r WHERE {cond_inner}"

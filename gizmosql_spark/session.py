@@ -63,12 +63,24 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.execution.pyspark.udf.faulthandler.enabled": "false",
 }
 
-# Shuffle/spill scratch on the ram-backed tmpfs when present: local
-# shuffle files never need durability (lost block = stage retry), so
-# page-cache-bypassing disk writes buy nothing. On a real cluster this
-# is the NVMe scratch volume; the conf seam is identical.
-if os.path.isdir("/dev/shm"):
-    BASE_CONFS["spark.local.dir"] = "/dev/shm/gizmosql-spark-local"
+# Shuffle/spill scratch on the ram-backed tmpfs when it is actually
+# big enough: local shuffle files never need durability (lost block =
+# stage retry), so page-cache-bypassing disk writes buy nothing. But
+# Docker's default shm is 64 MB and tmpfs competes with RAM, so a
+# small /dev/shm would turn shuffle spill into ENOSPC/memory pressure
+# — gate on capacity (>= 4 GiB free) and allow an explicit override.
+# On a real cluster this is the NVMe scratch volume; the conf seam is
+# identical.
+_LOCAL_DIR = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+if _LOCAL_DIR:
+    BASE_CONFS["spark.local.dir"] = _LOCAL_DIR
+elif os.path.isdir("/dev/shm"):
+    try:
+        _vfs = os.statvfs("/dev/shm")
+        if _vfs.f_bavail * _vfs.f_frsize >= 4 * 1024**3:
+            BASE_CONFS["spark.local.dir"] = "/dev/shm/gizmosql-spark-local"
+    except OSError:
+        pass
 
 
 def get_spark(

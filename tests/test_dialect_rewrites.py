@@ -93,3 +93,60 @@ def test_upsert_passthrough_without_spark():
     # plain INSERT: returns unchanged without ever touching spark
     sql = "INSERT INTO t SELECT * FROM u"
     assert rewrite_insert_upsert(sql, None, lambda t: None) == sql
+
+
+# --- round-4 advisor-finding regressions -----------------------------
+
+
+def test_macro_param_not_substituted_inside_body_literals():
+    """CREATE MACRO tag(v) AS concat('v=', v): the literal 'v=' must
+    survive expansion (the old per-param re.sub rewrote it to
+    '(42)=')."""
+    macros = {"tag": (["v"], {}, "concat('v=', v)", False)}
+    out = expand_macros("SELECT tag(42)", macros)
+    assert "'v='" in out and "(42)" in out
+
+
+def test_macro_arg_containing_other_param_name():
+    """An argument whose text matches another parameter must not be
+    re-substituted (simultaneous single-pass expansion)."""
+    macros = {"f": (["a", "b"], {}, "a + b", False)}
+    out = expand_macros("SELECT f(b_col, 2)", macros)
+    assert "(b_col)" in out and "(2)" in out
+    # literal text equal to a param name inside an argument
+    out2 = expand_macros("SELECT f('b', 2)", macros)
+    assert "('b')" in out2 and "(2)" in out2
+
+
+def test_asof_join_inside_subquery_stops_at_paren():
+    sql = ("SELECT * FROM (SELECT x.id FROM x ASOF JOIN y"
+           " ON x.id = y.id AND x.ts >= y.ts) q WHERE q.id > 0")
+    out = rewrite_asof_join(sql)
+    # the outer query must survive intact and the LATERAL subquery
+    # must close before it
+    assert out.rstrip().endswith("WHERE q.id > 0")
+    assert "LATERAL" in out
+
+
+def test_asof_join_schema_qualified_right_table():
+    sql = ("SELECT * FROM x ASOF JOIN sch.y"
+           " ON x.id = y.id AND x.ts >= y.ts")
+    out = rewrite_asof_join(sql)
+    assert ") y" in out      # sanitized alias, not ") sch.y"
+    assert "sch.y __asof_r" in out
+
+
+def test_pivot_literal_typing():
+    import datetime
+    import decimal
+
+    from gizmosql_spark.dialect import _pivot_literal
+
+    assert _pivot_literal(True) == "TRUE"
+    assert _pivot_literal(datetime.date(2024, 1, 1)) == "DATE '2024-01-01'"
+    assert _pivot_literal(
+        datetime.datetime(2024, 1, 1, 2, 3, 4)
+    ).startswith("TIMESTAMP '2024-01-01")
+    assert _pivot_literal(decimal.Decimal("12.30")) == "12.30"
+    assert _pivot_literal("o'neil") == "'o''neil'"
+    assert _pivot_literal(7) == "7"
