@@ -146,12 +146,55 @@ def _decode_ring_batch(wkb: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _convex_hull(points: list[tuple[float, float]]) -> list[dict]:
+    """Andrew's monotone chain; closed CCW ring starting at the
+    lexicographically smallest vertex; collinear points dropped."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        ring = [{"x": x, "y": y} for x, y in pts]
+        return ring + ring[:1] if ring else ring
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower: list[tuple[float, float]] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[tuple[float, float]] = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    return [{"x": x, "y": y} for x, y in hull] + [
+        {"x": hull[0][0], "y": hull[0][1]}]
+
+
+def _hull_batch(point_arrays: pd.Series) -> pd.Series:
+    out = []
+    for pts in point_arrays:
+        if pts is None:
+            out.append(None)
+            continue
+        coords = [(p["x"], p["y"]) for p in pts
+                  if p is not None and p["x"] is not None]
+        out.append(_convex_hull(coords) if coords else [])
+    return pd.Series(out, dtype=object)
+
+
 def _pandas_geo_udfs():
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def st_aswkb_xy_(x: pd.Series, y: pd.Series) -> pd.Series:
         return _encode_batch(x, y)
+
+    @pandas_udf("array<struct<x: double, y: double>>")
+    def st_convexhull_(points: pd.Series) -> pd.Series:
+        return _hull_batch(points)
 
     @pandas_udf("struct<x: double, y: double>")
     def st_geomfromwkb_(wkb: pd.Series) -> pd.DataFrame:
@@ -170,6 +213,7 @@ def _pandas_geo_udfs():
         "st_geomfromwkb": st_geomfromwkb_,
         "st_aswkb_poly": st_aswkb_poly_,
         "st_polyfromwkb": st_polyfromwkb_,
+        "st_convexhull": st_convexhull_,
     }
 
 
@@ -519,6 +563,143 @@ _GEO_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         " >= tol THEN array_append(acc, v) ELSE acc END)",
     ),
 }
+
+
+_EMPTY_RING = "cast(array() as array<struct<x: double, y: double>>)"
+
+
+def _clip_edge_sql(ring: str, c1x: str, c1y: str, c2x: str, c2y: str) -> str:
+    """Sutherland–Hodgman single-edge clip of closed ring ``ring``
+    against the half-plane LEFT of the directed line (c1 → c2), as one
+    inlined Spark SQL expression (reference docs/geometry.md polygon
+    set operations; the real algorithm, not an envelope shortcut).
+
+    Generated as a string because the polygon-polygon fold
+    (``st_intersection_poly``) must clip against a *lambda-bound* edge
+    — Spark's SQL-UDF inliner cannot pass lambda variables into a UDF
+    call, so the edge clip is stamped inline wherever it's needed.
+
+    Let-bindings use the transform-of-singleton-array idiom: Spark SQL
+    has no LET, but ``element_at(transform(array(s), v -> e), 1)``
+    evaluates ``e`` with ``v`` bound to ``s`` exactly once.
+
+    Conventions: ring and clip are CLOSED (first = last) and CCW;
+    a point exactly on the clip line counts inside (>= 0), matching
+    every half-plane clipper. Output ring is closed; fully-outside
+    input yields an empty array.
+    """
+    # per-edge struct: s = ring[i], e = ring[i+1]
+    pts = (
+        f"named_struct("
+        f"'sx', element_at({ring}, i).x, 'sy', element_at({ring}, i).y,"
+        f"'ex', element_at({ring}, i + 1).x,"
+        f" 'ey', element_at({ring}, i + 1).y)"
+    )
+    # signed side of s and e w.r.t. the directed clip line
+    sides = (
+        f"named_struct("
+        f"'ss', ({c2x} - ({c1x})) * (p0.sy - ({c1y}))"
+        f"    - ({c2y} - ({c1y})) * (p0.sx - ({c1x})),"
+        f"'se', ({c2x} - ({c1x})) * (p0.ey - ({c1y}))"
+        f"    - ({c2y} - ({c1y})) * (p0.ex - ({c1x})))"
+    )
+    # segment/line intersection point, parameter t = ss / (ss - se)
+    ipt = (
+        "named_struct("
+        "'x', p0.sx + sd.ss / (sd.ss - sd.se) * (p0.ex - p0.sx),"
+        "'y', p0.sy + sd.ss / (sd.ss - sd.se) * (p0.ey - p0.sy))"
+    )
+    emit = (
+        f"element_at(transform(array({sides}), sd -> CASE"
+        f" WHEN sd.se >= 0d AND sd.ss >= 0d THEN"
+        f"   array(named_struct('x', p0.ex, 'y', p0.ey))"
+        f" WHEN sd.se >= 0d THEN"
+        f"   array({ipt}, named_struct('x', p0.ex, 'y', p0.ey))"
+        f" WHEN sd.ss >= 0d THEN array({ipt})"
+        f" ELSE {_EMPTY_RING} END), 1)"
+    )
+    return (
+        f"CASE WHEN {ring} IS NULL OR size({ring}) < 4 THEN {_EMPTY_RING}"
+        f" ELSE aggregate(sequence(1, size({ring}) - 1), {_EMPTY_RING},"
+        f" (acc, i) -> concat(acc,"
+        f"   element_at(transform(array({pts}), p0 -> {emit}), 1)),"
+        f" acc -> CASE WHEN size(acc) = 0 THEN acc"
+        f"             ELSE concat(acc, array(element_at(acc, 1))) END)"
+        f" END"
+    )
+
+
+#: Sixth batch — TRUE polygon set algebra (round-4): general
+#: Sutherland–Hodgman clipping (any simple subject polygon × convex
+#: clip polygon) and the area algebra on top of it, all JVM-side
+#: whole-stage-codegen SQL. Replaces the round-3 envelope
+#: approximations where the semantics genuinely need geometry.
+_GEO_SQL_FUNCTIONS.update({
+    # clip a closed ring by ONE half-plane (left of a → b)
+    "st_clip_halfplane": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+        " a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        _clip_edge_sql("ring", "a.x", "a.y", "b.x", "b.y"),
+    ),
+    # full polygon ∩ polygon: fold the edge clip over the (convex,
+    # CCW, closed) clip ring — subject may be concave
+    "st_intersection_poly": (
+        "(subject ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+        " clip ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        f"CASE WHEN subject IS NULL OR clip IS NULL OR size(clip) < 4"
+        f" THEN {_EMPTY_RING}"
+        f" ELSE aggregate(sequence(1, size(clip) - 1), subject,"
+        f" (rg, j) -> "
+        + _clip_edge_sql(
+            "rg",
+            "element_at(clip, j).x", "element_at(clip, j).y",
+            "element_at(clip, j + 1).x", "element_at(clip, j + 1).y",
+        )
+        + ") END",
+    ),
+    # degenerate-safe shoelace (st_area errors on size<2 sequences)
+    "st_poly_area": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS DOUBLE",
+        "CASE WHEN ring IS NULL OR size(ring) < 4 THEN 0d"
+        " ELSE st_area(ring) END",
+    ),
+    "st_intersection_area_poly": (
+        "(a ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+        " b ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS DOUBLE",
+        "st_poly_area(st_intersection_poly(a, b))",
+    ),
+    # inclusion-exclusion: valid for any simple a, convex b
+    "st_union_area_poly": (
+        "(a ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+        " b ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS DOUBLE",
+        "st_poly_area(a) + st_poly_area(b)"
+        " - st_poly_area(st_intersection_poly(a, b))",
+    ),
+    "st_difference_area_poly": (
+        "(a ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>,"
+        " b ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS DOUBLE",
+        "st_poly_area(a) - st_poly_area(st_intersection_poly(a, b))",
+    ),
+    "st_reverse": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)"
+        " RETURNS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>",
+        "reverse(ring)",
+    ),
+    # +1 CCW, -1 CW, 0 degenerate (PostGIS ST_IsPolygonCCW analog)
+    "st_orientation": (
+        "(ring ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>) RETURNS INT",
+        "CAST(sign(st_poly_area(ring)) AS INT)",
+    ),
+    # PostGIS ST_Azimuth: radians clockwise from north, here degrees
+    # in [0, 360); atan2(dx, dy) — note the argument swap vs math
+    "st_azimuth_deg": (
+        "(a STRUCT<x: DOUBLE, y: DOUBLE>, b STRUCT<x: DOUBLE, y: DOUBLE>)"
+        " RETURNS DOUBLE",
+        "pmod(degrees(atan2(b.x - a.x, b.y - a.y)) + 360d, 360d)",
+    ),
+})
 
 _REGISTERED: set[int] = set()
 

@@ -54,6 +54,12 @@ AQE_MIN_INPUT_BYTES = int(
 
 _AQE_DECISION: dict[str, str | None] = {}
 
+#: Last value THIS policy wrote per session — when the live conf
+#: differs, someone else (a user SET, a test probe) changed it after
+#: us, and an explicit override outranks the size heuristic until the
+#: session goes away.
+_AQE_SET: dict[int, str] = {}
+
 
 def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
     """Align spark.sql.adaptive.enabled with the fixture directory's
@@ -80,8 +86,16 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
         _AQE_DECISION[sf_dir] = decision
     if decision is not None:
         try:
-            if spark.conf.get("spark.sql.adaptive.enabled") != decision:
+            cur = spark.conf.get("spark.sql.adaptive.enabled")
+            prev_set = _AQE_SET.get(id(spark))
+            if prev_set is not None and cur != prev_set:
+                # Someone set the conf after our last write — an
+                # explicit override (user SET / test probe) beats the
+                # size heuristic for the rest of the session.
+                return
+            if cur != decision:
                 spark.conf.set("spark.sql.adaptive.enabled", decision)
+            _AQE_SET[id(spark)] = decision
         except Exception:
             pass
 

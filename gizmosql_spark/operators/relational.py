@@ -1167,6 +1167,95 @@ def spatial_funcs5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_funcs6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh spatial batch (round-4): TRUE polygon set algebra —
+    general Sutherland–Hodgman clipping (concave subjects × convex
+    clips) fully inlined as JVM-side SQL, replacing round 3's
+    envelope approximations (reference docs/geometry.md polygon
+    intersection/union/difference contract).
+
+    The oracle never runs the clipper: every expected value is an
+    INDEPENDENT closed-form formula (triangle cut by a vertical line,
+    rectangle overlap, an L-shape's piecewise-linear area-vs-cut
+    curve, hull of a rectangle + one outlier), so agreement validates
+    the general algorithm against geometry done a different way.
+
+    Scale shape: pure per-row expression work — whole-stage codegen,
+    no shuffle but the final ORDER BY; the hull is the only Arrow
+    kernel (iterative pops can't fold)."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark import geo
+
+    gf.register_all(spark)
+    geo.register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp6")
+    return spark.sql("""
+        WITH p AS (
+            SELECT event_id,
+                   CAST(10 + user_id % 50 AS DOUBLE) AS w,
+                   CAST(5 + user_id % 30 AS DOUBLE) AS h,
+                   CAST(1 + user_id % 67 AS DOUBLE) AS c,
+                   CAST(1 + user_id % 18 AS DOUBLE) AS x0,
+                   CAST(1 + user_id % 8 AS DOUBLE) AS y0,
+                   CAST(1 + user_id % 6 AS DOUBLE) AS nn,
+                   CAST(1 + user_id % 9 AS DOUBLE) AS mm,
+                   CAST(1 + user_id % 25 AS DOUBLE) AS cl,
+                   CAST(user_id % 21 - 10 AS DOUBLE) AS dx,
+                   CAST(user_id % 13 - 6 AS DOUBLE) AS dy
+            FROM events_sp6 WHERE event_id < 2000
+        ), g AS (
+            SELECT p.*,
+                   array(named_struct('x', 0d, 'y', 0d),
+                         named_struct('x', w, 'y', 0d),
+                         named_struct('x', 0d, 'y', h),
+                         named_struct('x', 0d, 'y', 0d)) AS tri,
+                   st_makeenvelope(0d, 0d, c, 40d) AS cliptri,
+                   st_makeenvelope(0d, 0d, 20d, 10d) AS recta,
+                   st_makeenvelope(x0, y0, x0 + 20d, y0 + 10d) AS rectb,
+                   array(named_struct('x', 0d, 'y', 0d),
+                         named_struct('x', 20d, 'y', 0d),
+                         named_struct('x', 20d, 'y', 10d - nn),
+                         named_struct('x', 20d - mm, 'y', 10d - nn),
+                         named_struct('x', 20d - mm, 'y', 10d),
+                         named_struct('x', 0d, 'y', 10d),
+                         named_struct('x', 0d, 'y', 0d)) AS lshape,
+                   st_makeenvelope(0d, -5d, cl, 15d) AS clipl,
+                   array(named_struct('x', 0d, 'y', 0d),
+                         named_struct('x', 20d, 'y', 0d),
+                         named_struct('x', 20d, 'y', 10d),
+                         named_struct('x', 0d, 'y', 10d),
+                         named_struct('x', 5d, 'y', 5d),
+                         named_struct('x', 21d, 'y', y0)) AS cloud
+            FROM p
+        )
+        SELECT event_id,
+               round(st_intersection_area_poly(tri, cliptri), 6)
+                   AS tri_clip_area,
+               size(st_clip_halfplane(tri,
+                    named_struct('x', c, 'y', 0d),
+                    named_struct('x', c, 'y', 40d))) AS tri_clip_npts,
+               round(st_intersection_area_poly(recta, rectb), 6)
+                   AS rect_inter_area,
+               size(st_intersection_poly(recta, rectb))
+                   AS rect_inter_npts,
+               round(st_union_area_poly(recta, rectb), 6)
+                   AS rect_union_area,
+               round(st_difference_area_poly(recta, rectb), 6)
+                   AS rect_diff_area,
+               round(st_intersection_area_poly(lshape, clipl), 6)
+                   AS l_clip_area,
+               round(st_poly_area(st_convexhull(cloud)), 6) AS hull_area,
+               size(st_convexhull(cloud)) AS hull_npts,
+               round(st_azimuth_deg(named_struct('x', 0d, 'y', 0d),
+                                    named_struct('x', dx, 'y', dy)), 6)
+                   AS azimuth,
+               st_orientation(tri) AS orient_ccw,
+               st_orientation(st_reverse(tri)) AS orient_cw
+        FROM g
+        ORDER BY event_id
+    """)
+
+
 def spatial_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Extent_Agg analog: per-group aggregate bounding box over a
     point cloud (the layer-extent / tile-index computation), plus the
@@ -1273,6 +1362,7 @@ QUERIES = {
     "range_band_join": range_band_join,
     "skyline_parts": skyline_parts,
     "spatial_funcs5": spatial_funcs5,
+    "spatial_funcs6": spatial_funcs6,
     "spatial_extent_agg": spatial_extent_agg,
     "benford_prices": benford_prices,
     "spatial_funcs": spatial_funcs,
@@ -1321,6 +1411,48 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "spatial_funcs6": """
+        WITH p AS (
+            SELECT event_id,
+                   CAST(10 + user_id % 50 AS DOUBLE) AS w,
+                   CAST(5 + user_id % 30 AS DOUBLE) AS h,
+                   CAST(1 + user_id % 67 AS DOUBLE) AS c,
+                   CAST(1 + user_id % 18 AS DOUBLE) AS x0,
+                   CAST(1 + user_id % 8 AS DOUBLE) AS y0,
+                   CAST(1 + user_id % 6 AS DOUBLE) AS nn,
+                   CAST(1 + user_id % 9 AS DOUBLE) AS mm,
+                   CAST(1 + user_id % 25 AS DOUBLE) AS cl,
+                   CAST(user_id % 21 - 10 AS DOUBLE) AS dx,
+                   CAST(user_id % 13 - 6 AS DOUBLE) AS dy
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               -- triangle (0,0)(w,0)(0,h) cut at x<=c: integral of
+               -- the linear height profile (independent of clipping)
+               round(CASE WHEN c >= w THEN w * h / 2
+                          ELSE w * h / 2 - h * (w - c) * (w - c) / (2 * w)
+                     END, 6) AS tri_clip_area,
+               CAST(CASE WHEN c >= w THEN 4 ELSE 5 END AS INTEGER)
+                   AS tri_clip_npts,
+               round((20 - x0) * (10 - y0), 6) AS rect_inter_area,
+               CAST(5 AS INTEGER) AS rect_inter_npts,
+               round(400 - (20 - x0) * (10 - y0), 6) AS rect_union_area,
+               round(200 - (20 - x0) * (10 - y0), 6) AS rect_diff_area,
+               -- L-shape height profile: 10 left of the notch,
+               -- 10-nn under it
+               round(10 * least(cl, 20 - mm)
+                     + (10 - nn)
+                       * greatest(0, least(cl, 20) - (20 - mm)), 6)
+                   AS l_clip_area,
+               round(CAST(205 AS DOUBLE), 6) AS hull_area,
+               CAST(6 AS INTEGER) AS hull_npts,
+               round(fmod(degrees(atan2(dx, dy)) + 360, 360), 6)
+                   AS azimuth,
+               CAST(1 AS INTEGER) AS orient_ccw,
+               CAST(-1 AS INTEGER) AS orient_cw
+        FROM p
+        ORDER BY event_id
+    """,
     "spatial_funcs5": """
         WITH env AS (
             SELECT event_id,

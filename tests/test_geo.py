@@ -281,3 +281,74 @@ def test_envelope_set_algebra(spark):
     assert row["open_bnd"] == 2 and row["closed_bnd"] == 0
     # radial simplify keeps 0, 3, 7 (0.5 and 3.4 are < tol from kept)
     assert [p["x"] for p in row["simp"]] == [0.0, 3.0, 7.0]
+
+
+# --- round-4: true polygon set algebra (Sutherland–Hodgman) ----------
+
+
+@pytest.fixture(scope="module")
+def _geo(spark):
+    geo.register_geo(spark)
+
+
+def _one(spark, expr: str):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+SQUARE = ("array(named_struct('x',0d,'y',0d), named_struct('x',4d,'y',0d),"
+          " named_struct('x',4d,'y',4d), named_struct('x',0d,'y',4d),"
+          " named_struct('x',0d,'y',0d))")
+
+
+def test_clip_halfplane_no_overlap_is_empty(spark, _geo):
+    # clip to the half-plane x <= -1 (left of the upward line x=-1)
+    v = _one(spark, f"""st_clip_halfplane({SQUARE},
+        named_struct('x',-1d,'y',0d), named_struct('x',-1d,'y',1d))""")
+    assert v == []
+
+
+def test_clip_halfplane_full_containment_identity(spark, _geo):
+    v = _one(spark, f"""st_poly_area(st_clip_halfplane({SQUARE},
+        named_struct('x',100d,'y',0d), named_struct('x',100d,'y',1d)))""")
+    assert v == 16.0
+
+
+def test_intersection_poly_concave_subject(spark, _geo):
+    # U-shape: 6x4 rect minus a 2x2 notch on the top edge (concave);
+    # clip with its right half x >= 3 → area = 12 - 2 (half the
+    # notch... notch spans x in [2,4]: right part [3,4] is 1x2) = 10
+    u_shape = ("array(named_struct('x',0d,'y',0d),"
+               " named_struct('x',6d,'y',0d), named_struct('x',6d,'y',4d),"
+               " named_struct('x',4d,'y',4d), named_struct('x',4d,'y',2d),"
+               " named_struct('x',2d,'y',2d), named_struct('x',2d,'y',4d),"
+               " named_struct('x',0d,'y',4d), named_struct('x',0d,'y',0d))")
+    v = _one(spark, f"""st_intersection_area_poly({u_shape},
+        st_makeenvelope(3d, -1d, 7d, 5d))""")
+    assert v == pytest.approx(10.0)
+
+
+def test_union_difference_inclusion_exclusion(spark, _geo):
+    a, b = SQUARE, "st_makeenvelope(2d, 2d, 6d, 6d)"
+    inter = _one(spark, f"st_intersection_area_poly({a}, {b})")
+    union = _one(spark, f"st_union_area_poly({a}, {b})")
+    diff = _one(spark, f"st_difference_area_poly({a}, {b})")
+    assert inter == pytest.approx(4.0)
+    assert union == pytest.approx(16.0 + 16.0 - 4.0)
+    assert diff == pytest.approx(12.0)
+
+
+def test_convexhull_drops_interior_and_duplicates(spark, _geo):
+    v = _one(spark, """st_convexhull(array(
+        named_struct('x',0d,'y',0d), named_struct('x',4d,'y',0d),
+        named_struct('x',4d,'y',4d), named_struct('x',0d,'y',4d),
+        named_struct('x',2d,'y',2d), named_struct('x',2d,'y',0d),
+        named_struct('x',0d,'y',0d)))""")
+    pts = [(p["x"], p["y"]) for p in v]
+    # closed CCW square from the lexicographic minimum; the interior
+    # point, the collinear edge midpoint, and the duplicate are gone
+    assert pts == [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+
+
+def test_orientation_and_reverse(spark, _geo):
+    assert _one(spark, f"st_orientation({SQUARE})") == 1
+    assert _one(spark, f"st_orientation(st_reverse({SQUARE}))") == -1

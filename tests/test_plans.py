@@ -90,11 +90,11 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     (the runtime re-plan the 100 TB design leans on). The engine's
     size policy (loader.tune_adaptivity) turns AQE off below the
     input threshold, so pin it on explicitly for this plan probe."""
+    df = tpch.q01(spark, sf_dir)  # construction runs the size policy
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
-        df = tpch.q01(spark, sf_dir)
-        df.collect()
+        df.collect()  # AQE flag is read at action time
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     final = df._sc._jvm.PythonSQLUtils.explainString(
