@@ -701,6 +701,277 @@ _GEO_SQL_FUNCTIONS.update({
     ),
 })
 
+
+_RING_T = "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+_ENV_T = "STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>"
+_PT_T = "STRUCT<x: DOUBLE, y: DOUBLE>"
+
+#: Eighth batch — accessor / constructor / predicate breadth
+#: (reference docs/geometry.md "100+ spatial functions" contract):
+#: each a one-expression JVM body over the ring/envelope/point model.
+_GEO_SQL_FUNCTIONS.update({
+    "st_xmin": (f"(ring {_RING_T}) RETURNS DOUBLE",
+                "array_min(transform(ring, v -> v.x))"),
+    "st_xmax": (f"(ring {_RING_T}) RETURNS DOUBLE",
+                "array_max(transform(ring, v -> v.x))"),
+    "st_ymin": (f"(ring {_RING_T}) RETURNS DOUBLE",
+                "array_min(transform(ring, v -> v.y))"),
+    "st_ymax": (f"(ring {_RING_T}) RETURNS DOUBLE",
+                "array_max(transform(ring, v -> v.y))"),
+    "st_width_env": (f"(env {_ENV_T}) RETURNS DOUBLE",
+                     "env.xmax - env.xmin"),
+    "st_height_env": (f"(env {_ENV_T}) RETURNS DOUBLE",
+                      "env.ymax - env.ymin"),
+    "st_isempty": (f"(ring {_RING_T}) RETURNS BOOLEAN",
+                   "ring IS NULL OR size(ring) = 0"),
+    # single-ring validity: closed, >= 3 distinct vertices, area != 0
+    "st_isvalid_ring": (
+        f"(ring {_RING_T}) RETURNS BOOLEAN",
+        "ring IS NOT NULL AND size(ring) >= 4"
+        " AND element_at(ring, 1) = element_at(ring, -1)"
+        " AND st_poly_area(ring) != 0d"),
+    "st_ispolygonccw": (f"(ring {_RING_T}) RETURNS BOOLEAN",
+                        "st_orientation(ring) = 1"),
+    "st_ispolygoncw": (f"(ring {_RING_T}) RETURNS BOOLEAN",
+                       "st_orientation(ring) = -1"),
+    # the engine's model is single-ring polygons (holes live in the
+    # WKB codec only) — honest constants, as PostGIS returns for them
+    "st_numinteriorrings": (f"(ring {_RING_T}) RETURNS INT", "0"),
+    "st_dimension_ring": (
+        f"(ring {_RING_T}) RETURNS INT",
+        "CASE WHEN ring IS NULL OR size(ring) = 0 THEN -1"
+        " WHEN size(ring) = 1 THEN 0"
+        " WHEN st_isclosed(ring) AND size(ring) >= 4 THEN 2 ELSE 1 END"),
+    "st_geometrytype_ring": (
+        f"(ring {_RING_T}) RETURNS STRING",
+        "CASE WHEN ring IS NULL OR size(ring) = 0 THEN NULL"
+        " WHEN size(ring) = 1 THEN 'ST_Point'"
+        " WHEN st_isclosed(ring) AND size(ring) >= 4 THEN 'ST_Polygon'"
+        " ELSE 'ST_LineString' END"),
+    "st_exteriorring": (f"(ring {_RING_T}) RETURNS {_RING_T}", "ring"),
+    # close an open path (no-op when already closed)
+    "st_makepolygon": (
+        f"(line {_RING_T}) RETURNS {_RING_T}",
+        "CASE WHEN line IS NULL OR size(line) < 3 THEN line"
+        " WHEN element_at(line, 1) = element_at(line, -1) THEN line"
+        " ELSE concat(line, array(element_at(line, 1))) END"),
+    "st_midpoint": (
+        f"(a {_PT_T}, b {_PT_T}) RETURNS {_PT_T}",
+        "named_struct('x', (a.x + b.x) / 2d, 'y', (a.y + b.y) / 2d)"),
+    "st_makebox2d": (
+        f"(a {_PT_T}, b {_PT_T}) RETURNS {_ENV_T}",
+        "named_struct('xmin', least(a.x, b.x), 'ymin', least(a.y, b.y),"
+        " 'xmax', greatest(a.x, b.x), 'ymax', greatest(a.y, b.y))"),
+    "st_expand_point": (
+        f"(p {_PT_T}, d DOUBLE) RETURNS {_ENV_T}",
+        "named_struct('xmin', p.x - d, 'ymin', p.y - d,"
+        " 'xmax', p.x + d, 'ymax', p.y + d)"),
+    "st_centroid_env": (
+        f"(env {_ENV_T}) RETURNS {_PT_T}",
+        "named_struct('x', (env.xmin + env.xmax) / 2d,"
+        " 'y', (env.ymin + env.ymax) / 2d)"),
+    "st_perimeter_env": (
+        f"(env {_ENV_T}) RETURNS DOUBLE",
+        "2d * greatest(env.xmax - env.xmin, 0d)"
+        " + 2d * greatest(env.ymax - env.ymin, 0d)"),
+    # min distance between two envelopes (0 when overlapping) — the
+    # bbox pre-filter for distance joins
+    "st_distance_env": (
+        f"(a {_ENV_T}, b {_ENV_T}) RETURNS DOUBLE",
+        "sqrt(pow(greatest(a.xmin - b.xmax, b.xmin - a.xmax, 0d), 2)"
+        " + pow(greatest(a.ymin - b.ymax, b.ymin - a.ymax, 0d), 2))"),
+    "st_minboundradius_env": (
+        f"(env {_ENV_T}) RETURNS DOUBLE",
+        "sqrt(pow(env.xmax - env.xmin, 2) + pow(env.ymax - env.ymin, 2))"
+        " / 2d"),
+    "st_removepoint": (
+        f"(line {_RING_T}, n INT) RETURNS {_RING_T}",
+        "filter(line, (v, i) -> i != n - 1)"),
+    "st_setpoint": (
+        f"(line {_RING_T}, n INT, p {_PT_T}) RETURNS {_RING_T}",
+        "transform(line, (v, i) -> CASE WHEN i = n - 1 THEN p"
+        " ELSE v END)"),
+    # centroid when it falls inside (convex and most rings), else the
+    # first vertex — PostGIS's guarantee is only point-on-surface
+    "st_pointonsurface": (
+        f"(ring {_RING_T}) RETURNS {_PT_T}",
+        "CASE WHEN st_within(st_centroid(ring), ring)"
+        " THEN st_centroid(ring) ELSE element_at(ring, 1) END"),
+})
+
+
+def _seg_dist2_sql(px: str, py: str) -> str:
+    """Squared distance from point (px, py) to ring edge i — the
+    clamped-projection formula inlined with transform-singleton
+    let-bindings (shared by the distance and closest-point folds)."""
+    e = ("named_struct("
+         "'ax', element_at(ring, i).x, 'ay', element_at(ring, i).y,"
+         "'bx', element_at(ring, i + 1).x,"
+         " 'by', element_at(ring, i + 1).y)")
+    t = (f"least(greatest(coalesce("
+         f"(({px} - e.ax) * (e.bx - e.ax) + ({py} - e.ay) * (e.by - e.ay))"
+         f" / nullif((e.bx - e.ax) * (e.bx - e.ax)"
+         f" + (e.by - e.ay) * (e.by - e.ay), 0d), 0d), 0d), 1d)")
+    d2 = (f"({px} - (e.ax + t * (e.bx - e.ax)))"
+          f" * ({px} - (e.ax + t * (e.bx - e.ax)))"
+          f" + ({py} - (e.ay + t * (e.by - e.ay)))"
+          f" * ({py} - (e.ay + t * (e.by - e.ay)))")
+    return (f"element_at(transform(array({e}), e ->"
+            f" element_at(transform(array({t}), t -> {d2}), 1)), 1)")
+
+
+#: Ninth batch — geometric algorithms beyond clipping: segment
+#: intersection, point-to-ring distance/closest-point folds, max
+#: distance, densify, rotation, canonical form, quadkey tiling, and
+#: the WKT polygon codec. All JVM-side SQL.
+_GEO_SQL_FUNCTIONS.update({
+    # proper or touching segment intersection via orientation signs
+    "st_segment_intersects": (
+        f"(a {_PT_T}, b {_PT_T}, c {_PT_T}, d {_PT_T}) RETURNS BOOLEAN",
+        "element_at(transform(array(named_struct("
+        "'d1', (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x),"
+        "'d2', (b.x - a.x) * (d.y - a.y) - (b.y - a.y) * (d.x - a.x),"
+        "'d3', (d.x - c.x) * (a.y - c.y) - (d.y - c.y) * (a.x - c.x),"
+        "'d4', (d.x - c.x) * (b.y - c.y) - (d.y - c.y) * (b.x - c.x))),"
+        " s -> (s.d1 * s.d2 <= 0d AND s.d3 * s.d4 <= 0d)"
+        " AND NOT (s.d1 = 0d AND s.d2 = 0d AND"
+        "  (greatest(a.x, b.x) < least(c.x, d.x)"
+        "   OR greatest(c.x, d.x) < least(a.x, b.x)"
+        "   OR greatest(a.y, b.y) < least(c.y, d.y)"
+        "   OR greatest(c.y, d.y) < least(a.y, b.y)))), 1)"),
+    # intersection point of the two segment-supporting lines, NULL
+    # when parallel or when it falls outside either segment
+    "st_segment_intersection": (
+        f"(a {_PT_T}, b {_PT_T}, c {_PT_T}, d {_PT_T}) RETURNS {_PT_T}",
+        "element_at(transform(array("
+        "(b.x - a.x) * (d.y - c.y) - (b.y - a.y) * (d.x - c.x)),"
+        " den -> CASE WHEN den = 0d THEN CAST(NULL AS"
+        " STRUCT<x: DOUBLE, y: DOUBLE>) ELSE"
+        " element_at(transform(array(named_struct("
+        " 't', ((c.x - a.x) * (d.y - c.y) - (c.y - a.y) * (d.x - c.x))"
+        "      / den,"
+        " 'u', ((c.x - a.x) * (b.y - a.y) - (c.y - a.y) * (b.x - a.x))"
+        "      / den)),"
+        " s -> CASE WHEN s.t >= 0d AND s.t <= 1d"
+        "           AND s.u >= 0d AND s.u <= 1d"
+        " THEN named_struct('x', a.x + s.t * (b.x - a.x),"
+        "                   'y', a.y + s.t * (b.y - a.y))"
+        " ELSE CAST(NULL AS STRUCT<x: DOUBLE, y: DOUBLE>) END), 1)"
+        " END), 1)"),
+    # min distance from a point to a ring's boundary path
+    "st_distance_ring": (
+        f"(p {_PT_T}, ring {_RING_T}) RETURNS DOUBLE",
+        "CASE WHEN ring IS NULL OR size(ring) < 2 THEN NULL ELSE"
+        " sqrt(aggregate(sequence(1, size(ring) - 1),"
+        " cast('Infinity' as double),"
+        " (m, i) -> least(m, " + _seg_dist2_sql("p.x", "p.y") + ")))"
+        " END"),
+    # closest point on the ring's boundary to p (argmin fold)
+    "st_closestpoint_ring": (
+        f"(p {_PT_T}, ring {_RING_T}) RETURNS {_PT_T}",
+        "CASE WHEN ring IS NULL OR size(ring) < 2 THEN NULL ELSE"
+        " aggregate(sequence(1, size(ring) - 1),"
+        " named_struct('d2', cast('Infinity' as double),"
+        " 'x', cast(null as double), 'y', cast(null as double)),"
+        " (acc, i) -> element_at(transform(array(named_struct("
+        "'ax', element_at(ring, i).x, 'ay', element_at(ring, i).y,"
+        "'bx', element_at(ring, i + 1).x,"
+        " 'by', element_at(ring, i + 1).y)), e ->"
+        " element_at(transform(array("
+        "least(greatest(coalesce("
+        "((p.x - e.ax) * (e.bx - e.ax) + (p.y - e.ay) * (e.by - e.ay))"
+        " / nullif((e.bx - e.ax) * (e.bx - e.ax)"
+        " + (e.by - e.ay) * (e.by - e.ay), 0d), 0d), 0d), 1d)), t ->"
+        " CASE WHEN"
+        " (p.x - (e.ax + t * (e.bx - e.ax)))"
+        " * (p.x - (e.ax + t * (e.bx - e.ax)))"
+        " + (p.y - (e.ay + t * (e.by - e.ay)))"
+        " * (p.y - (e.ay + t * (e.by - e.ay))) < acc.d2"
+        " THEN named_struct("
+        " 'd2', (p.x - (e.ax + t * (e.bx - e.ax)))"
+        " * (p.x - (e.ax + t * (e.bx - e.ax)))"
+        " + (p.y - (e.ay + t * (e.by - e.ay)))"
+        " * (p.y - (e.ay + t * (e.by - e.ay))),"
+        " 'x', e.ax + t * (e.bx - e.ax), 'y', e.ay + t * (e.by - e.ay))"
+        " ELSE acc END), 1)), 1),"
+        " acc -> named_struct('x', acc.x, 'y', acc.y)) END"),
+    # PostGIS ST_MaxDistance: max over vertex pairs (the max distance
+    # between two polygons is always vertex-to-vertex)
+    "st_maxdistance": (
+        f"(a {_RING_T}, b {_RING_T}) RETURNS DOUBLE",
+        "sqrt(aggregate(a, 0d, (m, va) -> greatest(m,"
+        " aggregate(b, 0d, (m2, vb) -> greatest(m2,"
+        " (va.x - vb.x) * (va.x - vb.x)"
+        " + (va.y - vb.y) * (va.y - vb.y))))))"),
+    # PostGIS ST_Segmentize: subdivide every edge into ceil(len/m)
+    # equal parts so no segment exceeds m
+    "st_segmentize": (
+        f"(line {_RING_T}, m DOUBLE) RETURNS {_RING_T}",
+        "CASE WHEN line IS NULL OR size(line) < 2 OR m <= 0d THEN line"
+        " ELSE concat(flatten(transform(sequence(1, size(line) - 1),"
+        " i -> element_at(transform(array(greatest(cast(ceil(sqrt("
+        " (element_at(line, i + 1).x - element_at(line, i).x)"
+        " * (element_at(line, i + 1).x - element_at(line, i).x)"
+        " + (element_at(line, i + 1).y - element_at(line, i).y)"
+        " * (element_at(line, i + 1).y - element_at(line, i).y))"
+        " / m) as int), 1)), k ->"
+        " transform(sequence(0, k - 1), s -> named_struct("
+        " 'x', element_at(line, i).x + cast(s as double) / k"
+        "      * (element_at(line, i + 1).x - element_at(line, i).x),"
+        " 'y', element_at(line, i).y + cast(s as double) / k"
+        "      * (element_at(line, i + 1).y - element_at(line, i).y)))"
+        "), 1))), array(element_at(line, -1))) END"),
+    # rotate about the origin by theta radians (general-angle
+    # companion of the exact st_rotate90)
+    "st_rotate_rad": (
+        f"(ring {_RING_T}, theta DOUBLE) RETURNS {_RING_T}",
+        "transform(ring, v -> named_struct("
+        "'x', v.x * cos(theta) - v.y * sin(theta),"
+        "'y', v.x * sin(theta) + v.y * cos(theta)))"),
+    # canonical form: rotate the closed ring so it starts at the
+    # lexicographically smallest vertex (ring equality up to rotation)
+    "st_normalize_ring": (
+        f"(ring {_RING_T}) RETURNS {_RING_T}",
+        "CASE WHEN ring IS NULL OR size(ring) < 4 THEN ring ELSE"
+        " element_at(transform(array("
+        " aggregate(sequence(2, size(ring) - 1), 1, (best, i) ->"
+        " CASE WHEN element_at(ring, i) < element_at(ring, best)"
+        " THEN i ELSE best END)), k -> concat("
+        " slice(ring, k, size(ring) - k),"
+        " slice(ring, 1, k - 1),"
+        " array(element_at(ring, k)))), 1) END"),
+    # Bing-maps quadkey of a unit-square point at zoom z
+    # (digit = x_bit + 2 * y_bit per level)
+    "st_quadkey": (
+        "(x DOUBLE, y DOUBLE, z INT) RETURNS STRING",
+        "array_join(transform(sequence(1, z), i -> cast("
+        " cast(floor(x * pow(2d, i)) as int) % 2"
+        " + 2 * (cast(floor(y * pow(2d, i)) as int) % 2)"
+        " as string)), '')"),
+    # WKT polygon print/parse (single ring)
+    "st_astext_poly": (
+        f"(ring {_RING_T}) RETURNS STRING",
+        "CASE WHEN ring IS NULL THEN NULL ELSE concat('POLYGON ((',"
+        " array_join(transform(ring, v -> concat("
+        " format_number(v.x, '0.######'), ' ',"
+        " format_number(v.y, '0.######'))), ', '), '))') END"),
+    "st_astext_line": (
+        f"(line {_RING_T}) RETURNS STRING",
+        "CASE WHEN line IS NULL THEN NULL ELSE concat('LINESTRING (',"
+        " array_join(transform(line, v -> concat("
+        " format_number(v.x, '0.######'), ' ',"
+        " format_number(v.y, '0.######'))), ', '), ')') END"),
+    "st_geomfromtext_poly": (
+        f"(t STRING) RETURNS {_RING_T}",
+        "CASE WHEN t RLIKE 'POLYGON\\\\s*\\\\(\\\\(' THEN"
+        " transform(split(regexp_extract(t,"
+        " 'POLYGON\\\\s*\\\\(\\\\(([^)]*)\\\\)\\\\)', 1), ',\\\\s*'),"
+        " s -> named_struct("
+        " 'x', cast(split(trim(s), '\\\\s+')[0] as double),"
+        " 'y', cast(split(trim(s), '\\\\s+')[1] as double)))"
+        " ELSE NULL END"),
+})
+
 _REGISTERED: set[int] = set()
 
 

@@ -1256,6 +1256,105 @@ def spatial_funcs6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def spatial_funcs7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth spatial batch (round-4 breadth): accessors, constructors,
+    segment algorithms, ring folds, tiling, and the WKT polygon codec —
+    36 new ST_* functions closing the reference's "100+ spatial
+    functions" contract (docs/geometry.md). Oracle values are
+    independent closed forms: envelope gaps are Pythagorean distances,
+    the diagonal intersection is the rectangle center, the point-to-
+    ring distance is the horizontal gap, quadkey digits come from
+    INTEGER bit arithmetic while the engine computes them in floating
+    point, and the WKT round-trip must reproduce the exact area."""
+    from gizmosql_spark import functions as gf
+    from gizmosql_spark import geo
+
+    gf.register_all(spark)
+    geo.register_geo(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_sp7")
+    return spark.sql("""
+        WITH p AS (
+            SELECT event_id,
+                   CAST(user_id % 10 AS DOUBLE) AS x0,
+                   CAST(user_id % 7 AS DOUBLE) AS y0,
+                   CAST(4 + user_id % 6 AS DOUBLE) AS w,
+                   CAST(3 + user_id % 5 AS DOUBLE) AS h,
+                   CAST(1 + user_id % 5 AS DOUBLE) AS gx,
+                   CAST(2 + user_id % 4 AS DOUBLE) AS gy,
+                   CAST(1 + user_id % 3 AS DOUBLE) AS dxp,
+                   CAST(1 + user_id % 4 AS DOUBLE) AS ed,
+                   CAST(user_id % 16 AS INT) AS qx,
+                   CAST(user_id % 8 AS INT) AS qy
+            FROM events_sp7 WHERE event_id < 2000
+        ), g AS (
+            SELECT p.*,
+                   st_makeenvelope(x0, y0, x0 + w, y0 + h) AS ring,
+                   named_struct('xmin', x0, 'ymin', y0,
+                                'xmax', x0 + w, 'ymax', y0 + h) AS env,
+                   named_struct('xmin', x0 + w + gx, 'ymin', y0 + h + gy,
+                                'xmax', x0 + w + gx + 2d,
+                                'ymax', y0 + h + gy + 2d) AS env2,
+                   named_struct('x', x0, 'y', y0) AS bl,
+                   named_struct('x', x0 + w, 'y', y0 + h) AS tr,
+                   named_struct('x', x0, 'y', y0 + h) AS tl,
+                   named_struct('x', x0 + w, 'y', y0) AS br
+            FROM p
+        )
+        SELECT event_id,
+               st_xmin(ring) AS r_xmin, st_xmax(ring) AS r_xmax,
+               st_ymin(ring) AS r_ymin, st_ymax(ring) AS r_ymax,
+               st_width_env(env) AS env_w, st_height_env(env) AS env_h,
+               st_isvalid_ring(ring) AS is_valid,
+               st_ispolygonccw(ring) AS is_ccw,
+               st_geometrytype_ring(ring) AS gtype,
+               st_dimension_ring(ring) AS gdim,
+               st_numinteriorrings(ring) AS n_holes,
+               st_midpoint(bl, tr).x AS mid_x,
+               st_midpoint(bl, tr).y AS mid_y,
+               round(st_distance_env(env, env2), 6) AS env_gap,
+               st_segment_intersects(bl, tr, tl, br) AS diag_hit,
+               round(st_segment_intersection(bl, tr, tl, br).x, 6)
+                   AS diag_ix,
+               round(st_segment_intersection(bl, tr,
+                     named_struct('x', x0, 'y', y0 - 1d),
+                     named_struct('x', x0 + w, 'y', y0 + h - 1d)).x, 6)
+                   AS par_ix,
+               round(st_distance_ring(
+                     named_struct('x', x0 + w + dxp, 'y', y0 + 1d),
+                     ring), 6) AS ring_dist,
+               st_closestpoint_ring(
+                     named_struct('x', x0 + w + dxp, 'y', y0 + 1d),
+                     ring).x AS cp_x,
+               round(st_maxdistance(ring, ring), 6) AS max_dist,
+               size(st_segmentize(array(bl, br), 2d)) AS seg_npts,
+               st_normalize_ring(array(tr, tl, bl, br, tr))[0].x
+                   AS norm_x,
+               st_quadkey((qx + 0.5d) / 16d, (qy + 0.5d) / 8d, 4)
+                   AS quadkey,
+               round(st_poly_area(
+                     st_geomfromtext_poly(st_astext_poly(ring))), 6)
+                   AS wkt_rt_area,
+               size(st_geomfromtext_poly(st_astext_poly(ring)))
+                   AS wkt_rt_npts,
+               st_pointonsurface(ring).x AS pos_x,
+               round(st_env_area(st_expand_point(bl, ed)), 6)
+                   AS exp_area,
+               st_env_area(st_makebox2d(tr, bl)) AS box_area,
+               size(st_makepolygon(array(bl, br, tr))) AS mkpoly_npts,
+               size(st_removepoint(ring, 2)) AS rm_npts,
+               st_setpoint(ring, 2, named_struct('x', 9d, 'y', 9d))[1].x
+                   AS set_x,
+               round(st_poly_area(st_rotate_rad(ring, 1d)), 6)
+                   AS rot_area,
+               round(st_perimeter_env(env), 6) AS env_perim,
+               round(st_minboundradius_env(env), 6) AS env_radius,
+               st_centroid_env(env).x AS cen_x,
+               st_isempty(ring) AS is_empty
+        FROM g
+        ORDER BY event_id
+    """)
+
+
 def spatial_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Extent_Agg analog: per-group aggregate bounding box over a
     point cloud (the layer-extent / tile-index computation), plus the
@@ -1363,6 +1462,7 @@ QUERIES = {
     "skyline_parts": skyline_parts,
     "spatial_funcs5": spatial_funcs5,
     "spatial_funcs6": spatial_funcs6,
+    "spatial_funcs7": spatial_funcs7,
     "spatial_extent_agg": spatial_extent_agg,
     "benford_prices": benford_prices,
     "spatial_funcs": spatial_funcs,
@@ -1411,6 +1511,65 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {
+    "spatial_funcs7": """
+        WITH p AS (
+            SELECT event_id,
+                   CAST(user_id % 10 AS DOUBLE) AS x0,
+                   CAST(user_id % 7 AS DOUBLE) AS y0,
+                   CAST(4 + user_id % 6 AS DOUBLE) AS w,
+                   CAST(3 + user_id % 5 AS DOUBLE) AS h,
+                   CAST(1 + user_id % 5 AS DOUBLE) AS gx,
+                   CAST(2 + user_id % 4 AS DOUBLE) AS gy,
+                   CAST(1 + user_id % 3 AS DOUBLE) AS dxp,
+                   CAST(1 + user_id % 4 AS DOUBLE) AS ed,
+                   CAST(user_id % 16 AS INTEGER) AS qx,
+                   CAST(user_id % 8 AS INTEGER) AS qy
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               x0 AS r_xmin, x0 + w AS r_xmax,
+               y0 AS r_ymin, y0 + h AS r_ymax,
+               w AS env_w, h AS env_h,
+               true AS is_valid, true AS is_ccw,
+               'ST_Polygon' AS gtype,
+               CAST(2 AS INTEGER) AS gdim,
+               CAST(0 AS INTEGER) AS n_holes,
+               x0 + w / 2 AS mid_x, y0 + h / 2 AS mid_y,
+               round(sqrt(gx * gx + gy * gy), 6) AS env_gap,
+               true AS diag_hit,
+               round(x0 + w / 2, 6) AS diag_ix,
+               CAST(NULL AS DOUBLE) AS par_ix,
+               round(dxp, 6) AS ring_dist,
+               x0 + w AS cp_x,
+               round(sqrt(w * w + h * h), 6) AS max_dist,
+               CAST(ceil(w / 2) + 1 AS INTEGER) AS seg_npts,
+               x0 AS norm_x,
+               -- quadkey digits from INTEGER bit arithmetic (the
+               -- engine derives them in floating point)
+               CAST(CAST((qx // 8) % 2 + 2 * ((qy // 4) % 2) AS INTEGER)
+                    AS VARCHAR)
+               || CAST(CAST((qx // 4) % 2 + 2 * ((qy // 2) % 2)
+                            AS INTEGER) AS VARCHAR)
+               || CAST(CAST((qx // 2) % 2 + 2 * (qy % 2) AS INTEGER)
+                       AS VARCHAR)
+               || CAST(CAST(qx % 2 + 2 AS INTEGER) AS VARCHAR)
+                   AS quadkey,
+               round(w * h, 6) AS wkt_rt_area,
+               CAST(5 AS INTEGER) AS wkt_rt_npts,
+               x0 + w / 2 AS pos_x,
+               round(4 * ed * ed, 6) AS exp_area,
+               w * h AS box_area,
+               CAST(4 AS INTEGER) AS mkpoly_npts,
+               CAST(4 AS INTEGER) AS rm_npts,
+               CAST(9 AS DOUBLE) AS set_x,
+               round(w * h, 6) AS rot_area,
+               round(2 * (w + h), 6) AS env_perim,
+               round(sqrt(w * w + h * h) / 2, 6) AS env_radius,
+               x0 + w / 2 AS cen_x,
+               false AS is_empty
+        FROM p
+        ORDER BY event_id
+    """,
     "spatial_funcs6": """
         WITH p AS (
             SELECT event_id,

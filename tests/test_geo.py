@@ -352,3 +352,72 @@ def test_convexhull_drops_interior_and_duplicates(spark, _geo):
 def test_orientation_and_reverse(spark, _geo):
     assert _one(spark, f"st_orientation({SQUARE})") == 1
     assert _one(spark, f"st_orientation(st_reverse({SQUARE}))") == -1
+
+
+# --- round-4: accessor/algorithm breadth batches ---------------------
+
+
+def test_segment_intersects_edge_cases(spark, _geo):
+    def seg(ax, ay, bx, by, cx, cy, dx, dy):
+        return _one(spark, f"""st_segment_intersects(
+            named_struct('x',{ax}d,'y',{ay}d), named_struct('x',{bx}d,'y',{by}d),
+            named_struct('x',{cx}d,'y',{cy}d), named_struct('x',{dx}d,'y',{dy}d))""")
+    assert seg(0, 0, 4, 4, 0, 4, 4, 0) is True      # proper crossing
+    assert seg(0, 0, 4, 0, 4, 0, 4, 4) is True      # shared endpoint
+    assert seg(0, 0, 2, 0, 3, 0, 5, 0) is False     # collinear disjoint
+    assert seg(0, 0, 3, 0, 2, 0, 5, 0) is True      # collinear overlap
+    assert seg(0, 0, 1, 0, 0, 1, 1, 1) is False     # parallel
+
+
+def test_segment_intersection_parallel_is_null(spark, _geo):
+    v = _one(spark, """st_segment_intersection(
+        named_struct('x',0d,'y',0d), named_struct('x',1d,'y',0d),
+        named_struct('x',0d,'y',1d), named_struct('x',1d,'y',1d))""")
+    assert v is None
+
+
+def test_distance_ring_inside_point_hits_boundary(spark, _geo):
+    # point inside: distance is to the nearest edge of the boundary
+    v = _one(spark, f"""st_distance_ring(
+        named_struct('x',1d,'y',2d), {SQUARE})""")
+    assert v == pytest.approx(1.0)
+
+
+def test_segmentize_preserves_length_and_endpoints(spark, _geo):
+    row = spark.sql("""
+        SELECT st_length(st_segmentize(array(
+            named_struct('x',0d,'y',0d), named_struct('x',3d,'y',4d),
+            named_struct('x',3d,'y',10d)), 2d)) AS len,
+               st_segmentize(array(
+            named_struct('x',0d,'y',0d), named_struct('x',3d,'y',4d),
+            named_struct('x',3d,'y',10d)), 2d) AS pts
+    """).collect()[0]
+    assert row["len"] == pytest.approx(11.0)
+    assert (row["pts"][0]["x"], row["pts"][0]["y"]) == (0.0, 0.0)
+    assert (row["pts"][-1]["x"], row["pts"][-1]["y"]) == (3.0, 10.0)
+    # every hop <= maxlen
+    xs = [(p["x"], p["y"]) for p in row["pts"]]
+    for (x1, y1), (x2, y2) in zip(xs, xs[1:]):
+        assert ((x2 - x1) ** 2 + (y2 - y1) ** 2) ** 0.5 <= 2.0 + 1e-9
+
+
+def test_normalize_ring_is_rotation_invariant(spark, _geo):
+    rots = []
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    for r in range(4):
+        rot = pts[r:] + pts[:r]
+        arr = ", ".join(
+            f"named_struct('x',{x}d,'y',{y}d)" for x, y in rot + rot[:1])
+        rots.append(tuple(
+            (p["x"], p["y"]) for p in
+            _one(spark, f"st_normalize_ring(array({arr}))")))
+    assert len(set(rots)) == 1
+    assert rots[0][0] == (0.0, 0.0)
+
+
+def test_wkt_polygon_roundtrip_exact(spark, _geo):
+    wkt = _one(spark, f"st_astext_poly({SQUARE})")
+    assert wkt == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    back = _one(spark, f"st_geomfromtext_poly('{wkt}')")
+    assert [(p["x"], p["y"]) for p in back] == [
+        (0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]

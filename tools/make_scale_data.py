@@ -1,0 +1,93 @@
+"""Scale the TPC-H fixture tables up by key-shifted replication.
+
+The sandbox ships sf0.1 as its largest fixture, but the fixed-overhead
+question (VERDICT r3 "Next round" #5) needs a data point where per-query
+work dominates Spark's ~0.2-0.4 s scheduling floor. This tool builds an
+sf-N-equivalent directory from sf0.1 by stacking F key-shifted copies:
+every key column is offset by ``replica * (max_key + 1)`` CONSISTENTLY
+across tables (l_orderkey with o_orderkey, o_custkey with c_custkey,
+l_partkey with p_partkey, l_suppkey with s_suppkey), so referential
+integrity, join fan-outs, and per-replica value distributions — hence
+query selectivities — are preserved exactly. region/nation are shared
+dimensions (every replica references the same 25 nations, as a real
+multi-tenant warehouse would).
+
+This is a PERFORMANCE fixture, not a correctness oracle input: the
+driver's correctness tier stays on the untouched /root/testdata dirs.
+
+Usage: python tools/make_scale_data.py [--factor 10] [--dst .scaledata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+SRC_DEFAULT = "/root/testdata/sf0.1"
+
+#: table -> {column: key-space} ; key-space names share one offset base
+KEY_COLS: dict[str, dict[str, str]] = {
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "customer": {"c_custkey": "cust"},
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+}
+
+DIM_TABLES = ["region", "nation"]
+
+
+def key_bases(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
+    """One offset base per key space = max over every column that
+    draws from it (order keys appear in both orders and lineitem)."""
+    bases: dict[str, int] = {}
+    for table, cols in KEY_COLS.items():
+        for col, space in cols.items():
+            (mx,) = con.execute(
+                f"SELECT max({col}) FROM "
+                f"read_parquet('{src}/{table}.parquet')").fetchone()
+            bases[space] = max(bases.get(space, 0), int(mx) + 1)
+    return bases
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default=SRC_DEFAULT)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--dst",
+        default=os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scaledata", "sf1"))
+    args = ap.parse_args()
+
+    os.makedirs(args.dst, exist_ok=True)
+    con = duckdb.connect()
+    bases = key_bases(con, args.src)
+    print("key offset bases:", bases)
+
+    for table in DIM_TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{args.src}/{table}.parquet'))"
+            f" TO '{args.dst}/{table}.parquet' (FORMAT PARQUET)")
+        print(table, "copied")
+
+    for table, cols in KEY_COLS.items():
+        repl = ", ".join(
+            f"{col} + i * {bases[space]} AS {col}"
+            for col, space in cols.items())
+        con.execute(
+            f"COPY (SELECT * REPLACE ({repl})"
+            f" FROM read_parquet('{args.src}/{table}.parquet')"
+            f" CROSS JOIN range({args.factor}) t(i))"
+            f" TO '{args.dst}/{table}.parquet' (FORMAT PARQUET)")
+        (n,) = con.execute(
+            f"SELECT count(*) FROM"
+            f" read_parquet('{args.dst}/{table}.parquet')").fetchone()
+        print(table, "x", args.factor, "->", n, "rows")
+
+
+if __name__ == "__main__":
+    main()
