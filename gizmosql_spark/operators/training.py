@@ -1332,39 +1332,43 @@ ORACLE = {
                    AS hard_len_gap
         FROM picked ORDER BY anchor_id
     """,
+    # AS MATERIALIZED (DuckDB-only; this SQL never runs on Spark): the
+    # ed0->k1->ed1->k2->ed2->k3->ed3 chain references each level 2-3x, so
+    # CTE inlining re-expands the self-join ~3^depth times and the oracle
+    # times out at sf0.1 without it.
     "kcore_graph": """
-        WITH os_ AS (
+        WITH os_ AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS x, b.l_suppkey AS y, count(*) AS cnt
             FROM os_ a JOIN os_ b
               ON a.l_orderkey = b.l_orderkey
              AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
-        ), ed0 AS (
+        ), ed0 AS MATERIALIZED (
             SELECT x, y FROM pairs ORDER BY cnt DESC, x, y LIMIT 5000
-        ), k1 AS (
+        ), k1 AS MATERIALIZED (
             SELECT n FROM (
                 SELECT n, count(*) AS deg FROM (
                     SELECT x AS n FROM ed0 UNION ALL SELECT y FROM ed0)
                 GROUP BY n) WHERE deg >= 3
-        ), ed1 AS (
+        ), ed1 AS MATERIALIZED (
             SELECT x, y FROM ed0
             WHERE x IN (SELECT n FROM k1) AND y IN (SELECT n FROM k1)
-        ), k2 AS (
+        ), k2 AS MATERIALIZED (
             SELECT n FROM (
                 SELECT n, count(*) AS deg FROM (
                     SELECT x AS n FROM ed1 UNION ALL SELECT y FROM ed1)
                 GROUP BY n) WHERE deg >= 3
-        ), ed2 AS (
+        ), ed2 AS MATERIALIZED (
             SELECT x, y FROM ed1
             WHERE x IN (SELECT n FROM k2) AND y IN (SELECT n FROM k2)
-        ), k3 AS (
+        ), k3 AS MATERIALIZED (
             SELECT n FROM (
                 SELECT n, count(*) AS deg FROM (
                     SELECT x AS n FROM ed2 UNION ALL SELECT y FROM ed2)
                 GROUP BY n) WHERE deg >= 3
-        ), ed3 AS (
+        ), ed3 AS MATERIALIZED (
             SELECT x, y FROM ed2
             WHERE x IN (SELECT n FROM k3) AND y IN (SELECT n FROM k3)
         )
