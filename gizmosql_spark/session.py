@@ -27,9 +27,16 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: - AQE: runtime join-strategy re-pick + skew splitting + partition
 #:   coalescing; this is what makes a static plan survive a 100x
 #:   scale-up without hand-tuning.
-#: - broadcast threshold 64 MB: TPC-H dims (region/nation/supplier/
-#:   customer/part) stay broadcast-able far beyond SF100, eliminating
-#:   the shuffle on the probe (lineitem/orders) side.
+#: - broadcast threshold 10 MB (Spark's default): measured at sf1, a
+#:   64 MB threshold made the planner broadcast a 6M-row column-pruned
+#:   lineitem projection (size ESTIMATE ~18 MB from file bytes x
+#:   read-schema fraction, real hash relation ~10x that) into the
+#:   q04/q17/q21 semi-joins — a 2-3 s single-threaded build per query
+#:   locally and a driver OOM at 100 TB. Static over-broadcast is the
+#:   scale hazard; intentional dimension broadcasts are pinned with
+#:   explicit broadcast() hints in the operators, and AQE upgrades
+#:   shuffle joins to broadcast from RUNTIME sizes once inputs cross
+#:   the adaptivity threshold.
 #: - Arrow: columnar Python interchange (the reference streams Arrow
 #:   record batches; duckdb_statement.cpp:2301-2313).
 #: - UTC session timezone: the reference exports TIMESTAMP_TZ as UTC
@@ -42,7 +49,7 @@ BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",

@@ -70,7 +70,8 @@ def main() -> None:
         "spark": spark_t,
         "duckdb": duck_t,
     }
-    with open(os.path.join(repo, "BENCH_LOCAL_SF1.json"), "w") as f:
+    tag = os.path.basename(sf_dir.rstrip("/")).upper().replace(".", "")
+    with open(os.path.join(repo, f"BENCH_LOCAL_{tag}.json"), "w") as f:
         f.write(json.dumps(out) + "\n")
     print(json.dumps({k: v for k, v in out.items()
                       if k not in ("spark", "duckdb")}))
