@@ -763,50 +763,60 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine after every normalization (the kmeans_embeddings device),
     so cross-engine float drift cannot accumulate across rounds.
 
-    Scale shape per round: ONE partial-agg shuffle of width d=64 (the
-    per-row contribution x·(xᵀv) explodes to (pos, val) pairs that
-    combine map-side); μ and v are model-sized driver scalars —
-    identical to the Lloyd's loop. The final report is one scan with
-    the v literal folded in + a labels-sized agg."""
+    Scale shape: ONE vectorized corpus pass computes the raw moments
+    (n, Σx, ΣxxᵀGram) per Arrow batch with a numpy GEMM; the (pos,
+    val) pairs combine map-side, so the shuffle is O(d² × partitions)
+    — independent of row count — and the driver receives d²+d+1
+    scalars. Every power-iteration round is then a d×d mat-vec on the
+    driver (w = G_c·v is algebraically Σ c·(cᵀv); the in-engine
+    round-6 on v absorbs the summation-order drift, same device the
+    DuckDB oracle relies on). The final report is one more scan with
+    the μ/v literals folded in + a labels-sized agg — two corpus
+    passes total instead of 2+rounds."""
+    import numpy as np
+    import pandas as pd
+
     emb = _t(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    # mean vector: one 64-wide partial agg, collected (model-sized)
-    mu_rows = (
-        emb.select(F.posexplode(e).alias("pos", "x"))
+
+    d = _PCA_DIM
+
+    def _moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            vals = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel()))
+            yield pd.DataFrame(
+                {"pos": np.arange(-1, d * d + d), "val": vals})
+
+    rows = (
+        emb.select("embedding")
+        .mapInPandas(_moments, "pos int, val double")
         .groupBy("pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(F.sum("val").alias("val"))
         .collect()
     )
-    mu = [0.0] * _PCA_DIM
-    for r in mu_rows:
-        mu[r["pos"]] = r["m"]
-    mu_lit = F.array(*[F.lit(v) for v in mu])
+    flat = np.zeros(d * d + d + 1)
+    for r in rows:
+        flat[r["pos"] + 1] = r["val"]
+    n, sx, gram = flat[0], flat[1:d + 1], flat[d + 1:].reshape(d, d)
+    mu = np.round(sx / n, 6)
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    # centered Gram from raw moments: Σ(x-μ)(x-μ)ᵀ, exact in float64
+    gc = gram - np.outer(mu, sx) - np.outer(sx, mu) + n * np.outer(mu, mu)
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     centered = emb.select(
         "vec_id", "label",
         F.zip_with(e, mu_lit, lambda a, b: a - b).alias("c"),
     )
-    v = [round(1.0 / _PCA_DIM ** 0.5, 6)] * _PCA_DIM
+    v = np.full(d, round(1.0 / d ** 0.5, 6))
     for _ in range(_PCA_ROUNDS):
-        v_lit = F.array(*[F.lit(x) for x in v])
-        dot = F.aggregate(
-            F.zip_with(F.col("c"), v_lit, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        w_rows = (
-            centered.select(
-                F.posexplode(
-                    F.transform(F.col("c"), lambda x: x * dot)
-                ).alias("pos", "wx"))
-            .groupBy("pos")
-            .agg(F.sum("wx").alias("w"))
-            .collect()
-        )
-        w = [0.0] * _PCA_DIM
-        for r in w_rows:
-            w[r["pos"]] = r["w"]
-        norm = sum(x * x for x in w) ** 0.5
+        w = gc @ v
         sign = -1.0 if w[0] < 0 else 1.0
-        v = [round(sign * x / norm, 6) for x in w]
-    v_lit = F.array(*[F.lit(x) for x in v])
+        v = np.round(sign * w / np.sqrt((w * w).sum()), 6)
+    v_lit = F.array(*[F.lit(float(x)) for x in v])
     score = F.aggregate(
         F.zip_with(F.col("c"), v_lit, lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x)
