@@ -561,6 +561,31 @@ _SHINGLES_CTE = f"""
     sizes AS (SELECT doc_id, len(sh) AS sz FROM shingle_lists)
 """
 
+#: DuckDB CTE chain computing the per-doc 64-bit SimHash signature as
+#: a ``sims(doc_id, simhash)`` relation — shared by the dedup_simhash
+#: oracle and quality.pipeline_funnel's near-dup stage oracle.
+_SIMHASH_CTES = f"""docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+        tokens AS (
+            SELECT DISTINCT doc_id,
+                   substr(md5(unnest(string_split(norm, ' '))), 1, 16) AS h
+            FROM docs),
+        bits AS (
+            SELECT doc_id, h, unnest(range(0, 64)) AS bitpos FROM tokens),
+        scored AS (
+            SELECT doc_id, bitpos,
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(floor(bitpos / 4) AS INTEGER) + 1, 1)) - 1) AS digit
+            FROM bits),
+        votes AS (
+            SELECT doc_id, bitpos,
+                   sum((CAST(floor(digit / power(2, 3 - (bitpos % 4))) AS INTEGER) % 2) * 2 - 1) AS v
+            FROM scored GROUP BY doc_id, bitpos),
+        sims AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY bitpos) AS simhash
+            FROM votes GROUP BY doc_id)"""
+
 _VERIFY_SQL = f"""
     common AS (
         SELECT c.a_id, c.b_id, count(*) AS cc
@@ -669,27 +694,8 @@ ORACLE: dict[str, str] = {
         {_VERIFY_SQL}
     """,
     "dedup_simhash": f"""
-        WITH docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
-        tokens AS (
-            SELECT DISTINCT doc_id,
-                   substr(md5(unnest(string_split(norm, ' '))), 1, 16) AS h
-            FROM docs),
-        bits AS (
-            SELECT doc_id, h, unnest(range(0, 64)) AS bitpos FROM tokens),
-        scored AS (
-            SELECT doc_id, bitpos,
-                   (strpos('0123456789abcdef',
-                           substr(h, CAST(floor(bitpos / 4) AS INTEGER) + 1, 1)) - 1) AS digit
-            FROM bits),
-        votes AS (
-            SELECT doc_id, bitpos,
-                   sum((CAST(floor(digit / power(2, 3 - (bitpos % 4))) AS INTEGER) % 2) * 2 - 1) AS v
-            FROM scored GROUP BY doc_id, bitpos)
-        SELECT doc_id,
-               string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY bitpos) AS simhash
-        FROM votes
-        GROUP BY doc_id
-        ORDER BY doc_id
+        WITH {_SIMHASH_CTES}
+        SELECT doc_id, simhash FROM sims ORDER BY doc_id
     """,
     "dedup_window_hash": f"""
         WITH d AS (

@@ -27,10 +27,11 @@ both engines, and ratios are plain IEEE-double arithmetic with
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gizmosql_spark.operators import loader
+from gizmosql_spark.operators.dedup import _SIMHASH_CTES
 from gizmosql_spark.operators.text import _norm
 
 
@@ -56,19 +57,12 @@ _BIGRAMS_EXPR = (
 )
 
 
-def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repetition-based quality gate (the Gopher-rules family,
-    Rae et al. 2021): per-document lexical-diversity and repetition
-    metrics, rolled up per source with a pass rate.
-
-    Metrics per doc: unique-token fraction, most-frequent-token
-    fraction, most-frequent-bigram fraction, mean word length, token
-    count. A doc passes when none of the repetition signals trips.
-
-    100 TB shape: token stats are one (doc, token) partial agg —
-    map-side combine collapses repeats before the shuffle; bigram
-    stats likewise; the per-source rollup is O(#sources) rows.
-    """
+def _gopher_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition metrics + the pass flag —
+    shared by ``gopher_quality`` (per-source rollup) and
+    ``pipeline_funnel`` (quality-gate stage). Columns: doc_id, source,
+    n_words, unique_frac, top_tok_frac, top_bigram_frac, mean_wlen,
+    passed."""
     base = _tokens(spark, sf_dir)
     toks = base.select(
         "doc_id", "source", F.explode("ws").alias("tok")
@@ -113,6 +107,24 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("mean_wlen") <= 10.0)
         & (F.col("n_words") >= 10)
     )
+    return per_doc.withColumn("passed", passed)
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher-rules family,
+    Rae et al. 2021): per-document lexical-diversity and repetition
+    metrics, rolled up per source with a pass rate.
+
+    Metrics per doc: unique-token fraction, most-frequent-token
+    fraction, most-frequent-bigram fraction, mean word length, token
+    count. A doc passes when none of the repetition signals trips.
+
+    100 TB shape: token stats are one (doc, token) partial agg —
+    map-side combine collapses repeats before the shuffle; bigram
+    stats likewise; the per-source rollup is O(#sources) rows.
+    """
+    per_doc = _gopher_per_doc(spark, sf_dir)
+    passed = F.col("passed")
     return (
         per_doc.groupBy("source")
         .agg(
@@ -236,8 +248,67 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-data pipeline funnel — the composition
+    query of the quality/dedup tier: ingest → language keep (lang =
+    'en') → Gopher quality gate → exact-dedup keeper (min doc_id per
+    normalized-text md5) → near-dup keeper (min doc_id per 64-bit
+    SimHash), reported as per-source survivor counts. Each stage
+    filters the previous stage's survivors, exactly like a production
+    corpus pipeline (CCNet/FineWeb shape: filter before dedup so the
+    expensive stages see fewer docs).
+
+    100 TB shape: every per-doc signal (Gopher metrics, fingerprint,
+    SimHash) is intrinsic to the document, so all are computed
+    corpus-wide in the existing wordcount-shaped passes and combined
+    with two doc-keyed joins; the stage-dependent part — keeper
+    selection among survivors — is two window mins partitioned on
+    uniform hash keys (fp, simhash). Three doc-keyed + two hash-keyed
+    shuffles total, all linear, no iteration."""
+    from gizmosql_spark.operators.dedup import dedup_simhash
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.md5(_norm(F.col("text"))).alias("fp"),
+    )
+    per_doc = _gopher_per_doc(spark, sf_dir).select("doc_id", "passed")
+    sims = dedup_simhash(spark, sf_dir).select("doc_id", "simhash")
+    s1 = F.col("lang") == "en"
+    s2 = s1 & F.col("passed")
+    flags = (
+        d.join(per_doc, "doc_id")
+        .join(sims, "doc_id")
+        .select("doc_id", "source", "fp", "simhash",
+                s1.alias("s1"), s2.alias("s2"))
+        .withColumn(
+            "s3",
+            F.col("s2") & (F.col("doc_id") == F.min(
+                F.when(F.col("s2"), F.col("doc_id"))
+            ).over(Window.partitionBy("fp"))),
+        )
+        .withColumn(
+            "s4",
+            F.col("s3") & (F.col("doc_id") == F.min(
+                F.when(F.col("s3"), F.col("doc_id"))
+            ).over(Window.partitionBy("simhash"))),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ingest"),
+            F.sum(F.col("s1").cast("long")).alias("n_lang"),
+            F.sum(F.col("s2").cast("long")).alias("n_quality"),
+            F.sum(F.col("s3").cast("long")).alias("n_exact_keep"),
+            F.sum(F.col("s4").cast("long")).alias("n_near_keep"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "gopher_quality": gopher_quality,
+    "pipeline_funnel": pipeline_funnel,
     "pmi_collocations": pmi_collocations,
     "winnowing_fingerprint": winnowing_fingerprint,
 }
@@ -251,9 +322,10 @@ _BIGRAMS_SQL = (
     "ELSE [] END"
 )
 
-ORACLE: dict[str, str] = {
-    "gopher_quality": f"""
-        WITH base AS (
+#: DuckDB CTE chain ending in ``per_doc(doc_id, source, n_words,
+#: unique_frac, top_tok_frac, top_bigram_frac, mean_wlen)`` — shared
+#: by the gopher_quality and pipeline_funnel oracles.
+_GOPHER_PERDOC_CTES = f"""base AS (
             SELECT doc_id, source,
                    string_split({_NORM_SQL}, ' ') AS ws
             FROM documents
@@ -285,20 +357,62 @@ ORACLE: dict[str, str] = {
                        AS top_bigram_frac,
                    d.char_sum / d.n_words AS mean_wlen
             FROM docstats d LEFT JOIN bgmax b USING (doc_id)
-        )
-        SELECT source,
-               CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN unique_frac >= 0.3
+        )"""
+
+#: The Gopher pass predicate over per_doc columns (SQL; the Spark
+#: twin lives in _gopher_per_doc).
+_GOPHER_PASS_SQL = """unique_frac >= 0.3
                               AND top_tok_frac <= 0.125
                               AND top_bigram_frac <= 0.08
                               AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
-                              AND n_words >= 10
+                              AND n_words >= 10"""
+
+ORACLE: dict[str, str] = {
+    "gopher_quality": f"""
+        WITH {_GOPHER_PERDOC_CTES}
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN {_GOPHER_PASS_SQL}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
                round(avg(unique_frac), 6) AS avg_unique_frac,
                round(avg(top_tok_frac), 6) AS avg_top_tok_frac,
                round(avg(top_bigram_frac), 6) AS avg_top_bigram_frac,
                round(avg(mean_wlen), 6) AS avg_wlen
         FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "pipeline_funnel": f"""
+        WITH {_GOPHER_PERDOC_CTES},
+        {_SIMHASH_CTES},
+        flags0 AS (
+            SELECT d.doc_id, d.source,
+                   md5({_NORM_SQL}) AS fp, s.simhash,
+                   (d.lang = 'en') AS s1,
+                   (d.lang = 'en' AND {_GOPHER_PASS_SQL}) AS s2
+            FROM documents d
+            JOIN per_doc p USING (doc_id)
+            JOIN sims s USING (doc_id)
+        ),
+        flags1 AS (
+            SELECT *, (s2 AND doc_id = min(CASE WHEN s2 THEN doc_id END)
+                           OVER (PARTITION BY fp)) AS s3
+            FROM flags0
+        ),
+        flags2 AS (
+            SELECT *, (s3 AND doc_id = min(CASE WHEN s3 THEN doc_id END)
+                           OVER (PARTITION BY simhash)) AS s4
+            FROM flags1
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_ingest,
+               CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lang,
+               CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality,
+               CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_keep,
+               CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_near_keep
+        FROM flags2 GROUP BY source ORDER BY source
     """,
     "pmi_collocations": f"""
         WITH base AS (

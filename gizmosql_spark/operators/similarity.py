@@ -414,21 +414,57 @@ def _lsh_planes_per_band(n: int) -> int:
     return max(4, math.ceil(math.log2(max(n, 2))) - LSH_BUCKET_LOG2)
 
 
-def _band_bucket_expr(band: int, r: int) -> F.Column:
-    """r-bit sign pattern for one band; plane weights come from the
-    same deterministic LCG as ann_lsh_buckets, indexed by the GLOBAL
-    plane id band·r + j so bands are independent hash tables."""
-    bits = []
-    for j in range(r):
-        p = band * r + j
-        w = (
-            f"transform(sequence(0, {DIM - 1}),"
-            f" d -> {_mix_spark(f'({p}L * {DIM} + d)')})"
-        )
-        dot = (f"aggregate(zip_with(emb, {w}, (x, y) -> x * y), 0D,"
-               f" (acc, v) -> acc + v)")
-        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
-    return F.expr("concat(" + ", ".join(bits) + ")")
+def _mix_py(k: int) -> float:
+    """The identical xorshift-multiply mix in exact Python integers —
+    bit-for-bit the values _mix_spark/_mix_duck produce (all
+    intermediates < 2^63, Python ints are exact)."""
+    h1 = ((k + 1) * 2654435761) % 2147483648
+    h3 = ((h1 ^ (h1 >> 13)) * 2246822519) % 2147483648
+    return (((h3 ^ (h3 >> 16)) % 1000000) / 1000000.0) - 0.5
+
+
+def _band_signatures(spark: SparkSession, sf_dir: str, r: int):
+    """(vec_id, band, bucket) banded hyperplane signatures in ONE
+    vectorized Arrow pass. The inlined-SQL form of this (B·r plane
+    weights × 64 dims as nested transform lambdas) cost ~6 s of
+    Catalyst analysis + codegen alone at B=4, r=8 — compile time, not
+    data time. Here the plane matrix is built once in Python (exact
+    integer mix, bit-identical weights) and the per-plane dot is a
+    strict left fold over dims VECTORIZED over rows (acc += X[:,d]·w[d]
+    for d = 0..63), so every float add happens in the same order as
+    the Spark/DuckDB ``aggregate(zip_with(...))`` fold and the signs —
+    hence the buckets — are bit-identical to the oracle's."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array([
+        [_mix_py(p * DIM + d) for d in range(DIM)]
+        for p in range(LSH_BANDS * r)
+    ])
+
+    def _sign_buckets(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["emb"]])
+            acc = np.zeros((len(X), LSH_BANDS * r))
+            for d in range(DIM):
+                acc += X[:, d:d + 1] * planes[:, d]
+            bits = acc >= 0
+            out = {"vec_id": np.repeat(pdf["vec_id"].to_numpy(),
+                                       LSH_BANDS),
+                   "band": np.tile(np.arange(LSH_BANDS), len(X)),
+                   "bucket": [
+                       "".join("1" if bits[i, b * r + j] else "0"
+                               for j in range(r))
+                       for i in range(len(X)) for b in range(LSH_BANDS)]}
+            yield pd.DataFrame(out)
+
+    return (
+        _emb(spark, sf_dir).select("vec_id", "emb")
+        .mapInPandas(_sign_buckets, "vec_id long, band int, bucket string")
+    )
 
 
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,38 +488,27 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity by construction; production near-dup thresholds
     (cos ≥ 0.9, p ≥ 0.86) give ~80% at the same cost, and recall at
     any fixed similarity is tuned by raising B (cost stays O(B·n)).
-    Measured at sf0.1: candidates 491k → 37k and wall 6.2 s → ~0.8 s
-    after replacing the LCG weights (whose lattice correlation made
-    planes near-parallel and buckets degenerate) with the xorshift
-    mix and scoring ids-only candidates post-dedup."""
+    Measured at sf0.1: candidates 491k → 37k after replacing the LCG
+    weights (whose lattice correlation made planes near-parallel and
+    buckets degenerate) with the xorshift mix and scoring ids-only
+    candidates post-dedup; wall 6.2 s → ~1 s after moving the B·r
+    signature projection from inlined SQL lambdas (≈6 s of Catalyst
+    analysis/codegen at B=4, r=8) into one vectorized Arrow pass
+    (_band_signatures — bit-identical buckets, see its docstring)."""
     n = _t(spark, sf_dir, "embeddings").count()
     r = _lsh_planes_per_band(n)
 
-    def _build() -> DataFrame:
-        e = _emb(spark, sf_dir).withColumn(
-            "norm",
-            F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D,"
-                   " (acc, v) -> acc + v))"))
-        bands = F.array(*[
-            F.struct(F.lit(t).alias("band"),
-                     _band_bucket_expr(t, r).alias("bucket"))
-            for t in range(LSH_BANDS)
-        ])
-        return e.select(
-            "vec_id", "emb", "norm", F.explode(bands).alias("bb")
-        ).select("vec_id", "emb", "norm", "bb.band", "bb.bucket")
-
-    # persist the banded frame: both join branches read it, so the
+    # persist the signature frame: both join branches read it, so the
     # B·r-plane projection runs once (at scale the signatures are
     # materialized as table-layout columns and reused across queries);
-    # keyed registry so repeat calls share one cached copy
+    # ids+buckets only — the 64-double vectors never ride the
+    # blocking join
     e = loader.keyed_persist(
-        spark, f"similarity.emb_banded:{sf_dir}:{LSH_BANDS}x{r}", _build)
-    # candidate generation carries IDS ONLY through the band-bucket
-    # shuffle (the 64-double vectors never ride the blocking join),
-    # and pairs dedup across bands BEFORE scoring — a true near-dup
-    # collides in most bands, so scoring post-dedup does ~B× less
-    # verification work (measured 3.2 s → ~1.4 s at sf0.1)
+        spark, f"similarity.emb_sigs:{sf_dir}:{LSH_BANDS}x{r}",
+        lambda: _band_signatures(spark, sf_dir, r))
+    # candidate pairs dedup across bands BEFORE scoring — a true
+    # near-dup collides in most bands, so scoring post-dedup does
+    # ~B× less verification work (measured 3.2 s → ~1.4 s at sf0.1)
     a = e.select(F.col("vec_id").alias("a_id"), "band", "bucket")
     b = e.select(F.col("vec_id").alias("b_id"), "band", "bucket")
     cand = (
@@ -492,7 +517,12 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    vecs = e.filter(F.col("band") == 0).select("vec_id", "emb", "norm")
+    vecs = loader.keyed_persist(
+        spark, f"similarity.emb_norms:{sf_dir}",
+        lambda: _emb(spark, sf_dir).withColumn(
+            "norm",
+            F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D,"
+                   " (acc, v) -> acc + v))")))
     va = vecs.select(
         F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"),
         F.col("norm").alias("a_norm"))
