@@ -62,6 +62,14 @@ def main() -> None:
         pydatasource.register(spark)
         spark.read.format("synthetic_events").option("rows", 64) \
             .option("numPartitions", 2).load().count()
+        # warm the transformWithState worker + RocksDB provider: on a
+        # real cluster this pool is long-lived, so charging its ~5 s
+        # first-spawn to whichever TWS query happens to sort first
+        # (stream_user_recent_events) would misattribute constant
+        # session setup as query cost
+        from gizmosql_spark.streaming import windows as _w
+
+        _w._prewarm_tws(spark)
     except Exception:
         pass
 

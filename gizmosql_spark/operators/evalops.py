@@ -1,0 +1,848 @@
+"""Evaluation & pipeline-planning operators for training-data work.
+
+Extension tier beyond the reference (SURVEY §7 Phase 5), sibling of
+operators/quality.py: the measurement half of a data pipeline — did
+the retrieval stage rank well (NDCG/MRR), is the classifier that
+gates documents calibrated (reliability bins), do two labelers agree
+(Cohen's kappa), how does each class perform (precision/recall/F1) —
+plus the planning operators a 100 TB corpus needs before a training
+run: source mixing weights, compaction (file-bin) planning, SCD-2
+dimension builds, tokenizer merge statistics, embedding quantization
+error, and per-source distribution drift (Jensen-Shannon).
+
+Scale shapes (all built-in JVM expressions, no Python in any hot
+path):
+
+* metric operators (``ndcg_mrr_eval``, ``calibration_bins``,
+  ``kappa_agreement``, ``class_prf_report``) — one partial-agg pass
+  over the scored rows; outputs are class/bin/source-sized.
+* ``source_mixing_plan`` / ``compaction_plan`` — per-source aggs and
+  one window cumsum partitioned by the layout key; exactly the
+  planning step of OPTIMIZE/ingest-mixing, never touching row data
+  twice.
+* ``scd2_status_dim`` — the classic gaps-and-islands build: two
+  windows over (user, ts), shuffle width = key cardinality.
+* ``bpe_pair_merge`` — wordcount-shaped: explode to (pair) and count;
+  the first merge round of BPE training at corpus scale.
+* ``int8_quant_error`` — posexplode to (dim, x); per-dim extremes are
+  a 64-row broadcast back into the error pass.
+* ``jsd_source_drift`` — per-(source, token) counts joined to the
+  vocabulary-sized corpus distribution; the absent-token mass is
+  closed-form (ln 2 · (1 − covered)), so no source×vocab fan-out.
+
+Determinism contract (FIXTURES.md rules): every pseudo-random
+quantity is an exact-integer xorshift mix (similarity._mix_* family)
+— scores and label corruptions are integer compares/mods, never
+float thresholds — and floats appear only in final metrics, rounded
+to 6 places before any ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gizmosql_spark.operators import loader
+from gizmosql_spark.operators.text import _norm
+
+#: Integer xorshift-multiply mix of a BIGINT key expression → uniform
+#: integer in [0, 1_000_000). Same two-round 31-bit construction as
+#: similarity._mix_spark (see its docstring for the overflow proof),
+#: stopped BEFORE the float division so every derived decision
+#: (mod-k corruption, threshold compare, decile binning) is exact
+#: integer arithmetic in both engines.
+_IHASH_SPARK = (
+    "transform(array((({k} + 1L) * 2654435761L) % 2147483648L),"
+    " h1 -> transform(array(((h1 ^ shiftright(h1, 13))"
+    " * 2246822519L) % 2147483648L),"
+    " h3 -> (h3 ^ shiftright(h3, 16)) % 1000000L)[0])[0]"
+)
+
+_IHASH_DUCK = (
+    "list_transform([(({k} + 1) * 2654435761) % 2147483648],"
+    " h1 -> list_transform([(xor(h1, h1 >> 13)"
+    " * 2246822519) % 2147483648],"
+    " h3 -> xor(h3, h3 >> 16) % 1000000)[1])[1]"
+)
+
+
+def _ih(k_expr: str, dialect: str) -> str:
+    tpl = _IHASH_SPARK if dialect == "spark" else _IHASH_DUCK
+    return tpl.format(k=k_expr)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return loader.table(spark, sf_dir, name)
+
+
+# --- ranking quality ---------------------------------------------------
+
+NDCG_K = 10
+#: graded relevance 0..3 from an independent integer hash (NOT
+#: doc_id % k: the fixture assigns sources as doc_id % 20, so any
+#: modulus dividing 20 would be constant within a source and IDCG
+#: would be 0 for sources with all-zero relevance)
+_REL_SALT = 7
+
+
+def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and MRR@10 per source over a deterministic ranking.
+
+    Models scoring a retrieval run: each source is a query, its
+    documents are ranked by a pseudo retrieval score (integer hash of
+    doc_id — exact in both engines), and graded relevance is
+    ``doc_id % 4``. DCG uses the standard (2^rel − 1)/log2(pos+1)
+    gain; IDCG re-ranks the same pool by relevance (doc_id
+    tie-break), so NDCG = 1 iff the scorer reproduces the ideal
+    order. MRR@10 is 1/rank of the first rel=3 hit.
+
+    Scale: two windows over the same (source → rank) partitioning and
+    one source-sized agg — no joins against the corpus. 100 TB note:
+    rankings are per-query partitions (bounded candidate sets from
+    the retriever), so window state is small regardless of corpus
+    size.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(_ih("doc_id * 16 + 1", "spark")).alias("score"),
+        (F.expr(_ih(f"doc_id * 16 + {_REL_SALT}", "spark")) % 4)
+        .alias("rel"),
+    )
+    w_score = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    w_ideal = Window.partitionBy("source").orderBy(
+        F.desc("rel"), F.asc("doc_id"))
+    ranked = d.select(
+        "source", "rel",
+        F.row_number().over(w_score).alias("rn"),
+        F.row_number().over(w_ideal).alias("irn"),
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= NDCG_K,
+                       gain / F.log2(F.col("rn") + 1)).otherwise(0.0)
+            ).alias("dcg"),
+            F.sum(
+                F.when(F.col("irn") <= NDCG_K,
+                       gain / F.log2(F.col("irn") + 1)).otherwise(0.0)
+            ).alias("idcg"),
+            F.coalesce(
+                F.max(
+                    F.when((F.col("rn") <= NDCG_K) & (F.col("rel") == 3),
+                           1.0 / F.col("rn"))
+                ),
+                F.lit(0.0),
+            ).alias("mrr_raw"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "source",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
+            F.round("mrr_raw", 6).alias("mrr10"),
+            "n_docs",
+        )
+        .orderBy("source")
+    )
+
+
+# --- classifier calibration -------------------------------------------
+
+
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier that gates
+    documents into training: 10 confidence deciles × (count, mean
+    predicted probability, observed positive rate, |gap|).
+
+    The synthetic classifier is perfectly calibrated by construction:
+    p = h1/10^6 and y = [h2 < h1] for independent integer hashes, so
+    E[y | p] = p and the observed rate tracks the bin mean up to
+    sampling noise — the shape a well-calibrated gate should show.
+    Bin assignment is integer division of h1 (no float thresholds).
+
+    Scale: one scan, one 10-row agg.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        F.expr(_ih("event_id * 16 + 2", "spark")).alias("h1"),
+        F.expr(_ih("event_id * 16 + 3", "spark")).alias("h2"),
+    )
+    return (
+        e.select(
+            (F.expr("h1 div 100000")).cast("int").alias("bin"),
+            (F.col("h1") / 1000000.0).alias("p"),
+            F.when(F.col("h2") < F.col("h1"), 1).otherwise(0).alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("avg_pred"),
+            F.round(F.avg("y"), 6).alias("obs_rate"),
+        )
+        .select(
+            "bin", "n", "avg_pred", "obs_rate",
+            F.round(F.abs(F.col("avg_pred") - F.col("obs_rate")), 6)
+            .alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --- inter-annotator agreement ------------------------------------------
+
+N_CLASSES = 10  # embeddings.label ∈ 0..9 (FIXTURES.md)
+
+
+def kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two synthetic annotators of the
+    embedding labels — the inter-annotator agreement check run before
+    trusting human labels as eval ground truth.
+
+    Annotator A flips to the next class on 1/5 of rows, annotator B
+    to the class after next on 1/4 (independent integer-hash coins),
+    so kappa lands strictly between 0 and 1 with a closed-form
+    expectation. p_o is the diagonal mass; p_e the product of
+    marginals.
+
+    Scale: one class×class agg (≤100 cells) + a driver-sized kappa
+    fold — corpus touched once.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("truth"),
+        F.expr(_ih("vec_id * 16 + 4", "spark")).alias("h1"),
+        F.expr(_ih("vec_id * 16 + 5", "spark")).alias("h2"),
+    )
+    ann = e.select(
+        F.when(F.col("h1") % 5 == 0, (F.col("truth") + 1) % N_CLASSES)
+        .otherwise(F.col("truth")).alias("a"),
+        F.when(F.col("h2") % 4 == 0, (F.col("truth") + 2) % N_CLASSES)
+        .otherwise(F.col("truth")).alias("b"),
+    )
+    tot = ann.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((F.col("a") == F.col("b")).cast("double")).alias("po"),
+    )
+    pe = (
+        ann.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+        .join(
+            ann.groupBy(F.col("b").alias("a"))
+            .agg(F.count(F.lit(1)).alias("cb")),
+            "a",
+            "full",
+        )
+        .agg(
+            F.sum(
+                F.coalesce(F.col("ca"), F.lit(0)).cast("double")
+                * F.coalesce(F.col("cb"), F.lit(0))
+            ).alias("prod_sum")
+        )
+    )
+    return (
+        tot.crossJoin(pe)
+        .select(
+            "n",
+            F.round("po", 6).alias("p_observed"),
+            F.round(F.col("prod_sum") / (F.col("n") * F.col("n")), 6)
+            .alias("p_expected"),
+            F.round(
+                (F.col("po") - F.col("prod_sum") / (F.col("n") * F.col("n")))
+                / (1.0 - F.col("prod_sum") / (F.col("n") * F.col("n"))),
+                6,
+            ).alias("kappa"),
+        )
+    )
+
+
+def class_prf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 + support for a synthetic
+    classifier over the embedding labels (flips to the next class on
+    1/6 of rows) — the per-class report card after every eval run.
+
+    Scale: one (truth, pred) agg (≤100 cells), then class-sized
+    reshapes; F1 math never sees row data.
+    """
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("truth"),
+        F.expr(_ih("vec_id * 16 + 6", "spark")).alias("h"),
+    )
+    scored = e.select(
+        "truth",
+        F.when(F.col("h") % 6 == 0, (F.col("truth") + 1) % N_CLASSES)
+        .otherwise(F.col("truth")).alias("pred"),
+    )
+    cells = scored.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).alias("c"))
+    tp = cells.filter(F.col("truth") == F.col("pred")).select(
+        F.col("truth").alias("cls"), F.col("c").alias("tp"))
+    support = cells.groupBy(F.col("truth").alias("cls")).agg(
+        F.sum("c").alias("support"))
+    predicted = cells.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("c").alias("predicted"))
+    rep = (
+        support.join(predicted, "cls", "full")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    precision = F.when(
+        F.col("predicted") > 0, F.col("tp") / F.col("predicted"))
+    recall = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    return (
+        rep.select(
+            "cls", "support", "tp",
+            F.round(precision, 6).alias("precision"),
+            F.round(recall, 6).alias("recall"),
+            F.round(
+                F.when(
+                    (F.col("predicted") > 0) & (F.col("support") > 0)
+                    & (F.col("tp") > 0),
+                    2.0 * F.col("tp")
+                    / (F.col("predicted") + F.col("support")),
+                ).otherwise(0.0),
+                6,
+            ).alias("f1"),
+        )
+        .orderBy("cls")
+    )
+
+
+# --- corpus planning -----------------------------------------------------
+
+
+def source_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling weights that rebalance the corpus to a uniform
+    per-source token budget — the mixing table computed before every
+    pretraining run (web/books/code proportions).
+
+    weight = target_share / actual_share; epochs = ceil(weight) is
+    how many passes over a source the sampler needs when the source
+    is smaller than its budget.
+
+    Scale: token counts are size(split(…)) per row (no explode), one
+    per-source agg, and the share math runs on the source-sized
+    frame against a broadcast 1-row total.
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(_norm(F.col("text")), " ")).cast("long")
+        .alias("n_tok"),
+    )
+    per_src = d.groupBy("source").agg(F.sum("n_tok").alias("tokens"))
+    tot = per_src.agg(
+        F.sum("tokens").alias("total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("tokens") / F.col("total"), 6)
+            .alias("token_share"),
+            F.round(
+                (1.0 / F.col("n_sources"))
+                / (F.col("tokens") / F.col("total")),
+                6,
+            ).alias("sample_weight"),
+            F.ceil(
+                (1.0 / F.col("n_sources"))
+                / (F.col("tokens") / F.col("total"))
+            ).cast("long").alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+COMPACT_TARGET_CHARS = 4000
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy size-binning of documents into ~4 KB output shards per
+    source — the planning step of OPTIMIZE/compaction: bin b of a
+    source holds the consecutive (by doc_id) docs whose preceding
+    cumulative size fits b·target. One window cumsum partitioned by
+    the layout key; the plan frame is shard-sized, not row-sized.
+
+    At 100 TB the same shape plans parquet file compaction from the
+    file-footer listing (path, bytes) — cardinality = file count,
+    and the cumsum partitions by table/partition key exactly like
+    this per-source form.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        d.select(
+            "source",
+            F.expr(f"cum_before div {COMPACT_TARGET_CHARS}").alias("bin"),
+            "doc_id", "n_chars",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+def scd2_status_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from the event log:
+    per sampled user (user_id % 10 = 0), each run of consecutive
+    identical event_types becomes one versioned dimension row with
+    [valid_from, valid_to) and a current flag — the lakehouse dim
+    table derived from CDC/event streams.
+
+    Gaps-and-islands: change flag via lag, run id via running sum,
+    then one agg per run + a lead for the close-off timestamp. Two
+    windows and one agg, all partitioned by user — shuffle width =
+    user cardinality.
+    """
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 0)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id", "ts", "event_type",
+        F.sum(
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+    )
+    dim = runs.groupBy("user_id", "run").agg(
+        F.max("event_type").alias("status"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run")
+    return (
+        dim.select(
+            "user_id",
+            F.col("run").alias("version"),
+            "status",
+            "valid_from",
+            F.lead("valid_from").over(w_run).alias("valid_to"),
+            "n_events",
+            F.lead("valid_from").over(w_run).isNull().cast("int")
+            .alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --- tokenizer / embedding prep ------------------------------------------
+
+BPE_TOP = 30
+
+
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First merge round of BPE tokenizer training: corpus-wide
+    frequencies of adjacent character pairs inside words, top 30.
+    (Real BPE iterates; round k is this exact shape over the merged
+    symbol sequences, so the scaling story — wordcount shuffle per
+    round — is set by this operator.)
+
+    Scale: explode to (pair) with a guarded in-row transform, one
+    count shuffle, TakeOrdered top-k. No Python.
+    """
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(tok) >= 2 THEN "
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+EMB_DIM = 64
+
+
+def int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization audit for the embedding store:
+    min/max, the derived affine scale ((max−min)/255), and the mean /
+    max absolute reconstruction error of round-trip quantization —
+    run before shipping a quantized ANN index.
+
+    Scale: posexplode to (dim, x) — 64× the vector count, one partial
+    agg for extremes (64-row result broadcast back), one error agg.
+    """
+    x = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    ext = x.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    joined = x.join(F.broadcast(ext), "dim").select(
+        "dim", "mn", "mx",
+        F.abs(
+            (F.round((F.col("x") - F.col("mn")) / scale, 0) * scale
+             + F.col("mn"))
+            - F.col("x")
+        ).alias("err"),
+    )
+    return (
+        joined.groupBy("dim")
+        .agg(
+            F.round(F.min("mn"), 6).alias("mn"),
+            F.round(F.min("mx"), 6).alias("mx"),
+            F.round(F.min((F.col("mx") - F.col("mn")) / 255.0), 6)
+            .alias("scale"),
+            F.round(F.avg("err"), 6).alias("avg_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+def jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's unigram
+    distribution from the corpus distribution — the drift score that
+    flags a crawl snapshot or source whose language shifted before
+    it contaminates the mix.
+
+    Math shape: JSD(P‖Q) = ½Σ p·ln(p/m) + ½Σ_present q·ln(q/m)
+    + ½·ln2·(1 − q_present_mass), m = (p+q)/2 — the absent-token arm
+    is closed-form because p = 0 ⇒ q·ln(q/(q/2)) = q·ln 2, so the
+    per-source join only ever touches tokens the source actually
+    contains (no source × vocabulary fan-out).
+
+    Scale: wordcount shuffle to (source, tok), vocabulary-sized
+    corpus side joined on tok, source-sized result. Natural log in
+    both engines.
+    """
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok")
+    )
+    src_tok = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c"))
+    src_tot = src_tok.groupBy("source").agg(F.sum("c").alias("src_n"))
+    corpus_tok = src_tok.groupBy("tok").agg(F.sum("c").alias("cc"))
+    corpus_n = corpus_tok.agg(F.sum("cc").alias("corpus_n"))
+    j = (
+        src_tok.join(src_tot, "source")
+        .join(corpus_tok, "tok")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "source",
+            (F.col("c") / F.col("src_n")).alias("p"),
+            (F.col("cc") / F.col("corpus_n")).alias("q"),
+        )
+        .select(
+            "source", "p", "q",
+            ((F.col("p") + F.col("q")) / 2.0).alias("m"),
+        )
+    )
+    ln2 = 0.6931471805599453
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum(F.col("p") * F.log(F.col("p") / F.col("m"))).alias("pkl"),
+            F.sum(F.col("q") * F.log(F.col("q") / F.col("m"))).alias("qkl"),
+            F.sum("q").alias("q_mass"),
+        )
+        .select(
+            "source",
+            F.round(
+                0.5 * F.col("pkl")
+                + 0.5 * (F.col("qkl") + ln2 * (1.0 - F.col("q_mass"))),
+                6,
+            ).alias("jsd"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES = {
+    "ndcg_mrr_eval": ndcg_mrr_eval,
+    "calibration_bins": calibration_bins,
+    "kappa_agreement": kappa_agreement,
+    "class_prf_report": class_prf_report,
+    "source_mixing_plan": source_mixing_plan,
+    "compaction_plan": compaction_plan,
+    "scd2_status_dim": scd2_status_dim,
+    "bpe_pair_merge": bpe_pair_merge,
+    "int8_quant_error": int8_quant_error,
+    "jsd_source_drift": jsd_source_drift,
+}
+
+_NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+ORACLE: dict[str, str] = {
+    "ndcg_mrr_eval": f"""
+        WITH scored AS (
+            SELECT source, doc_id,
+                   {_ih("doc_id * 16 + 1", "duck")} AS score,
+                   {_ih(f"doc_id * 16 + {_REL_SALT}", "duck")} % 4 AS rel
+            FROM documents
+        ), ranked AS (
+            SELECT source, rel,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id ASC) AS rn,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY rel DESC, doc_id ASC) AS irn
+            FROM scored
+        )
+        SELECT source,
+               round(sum(CASE WHEN rn <= {NDCG_K}
+                              THEN (pow(2.0, rel) - 1) / log2(rn + 1)
+                              ELSE 0.0 END)
+                     / sum(CASE WHEN irn <= {NDCG_K}
+                                THEN (pow(2.0, rel) - 1) / log2(irn + 1)
+                                ELSE 0.0 END), 6) AS ndcg10,
+               round(coalesce(max(CASE WHEN rn <= {NDCG_K} AND rel = 3
+                                       THEN 1.0 / rn END), 0.0), 6)
+                   AS mrr10,
+               count(*) AS n_docs
+        FROM ranked GROUP BY source ORDER BY source
+    """,
+    "calibration_bins": f"""
+        WITH h AS (
+            SELECT {_ih("event_id * 16 + 2", "duck")} AS h1,
+                   {_ih("event_id * 16 + 3", "duck")} AS h2
+            FROM events
+        )
+        SELECT CAST(h1 // 100000 AS INTEGER) AS bin,
+               count(*) AS n,
+               round(avg(h1 / 1000000.0), 6) AS avg_pred,
+               round(avg(CASE WHEN h2 < h1 THEN 1 ELSE 0 END), 6)
+                   AS obs_rate,
+               round(abs(round(avg(h1 / 1000000.0), 6)
+                         - round(avg(CASE WHEN h2 < h1 THEN 1 ELSE 0 END),
+                                 6)), 6) AS gap
+        FROM h GROUP BY 1 ORDER BY 1
+    """,
+    "kappa_agreement": f"""
+        WITH ann AS (
+            SELECT CASE WHEN {_ih("vec_id * 16 + 4", "duck")} % 5 = 0
+                        THEN (label + 1) % {N_CLASSES}
+                        ELSE label END AS a,
+                   CASE WHEN {_ih("vec_id * 16 + 5", "duck")} % 4 = 0
+                        THEN (label + 2) % {N_CLASSES}
+                        ELSE label END AS b
+            FROM embeddings
+        ), tot AS (
+            SELECT count(*) AS n,
+                   avg(CASE WHEN a = b THEN 1.0 ELSE 0.0 END) AS po
+            FROM ann
+        ), ma AS (SELECT a, count(*) AS ca FROM ann GROUP BY a),
+        mb AS (SELECT b AS a, count(*) AS cb FROM ann GROUP BY b),
+        pe AS (
+            SELECT sum(CAST(coalesce(ca, 0) AS DOUBLE)
+                       * coalesce(cb, 0)) AS prod_sum
+            FROM ma FULL JOIN mb USING (a)
+        )
+        SELECT n,
+               round(po, 6) AS p_observed,
+               round(prod_sum / (n * n), 6) AS p_expected,
+               round((po - prod_sum / (n * n))
+                     / (1.0 - prod_sum / (n * n)), 6) AS kappa
+        FROM tot, pe
+    """,
+    "class_prf_report": f"""
+        WITH scored AS (
+            SELECT CAST(label AS BIGINT) AS truth,
+                   CASE WHEN {_ih("vec_id * 16 + 6", "duck")} % 6 = 0
+                        THEN (label + 1) % {N_CLASSES}
+                        ELSE label END AS pred
+            FROM embeddings
+        ), cells AS (
+            SELECT truth, pred, count(*) AS c
+            FROM scored GROUP BY truth, pred
+        ), sup AS (
+            SELECT truth AS cls, sum(c) AS support
+            FROM cells GROUP BY truth
+        ), prd AS (
+            SELECT pred AS cls, sum(c) AS predicted
+            FROM cells GROUP BY pred
+        ), tp AS (
+            SELECT truth AS cls, c AS tp FROM cells WHERE truth = pred
+        )
+        SELECT cls,
+               coalesce(support, 0) AS support,
+               coalesce(tp, 0) AS tp,
+               round(CASE WHEN coalesce(predicted, 0) > 0
+                          THEN coalesce(tp, 0) / CAST(predicted AS DOUBLE)
+                     END, 6) AS precision,
+               round(CASE WHEN coalesce(support, 0) > 0
+                          THEN coalesce(tp, 0) / CAST(support AS DOUBLE)
+                     END, 6) AS recall,
+               round(CASE WHEN coalesce(predicted, 0) > 0
+                               AND coalesce(support, 0) > 0
+                               AND coalesce(tp, 0) > 0
+                          THEN 2.0 * tp / (predicted + support)
+                          ELSE 0.0 END, 6) AS f1
+        FROM sup FULL JOIN prd USING (cls) LEFT JOIN tp USING (cls)
+        ORDER BY cls
+    """,
+    "source_mixing_plan": f"""
+        WITH per_src AS (
+            SELECT source,
+                   sum(len(string_split({_NORM_SQL}, ' '))) AS tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(tokens) AS total, count(*) AS n_sources
+            FROM per_src
+        )
+        SELECT source, tokens,
+               round(tokens / CAST(total AS DOUBLE), 6) AS token_share,
+               round((1.0 / n_sources) / (tokens / CAST(total AS DOUBLE)),
+                     6) AS sample_weight,
+               CAST(ceil((1.0 / n_sources)
+                         / (tokens / CAST(total AS DOUBLE))) AS BIGINT)
+                   AS epochs
+        FROM per_src, tot ORDER BY source
+    """,
+    "compaction_plan": f"""
+        WITH cum AS (
+            SELECT source, doc_id, n_chars,
+                   coalesce(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cum_before
+            FROM documents
+        )
+        SELECT source,
+               cum_before // {COMPACT_TARGET_CHARS} AS bin,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM cum GROUP BY source, bin ORDER BY source, bin
+    """,
+    "scd2_status_dim": """
+        WITH ev AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type
+            FROM events WHERE user_id % 10 = 0
+        ), chg AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS is_chg
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), runs AS (
+            SELECT user_id, ts, event_type,
+                   sum(is_chg) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS run
+            FROM chg
+        ), dim AS (
+            SELECT user_id, run,
+                   max(event_type) AS status,
+                   min(ts) AS valid_from,
+                   count(*) AS n_events
+            FROM runs GROUP BY user_id, run
+        )
+        SELECT user_id, run AS version, status, valid_from,
+               lead(valid_from) OVER w2 AS valid_to,
+               n_events,
+               CAST(lead(valid_from) OVER w2 IS NULL AS INTEGER)
+                   AS is_current
+        FROM dim
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+        ORDER BY user_id, version
+    """,
+    "bpe_pair_merge": f"""
+        WITH toks AS (
+            SELECT unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ), pairs AS (
+            SELECT unnest(CASE WHEN len(tok) >= 2 THEN
+                       list_transform(range(1, len(tok)),
+                                      i -> substr(tok, i, 2))
+                   ELSE [] END) AS pair
+            FROM toks
+        )
+        SELECT pair, count(*) AS freq
+        FROM pairs GROUP BY pair
+        ORDER BY freq DESC, pair ASC LIMIT {BPE_TOP}
+    """,
+    "int8_quant_error": f"""
+        WITH x AS (
+            SELECT d AS dim,
+                   CAST(embedding[d] AS DOUBLE) AS x
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS d)
+        ), ext AS (
+            SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim
+        ), err AS (
+            SELECT x.dim, ext.mn, ext.mx,
+                   abs((round((x.x - ext.mn)
+                              / ((ext.mx - ext.mn) / 255.0), 0)
+                        * ((ext.mx - ext.mn) / 255.0) + ext.mn)
+                       - x.x) AS err
+            FROM x JOIN ext USING (dim)
+        )
+        SELECT dim,
+               round(min(mn), 6) AS mn,
+               round(min(mx), 6) AS mx,
+               round(min((mx - mn) / 255.0), 6) AS scale,
+               round(avg(err), 6) AS avg_abs_err,
+               round(max(err), 6) AS max_abs_err
+        FROM err GROUP BY dim ORDER BY dim
+    """,
+    "jsd_source_drift": f"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ), st AS (
+            SELECT source, tok, count(*) AS c
+            FROM toks GROUP BY source, tok
+        ), stot AS (
+            SELECT source, sum(c) AS src_n FROM st GROUP BY source
+        ), ct AS (
+            SELECT tok, sum(c) AS cc FROM st GROUP BY tok
+        ), cn AS (SELECT sum(cc) AS corpus_n FROM ct),
+        j AS (
+            SELECT st.source,
+                   st.c / CAST(stot.src_n AS DOUBLE) AS p,
+                   ct.cc / CAST(cn.corpus_n AS DOUBLE) AS q
+            FROM st
+            JOIN stot USING (source)
+            JOIN ct USING (tok)
+            CROSS JOIN cn
+        )
+        SELECT source,
+               round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
+                     + 0.5 * (sum(q * ln(q / ((p + q) / 2.0)))
+                              + 0.6931471805599453 * (1.0 - sum(q))),
+                     6) AS jsd
+        FROM j GROUP BY source ORDER BY source
+    """,
+}

@@ -23,6 +23,7 @@ def _load() -> None:
         return
     from gizmosql_spark.operators import (
         dedup,
+        evalops,
         events,
         extensions,
         multimodal,
@@ -41,7 +42,7 @@ def _load() -> None:
     modules = [
         tpch, relational, events, text, quality, dedup, similarity,
         multimodal, sampling, training, sketch, streaming_windows,
-        scale, extensions,
+        scale, extensions, evalops,
     ]
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}

@@ -488,3 +488,51 @@ def test_bootstrap_single_scan(spark, sf_dir):
 
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) <= 2  # replicate pass + the base-mean pass
+
+
+def test_int8_quant_broadcasts_extremes(spark, sf_dir):
+    """int8 quant audit: the 64-row per-dim extremes join back as a
+    broadcast — the row side must not shuffle on dim."""
+    from gizmosql_spark.operators import evalops
+
+    plan = _plan(evalops.int8_quant_error(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jsd_no_source_vocab_fanout(spark, sf_dir):
+    """JSD drift: the absent-token arm is closed-form, so the plan has
+    no cartesian source × vocabulary expansion."""
+    from gizmosql_spark.operators import evalops
+
+    plan = _plan(evalops.jsd_source_drift(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop join is the broadcast 1-row corpus total;
+    # the vocabulary join itself must be a hash join
+    import re
+
+    bnlj_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj_nodes) <= 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ndcg_single_scan_two_windows(spark, sf_dir):
+    """NDCG/MRR: both rankings come from ONE scan (two windows over
+    the same partitioning), no self-joins."""
+    import re
+
+    from gizmosql_spark.operators import evalops
+
+    plan = _plan(evalops.ndcg_mrr_eval(spark, sf_dir))
+    assert "Join" not in plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1
+
+
+def test_bpe_pairs_topk_plan(spark, sf_dir):
+    """BPE pair stats: global top-k via TakeOrderedAndProject, never a
+    full sort of the pair distribution."""
+    from gizmosql_spark.operators import evalops
+
+    plan = _plan(evalops.bpe_pair_merge(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

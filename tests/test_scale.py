@@ -104,7 +104,7 @@ def test_lsh_buckets_balanced_and_candidates_linear(spark, sf_dir):
     # the operator registers the banded frame under this key; build it
     # through the public entry to exercise the real path
     S.embedding_neardup_lsh(spark, sf_dir).count()
-    e = loader._PERSISTED[(id(spark), f"similarity.emb_banded:{sf_dir}:{S.LSH_BANDS}x{r}")]
+    e = loader._PERSISTED[(id(spark), f"similarity.emb_sigs:{sf_dir}:{S.LSH_BANDS}x{r}")]
     sizes = (
         e.groupBy("band", "bucket").count()
         .agg(
