@@ -26,6 +26,7 @@ def _load() -> None:
         evalops,
         events,
         extensions,
+        lm,
         multimodal,
         quality,
         relational,
@@ -42,7 +43,7 @@ def _load() -> None:
     modules = [
         tpch, relational, events, text, quality, dedup, similarity,
         multimodal, sampling, training, sketch, streaming_windows,
-        scale, extensions, evalops,
+        scale, extensions, evalops, lm,
     ]
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}

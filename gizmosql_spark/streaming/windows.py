@@ -948,6 +948,55 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("click_id", "purchase_id")
 
 
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its
+    following-hour purchase when one exists — null-extended rows are
+    emitted only once the watermark proves no match can arrive, the
+    semantics that distinguish streaming outer joins from batch ones.
+
+    Determinism contract for the bounded fixture: after the last data
+    batch the watermark stands at max(p_ts) − 10 min; the closing
+    no-data micro-batch evicts and null-emits exactly the unmatched
+    clicks whose join window [c_ts, c_ts + 1 h] closed strictly
+    before it. Clicks younger than (final watermark − 1 h) stay in
+    state and never emit — the oracle encodes the same cutoff, so
+    the differential gate verifies the eviction boundary itself.
+    """
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_to_completion(
+        joined.select("click_id", "purchase_id", "c_user", "c_ts", "p_ts"),
+        "q_stream_outer_join",
+        output_mode="append",
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
 QUERIES["stream_stream_join"] = stream_stream_join
 ORACLE["stream_stream_join"] = """
     SELECT c.event_id AS click_id,
@@ -961,6 +1010,43 @@ ORACLE["stream_stream_join"] = """
                AND p.ts > c.ts
                AND p.ts <= c.ts + INTERVAL 1 HOUR
     WHERE c.event_type = 'click'
+    ORDER BY click_id, purchase_id
+"""
+
+QUERIES["stream_outer_join"] = stream_outer_join
+# Matched rows are the plain interval join; null-extended rows appear
+# only for clicks whose join window closed strictly before the final
+# watermark (max purchase ts − 10 min) — Spark's streaming outer-join
+# eviction rule made explicit.
+ORACLE["stream_outer_join"] = """
+    WITH wm AS (
+        -- global watermark = min over both inputs' watermarks
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'click'),
+            (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 10 MINUTE AS w
+    ),
+    matched AS (
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS c_user,
+               c.ts AS c_ts,
+               p.ts AS p_ts
+        FROM events c
+        JOIN events p ON p.user_id = c.user_id
+                   AND p.event_type = 'purchase'
+                   AND p.ts > c.ts
+                   AND p.ts <= c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click'
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT c.event_id, NULL, c.user_id, c.ts, NULL
+    FROM events c, wm
+    WHERE c.event_type = 'click'
+      AND c.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
     ORDER BY click_id, purchase_id
 """
 
