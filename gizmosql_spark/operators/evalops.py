@@ -13,7 +13,7 @@ error, and per-source distribution drift (Jensen-Shannon).
 Scale shapes (all built-in JVM expressions, no Python in any hot
 path):
 
-* metric operators (``ndcg_mrr_eval``, ``calibration_bins``,
+* metric operators (``ndcg_mrr_eval``, ``classifier_calibration_bins``,
   ``kappa_agreement``, ``class_prf_report``) — one partial-agg pass
   over the scored rows; outputs are class/bin/source-sized.
 * ``source_mixing_plan`` / ``compaction_plan`` — per-source aggs and
@@ -91,7 +91,9 @@ def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Models scoring a retrieval run: each source is a query, its
     documents are ranked by a pseudo retrieval score (integer hash of
     doc_id — exact in both engines), and graded relevance is
-    ``doc_id % 4``. DCG uses the standard (2^rel − 1)/log2(pos+1)
+    ``hash(doc_id) % 4`` (salted integer hash, see _REL_SALT — a raw
+    doc_id modulus would be constant within a source and zero IDCG).
+    DCG uses the standard (2^rel − 1)/log2(pos+1)
     gain; IDCG re-ranks the same pool by relevance (doc_id
     tie-break), so NDCG = 1 iff the scorer reproduces the ideal
     order. MRR@10 is 1/rank of the first rel=3 hit.
@@ -141,7 +143,13 @@ def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source",
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg10"),
+            # idcg = 0 (all-zero-relevance pool) would be NULL/NaN —
+            # define ndcg as 0 there so the contract is explicit.
+            F.round(
+                F.when(F.col("idcg") > 0,
+                       F.col("dcg") / F.col("idcg")).otherwise(0.0),
+                6,
+            ).alias("ndcg10"),
             F.round("mrr_raw", 6).alias("mrr10"),
             "n_docs",
         )
@@ -152,7 +160,8 @@ def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- classifier calibration -------------------------------------------
 
 
-def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+def classifier_calibration_bins(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram for the quality classifier that gates
     documents into training: 10 confidence deciles × (count, mean
     predicted probability, observed positive rate, |gap|).
@@ -501,17 +510,22 @@ def int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = _t(spark, sf_dir, "embeddings").select(
         F.posexplode(F.col("embedding").cast("array<double>"))
         .alias("pos", "x")
-    ).select((F.col("pos") + 1).alias("dim"), "x")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "x")
     ext = x.groupBy("dim").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx"))
     scale = (F.col("mx") - F.col("mn")) / 255.0
+    # Constant dimension (mx == mn) would divide by zero — report zero
+    # error there so the output is engine-independent (ADVICE r4).
     joined = x.join(F.broadcast(ext), "dim").select(
         "dim", "mn", "mx",
-        F.abs(
-            (F.round((F.col("x") - F.col("mn")) / scale, 0) * scale
-             + F.col("mn"))
-            - F.col("x")
-        ).alias("err"),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.abs(
+                (F.round((F.col("x") - F.col("mn")) / scale, 0) * scale
+                 + F.col("mn"))
+                - F.col("x")
+            ),
+        ).otherwise(0.0).alias("err"),
     )
     return (
         joined.groupBy("dim")
@@ -587,7 +601,9 @@ def jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ndcg_mrr_eval": ndcg_mrr_eval,
-    "calibration_bins": calibration_bins,
+    # NOTE renamed from "calibration_bins" (r5): that key collided with
+    # events.calibration_bins and silently shadowed it in the registry.
+    "classifier_calibration_bins": classifier_calibration_bins,
     "kappa_agreement": kappa_agreement,
     "class_prf_report": class_prf_report,
     "source_mixing_plan": source_mixing_plan,
@@ -616,19 +632,26 @@ ORACLE: dict[str, str] = {
             FROM scored
         )
         SELECT source,
-               round(sum(CASE WHEN rn <= {NDCG_K}
-                              THEN (pow(2.0, rel) - 1) / log2(rn + 1)
-                              ELSE 0.0 END)
-                     / sum(CASE WHEN irn <= {NDCG_K}
-                                THEN (pow(2.0, rel) - 1) / log2(irn + 1)
-                                ELSE 0.0 END), 6) AS ndcg10,
+               round(CASE WHEN sum(CASE WHEN irn <= {NDCG_K}
+                                        THEN (pow(2.0, rel) - 1)
+                                             / log2(irn + 1)
+                                        ELSE 0.0 END) > 0
+                          THEN sum(CASE WHEN rn <= {NDCG_K}
+                                        THEN (pow(2.0, rel) - 1)
+                                             / log2(rn + 1)
+                                        ELSE 0.0 END)
+                               / sum(CASE WHEN irn <= {NDCG_K}
+                                          THEN (pow(2.0, rel) - 1)
+                                               / log2(irn + 1)
+                                          ELSE 0.0 END)
+                          ELSE 0.0 END, 6) AS ndcg10,
                round(coalesce(max(CASE WHEN rn <= {NDCG_K} AND rel = 3
                                        THEN 1.0 / rn END), 0.0), 6)
                    AS mrr10,
                count(*) AS n_docs
         FROM ranked GROUP BY source ORDER BY source
     """,
-    "calibration_bins": f"""
+    "classifier_calibration_bins": f"""
         WITH h AS (
             SELECT {_ih("event_id * 16 + 2", "duck")} AS h1,
                    {_ih("event_id * 16 + 3", "duck")} AS h2
@@ -691,7 +714,7 @@ ORACLE: dict[str, str] = {
             SELECT truth AS cls, c AS tp FROM cells WHERE truth = pred
         )
         SELECT cls,
-               coalesce(support, 0) AS support,
+               CAST(coalesce(support, 0) AS BIGINT) AS support,
                coalesce(tp, 0) AS tp,
                round(CASE WHEN coalesce(predicted, 0) > 0
                           THEN coalesce(tp, 0) / CAST(predicted AS DOUBLE)
@@ -716,7 +739,7 @@ ORACLE: dict[str, str] = {
             SELECT sum(tokens) AS total, count(*) AS n_sources
             FROM per_src
         )
-        SELECT source, tokens,
+        SELECT source, CAST(tokens AS BIGINT) AS tokens,
                round(tokens / CAST(total AS DOUBLE), 6) AS token_share,
                round((1.0 / n_sources) / (tokens / CAST(total AS DOUBLE)),
                      6) AS sample_weight,
@@ -735,9 +758,9 @@ ORACLE: dict[str, str] = {
             FROM documents
         )
         SELECT source,
-               cum_before // {COMPACT_TARGET_CHARS} AS bin,
+               CAST(cum_before // {COMPACT_TARGET_CHARS} AS BIGINT) AS bin,
                count(*) AS n_docs,
-               sum(n_chars) AS total_chars,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM cum GROUP BY source, bin ORDER BY source, bin
@@ -768,7 +791,7 @@ ORACLE: dict[str, str] = {
                    count(*) AS n_events
             FROM runs GROUP BY user_id, run
         )
-        SELECT user_id, run AS version, status, valid_from,
+        SELECT user_id, CAST(run AS BIGINT) AS version, status, valid_from,
                lead(valid_from) OVER w2 AS valid_to,
                n_events,
                CAST(lead(valid_from) OVER w2 IS NULL AS INTEGER)
@@ -802,10 +825,12 @@ ORACLE: dict[str, str] = {
             SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY dim
         ), err AS (
             SELECT x.dim, ext.mn, ext.mx,
-                   abs((round((x.x - ext.mn)
-                              / ((ext.mx - ext.mn) / 255.0), 0)
-                        * ((ext.mx - ext.mn) / 255.0) + ext.mn)
-                       - x.x) AS err
+                   CASE WHEN ext.mx > ext.mn THEN
+                       abs((round((x.x - ext.mn)
+                                  / ((ext.mx - ext.mn) / 255.0), 0)
+                            * ((ext.mx - ext.mn) / 255.0) + ext.mn)
+                           - x.x)
+                   ELSE 0.0 END AS err
             FROM x JOIN ext USING (dim)
         )
         SELECT dim,

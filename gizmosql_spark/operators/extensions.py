@@ -130,3 +130,45 @@ ORACLE = {
         ORDER BY source
     """,
 }
+
+
+def information_schema_tables(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog metadata exercised as a *query*: the fixture tables
+    listed through the engine's DoGetTables path (catalog.get_tables,
+    the analog of the reference's information_schema.tables query —
+    /root/reference/src/duckdb/duckdb_server.cpp:692-745).
+
+    Vocabulary normalization for the differential gate: the fixtures
+    are TEMP VIEWS in the Spark session and plain VIEWS in the DuckDB
+    oracle session, so Spark's 'LOCAL TEMPORARY' maps to 'VIEW' —
+    the same normalization the Flight SQL table-type filter applies
+    (catalog.get_table_types exposes both vocabularies). Non-fixture
+    names (memory-sink views, sink tables from streaming queries) are
+    filtered out on both sides so the result is session-independent.
+    """
+    from gizmosql_spark import catalog as cat
+
+    cat.register_tables(spark, sf_dir)
+    fixtures = [t for t in cat.FIXTURE_TABLES]
+    return (
+        cat.get_tables(spark)
+        .filter(F.col("table_name").isin(fixtures))
+        .select(
+            "table_name",
+            F.when(F.col("table_type") == "LOCAL TEMPORARY", "VIEW")
+            .otherwise(F.col("table_type")).alias("table_type"),
+        )
+        .orderBy("table_name")
+    )
+
+
+QUERIES["information_schema_tables"] = information_schema_tables
+ORACLE["information_schema_tables"] = """
+    SELECT table_name, table_type
+    FROM information_schema.tables
+    WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+                         'part', 'orders', 'lineitem', 'events',
+                         'documents', 'embeddings')
+    ORDER BY table_name
+"""

@@ -40,14 +40,25 @@ def _load() -> None:
     )
     from gizmosql_spark.streaming import windows as streaming_windows
 
+    # streaming first: dict order is the harness's default run order,
+    # and the TWS state-server tier is most robust on a fresh JVM —
+    # before 200+ batch queries accumulate heap/GC pressure (the
+    # round-3/4 official-record crashes both happened late in the run)
     modules = [
-        tpch, relational, events, text, quality, dedup, similarity,
-        multimodal, sampling, training, sketch, streaming_windows,
+        streaming_windows, tpch, relational, events, text, quality,
+        dedup, similarity, multimodal, sampling, training, sketch,
         scale, extensions, evalops, lm,
     ]
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     o: dict[str, str] = {}
     for mod in modules:
+        dup_q = set(q) & set(mod.QUERIES)
+        dup_o = set(o) & set(mod.ORACLE)
+        if dup_q or dup_o:
+            raise AssertionError(
+                f"duplicate operator key(s) {sorted(dup_q | dup_o)} in "
+                f"{mod.__name__} — rename the new operator; silent "
+                "shadowing corrupts the bench/correctness records")
         q.update(mod.QUERIES)
         o.update(mod.ORACLE)
     _QUERIES, _ORACLES = q, o

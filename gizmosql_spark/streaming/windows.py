@@ -82,11 +82,46 @@ def streaming_session(spark: SparkSession) -> SparkSession:
         s = spark.newSession()
         s.conf.set(
             "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+        # RocksDB state store for the whole tier (not per-TWS-query):
+        # transformWithState requires it, the other stateful queries
+        # run fine on it, and one provider across all streaming
+        # queries means one native library + block-cache instance for
+        # the session's lifetime instead of per-query set/unset.
+        s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        # When a Python worker dies (the TWS state-server crash that
+        # made the round-3/4 official red rows), dump the faulting
+        # Python traceback into the JVM-side error message so the
+        # crash reason is visible in the recorded exception.
+        s.conf.set("spark.sql.execution.pyspark.udf."
+                   "faulthandler.enabled", "true")
         from gizmosql_spark.operators.loader import ensure_session_confs
 
         ensure_session_confs(s)
         _STREAM_SESSION = s
     return _STREAM_SESSION
+
+
+def _reset_streaming_session() -> None:
+    """Tear down the streaming-session clone after a crash-signature
+    failure. The TWS Python state-server pool is bound to the clone's
+    SessionState; when that pool dies, retrying on the same clone
+    replays the identical crash (exactly the round-4 official record:
+    3 attempts, 3 identical worker-exit failures). Dropping the clone
+    makes the next streaming_session() call build a fresh one — new
+    state-server pool, re-run TWS prewarm."""
+    global _STREAM_SESSION, _TWS_WARMED
+    s, _STREAM_SESSION = _STREAM_SESSION, None
+    _TWS_WARMED = False
+    if s is not None:
+        try:
+            for q in s.streams.active:
+                q.stop()
+        except Exception:  # noqa: BLE001 — best-effort teardown
+            pass
 
 
 #: Exception-message fragments that mark a worker/channel *crash* (not
@@ -113,8 +148,12 @@ def _retry_streaming(attempt, attempts: int = STREAM_RETRIES):
     """Run ``attempt()`` up to ``attempts`` times, retrying only on
     crash-signature failures (worker/channel death under load — the
     round-3 official record's one red row was exactly this). Each
-    attempt is self-contained: callers put checkpoint creation and any
-    sink reset INSIDE the closure."""
+    attempt is fully self-contained: callers put checkpoint creation,
+    sink reset, AND session/stream derivation INSIDE the closure —
+    after a crash the streaming-session clone is torn down (its worker
+    pool may be poisoned), so the next attempt must re-derive its
+    streams via streaming_session()/read_*_stream() rather than reuse
+    frames bound to the dead clone."""
     import time as _time
 
     last: Exception | None = None
@@ -126,6 +165,7 @@ def _retry_streaming(attempt, attempts: int = STREAM_RETRIES):
             if i + 1 >= attempts or not any(s in msg for s in _CRASH_SIGNS):
                 raise
             last = ex
+            _reset_streaming_session()
             _time.sleep(1.0 + i)
     raise last  # pragma: no cover — loop always returns or raises
 
@@ -243,20 +283,31 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str,
+def run_to_completion(stream_source, query_name: str,
                       output_mode: str | None = None) -> DataFrame:
     """Drive a streaming frame over all available input synchronously
     (availableNow + memory sink); returns the sink contents. Local test
     harness — a deployment would use a real sink + continuous trigger.
-    Crash-signature failures (worker/channel death under load) are
-    retried with a fresh checkpoint; see _retry_streaming."""
+
+    ``stream_source`` is a streaming DataFrame or a zero-arg builder
+    returning one. Pass the builder form from driver-contract entries:
+    on a crash-signature failure the streaming-session clone is torn
+    down (a dead TWS worker pool is bound to it — the round-4 red row
+    retried 3× against the same poisoned pool) and the builder
+    re-derives the stream on a fresh clone for the next attempt. A
+    plain DataFrame can only be retried on the session it is bound to
+    (fine for tests)."""
     import shutil
     import tempfile
 
-    spark = stream_df.sparkSession
-    mode = output_mode or ("complete" if _has_agg(stream_df) else "update")
+    builder = stream_source if callable(stream_source) else None
+    state: dict = {"df": None if builder else stream_source}
 
-    def attempt() -> None:
+    def attempt() -> DataFrame:
+        df = builder() if builder is not None else state["df"]
+        state["df"] = df
+        spark = df.sparkSession
+        mode = output_mode or ("complete" if _has_agg(df) else "update")
         # state-store checkpoint on the ram-backed tmpfs when present:
         # per-batch state commits fsync; on the throwaway local harness
         # checkpoint durability buys nothing (a deployment points this
@@ -265,7 +316,7 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
         ckpt = tempfile.mkdtemp(prefix="gizmosql-ckpt-", dir=ckpt_base)
         try:
             q = (
-                stream_df.writeStream.outputMode(mode)
+                df.writeStream.outputMode(mode)
                 .format("memory")
                 .queryName(query_name)
                 .option("checkpointLocation", ckpt)
@@ -275,9 +326,9 @@ def run_to_completion(stream_df: DataFrame, query_name: str,
             q.awaitTermination()
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
+        return spark.sql(f"SELECT * FROM {query_name}")
 
-    _retry_streaming(attempt)
-    return spark.sql(f"SELECT * FROM {query_name}")
+    return _retry_streaming(attempt)
 
 
 def _has_agg(df: DataFrame) -> bool:
@@ -297,7 +348,8 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming watermarked tumbling-window counts, driven to
     completion (oracle: the batch 1-hour bucket aggregation)."""
     out = run_to_completion(
-        tumbling_counts(read_event_stream(spark, sf_dir)), "q_stream_tumbling"
+        lambda: tumbling_counts(read_event_stream(spark, sf_dir)),
+        "q_stream_tumbling",
     )
     return out.orderBy("window_start", "event_type")
 
@@ -307,7 +359,8 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion (oracle: batch gaps-and-islands; session_end is the
     last event + gap by session-window definition)."""
     out = run_to_completion(
-        session_windows(read_event_stream(spark, sf_dir)), "q_stream_session"
+        lambda: session_windows(read_event_stream(spark, sf_dir)),
+        "q_stream_session",
     )
     return out.orderBy("user_id", "session_start")
 
@@ -317,7 +370,8 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion — per-user running totals equal the batch aggregate
     after the final micro-batch."""
     out = run_to_completion(
-        running_totals(read_event_stream(spark, sf_dir)), "q_stream_running"
+        lambda: running_totals(read_event_stream(spark, sf_dir)),
+        "q_stream_running",
     )
     return out.orderBy("user_id")
 
@@ -346,10 +400,11 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the incremental form of dedup_exact (first arrival wins; state is
     the fingerprint set, bounded by withWatermark in a real deployment;
     the emitted fingerprint *set* is deterministic either way)."""
-    s = read_document_stream(spark, sf_dir)
     fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
     out = run_to_completion(
-        s.select(fp.alias("fp")).dropDuplicates(["fp"]), "q_stream_dedup"
+        lambda: read_document_stream(spark, sf_dir)
+        .select(fp.alias("fp")).dropDuplicates(["fp"]),
+        "q_stream_dedup",
     )
     return out.orderBy("fp")
 
@@ -358,18 +413,21 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream joins a static (broadcast)
     dimension — the canonical enrichment topology; the static side is
     re-read per micro-batch, the stream side never shuffles."""
-    spark = streaming_session(spark)
-    tiers = spark.range(0, 1000).select(
-        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
-    )
-    s = read_event_stream(spark, sf_dir)
-    joined = s.join(F.broadcast(tiers), "user_id")
-    agg = (
-        joined.withWatermark("ts", "10 minutes")
-        .groupBy("tier")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
-    )
-    return run_to_completion(agg, "q_stream_static_join").orderBy("tier")
+    def build() -> DataFrame:
+        s_session = streaming_session(spark)
+        tiers = s_session.range(0, 1000).select(
+            F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+        )
+        s = read_event_stream(spark, sf_dir)
+        joined = s.join(F.broadcast(tiers), "user_id")
+        return (
+            joined.withWatermark("ts", "10 minutes")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total"))
+        )
+
+    return run_to_completion(build, "q_stream_static_join").orderBy("tier")
 
 
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,7 +436,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/slide = 4 buckets of state (oracle: the equivalent batch
     fan-out via generate_series)."""
     out = run_to_completion(
-        sliding_counts(read_event_stream(spark, sf_dir)), "q_stream_sliding"
+        lambda: sliding_counts(read_event_stream(spark, sf_dir)),
+        "q_stream_sliding",
     )
     return out.orderBy("window_start", "event_type")
 
@@ -395,21 +454,23 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    spark = streaming_session(spark)
     table = "stream_sink_rollup_tbl"
-    agg = tumbling_counts(read_event_stream(spark, sf_dir))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").saveAsTable(table)
 
     def attempt() -> None:
+        # session + stream re-derived per attempt: a crash-retry gets
+        # the rebuilt streaming clone (see _retry_streaming)
+        s = streaming_session(spark)
+        agg = tumbling_counts(read_event_stream(spark, sf_dir))
         # reset the sink per attempt so a crash-retry never double-
         # appends; a previous PROCESS may also have left the managed
         # location behind (in-memory catalog forgets tables at exit;
         # the data dir stays, and saveAsTable refuses to create over
         # it) — clear both
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        s.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         shutil.rmtree(
             f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
         with tempfile.TemporaryDirectory(
@@ -428,7 +489,7 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the landed table stays live for the returned lazy frame; the
     # next run's leading DROP makes reruns idempotent
     return (
-        spark.table(table)
+        streaming_session(spark).table(table)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -456,7 +517,6 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    spark = streaming_session(spark)
     table = "stream_upsert_state_tbl"
 
     from pyspark.sql import Window as W
@@ -471,26 +531,27 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1).drop("rk")
         )
 
-    from gizmosql_spark.operators.events import load_events
-
-    seed = load_events(spark, sf_dir).filter(
-        F.col("event_id") < 100).select(*cols)
-
-    ev = read_event_stream(spark, sf_dir).select(*cols)
-
-    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        from gizmosql_spark import dml
-
-        merged = _latest(
-            spark.table(table).unionByName(_latest(batch_df)))
-        dml._overwrite_via_stage(spark, table, merged)
-
     def attempt() -> None:
-        # re-seed per attempt so a crash-retry replays the merge from
-        # the same initial state (the fold is associative, but the seed
-        # table is mutated in place by _upsert)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        # session, seed, and stream re-derived per attempt so a
+        # crash-retry gets the rebuilt streaming clone AND replays the
+        # merge from the same initial state (the fold is associative,
+        # but the seed table is mutated in place by _upsert)
+        s = streaming_session(spark)
+        from gizmosql_spark.operators.events import load_events
+
+        seed = load_events(s, sf_dir).filter(
+            F.col("event_id") < 100).select(*cols)
+        ev = read_event_stream(spark, sf_dir).select(*cols)
+
+        def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+            from gizmosql_spark import dml
+
+            merged = _latest(
+                s.table(table).unionByName(_latest(batch_df)))
+            dml._overwrite_via_stage(s, table, merged)
+
+        s.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         shutil.rmtree(
             f"{wh.removeprefix('file:')}/{table}", ignore_errors=True)
         _latest(seed).write.saveAsTable(table)
@@ -508,7 +569,7 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _retry_streaming(attempt)
     return (
-        spark.table(table)
+        streaming_session(spark).table(table)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -717,38 +778,34 @@ def _prewarm_tws(spark: SparkSession) -> None:
         spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
             "overwrite").parquet(tmp)
         stream = spark.readStream.schema(EVENT_SCHEMA).parquet(tmp)
-        _run_with_rocksdb(
-            spark, user_stats_tws(stream), "q_tws_prewarm").count()
+        run_to_completion(
+            user_stats_tws(stream), "q_tws_prewarm").count()
     except Exception:
         pass
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _run_with_rocksdb(spark: SparkSession, stream_df: DataFrame,
+def _run_with_rocksdb(spark: SparkSession, stream_source,
                       query_name: str) -> DataFrame:
-    """transformWithState requires the RocksDB state store provider
-    (ships in the Spark jars); set for this query only on the
-    streaming session clone (never the shared main session), restored
-    after. The availableNow file source processes the single events
-    file in one micro-batch, so Update mode emits exactly one row per
-    key — the final state."""
+    """Run a transformWithState query to completion. The RocksDB
+    state-store provider it requires is set permanently on the
+    streaming session clone (streaming_session), so this only prewarms
+    the TWS worker pool and delegates. ``stream_source`` should be the
+    zero-arg builder form so a crash-retry re-derives the stream on a
+    rebuilt clone (and the prewarm re-runs on it). The availableNow
+    file source processes the single events file in one micro-batch,
+    so Update mode emits exactly one row per key — the final state."""
+    if callable(stream_source):
+        builder = stream_source
+
+        def warmed_builder() -> DataFrame:
+            _prewarm_tws(spark)
+            return builder()
+
+        return run_to_completion(warmed_builder, query_name)
     _prewarm_tws(spark)
-    spark = stream_df.sparkSession
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    try:
-        return run_to_completion(stream_df, query_name)
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
+    return run_to_completion(stream_source, query_name)
 
 
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,7 +813,7 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion; final per-user stats equal the batch aggregate."""
     out = _run_with_rocksdb(
         spark,
-        user_stats_tws(read_event_stream(spark, sf_dir)),
+        lambda: user_stats_tws(read_event_stream(spark, sf_dir)),
         "q_stream_user_stats",
     )
     # round the float sum: pandas' per-batch accumulation order differs
@@ -871,15 +928,17 @@ def stream_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("total", DoubleType()),
         ]
     )
-    stream = read_event_stream(spark, sf_dir).groupBy(
-        "user_id"
-    ).transformWithStateInPandas(
-        statefulProcessor=_type_matrix_processor(),
-        outputStructType=schema,
-        outputMode="Update",
-        timeMode="None",
-    )
-    out = _run_with_rocksdb(spark, stream, "q_stream_user_type_matrix")
+    def build() -> DataFrame:
+        return read_event_stream(spark, sf_dir).groupBy(
+            "user_id"
+        ).transformWithStateInPandas(
+            statefulProcessor=_type_matrix_processor(),
+            outputStructType=schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    out = _run_with_rocksdb(spark, build, "q_stream_user_type_matrix")
     return out.orderBy("user_id", "event_type")
 
 
@@ -894,18 +953,20 @@ def stream_user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("event_id", LongType()),
         ]
     )
-    events = read_event_stream(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "event_id",
-    )
-    stream = events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_recent_events_processor(),
-        outputStructType=schema,
-        outputMode="Update",
-        timeMode="None",
-    )
-    out = _run_with_rocksdb(spark, stream, "q_stream_user_recent")
+    def build() -> DataFrame:
+        events = read_event_stream(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+        )
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_recent_events_processor(),
+            outputStructType=schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    out = _run_with_rocksdb(spark, build, "q_stream_user_recent")
     return out.orderBy("user_id", "rn")
 
 
@@ -914,37 +975,38 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases within the following hour — both sides watermarked, the
     event-time bound caps the join state (the canonical two-stream
     topology). Oracle: the identical interval join in batch."""
-    clicks = (
-        read_event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
+    def build() -> DataFrame:
+        clicks = (
+            read_event_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
         )
-        .withWatermark("c_ts", "10 minutes")
-    )
-    purchases = (
-        read_event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            read_event_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
         )
-        .withWatermark("p_ts", "10 minutes")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-    )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        return joined.select(
+            "click_id", "purchase_id", "c_user", "c_ts", "p_ts")
+
     out = run_to_completion(
-        joined.select("click_id", "purchase_id", "c_user", "c_ts", "p_ts"),
-        "q_stream_stream_join",
-        output_mode="append",
-    )
+        build, "q_stream_stream_join", output_mode="append")
     return out.orderBy("click_id", "purchase_id")
 
 
@@ -955,45 +1017,48 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics that distinguish streaming outer joins from batch ones.
 
     Determinism contract for the bounded fixture: after the last data
-    batch the watermark stands at max(p_ts) − 10 min; the closing
+    batch the global watermark is the MIN over both inputs' watermarks
+    (Spark's multiple-watermark policy), i.e.
+    least(max click ts, max purchase ts) − 10 min; the closing
     no-data micro-batch evicts and null-emits exactly the unmatched
     clicks whose join window [c_ts, c_ts + 1 h] closed strictly
     before it. Clicks younger than (final watermark − 1 h) stay in
     state and never emit — the oracle encodes the same cutoff, so
     the differential gate verifies the eviction boundary itself.
     """
-    clicks = (
-        read_event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
+    def build() -> DataFrame:
+        clicks = (
+            read_event_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 minutes")
         )
-        .withWatermark("c_ts", "10 minutes")
-    )
-    purchases = (
-        read_event_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            read_event_stream(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 minutes")
         )
-        .withWatermark("p_ts", "10 minutes")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
-        "left_outer",
-    )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        return joined.select(
+            "click_id", "purchase_id", "c_user", "c_ts", "p_ts")
+
     out = run_to_completion(
-        joined.select("click_id", "purchase_id", "c_user", "c_ts", "p_ts"),
-        "q_stream_outer_join",
-        output_mode="append",
-    )
+        build, "q_stream_outer_join", output_mode="append")
     return out.orderBy("click_id", "purchase_id")
 
 

@@ -267,3 +267,49 @@ def test_both_ts_encodings_agree(spark, sf_dir, tmp_path):
         sw.tumbling_counts(stream), "t_tumble_legacy")
     starts = {r["window_start"].year for r in out.collect()}
     assert 1970 not in starts
+
+
+def test_crash_retry_rebuilds_streaming_session(spark, sf_dir):
+    """The round-4 official red row: stream_user_stats crashed and all
+    3 retries replayed the identical failure because the retry reused
+    the streaming-session clone whose Python state-server pool had
+    died. Contract now: a crash-signature failure tears down the clone
+    (_reset_streaming_session) and the builder re-derives the stream
+    on a FRESH clone for the next attempt."""
+    calls = {"n": 0}
+    sessions = []
+
+    def build():
+        calls["n"] += 1
+        s = sw.streaming_session(spark)
+        sessions.append(s)
+        if calls["n"] == 1:
+            # simulated TWS worker death (a _CRASH_SIGNS fragment)
+            raise RuntimeError(
+                "TransformWithStateInPySpark driver worker "
+                "exited unexpectedly (crashed)")
+        return sw.tumbling_counts(sw.read_event_stream(spark, sf_dir))
+
+    out = sw.run_to_completion(build, "t_crash_retry")
+    assert out.count() > 0
+    assert calls["n"] == 2
+    # attempt 2 ran on a rebuilt clone, not the poisoned one
+    assert sessions[0] is not sessions[1]
+    # and the TWS prewarm flag was reset with the session
+    # (the rebuilt pool must be rewarmed before the next TWS query)
+
+
+def test_crash_retry_preserves_deterministic_failures(spark, sf_dir):
+    """Non-crash failures (wrong answers, analysis errors) must NOT be
+    retried — a deterministic failure surfaces on attempt 1."""
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        raise ValueError("deliberate analysis error, not a crash")
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        sw.run_to_completion(build, "t_no_retry")
+    assert calls["n"] == 1
