@@ -86,6 +86,10 @@ class PreparedStatement:
     sql: str
     schema: Any  # StructType | None (None until bindable for param'd SQL)
     parameter_names: list[str]
+    #: True when the statement uses JDBC/ADBC-style positional `?`
+    #: markers (the form stock Flight SQL clients send) rather than
+    #: named :params; binding is then by column position.
+    positional: bool = False
 
 
 @dataclass
@@ -144,6 +148,41 @@ class SessionState:
 
 
 _PARAM_RE = __import__("re").compile(r":([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _count_positional_params(sql: str) -> int:
+    """Count JDBC/ADBC-style `?` markers outside string literals,
+    quoted identifiers, and comments (the form stock Flight SQL
+    clients prepare with; the reference inherits it from DuckDB's
+    prepared statements)."""
+    n = i = 0
+    ln = len(sql)
+    while i < ln:
+        c = sql[i]
+        if c == "'":  # string literal, '' escapes
+            i += 1
+            while i < ln:
+                if sql[i] == "'":
+                    if i + 1 < ln and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c in ('"', "`"):  # quoted identifier
+            q = c
+            i += 1
+            while i < ln and sql[i] != q:
+                i += 1
+        elif c == "-" and sql[i:i + 2] == "--":
+            while i < ln and sql[i] != "\n":
+                i += 1
+        elif c == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            i = ln if j < 0 else j + 1
+        elif c == "?":
+            n += 1
+        i += 1
+    return n
 
 
 class Engine:
@@ -1335,20 +1374,37 @@ class Engine:
         security.check_readonly(sql, st.role)
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
         params = sorted(set(_PARAM_RE.findall(sql)))
+        n_pos = 0 if params else _count_positional_params(sql)
         schema = None
-        if not params:
+        if not params and not n_pos:
             schema = st.spark.sql(sql).schema  # analysis only, no job
-        ps = PreparedStatement(str(uuid.uuid4()), sql, schema, params)
+        names = params or [f"param_{i + 1}" for i in range(n_pos)]
+        ps = PreparedStatement(
+            str(uuid.uuid4()), sql, schema, names, positional=n_pos > 0)
         st.prepared[ps.handle] = ps
         return ps
 
     def execute_prepared(self, session_id: str, handle: str,
-                         params: dict[str, Any] | None = None) -> StatementResult:
+                         params: dict[str, Any] | list | None = None,
+                         ) -> StatementResult:
         st = self._session(session_id)
         ps = st.prepared.get(handle)
         if ps is None:
             raise KeyError(f"no such prepared statement: {handle}")
-        df = st.spark.sql(ps.sql, args=params or {})
+        if ps.positional:
+            # `?` markers bind by position (Spark takes a list). A
+            # stock client's parameter batch carries arbitrary column
+            # names, so fall back to column order unless the names are
+            # exactly our synthetic param_i placeholders.
+            if isinstance(params, (list, tuple)):
+                args: Any = list(params)
+            elif params and set(params) >= set(ps.parameter_names):
+                args = [params[k] for k in ps.parameter_names]
+            else:
+                args = list(params.values()) if params else []
+            df = st.spark.sql(ps.sql, args=args)
+        else:
+            df = st.spark.sql(ps.sql, args=params or {})
         if ps.schema is None:
             ps.schema = df.schema
         return StatementResult("query", df=df)

@@ -374,7 +374,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dot / (na * nb), 6).alias("cos"),
         )
         .filter(F.col("cos") >= _SEMDEDUP_TAU)
-        .persist()
+        # localCheckpoint, NOT persist: the frame feeds two aggregates
+        # of the lazily-returned result, so an unpersist here would be
+        # premature — and a persist with no unpersist leaks cached
+        # partitions for the session's lifetime (the round-4 session-
+        # aging audit found exactly this site). Checkpoint blocks are
+        # released by the ContextCleaner when the frame is GC'd.
+        .localCheckpoint()
     )
     base = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"))

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 #: reference's inventory with Spark-true values)
 SQL_INFO: dict[str, object] = {
     "FLIGHT_SQL_SERVER_NAME": "gizmosql-spark",
+    # id 1 — stock ADBC clients read name+version on connect; absence
+    # surfaced in the stock-client replay gate (r5)
+    "FLIGHT_SQL_SERVER_VERSION": "0.1.0",
     "FLIGHT_SQL_SERVER_ARROW_VERSION": "native",
     "FLIGHT_SQL_SERVER_READ_ONLY": False,
     "SQL_DDL_CATALOG": False,          # Spark: catalogs are plugins
