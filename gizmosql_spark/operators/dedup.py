@@ -810,3 +810,128 @@ ORACLE["cross_source_dups"] = f"""
     GROUP BY 1, 2
     ORDER BY n_pairs DESC, s1, s2 LIMIT 15
 """
+
+
+def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document duplicated SPANS — the cut-list step of
+    Lee et al. 2022 that dedup_window_hash stops short of: overlapping
+    / abutting shared windows are merged (gaps-and-islands) into the
+    maximal char ranges a substring-dedup pass would actually excise.
+    One row per (doc, span): [span_start, span_end), window count.
+
+    100 TB shape: same linear window explode + hash wordcount as
+    dedup_window_hash (no pairwise work); the span merge is two
+    windows PARTITIONED BY doc — per-doc state only, never corpus-
+    wide. The shared-hash filter is a shuffle semi-join (hash side is
+    corpus-sized — never broadcast).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w, s = _WH_WIN, _WH_STRIDE
+    wins = (
+        d.select("doc_id", _norm(F.col("text")).alias("norm"))
+        .filter(F.length("norm") >= w)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(floor((length(norm) - {w})"
+                    f" / {s}) as int)),"
+                    f" i -> struct(i * {s} AS pos,"
+                    f" md5(substring(norm, i * {s} + 1, {w})) AS wh))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.col("win.pos").alias("pos"),
+                F.col("win.wh").alias("wh"))
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh")
+    )
+    sw = wins.join(shared, "wh", "left_semi")
+    # islands: a window starts a new span iff it begins after every
+    # earlier window's end (running max of pos + w)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + w).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = sw.select(
+        "doc_id", "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0).alias("is_new"),
+    )
+    islands = flagged.select(
+        "doc_id", "pos",
+        F.sum("is_new").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)).alias("span_id"),
+    )
+    return (
+        islands.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_id").cast("long").alias("span_id"),
+            "span_start",
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start")).cast("long")
+            .alias("span_chars"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+QUERIES["dedup_span_report"] = dedup_span_report
+ORACLE["dedup_span_report"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_NORM_SQL} AS norm FROM documents
+        WHERE length({_NORM_SQL}) >= {_WH_WIN}
+    ),
+    wins AS (
+        SELECT doc_id, i * {_WH_STRIDE} AS pos,
+               md5(substr(norm, i * {_WH_STRIDE} + 1, {_WH_WIN})) AS wh
+        FROM d, unnest(range(0,
+            CAST(floor((length(norm) - {_WH_WIN}) / {_WH_STRIDE})
+                 AS BIGINT) + 1)) u(i)
+    ),
+    shared AS (
+        SELECT wh FROM wins GROUP BY wh
+        HAVING count(DISTINCT doc_id) > 1
+    ),
+    sw AS (SELECT doc_id, pos FROM wins SEMI JOIN shared USING (wh)),
+    flagged AS (
+        SELECT doc_id, pos,
+               CASE WHEN max(pos + {_WH_WIN}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) IS NULL
+                         OR pos > max(pos + {_WH_WIN}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM sw
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS span_id
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(span_id AS BIGINT) AS span_id,
+           min(pos) AS span_start,
+           CAST(max(pos) + {_WH_WIN} AS BIGINT) AS span_end,
+           CAST(max(pos) + {_WH_WIN} - min(pos) AS BIGINT) AS span_chars,
+           count(*) AS n_windows
+    FROM islands
+    GROUP BY doc_id, span_id
+    ORDER BY doc_id, span_start
+"""

@@ -506,3 +506,77 @@ ORACLE: dict[str, str] = {
         ORDER BY lang, source, rk
     """,
 }
+
+
+_N_SHARDS = 16
+
+
+def shard_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-shuffle shard manifest: every document is assigned a
+    shard by a deterministic hash permutation (first 8 hex chars of
+    md5(doc_id) mod 16 — engine-independent, parallelism-invariant),
+    and the plan reports per-shard size stats + the skew ratio vs the
+    ideal uniform share. This is the write-side plan of the
+    shuffle-into-shards stage every pretraining pipeline runs before
+    sequence packing: shard = output file, skew ratio = the straggler
+    predictor.
+
+    100 TB shape: one scan + one 16-group partial agg; the assignment
+    is a pure row function, so the real shuffle it plans (repartition
+    by shard, write) stays hash-balanced and any re-run lands every
+    doc in the same shard regardless of input partitioning.
+    """
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % _N_SHARDS
+    ).alias("shard")
+    tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    per = (
+        d.select(shard, tok.alias("n_tok"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    # ideal share via a window over the 16-row aggregate — a re-agg
+    # frame would recompute the corpus scan (Catalyst does not reuse
+    # the subplan), which is a second full pass at 100 TB
+    ideal = F.avg("n_docs").over(Window.partitionBy())
+    return (
+        per.select(
+            "shard", "n_docs", "n_tokens", "n_chars",
+            F.round(F.col("n_docs") / ideal, 6).alias("skew_ratio"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES["shard_shuffle_plan"] = shard_shuffle_plan
+ORACLE["shard_shuffle_plan"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, text, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    assigned AS (
+        SELECT CAST(({_WS_HEX_U}) AS BIGINT) % {_N_SHARDS} AS shard,
+               len(string_split(regexp_replace(trim(lower(text)),
+                   '\\s+', ' ', 'g'), ' ')) AS n_tok,
+               n_chars
+        FROM hashed
+    ),
+    per AS (
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM assigned GROUP BY shard
+    ),
+    tot AS (SELECT avg(n_docs) AS ideal FROM per)
+    SELECT shard, n_docs, n_tokens, n_chars,
+           round(n_docs / ideal, 6) AS skew_ratio
+    FROM per, tot
+    ORDER BY shard
+"""

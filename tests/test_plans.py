@@ -536,3 +536,28 @@ def test_bpe_pairs_topk_plan(spark, sf_dir):
 
     plan = _plan(evalops.bpe_pair_merge(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_span_report_no_broadcast_of_corpus_hashes(spark, sf_dir):
+    """dedup_span_report's shared-hash filter must be a shuffle
+    semi-join (the hash side is corpus-sized) and the span merge must
+    not introduce any nested-loop join."""
+    from gizmosql_spark.operators import dedup
+
+    plan = _plan(dedup.dedup_span_report(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_shard_plan_single_scan(spark, sf_dir):
+    """shard_shuffle_plan: exactly ONE corpus scan (the ideal-share
+    divisor is a window over the 16-row aggregate, not a re-agg that
+    recomputes the scan), and no row-at-a-time Python anywhere."""
+    from gizmosql_spark.operators import sampling
+
+    plan = _plan(sampling.shard_shuffle_plan(spark, sf_dir))
+    # explain(formatted) lists each scan twice (tree + detail block)
+    assert plan.count("Scan parquet") == 2
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
