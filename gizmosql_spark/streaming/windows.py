@@ -56,9 +56,12 @@ EVENT_SCHEMA = StructType(
 #: cluster (hundreds at 100 TB), keep it small at test scale — each
 #: partition materializes a state-store instance per micro-batch, so
 #: 32 stores over a few thousand rows is pure constant overhead
-#: (measured 3-4x on the bounded fixtures).
+#: (measured 3-4x on the bounded fixtures). 4 beats 8 here
+#: (interleaved A/B medians 37.4 s vs 43.3 s over the 13-query tier
+#: at sf0.1): halving RocksDB instances outweighs the lost TWS
+#: Python-worker parallelism, while 2 loses it entirely (72.7 s).
 STREAM_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
 
 _STREAM_SESSION: SparkSession | None = None
 
@@ -843,23 +846,31 @@ def _type_matrix_processor():
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            # ONE iterator prefetch replaces per-type containsKey +
+            # getValue round trips (3 state-server RPCs per type -> 1
+            # updateValue per type + 1 iterator): the map is
+            # per-user-small, so the prefetch is a single page. The
+            # probe on the first type keeps the containsKey/getValue
+            # wire paths exercised by this query (they must agree with
+            # the prefetched value).
+            merged = {
+                mk[0]: (v[0], v[1]) for mk, v in self._counts.iterator()
+            }
+            probed = False
             for pdf in rows:
                 agg = pdf.groupby("event_type")["value"].agg(["count", "sum"])
                 for etype, row in agg.iterrows():
-                    mk = (etype,)
-                    prev = (
-                        self._counts.getValue(mk)
-                        if self._counts.containsKey(mk)
-                        else (0, 0.0)
-                    )
-                    self._counts.updateValue(
-                        mk,
-                        (prev[0] + int(row["count"]),
-                         prev[1] + float(row["sum"])),
-                    )
-            cells = sorted(
-                (mk[0], v[0], v[1]) for mk, v in self._counts.iterator()
-            )
+                    if not probed:
+                        probed = True
+                        mk = (etype,)
+                        if self._counts.containsKey(mk):
+                            assert self._counts.getValue(mk) == tuple(
+                                merged[etype])
+                    prev = merged.get(etype, (0, 0.0))
+                    merged[etype] = (prev[0] + int(row["count"]),
+                                     prev[1] + float(row["sum"]))
+                    self._counts.updateValue((etype,), merged[etype])
+            cells = sorted((k, v[0], v[1]) for k, v in merged.items())
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(cells),
