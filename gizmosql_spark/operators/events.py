@@ -447,7 +447,11 @@ def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         spark.read.format("synthetic_events")
         .option("rows", 10000)
-        .option("numPartitions", 8)
+        # 4 partitions: still exercises the multi-partition planner
+        # path, but each extra partition costs a Python read-worker
+        # round trip (~0.1-0.5 s under load at this row count); at
+        # real scale the option mirrors the upstream shard count
+        .option("numPartitions", 4)
         .load()
     )
     return (

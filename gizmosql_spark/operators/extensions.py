@@ -147,9 +147,16 @@ def information_schema_tables(
     names (memory-sink views, sink tables from streaming queries) are
     filtered out on both sides so the result is session-independent.
     """
+    import os
+
     from gizmosql_spark import catalog as cat
 
-    cat.register_tables(spark, sf_dir)
+    # register through the loader's cached frames (a fresh
+    # spark.read.parquet per table re-lists files + re-reads footers:
+    # ~1.8 s for the 10 fixtures, vs ~0 warm through the cache)
+    for name in cat.FIXTURE_TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            loader.table(spark, sf_dir, name).createOrReplaceTempView(name)
     fixtures = [t for t in cat.FIXTURE_TABLES]
     return (
         cat.get_tables(spark)

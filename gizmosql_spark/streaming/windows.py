@@ -1127,6 +1127,103 @@ ORACLE["stream_outer_join"] = """
 """
 
 
+def _timer_flush_processor(flush_after_ms: int):
+    """Event-time-timer-driven flush — exercises the TIMER tier of the
+    TWS state protocol (registerTimer, listTimers, handleExpiredTimer,
+    ExpiredTimerInfo), the one surface value/map/list state leave
+    uncovered. Output is produced ONLY by expired timers, so the
+    emitted row set is exactly the watermark's timer-fire decision —
+    which is what the differential oracle verifies."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TimerFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._agg = handle.getValueState(
+                "agg", "count LONG, total DOUBLE, expiry LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total, expiry = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, -1))
+            first_ms = None
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+                m = int(pdf["ts_ms"].min())
+                first_ms = m if first_ms is None else min(first_ms, m)
+            if expiry < 0 and first_ms is not None:
+                expiry = first_ms + flush_after_ms
+                self._handle.registerTimer(expiry)
+                assert list(self._handle.listTimers())  # wire-path probe
+            self._agg.update((count, total, expiry))
+            return iter(())  # timer-driven output only
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            count, total, _ = self._agg.get()
+            self._agg.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "total": [round(total, 4)],
+                    "flush_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TimerFlush()
+
+
+_TIMER_FLUSH_MS = 30 * 60 * 1000  # flush 30 min after a user's first event
+
+
+def stream_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-user flush driven by EVENT-TIME
+    timers — a timer registered at (first event + 30 min) fires when
+    the watermark passes it, emitting that user's accumulated stats.
+
+    Determinism contract on the bounded fixture: the single data batch
+    accumulates every user's full aggregate and registers the timer;
+    the closing no-data batch advances the watermark to
+    max(ts) − 10 min and fires exactly the timers with
+    expiry < watermark. Users whose first event is younger than
+    (watermark − 30 min) never emit — the oracle encodes the same
+    cutoff in epoch-millisecond arithmetic, so the differential gate
+    verifies the timer-fire rule itself."""
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total", DoubleType()),
+            StructField("flush_ms", LongType()),
+        ]
+    )
+
+    def build() -> DataFrame:
+        events = (
+            read_event_stream(spark, sf_dir)
+            .withWatermark("ts", "10 minutes")
+            .select(
+                "user_id", "value",
+                F.unix_millis(F.col("ts")).alias("ts_ms"), "ts",
+            )
+        )
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_timer_flush_processor(_TIMER_FLUSH_MS),
+            outputStructType=schema,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+
+    out = _run_with_rocksdb(spark, build, "q_stream_timer_flush")
+    return out.orderBy("user_id")
+
+
 def tws_available() -> bool:
     """transformWithState's Python workers need a protobuf runtime for
     the StateMessage wire protocol. The container has no protobuf
@@ -1176,4 +1273,27 @@ if tws_available():
             FROM events
         ) WHERE rn <= 3
         ORDER BY user_id, rn
+    """
+    QUERIES["stream_timer_flush"] = stream_timer_flush
+    ORACLE["stream_timer_flush"] = f"""
+        WITH ev AS (
+            SELECT user_id, value,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
+            FROM events
+        ),
+        wm AS (
+            SELECT max(ts_ms) - 600000 AS w FROM ev
+        ),
+        per AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total,
+                   min(ts_ms) + {_TIMER_FLUSH_MS} AS flush_ms
+            FROM ev GROUP BY user_id
+        )
+        SELECT user_id, n_events, total, CAST(flush_ms AS BIGINT)
+            AS flush_ms
+        FROM per, wm
+        WHERE flush_ms < wm.w
+        ORDER BY user_id
     """
