@@ -799,6 +799,9 @@ def _run_with_rocksdb(spark: SparkSession, stream_source,
     rebuilt clone (and the prewarm re-runs on it). The availableNow
     file source processes the single events file in one micro-batch,
     so Update mode emits exactly one row per key — the final state."""
+    # TWS emits in Update mode by construction; never let the
+    # _has_agg sniff pick "complete" (an initialState seed built from
+    # a batch aggregate puts an Aggregate node in the analyzed plan)
     if callable(stream_source):
         builder = stream_source
 
@@ -806,9 +809,11 @@ def _run_with_rocksdb(spark: SparkSession, stream_source,
             _prewarm_tws(spark)
             return builder()
 
-        return run_to_completion(warmed_builder, query_name)
+        return run_to_completion(
+            warmed_builder, query_name, output_mode="update")
     _prewarm_tws(spark)
-    return run_to_completion(stream_source, query_name)
+    return run_to_completion(stream_source, query_name,
+                             output_mode="update")
 
 
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,6 +1229,96 @@ def stream_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def _seeded_stats_processor():
+    """ValueState seeded from a BATCH frame via handleInitialState —
+    exercises the initial-state tier of the TWS protocol, the
+    resume-from-warehouse-snapshot pattern (state bootstrapped from a
+    lakehouse aggregate, then maintained incrementally by the
+    stream)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeededStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "count LONG, total DOUBLE")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._agg.update((
+                int(initialState["seed_count"].iloc[0]),
+                float(initialState["seed_total"].iloc[0]),
+            ))
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total = (
+                self._agg.get() if self._agg.exists() else (0, 0.0))
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((count, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "count": [count],
+                    "total": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SeededStats()
+
+
+_SEED_SPLIT_ID = 5000  # events below seed the state; the rest stream
+
+
+def stream_seeded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: per-user stats where state is SEEDED
+    from a batch aggregate (event_id < 5000, the warehouse snapshot)
+    and the stream carries only the remainder — final totals must
+    equal the full-corpus aggregate for every user the stream touches.
+    Emission comes from handleInputRows, so seed-only users (none at
+    the fixture's density) stay silent, which the oracle's join
+    direction encodes."""
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("count", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def build() -> DataFrame:
+        s = streaming_session(spark)
+        from gizmosql_spark.operators.events import load_events
+
+        seed = (
+            load_events(s, sf_dir)
+            .filter(F.col("event_id") < _SEED_SPLIT_ID)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("seed_count"),
+                F.sum("value").alias("seed_total"),
+            )
+            .groupBy("user_id")
+        )
+        ev = read_event_stream(spark, sf_dir).filter(
+            F.col("event_id") >= _SEED_SPLIT_ID)
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_seeded_stats_processor(),
+            outputStructType=schema,
+            outputMode="Update",
+            timeMode="None",
+            initialState=seed,
+        )
+
+    out = _run_with_rocksdb(spark, build, "q_stream_seeded_stats")
+    return out.orderBy("user_id")
+
+
 def tws_available() -> bool:
     """transformWithState's Python workers need a protobuf runtime for
     the StateMessage wire protocol. The container has no protobuf
@@ -1273,6 +1368,24 @@ if tws_available():
             FROM events
         ) WHERE rn <= 3
         ORDER BY user_id, rn
+    """
+    QUERIES["stream_seeded_stats"] = stream_seeded_stats
+    ORACLE["stream_seeded_stats"] = f"""
+        WITH seed AS (
+            SELECT user_id, count(*) AS c, sum(value) AS t
+            FROM events WHERE event_id < {_SEED_SPLIT_ID}
+            GROUP BY user_id
+        ),
+        str AS (
+            SELECT user_id, count(*) AS c, sum(value) AS t
+            FROM events WHERE event_id >= {_SEED_SPLIT_ID}
+            GROUP BY user_id
+        )
+        SELECT str.user_id,
+               CAST(str.c + coalesce(seed.c, 0) AS BIGINT) AS count,
+               round(str.t + coalesce(seed.t, 0), 4) AS total
+        FROM str LEFT JOIN seed USING (user_id)
+        ORDER BY user_id
     """
     QUERIES["stream_timer_flush"] = stream_timer_flush
     ORACLE["stream_timer_flush"] = f"""
