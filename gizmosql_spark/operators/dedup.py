@@ -877,7 +877,7 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("span_id").cast("long").alias("span_id"),
-            "span_start",
+            F.col("span_start").cast("long").alias("span_start"),
             F.col("span_end").cast("long").alias("span_end"),
             (F.col("span_end") - F.col("span_start")).cast("long")
             .alias("span_chars"),
