@@ -216,7 +216,9 @@ def kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     marginals.
 
     Scale: one class×class agg (≤100 cells) + a driver-sized kappa
-    fold — corpus touched once.
+    fold — corpus touched once (r5: marginals and totals all derive
+    from the cells frame; the previous shape re-scanned the corpus 3×
+    for tot/ma/mb).
     """
     e = _t(spark, sf_dir, "embeddings").select(
         F.col("label").cast("long").alias("truth"),
@@ -229,15 +231,23 @@ def kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("h2") % 4 == 0, (F.col("truth") + 2) % N_CLASSES)
         .otherwise(F.col("truth")).alias("b"),
     )
-    tot = ann.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg((F.col("a") == F.col("b")).cast("double")).alias("po"),
+    # ≤100-row cells frame, localCheckpoint'ed so the tot and pe
+    # branches below don't each replay the corpus scan (Catalyst does
+    # not reuse the subplan); blocks are GC-released
+    cells = (
+        ann.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        (F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+               .otherwise(0)) / F.sum("c")).alias("po"),
     )
     pe = (
-        ann.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+        cells.groupBy("a").agg(F.sum("c").alias("ca"))
         .join(
-            ann.groupBy(F.col("b").alias("a"))
-            .agg(F.count(F.lit(1)).alias("cb")),
+            cells.groupBy(F.col("b").alias("a"))
+            .agg(F.sum("c").alias("cb")),
             "a",
             "full",
         )
@@ -281,8 +291,11 @@ def class_prf_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("h") % 6 == 0, (F.col("truth") + 1) % N_CLASSES)
         .otherwise(F.col("truth")).alias("pred"),
     )
+    # ≤100-row cells frame, localCheckpoint'ed: tp/support/predicted
+    # below fan out from it, and without the checkpoint each branch
+    # replays the corpus scan (3 scans instead of 1 at 100 TB)
     cells = scored.groupBy("truth", "pred").agg(
-        F.count(F.lit(1)).alias("c"))
+        F.count(F.lit(1)).alias("c")).localCheckpoint()
     tp = cells.filter(F.col("truth") == F.col("pred")).select(
         F.col("truth").alias("cls"), F.col("c").alias("tp"))
     support = cells.groupBy(F.col("truth").alias("cls")).agg(

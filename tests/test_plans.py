@@ -561,3 +561,15 @@ def test_shard_plan_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 2
     assert "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kappa_and_prf_single_corpus_scan(spark, sf_dir):
+    """kappa_agreement / class_prf_report: the ≤100-row cells frame is
+    localCheckpoint'ed, so the marginal/total branches must NOT replay
+    the corpus scan (was 3 scans before r5)."""
+    from gizmosql_spark.operators import evalops
+
+    for fn in (evalops.kappa_agreement, evalops.class_prf_report):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Scan parquet" not in plan  # reads the checkpointed cells
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan
