@@ -855,10 +855,14 @@ def columns_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (the dbt-test / Great-Expectations
     shape): one row per declared rule with its violation count —
-    uniqueness, referential integrity (anti join), range, ordering,
-    and null checks across the TPC-H star. Each rule is a scan-shaped
-    aggregate or an anti join on the FK; the union of tiny 1-row
-    frames presents the report."""
+    uniqueness, referential integrity, range, ordering, and null
+    checks across the TPC-H star — with all three lineitem rules
+    (orphan FK, quantity range, ship-after-order) derived from ONE
+    left join + conditional aggregation, the multi-rule single-pass
+    shape a validator must have at 100 TB (r5: was 3 lineitem scans;
+    the orphan count = null-extended rows, so the anti join is free).
+    No broadcast hint on orders: it is fact-sized at scale — the
+    planner picks the strategy from runtime sizes."""
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
@@ -872,29 +876,30 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders.o_orderkey unique",
         o.agg((F.count(F.lit(1))
                - F.count_distinct("o_orderkey")).alias("n")))
-    orphans = rule(
-        "lineitem.l_orderkey references orders",
-        l.join(o.select("o_orderkey"),
-               l["l_orderkey"] == o["o_orderkey"], "left_anti")
-        .agg(F.count(F.lit(1)).alias("n")))
-    qty_range = rule(
-        "lineitem.l_quantity in (0, 50]",
-        l.agg(F.sum(F.when((F.col("l_quantity") <= 0)
-                           | (F.col("l_quantity") > 50), 1)
-                    .otherwise(0)).alias("n")))
-    ship_order = rule(
-        "lineitem ships on/after order date",
-        l.join(F.broadcast(o.select("o_orderkey", "o_orderdate")),
-               l["l_orderkey"] == o["o_orderkey"])
-        .agg(F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)
-                   .otherwise(0)).alias("n")))
+    joined = l.select("l_orderkey", "l_quantity", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        l["l_orderkey"] == o["o_orderkey"], "left")
+    lrules = joined.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1)
+              .otherwise(0)).alias("orphans"),
+        F.sum(F.when((F.col("l_quantity") <= 0)
+                     | (F.col("l_quantity") > 50), 1)
+              .otherwise(0)).alias("qty"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull()
+                     & (F.col("l_shipdate") < F.col("o_orderdate")), 1)
+              .otherwise(0)).alias("ship"),
+    ).select(F.expr(
+        "stack(3,"
+        " 'lineitem.l_orderkey references orders', CAST(orphans AS BIGINT),"
+        " 'lineitem.l_quantity in (0, 50]', CAST(qty AS BIGINT),"
+        " 'lineitem ships on/after order date', CAST(ship AS BIGINT)"
+        ") AS (rule, n_violations)"))
     bal_null = rule(
         "customer.c_acctbal not null",
         c.agg(F.sum(F.when(F.col("c_acctbal").isNull(), 1)
                     .otherwise(0)).alias("n")))
     return (
-        uniq.unionAll(orphans).unionAll(qty_range)
-        .unionAll(ship_order).unionAll(bal_null)
+        uniq.unionAll(lrules).unionAll(bal_null)
         .orderBy("rule")
     )
 
