@@ -327,37 +327,43 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: users reaching view → click → purchase
-    strictly in time order. Each stage is a per-user min-timestamp
-    aggregate joined to the previous stage — three hash aggregations
-    shuffling on user_id (AQE coalesces the tiny stage frames), no
-    windows, no collects."""
-    e = load_events(spark, sf_dir)
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    strictly in time order. ONE events scan + ONE user-keyed shuffle:
+    the stage timestamps chain through three whole-partition window
+    minimums over the same partitioning (t2 = min click AFTER t1,
+    t3 = min purchase AFTER t2 — each references the previous window's
+    result, so they chain as selects but share the single Exchange),
+    then a per-user collapse and a 3-row conditional count. r5: was 5
+    scans + 3 join shuffles."""
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view",
+                         F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((F.col("event_type") == "click")
+                         & (F.col("ts") > F.col("t1")),
+                         F.col("ts"))).over(w))
+        .withColumn(
+            "t3",
+            F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") > F.col("t2")),
+                         F.col("ts"))).over(w))
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    step = lambda df, i, name: df.agg(F.count(F.lit(1)).alias("n_users")).select(  # noqa: E731
-        F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
-    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"))
     return (
-        step(v, 1, "view")
-        .unionAll(step(c, 2, "click"))
-        .unionAll(step(p, 3, "purchase"))
+        per_user.agg(
+            F.count("t1").alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
+        )
+        .select(F.expr(
+            "stack(3, 1, 'view', n1, 2, 'click', n2,"
+            " 3, 'purchase', n3) AS (step, step_name, n_users)"))
         .orderBy("step")
     )
 
