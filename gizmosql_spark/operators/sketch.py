@@ -375,7 +375,11 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x"))
-    rng = l.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    # 1-row min/max, checkpointed: it feeds both the binning pass and
+    # the interpolation edges (r5 audit: each crossJoin use replayed
+    # the scan)
+    rng = l.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")).localCheckpoint()
     binned = (
         l.crossJoin(F.broadcast(rng))
         .select(
@@ -389,10 +393,18 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = binned.withColumn("cum", F.sum("c").over(w)) \
-                .withColumn("prev", F.col("cum") - F.col("c")) \
-                .crossJoin(F.broadcast(rng)) \
-                .crossJoin(F.broadcast(l.agg(F.count(F.lit(1)).alias("n"))))
+    # n derives from the bin counts (no extra corpus pass); the 1000-
+    # row cum frame is checkpointed so the three quantile filters
+    # below read it instead of replaying the histogram build
+    cum = (
+        binned.withColumn("cum", F.sum("c").over(w))
+        .withColumn("prev", F.col("cum") - F.col("c"))
+        .withColumn("n", F.sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
+        .crossJoin(F.broadcast(rng))
+        .localCheckpoint()
+    )
     qs = []
     for q in (0.5, 0.9, 0.99):
         target = F.lit(q) * F.col("n")
@@ -494,10 +506,15 @@ def hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     day = F.to_date(F.col("ts").cast("timestamp"))
     bucket, rho = _bucket_rho(F.col("user_id"))
+    # days × m register frame, localCheckpoint'ed: days/buckets/grid
+    # all derive from it, and without the checkpoint each derivation
+    # replays the corpus scan (r5 scan audit: 5 events scans where 2
+    # suffice — this build + the deliberate exact-check re-scan)
     daily = (
         e.select(day.alias("d"), bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("d", "bucket")
         .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint()
     )
     days = daily.select("d").distinct()
     buckets = daily.select("bucket").distinct()
