@@ -37,6 +37,8 @@ _PRIORITY = [
     "stream_stream_join",
     "stream_outer_join",     # watermark-eviction-boundary oracle — the
                              # strongest streaming-semantics proof (r4)
+    "stream_timer_flush",    # event-time TIMER tier (r5): the oracle
+                             # encodes the watermark timer-fire rule
     "stream_session_windows",
     # TPC-H representatives (agg pipeline, correlated subquery, top-k,
     # exists/anti, 6-way join, pushdown filter, deep join tree, big
@@ -83,8 +85,9 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    # similarity tier
-    "ann_bruteforce_topk",
+    # similarity tier (ann_bruteforce_topk moved to the repo-harness
+    # tier in r5 — same SURVEY row as ann_ivf, and the freed slot goes
+    # to the new TWS timer-semantics proof)
     "ann_ivf",
     # multimodal (meta tier verified by repo harness)
     "multimodal_features",
