@@ -95,6 +95,13 @@ def main() -> None:
 
         gf.register_all(spark)
         register_geo(spark)
+        # JIT the geo pandas-UDF worker path too — registration alone
+        # leaves the first spatial query paying the codec spawn (it
+        # showed as a ~20x first-iteration spread on spatial_funcs)
+        spark.sql(
+            "SELECT st_within(st_point(1D, 1D),"
+            " st_buffer(st_point(0D, 0D), 2D)) AS c"
+        ).count()
     except Exception as e:  # warmup is best-effort
         print(f"# bench warmup error: {e}", file=sys.stderr)
 
