@@ -88,6 +88,68 @@ def main() -> None:
             f" read_parquet('{args.dst}/{table}.parquet')").fetchone()
         print(table, "x", args.factor, "->", n, "rows")
 
+    # --- extension tables (r5): scaled so each tier's WORK scales the
+    # way a real 10x corpus would, not the way naive copies would —
+    # exact replicas of documents would square the dup-pair counts
+    # inside each duplicate group, and exact embedding copies would
+    # square LSH bucket candidate joins. Salting/jitter keeps the
+    # per-replica structure identical (linear scaling), which is the
+    # honest perf fixture.
+    ext_sql = {
+        # replica-salted text: each replica's dedup structure mirrors
+        # the original, n_chars stays = length(text)
+        "documents": """
+            SELECT doc_id + i * {base} AS doc_id,
+                   CASE WHEN i = 0 THEN text
+                        ELSE 'r' || i || ' ' || text END AS text,
+                   lang, source,
+                   n_chars + CASE WHEN i = 0 THEN 0
+                             ELSE length('r' || i || ' ') END AS n_chars
+            FROM read_parquet('{src}/documents.parquet')
+            CROSS JOIN range({factor}) t(i)
+        """,
+        # per-replica deterministic jitter: cosine structure within a
+        # replica is untouched; replicas don't collapse into identical
+        # LSH buckets
+        "embeddings": """
+            SELECT vec_id + i * {base} AS vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x + i * 0.0001 AS FLOAT)) AS embedding,
+                   label
+            FROM read_parquet('{src}/embeddings.parquet')
+            CROSS JOIN range({factor}) t(i)
+        """,
+        # time-shifted replicas: windows/sessions/watermark structure
+        # repeats per replica instead of 10x-ing per-key state
+        "events": """
+            SELECT event_id + i * {base} AS event_id,
+                   ts + INTERVAL (i * 40) DAY AS ts,
+                   user_id + i * {ubase} AS user_id,
+                   event_type, value, props
+            FROM read_parquet('{src}/events.parquet')
+            CROSS JOIN range({factor}) t(i)
+        """,
+    }
+    ext_bases = {}
+    for t, col in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                   ("events", "event_id")):
+        (mx,) = con.execute(
+            f"SELECT max({col}) FROM"
+            f" read_parquet('{args.src}/{t}.parquet')").fetchone()
+        ext_bases[t] = int(mx) + 1
+    (umx,) = con.execute(
+        "SELECT max(user_id) FROM"
+        f" read_parquet('{args.src}/events.parquet')").fetchone()
+    for t, sql in ext_sql.items():
+        q = sql.format(src=args.src, factor=args.factor,
+                       base=ext_bases[t], ubase=int(umx) + 1)
+        con.execute(
+            f"COPY ({q}) TO '{args.dst}/{t}.parquet' (FORMAT PARQUET)")
+        (n,) = con.execute(
+            f"SELECT count(*) FROM"
+            f" read_parquet('{args.dst}/{t}.parquet')").fetchone()
+        print(t, "x", args.factor, "->", n, "rows")
+
 
 if __name__ == "__main__":
     main()
