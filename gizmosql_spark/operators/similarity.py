@@ -313,7 +313,13 @@ def ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_K = 5
-_KNN_PROBE_MOD = 20  # every 20th vector is a held-out probe
+_KNN_PROBE_MOD = 20  # every 20th vector is a held-out probe...
+#: ...capped at a fixed probe-set size: an eval sample is a CONSTANT,
+#: not a corpus fraction — without the cap the probe count grows with
+#: the corpus and the broadcast join does |probes|·n work, which the
+#: r5 sf1 fixture measured as 68x wall for 10x data (100x work). With
+#: it the scan side alone grows and the op scales linearly.
+_KNN_PROBE_CAP = _KNN_PROBE_MOD * 100  # probe ids live in [0, cap)
 
 
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,7 +344,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(emb, x -> x / sqrt(aggregate(transform(emb,"
         " v -> v * v), 0D, (acc, v) -> acc + v)))")
     e = _emb(spark, sf_dir).withColumn("u", unit)
-    probes = e.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0).select(
+    probes = e.filter(
+        (F.col("vec_id") % _KNN_PROBE_MOD == 0)
+        & (F.col("vec_id") < _KNN_PROBE_CAP)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("u").alias("q_u"),
         F.col("label").alias("true_label"),
@@ -760,7 +769,8 @@ ORACLE["ann_recall"] = f"""
 ORACLE["knn_label_eval"] = f"""
     WITH probes AS (
         SELECT vec_id AS q_id, embedding AS q_emb, label AS true_label
-        FROM embeddings WHERE vec_id % {_KNN_PROBE_MOD} = 0
+        FROM embeddings
+        WHERE vec_id % {_KNN_PROBE_MOD} = 0 AND vec_id < {_KNN_PROBE_CAP}
     ), neighbors AS (
         SELECT * FROM (
         SELECT q_id, true_label, label, cos_sim, vec_id,

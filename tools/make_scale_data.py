@@ -108,13 +108,18 @@ def main() -> None:
             FROM read_parquet('{src}/documents.parquet')
             CROSS JOIN range({factor}) t(i)
         """,
-        # per-replica deterministic jitter: cosine structure within a
-        # replica is untouched; replicas don't collapse into identical
-        # LSH buckets
+        # per-replica dimension ROTATION: an isometry, so every
+        # replica's internal cosine structure equals the original's
+        # exactly, while cross-replica cosines are uncorrelated. (An
+        # additive jitter small enough to preserve structure makes the
+        # replicas genuine near-duplicates of the originals — the
+        # first sf1 cut measured the near-dup tier at 21x for 10x
+        # data because each vector honestly had 9 new near-dups.)
         "embeddings": """
             SELECT vec_id + i * {base} AS vec_id,
-                   list_transform(embedding,
-                       x -> CAST(x + i * 0.0001 AS FLOAT)) AS embedding,
+                   CASE WHEN i = 0 THEN embedding
+                        ELSE embedding[(i % 64) + 1:]
+                             || embedding[1:(i % 64)] END AS embedding,
                    label
             FROM read_parquet('{src}/embeddings.parquet')
             CROSS JOIN range({factor}) t(i)
