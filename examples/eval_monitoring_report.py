@@ -42,8 +42,8 @@ def main() -> None:
     # --- 2. score quality: rank-identity AUC + calibration bins -------
     auc = resolve("auc_roc")(spark, sf_dir).collect()
     report["auc"] = auc[0].asDict() if auc else None
-    bins = resolve("calibration_bins")(spark, sf_dir)
-    report["calibration_bins"] = bins.count()
+    bins = resolve("classifier_calibration_bins")(spark, sf_dir)
+    report["classifier_calibration_bins"] = bins.count()
 
     # --- 3. input drift: per-shard KS screen + CUSUM changepoint ------
     ks = resolve("ks_test_sources")(spark, sf_dir)

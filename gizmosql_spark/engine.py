@@ -147,16 +147,18 @@ class SessionState:
         return self.role == "admin"
 
 
-_PARAM_RE = __import__("re").compile(r":([A-Za-z_][A-Za-z0-9_]*)")
+# `::` excluded so DuckDB-style casts (x::int) never read as a param
+_PARAM_RE = __import__("re").compile(r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)")
 
 
-def _count_positional_params(sql: str) -> int:
-    """Count JDBC/ADBC-style `?` markers outside string literals,
-    quoted identifiers, and comments (the form stock Flight SQL
-    clients prepare with; the reference inherits it from DuckDB's
-    prepared statements)."""
-    n = i = 0
-    ln = len(sql)
+def _mask_sql_literals(sql: str) -> str:
+    """Blank out string literals, quoted identifiers, and comments
+    (space-preserving, so match offsets survive). Both parameter
+    scanners run over the masked text — a positional query containing
+    ':word' inside a literal (``WHERE s = 'a:b' AND id = ?``) must not
+    be misclassified as named-parameter."""
+    out = list(sql)
+    i, ln = 0, len(sql)
     while i < ln:
         c = sql[i]
         if c == "'":  # string literal, '' escapes
@@ -164,25 +166,45 @@ def _count_positional_params(sql: str) -> int:
             while i < ln:
                 if sql[i] == "'":
                     if i + 1 < ln and sql[i + 1] == "'":
+                        out[i] = out[i + 1] = " "
                         i += 2
                         continue
                     break
+                out[i] = " "
                 i += 1
         elif c in ('"', "`"):  # quoted identifier
             q = c
             i += 1
             while i < ln and sql[i] != q:
+                out[i] = " "
                 i += 1
         elif c == "-" and sql[i:i + 2] == "--":
             while i < ln and sql[i] != "\n":
+                out[i] = " "
                 i += 1
+            continue
         elif c == "/" and sql[i:i + 2] == "/*":
             j = sql.find("*/", i + 2)
-            i = ln if j < 0 else j + 1
-        elif c == "?":
-            n += 1
+            end = ln if j < 0 else j + 2
+            for k in range(i, end):
+                out[k] = " "
+            i = end
+            continue
         i += 1
-    return n
+    return "".join(out)
+
+
+def _named_params(sql: str) -> list[str]:
+    """Named `:param` markers outside literals/comments, sorted."""
+    return sorted(set(_PARAM_RE.findall(_mask_sql_literals(sql))))
+
+
+def _count_positional_params(sql: str) -> int:
+    """Count JDBC/ADBC-style `?` markers outside string literals,
+    quoted identifiers, and comments (the form stock Flight SQL
+    clients prepare with; the reference inherits it from DuckDB's
+    prepared statements)."""
+    return _mask_sql_literals(sql).count("?")
 
 
 class Engine:
@@ -1373,7 +1395,7 @@ class Engine:
         security.check_admin_gate(sql, st.is_admin)
         security.check_readonly(sql, st.role)
         sql = replace_pseudo_functions(sql, self._pseudo_values(st))
-        params = sorted(set(_PARAM_RE.findall(sql)))
+        params = _named_params(sql)
         n_pos = 0 if params else _count_positional_params(sql)
         schema = None
         if not params and not n_pos:

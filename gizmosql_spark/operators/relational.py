@@ -876,15 +876,23 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders.o_orderkey unique",
         o.agg((F.count(F.lit(1))
                - F.count_distinct("o_orderkey")).alias("n")))
-    joined = l.select("l_orderkey", "l_quantity", "l_shipdate").join(
+    joined = l.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate").join(
         o.select("o_orderkey", "o_orderdate"),
         l["l_orderkey"] == o["o_orderkey"], "left")
+    # rule independence under dirty data: a duplicated o_orderkey (the
+    # very violation rule 1 counts) fans lineitem rows out through this
+    # join, so the qty rule counts DISTINCT lineitem row keys
+    # (l_orderkey, l_linenumber — the table's PK) rather than joined
+    # rows; orphans are null-extended rows (can't fan out); the
+    # ship-date rule is defined over the join pairs themselves, same
+    # as its oracle
     lrules = joined.agg(
         F.sum(F.when(F.col("o_orderkey").isNull(), 1)
               .otherwise(0)).alias("orphans"),
-        F.sum(F.when((F.col("l_quantity") <= 0)
-                     | (F.col("l_quantity") > 50), 1)
-              .otherwise(0)).alias("qty"),
+        F.count_distinct(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50),
+                   F.struct("l_orderkey", "l_linenumber"))).alias("qty"),
         F.sum(F.when(F.col("o_orderkey").isNotNull()
                      & (F.col("l_shipdate") < F.col("o_orderdate")), 1)
               .otherwise(0)).alias("ship"),

@@ -102,8 +102,14 @@ def streaming_session(spark: SparkSession) -> SparkSession:
         s.conf.set("spark.sql.execution.pyspark.udf."
                    "faulthandler.enabled", "true")
         from gizmosql_spark.operators.loader import ensure_session_confs
+        from gizmosql_spark.vendor import export_to_spark_workers
 
         ensure_session_confs(s)
+        # TWS Python workers must import (vendored) protobuf even when
+        # the JVM predates this package's import — ship the shim path
+        # through sc.environment (see export_to_spark_workers; this
+        # was the rounds-3..5 official-record streaming crash).
+        export_to_spark_workers(s)
         _STREAM_SESSION = s
     return _STREAM_SESSION
 
@@ -147,7 +153,8 @@ _CRASH_SIGNS = (
 STREAM_RETRIES = int(os.environ.get("SPARK_GRAFT_STREAM_RETRIES", "3"))
 
 
-def _retry_streaming(attempt, attempts: int = STREAM_RETRIES):
+def _retry_streaming(attempt, attempts: int = STREAM_RETRIES,
+                     reset_session: bool = True):
     """Run ``attempt()`` up to ``attempts`` times, retrying only on
     crash-signature failures (worker/channel death under load — the
     round-3 official record's one red row was exactly this). Each
@@ -156,7 +163,13 @@ def _retry_streaming(attempt, attempts: int = STREAM_RETRIES):
     after a crash the streaming-session clone is torn down (its worker
     pool may be poisoned), so the next attempt must re-derive its
     streams via streaming_session()/read_*_stream() rather than reuse
-    frames bound to the dead clone."""
+    frames bound to the dead clone.
+
+    ``reset_session=False`` for callers that can only replay a plain
+    DataFrame bound to the current clone: tearing the clone down would
+    guarantee the replay runs against a dead session, so the retry
+    instead stays on the live one (covers transient worker deaths;
+    a poisoned pool then surfaces on the final attempt unchanged)."""
     import time as _time
 
     last: Exception | None = None
@@ -168,7 +181,8 @@ def _retry_streaming(attempt, attempts: int = STREAM_RETRIES):
             if i + 1 >= attempts or not any(s in msg for s in _CRASH_SIGNS):
                 raise
             last = ex
-            _reset_streaming_session()
+            if reset_session:
+                _reset_streaming_session()
             _time.sleep(1.0 + i)
     raise last  # pragma: no cover — loop always returns or raises
 
@@ -308,7 +322,6 @@ def run_to_completion(stream_source, query_name: str,
 
     def attempt() -> DataFrame:
         df = builder() if builder is not None else state["df"]
-        state["df"] = df
         spark = df.sparkSession
         mode = output_mode or ("complete" if _has_agg(df) else "update")
         # state-store checkpoint on the ram-backed tmpfs when present:
@@ -331,7 +344,10 @@ def run_to_completion(stream_source, query_name: str,
             shutil.rmtree(ckpt, ignore_errors=True)
         return spark.sql(f"SELECT * FROM {query_name}")
 
-    return _retry_streaming(attempt)
+    # a plain DataFrame can only replay on the session it's bound to —
+    # don't tear that session down between attempts (see
+    # _retry_streaming; builder callers get the full rebuild)
+    return _retry_streaming(attempt, reset_session=builder is not None)
 
 
 def _has_agg(df: DataFrame) -> bool:
@@ -780,9 +796,17 @@ def _prewarm_tws(spark: SparkSession) -> None:
         ]
         spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
             "overwrite").parquet(tmp)
-        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(tmp)
-        run_to_completion(
-            user_stats_tws(stream), "q_tws_prewarm").count()
+
+        def build() -> DataFrame:
+            # builder form: a crash retry rebuilds the streaming clone
+            # and this re-derives the stream on it (a plain DataFrame
+            # would replay against the torn-down session)
+            stream = streaming_session(spark).readStream.schema(
+                EVENT_SCHEMA).parquet(tmp)
+            return user_stats_tws(stream)
+
+        run_to_completion(build, "q_tws_prewarm",
+                          output_mode="update").count()
     except Exception:
         pass
     finally:

@@ -192,6 +192,32 @@ def test_prepared_statement_roundtrip(engine, session, sf_smoke):
         engine.execute_prepared(session, ps.handle, {"key": 3})
 
 
+def test_prepared_positional_with_colon_in_literal(engine, session, sf_smoke):
+    # a ':word' inside a string literal (or comment) must not flip a
+    # positional `?` query into named-parameter mode — the scan runs
+    # over literal/comment-masked SQL (ADVICE r5)
+    ps = engine.prepare(
+        session,
+        f"SELECT n_name FROM parquet.`{sf_smoke}/nation.parquet` "
+        "WHERE n_comment != 'a:b' -- :note\n AND n_nationkey = ?",
+    )
+    assert ps.positional and ps.parameter_names == ["param_1"]
+    res = engine.execute_prepared(session, ps.handle, [3])
+    assert engine.collect(session, res)[0]["n_name"] == "NATION_3"
+    engine.close_prepared(session, ps.handle)
+
+
+def test_prepared_cast_not_named_param(engine, session, sf_smoke):
+    # DuckDB-style `::type` casts must not register as :type params
+    ps = engine.prepare(
+        session,
+        f"SELECT n_nationkey::STRING AS k "
+        f"FROM parquet.`{sf_smoke}/nation.parquet` ORDER BY n_nationkey",
+    )
+    assert ps.parameter_names == [] and not ps.positional
+    engine.close_prepared(session, ps.handle)
+
+
 def test_session_isolation_temp_views(engine, spark, sf_smoke):
     s1 = engine.create_session()
     s2 = engine.create_session()

@@ -10,6 +10,8 @@ JVM state server parses what we emit and vice versa).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from gizmosql_spark.vendor import ensure_protobuf
@@ -172,3 +174,86 @@ class TestEnumsAndGating:
 
         if not _real_protobuf_present():
             assert VENDOR_DIR in gp.__file__
+
+
+class TestWorkerExport:
+    """The rounds-3..5 official-record streaming crash, pinned.
+
+    A harness that builds its SparkSession *before* importing this
+    package has a JVM whose environment predates ensure_protobuf()'s
+    PYTHONPATH export — transformWithState's spawned Python workers
+    then can't import (vendored) protobuf and die with "driver worker
+    exited unexpectedly (crashed)". export_to_spark_workers ships the
+    shim path through sc.environment (PySpark's per-function env
+    channel) instead, which reaches workers created after JVM launch.
+    The subprocess below reproduces the exact harness ordering."""
+
+    def test_sc_environment_export(self, spark):
+        import os as _os
+
+        from gizmosql_spark.vendor import (
+            VENDOR_DIR,
+            _real_protobuf_present,
+            export_to_spark_workers,
+        )
+
+        if _real_protobuf_present():
+            pytest.skip("real protobuf installed; shim export is a no-op")
+        export_to_spark_workers(spark)
+        env = spark.sparkContext.environment
+        assert VENDOR_DIR in env.get("PYTHONPATH", "").split(_os.pathsep)
+        # idempotent — no duplicate path segments on repeat calls
+        export_to_spark_workers(spark)
+        assert env["PYTHONPATH"].count(VENDOR_DIR) == 1
+
+    def test_tws_survives_session_before_import(self, tmp_path):
+        """End-to-end in a clean subprocess: PYTHONPATH scrubbed,
+        SparkSession created FIRST, repo imported after — the official
+        driver's ordering. The TWS query must still complete."""
+        import subprocess
+        import sys as _sys
+        import textwrap
+
+        repo = "/root/repo"
+        script = textwrap.dedent(
+            f"""
+            import os, sys
+            os.environ.pop("PYTHONPATH", None)
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.builder.master("local[2]")
+                     .config("spark.sql.shuffle.partitions", "1")
+                     .config("spark.ui.enabled", "false")
+                     .getOrCreate())
+            sys.path.insert(0, {repo!r})
+            import datetime
+            from gizmosql_spark.streaming.windows import (
+                EVENT_SCHEMA, user_stats_tws, _run_with_rocksdb)
+            tmp = {str(tmp_path / "ev")!r}
+            rows = [(i, datetime.datetime(2024, 1, 1, 0, i), i % 2,
+                     "t", 1.0, "{{}}") for i in range(4)]
+            spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)\\
+                .write.mode("overwrite").parquet(tmp)
+            def build():
+                from gizmosql_spark.streaming.windows import (
+                    streaming_session)
+                s = streaming_session(spark)
+                stream = s.readStream.schema(EVENT_SCHEMA).parquet(tmp)
+                return user_stats_tws(stream)
+            out = _run_with_rocksdb(spark, build, "q_tws_ordering_pin")
+            print("TWS_ROWS=%d" % out.count())
+            spark.stop()
+            """
+        )
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        proc = subprocess.run(
+            [_sys.executable, "-c", script],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+            cwd=str(tmp_path),
+        )
+        assert "TWS_ROWS=2" in proc.stdout, (
+            f"stdout tail: {proc.stdout[-2000:]}\n"
+            f"stderr tail: {proc.stderr[-2000:]}"
+        )

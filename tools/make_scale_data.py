@@ -115,11 +115,28 @@ def main() -> None:
         # replicas genuine near-duplicates of the originals — the
         # first sf1 cut measured the near-dup tier at 21x for 10x
         # data because each vector honestly had 9 new near-dups.)
+        # shift clamped into [1, dim-1] (dim read from the vector, not
+        # assumed): a plain `i % dim` shift is 0 for every dim-th
+        # replica — an exact copy, reintroducing the quadratic
+        # near-dup blowup the rotation exists to avoid. Composed with
+        # a per-replica single-coordinate sign flip (a reflection —
+        # also an isometry, so internal cosine structure is still
+        # exact) the replica family stays collision-free up to
+        # factor = dim*(dim-1) instead of dim-1
         "embeddings": """
             SELECT vec_id + i * {base} AS vec_id,
-                   CASE WHEN i = 0 THEN embedding
-                        ELSE embedding[(i % 64) + 1:]
-                             || embedding[1:(i % 64)] END AS embedding,
+                   list_transform(
+                     CASE WHEN i = 0 THEN embedding
+                          ELSE embedding[((i - 1) % (len(embedding) - 1))
+                                         + 2:]
+                               || embedding[1:((i - 1)
+                                               % (len(embedding) - 1)) + 1]
+                     END,
+                     (x, j) -> CASE
+                         WHEN i > 0 AND j = (((i - 1)
+                                              // (len(embedding) - 1))
+                                             % len(embedding)) + 1
+                         THEN -x ELSE x END) AS embedding,
                    label
             FROM read_parquet('{src}/embeddings.parquet')
             CROSS JOIN range({factor}) t(i)
