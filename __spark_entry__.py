@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H h01) on /root/testdata/sf0.001."""
     from gizmosql_spark.operators import tpch
+    from gizmosql_spark.vendor import export_to_spark_workers
 
+    export_to_spark_workers(spark)
     return tpch.q01(spark, "/root/testdata/sf0.001")
 
 
@@ -56,7 +58,12 @@ _PRIORITY = [
     "recursive_cte",        # recursive CTE
     "lateral_join",         # LATERAL
     "full_outer_join",      # outer joins
-    "skyline_parts",        # preference/Pareto tier (round-3)
+    "data_quality_report",  # multi-rule validation — modified r6/r7
+                            # (qty rule on the base frame), rotated in
+                            # so the official record re-proves changed
+                            # code; skyline_parts (round-3 tier, twice
+                            # officially green) moves to the
+                            # repo-harness tier for this round
     # scalar-function families
     "numeric_funcs",
     "string_funcs",
@@ -114,6 +121,28 @@ _PRIORITY = [
 ]
 
 
+def _with_worker_env(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Export the vendored-protobuf worker PYTHONPATH before the first
+    operator runs.  The official driver builds its SparkSession before
+    importing this package, so ``session.get_spark()`` never runs there;
+    wrapping every query callable makes the ``sc.environment`` mutation
+    happen at the earliest point we control — before any Python worker
+    daemon spawns — so the daemon env key never splits mid-session
+    (Spark keys worker daemons by (pythonExec, envVars); a later
+    mutation orphans every warmed worker).  Idempotent and O(1) after
+    the first call."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gizmosql_spark.vendor import export_to_spark_workers
+
+        export_to_spark_workers(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from gizmosql_spark.operators.registry import pipeline_queries
@@ -122,10 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name in _PRIORITY:
         if name in merged:
-            out[name] = merged[name]
+            out[name] = _with_worker_env(merged[name])
     for name, fn in merged.items():
         if name not in out:
-            out[name] = fn
+            out[name] = _with_worker_env(fn)
     return out
 
 

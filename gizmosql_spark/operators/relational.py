@@ -856,11 +856,13 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-contract validation (the dbt-test / Great-Expectations
     shape): one row per declared rule with its violation count —
     uniqueness, referential integrity, range, ordering, and null
-    checks across the TPC-H star — with all three lineitem rules
-    (orphan FK, quantity range, ship-after-order) derived from ONE
-    left join + conditional aggregation, the multi-rule single-pass
-    shape a validator must have at 100 TB (r5: was 3 lineitem scans;
-    the orphan count = null-extended rows, so the anti join is free).
+    checks across the TPC-H star — with both join-defined lineitem
+    rules (orphan FK, ship-after-order) derived from ONE left join +
+    conditional aggregation (the orphan count = null-extended rows,
+    so the anti join is free), and the row-local quantity-range rule
+    aggregated on the base lineitem frame (pruned to one column) so
+    it stays one-per-row under duplicate PKs — the multi-rule
+    few-pass shape a validator must have at 100 TB.
     No broadcast hint on orders: it is fact-sized at scale — the
     planner picks the strategy from runtime sizes."""
     o = _t(spark, sf_dir, "orders")
@@ -876,38 +878,40 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders.o_orderkey unique",
         o.agg((F.count(F.lit(1))
                - F.count_distinct("o_orderkey")).alias("n")))
-    joined = l.select(
-        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate").join(
+    joined = l.select("l_orderkey", "l_shipdate").join(
         o.select("o_orderkey", "o_orderdate"),
         l["l_orderkey"] == o["o_orderkey"], "left")
     # rule independence under dirty data: a duplicated o_orderkey (the
     # very violation rule 1 counts) fans lineitem rows out through this
-    # join, so the qty rule counts DISTINCT lineitem row keys
-    # (l_orderkey, l_linenumber — the table's PK) rather than joined
-    # rows; orphans are null-extended rows (can't fan out); the
-    # ship-date rule is defined over the join pairs themselves, same
-    # as its oracle
+    # join, so the qty range rule aggregates the BASE lineitem frame —
+    # one-per-row like its oracle, with no PK-uniqueness assumption on
+    # lineitem itself (r7, replacing the r6 count_distinct-on-PK form);
+    # the extra scan prunes to the single l_quantity column. Orphans
+    # are null-extended rows (can't fan out); the ship-date rule is
+    # defined over the join pairs themselves, same as its oracle.
     lrules = joined.agg(
         F.sum(F.when(F.col("o_orderkey").isNull(), 1)
               .otherwise(0)).alias("orphans"),
-        F.count_distinct(
-            F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50),
-                   F.struct("l_orderkey", "l_linenumber"))).alias("qty"),
         F.sum(F.when(F.col("o_orderkey").isNotNull()
                      & (F.col("l_shipdate") < F.col("o_orderdate")), 1)
               .otherwise(0)).alias("ship"),
     ).select(F.expr(
-        "stack(3,"
+        "stack(2,"
         " 'lineitem.l_orderkey references orders', CAST(orphans AS BIGINT),"
-        " 'lineitem.l_quantity in (0, 50]', CAST(qty AS BIGINT),"
         " 'lineitem ships on/after order date', CAST(ship AS BIGINT)"
         ") AS (rule, n_violations)"))
+    qty = rule(
+        "lineitem.l_quantity in (0, 50]",
+        l.agg(F.sum(
+            F.when((F.col("l_quantity") <= 0)
+                   | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)).alias("n")))
     bal_null = rule(
         "customer.c_acctbal not null",
         c.agg(F.sum(F.when(F.col("c_acctbal").isNull(), 1)
                     .otherwise(0)).alias("n")))
     return (
-        uniq.unionAll(lrules).unionAll(bal_null)
+        uniq.unionAll(lrules).unionAll(qty).unionAll(bal_null)
         .orderBy("rule")
     )
 

@@ -116,4 +116,16 @@ def get_spark(
         builder = builder.config(k, v)
     for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Export the vendored-protobuf path through sc.environment NOW,
+    # before any worker-spawning action. Spark keys Python worker
+    # daemons by (pythonExec, envVars) — mutating sc.environment
+    # later (e.g. when the first streaming query calls
+    # streaming_session) would re-key the daemon pool mid-session,
+    # orphaning every worker warmed under the old key (round-6
+    # bench regression suspect; see vendor/__init__.py). Doing it
+    # once here gives warmup and queries a single shared env key.
+    from gizmosql_spark.vendor import export_to_spark_workers
+
+    export_to_spark_workers(spark)
+    return spark

@@ -342,7 +342,21 @@ def run_to_completion(stream_source, query_name: str,
             q.awaitTermination()
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
-        return spark.sql(f"SELECT * FROM {query_name}")
+        # Materialize the (fixture-bounded, small) sink contents and
+        # drop the memory-sink temp view immediately: each streaming
+        # query otherwise leaks one view into the session catalog,
+        # making catalog RPCs O(queries-run) over a long session
+        # (round-6 verdict: information_schema_tables degraded with
+        # session age).  localCheckpoint detaches the returned frame's
+        # lineage from the view, so the drop is safe.
+        out = spark.sql(f"SELECT * FROM {query_name}").localCheckpoint(
+            eager=True
+        )
+        try:
+            spark.catalog.dropTempView(query_name)
+        except Exception:
+            pass
+        return out
 
     # a plain DataFrame can only replay on the session it's bound to —
     # don't tear that session down between attempts (see

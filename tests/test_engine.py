@@ -199,7 +199,7 @@ def test_prepared_positional_with_colon_in_literal(engine, session, sf_smoke):
     ps = engine.prepare(
         session,
         f"SELECT n_name FROM parquet.`{sf_smoke}/nation.parquet` "
-        "WHERE n_comment != 'a:b' -- :note\n AND n_nationkey = ?",
+        "WHERE n_name != 'a:b' -- :note\n AND n_nationkey = ?",
     )
     assert ps.positional and ps.parameter_names == ["param_1"]
     res = engine.execute_prepared(session, ps.handle, [3])

@@ -127,14 +127,14 @@ def main() -> None:
             SELECT vec_id + i * {base} AS vec_id,
                    list_transform(
                      CASE WHEN i = 0 THEN embedding
-                          ELSE embedding[((i - 1) % (len(embedding) - 1))
+                          ELSE embedding[((i - 1) % greatest(len(embedding) - 1, 1))
                                          + 2:]
                                || embedding[1:((i - 1)
-                                               % (len(embedding) - 1)) + 1]
+                                               % greatest(len(embedding) - 1, 1)) + 1]
                      END,
                      (x, j) -> CASE
                          WHEN i > 0 AND j = (((i - 1)
-                                              // (len(embedding) - 1))
+                                              // greatest(len(embedding) - 1, 1))
                                              % len(embedding)) + 1
                          THEN -x ELSE x END) AS embedding,
                    label
