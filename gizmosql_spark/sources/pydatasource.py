@@ -135,5 +135,15 @@ class SyntheticEventsDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of all custom Python data sources."""
+    """Idempotent registration of all custom Python data sources.
+
+    Truly once-per-session: ``spark.dataSource.register`` pickles the
+    class and ships it to the JVM-side registry on every call, so a
+    per-query register (each corpus query calls this defensively)
+    would re-serialize and re-stage the source 250 times per session.
+    The sentinel keeps it to one registration per SparkSession."""
+    flag = "_gizmosql_pyds_registered"
+    if getattr(spark, flag, False):
+        return
     spark.dataSource.register(SyntheticEventsDataSource)
+    setattr(spark, flag, True)
