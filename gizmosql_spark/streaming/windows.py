@@ -50,24 +50,61 @@ EVENT_SCHEMA = StructType(
 )
 
 
-#: State-store partition count for streaming queries. Baked into the
-#: checkpoint at query start, so it is a first-run sizing decision:
-#: match it to stateful-key cardinality / executor count on a real
-#: cluster (hundreds at 100 TB), keep it small at test scale — each
+#: State-store partition counts. Baked into the checkpoint at query
+#: start, so they are first-run sizing decisions: match them to
+#: stateful-key cardinality / executor count on a real cluster
+#: (hundreds at 100 TB), keep them small at test scale — each
 #: partition materializes a state-store instance per micro-batch, so
 #: 32 stores over a few thousand rows is pure constant overhead
-#: (measured 3-4x on the bounded fixtures). 4 beats 8 here
-#: (interleaved A/B medians 37.4 s vs 43.3 s over the 13-query tier
-#: at sf0.1): halving RocksDB instances outweighs the lost TWS
-#: Python-worker parallelism, while 2 loses it entirely (72.7 s).
+#: (measured 3-4x on the bounded fixtures). The two tiers size
+#: differently (interleaved A/B medians at sf0.1): JVM-only stateful
+#: operators are store-bound (4 beats 8 — more partitions only add
+#: store instances), while transformWithState is Python-bound (one
+#: state-server round-trip per key per state op: width 8 ≈ 3.9 s vs
+#: 4 ≈ 4.8 s per query — the extra RocksDB instances cost less than
+#: the serialized key loop).
 STREAM_STATE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+TWS_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_TWS_PARTITIONS", "8"))
 
 _STREAM_SESSION: SparkSession | None = None
+_TWS_SESSION: SparkSession | None = None
+
+
+def _new_stream_clone(spark: SparkSession, partitions: int,
+                      rocksdb: bool) -> SparkSession:
+    s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    if rocksdb:
+        # transformWithState requires the RocksDB provider.
+        s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    # When a Python worker dies (the TWS state-server crash that
+    # made the round-3/4 official red rows), dump the faulting
+    # Python traceback into the JVM-side error message so the
+    # crash reason is visible in the recorded exception.
+    s.conf.set("spark.sql.execution.pyspark.udf."
+               "faulthandler.enabled", "true")
+    from gizmosql_spark.operators.loader import ensure_session_confs
+    from gizmosql_spark.vendor import export_to_spark_workers
+
+    ensure_session_confs(s)
+    # TWS Python workers must import (vendored) protobuf even when
+    # the JVM predates this package's import — ship the shim path
+    # through sc.environment (see export_to_spark_workers; this
+    # was the rounds-3..5 official-record streaming crash).
+    export_to_spark_workers(s)
+    return s
 
 
 def streaming_session(spark: SparkSession) -> SparkSession:
-    """Conf-isolated session clone all streaming queries run in.
+    """Conf-isolated session clone the JVM-side streaming queries run
+    in (windowed aggs, dedup, stream-stream joins,
+    applyInPandasWithState).
 
     Streaming bakes ``spark.sql.shuffle.partitions`` into the
     checkpoint at query start, so sizing the state store used to mean
@@ -76,56 +113,49 @@ def streaming_session(spark: SparkSession) -> SparkSession:
     SparkSession across clients), so a concurrent statement planned
     inside that window silently picked up the streaming width. A
     ``newSession()`` clone shares the SparkContext (executors, caches)
-    but owns its SessionState/conf, so the streaming width and the
-    RocksDB state-store provider live here permanently and the main
-    session is never touched."""
+    but owns its SessionState/conf, so the streaming width lives here
+    permanently and the main session is never touched. This clone
+    keeps the default HDFS-backed state-store provider: at bounded
+    test scale its in-memory map beats RocksDB's per-batch native
+    snapshot+commit (stream-stream join A/B: 2.8 s vs 3.8 s median),
+    and nothing in this tier needs RocksDB — the TWS tier, which does,
+    runs on its own clone (tws_streaming_session)."""
     global _STREAM_SESSION
     if _STREAM_SESSION is None or \
             _STREAM_SESSION.sparkContext is not spark.sparkContext:
-        s = spark.newSession()
-        s.conf.set(
-            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
-        # RocksDB state store for the whole tier (not per-TWS-query):
-        # transformWithState requires it, the other stateful queries
-        # run fine on it, and one provider across all streaming
-        # queries means one native library + block-cache instance for
-        # the session's lifetime instead of per-query set/unset.
-        s.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        # When a Python worker dies (the TWS state-server crash that
-        # made the round-3/4 official red rows), dump the faulting
-        # Python traceback into the JVM-side error message so the
-        # crash reason is visible in the recorded exception.
-        s.conf.set("spark.sql.execution.pyspark.udf."
-                   "faulthandler.enabled", "true")
-        from gizmosql_spark.operators.loader import ensure_session_confs
-        from gizmosql_spark.vendor import export_to_spark_workers
-
-        ensure_session_confs(s)
-        # TWS Python workers must import (vendored) protobuf even when
-        # the JVM predates this package's import — ship the shim path
-        # through sc.environment (see export_to_spark_workers; this
-        # was the rounds-3..5 official-record streaming crash).
-        export_to_spark_workers(s)
-        _STREAM_SESSION = s
+        _STREAM_SESSION = _new_stream_clone(
+            spark, STREAM_STATE_PARTITIONS, rocksdb=False)
     return _STREAM_SESSION
 
 
+def tws_streaming_session(spark: SparkSession) -> SparkSession:
+    """Session clone for the transformWithStateInPandas tier: RocksDB
+    provider (required by TWS) + the wider Python-bound state width
+    (see TWS_STATE_PARTITIONS). Separate from streaming_session so the
+    JVM-only tier never pays RocksDB's per-batch commit and the TWS
+    tier gets its parallelism without inflating everyone's store
+    count."""
+    global _TWS_SESSION
+    if _TWS_SESSION is None or \
+            _TWS_SESSION.sparkContext is not spark.sparkContext:
+        _TWS_SESSION = _new_stream_clone(
+            spark, TWS_STATE_PARTITIONS, rocksdb=True)
+    return _TWS_SESSION
+
+
 def _reset_streaming_session() -> None:
-    """Tear down the streaming-session clone after a crash-signature
-    failure. The TWS Python state-server pool is bound to the clone's
+    """Tear down both streaming-session clones after a crash-signature
+    failure. The TWS Python state-server pool is bound to its clone's
     SessionState; when that pool dies, retrying on the same clone
     replays the identical crash (exactly the round-4 official record:
-    3 attempts, 3 identical worker-exit failures). Dropping the clone
-    makes the next streaming_session() call build a fresh one — new
-    state-server pool, re-run TWS prewarm."""
-    global _STREAM_SESSION, _TWS_WARMED
-    s, _STREAM_SESSION = _STREAM_SESSION, None
+    3 attempts, 3 identical worker-exit failures). Dropping the clones
+    makes the next streaming_session()/tws_streaming_session() call
+    build fresh ones — new state-server pool, re-run TWS prewarm."""
+    global _STREAM_SESSION, _TWS_SESSION, _TWS_WARMED
+    dead = [s for s in (_STREAM_SESSION, _TWS_SESSION) if s is not None]
+    _STREAM_SESSION = _TWS_SESSION = None
     _TWS_WARMED = False
-    if s is not None:
+    for s in dead:
         try:
             for q in s.streams.active:
                 q.stop()
@@ -187,24 +217,38 @@ def _retry_streaming(attempt, attempts: int = STREAM_RETRIES,
     raise last  # pragma: no cover — loop always returns or raises
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: events schema per sf_dir — the schema-discovery batch read costs a
+#: driver file listing + footer read per call; the fixtures are
+#: immutable, and 13 tier queries (some reading the stream twice)
+#: would otherwise repeat it.
+_EVENT_SCHEMA_CACHE: dict[str, tuple] = {}
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      session: SparkSession | None = None) -> DataFrame:
     """events as a file-source stream, robust to either fixture
     encoding: TIMESTAMP(NANOS) read as long ns (legacy nanosAsLong) or
     native timestamp[us]/TIMESTAMP_NTZ. The readStream schema is
     derived from a batch read of the same parquet so it always matches
     the file, and the ns→µs conversion mirrors
     operators/events.load_events (applied only when ts is long ns).
-    Built on the streaming session clone — see streaming_session."""
-    spark = streaming_session(spark)
-    batch = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    )
+    Built on the streaming session clone (see streaming_session) by
+    default; TWS callers pass the RocksDB clone via ``session``."""
+    spark = session if session is not None else streaming_session(spark)
+    cached = _EVENT_SCHEMA_CACHE.get(sf_dir)
+    if cached is None:
+        batch = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        cached = (batch.schema, dict(batch.dtypes).get("ts"))
+        _EVENT_SCHEMA_CACHE[sf_dir] = cached
+    schema, ts_dtype = cached
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_dtype = dict(batch.dtypes).get("ts")
     if ts_dtype == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_dtype != "timestamp":
@@ -801,7 +845,7 @@ def _prewarm_tws(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
-    spark = streaming_session(spark)
+    spark = tws_streaming_session(spark)
     tmp = tempfile.mkdtemp(prefix="gizmosql-twswarm-")
     try:
         rows = [
@@ -815,7 +859,7 @@ def _prewarm_tws(spark: SparkSession) -> None:
             # builder form: a crash retry rebuilds the streaming clone
             # and this re-derives the stream on it (a plain DataFrame
             # would replay against the torn-down session)
-            stream = streaming_session(spark).readStream.schema(
+            stream = tws_streaming_session(spark).readStream.schema(
                 EVENT_SCHEMA).parquet(tmp)
             return user_stats_tws(stream)
 
@@ -830,8 +874,8 @@ def _prewarm_tws(spark: SparkSession) -> None:
 def _run_with_rocksdb(spark: SparkSession, stream_source,
                       query_name: str) -> DataFrame:
     """Run a transformWithState query to completion. The RocksDB
-    state-store provider it requires is set permanently on the
-    streaming session clone (streaming_session), so this only prewarms
+    state-store provider it requires is set permanently on the TWS
+    session clone (tws_streaming_session), so this only prewarms
     the TWS worker pool and delegates. ``stream_source`` should be the
     zero-arg builder form so a crash-retry re-derives the stream on a
     rebuilt clone (and the prewarm re-runs on it). The availableNow
@@ -859,7 +903,8 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion; final per-user stats equal the batch aggregate."""
     out = _run_with_rocksdb(
         spark,
-        lambda: user_stats_tws(read_event_stream(spark, sf_dir)),
+        lambda: user_stats_tws(read_event_stream(
+            spark, sf_dir, session=tws_streaming_session(spark))),
         "q_stream_user_stats",
     )
     # round the float sum: pandas' per-batch accumulation order differs
@@ -983,7 +1028,9 @@ def stream_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     def build() -> DataFrame:
-        return read_event_stream(spark, sf_dir).groupBy(
+        return read_event_stream(
+            spark, sf_dir, session=tws_streaming_session(spark)
+        ).groupBy(
             "user_id"
         ).transformWithStateInPandas(
             statefulProcessor=_type_matrix_processor(),
@@ -1008,7 +1055,9 @@ def stream_user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     def build() -> DataFrame:
-        events = read_event_stream(spark, sf_dir).select(
+        events = read_event_stream(
+            spark, sf_dir, session=tws_streaming_session(spark)
+        ).select(
             "user_id",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
             "event_id",
@@ -1056,11 +1105,25 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         )
+        # INNER join emits every match while processing the data batch;
+        # the closing no-data micro-batch only evicts state (it emits
+        # rows only for OUTER joins), so skip it — it costs a full
+        # state commit cycle per run. Set inside build() so a crash
+        # retry re-applies it on the rebuilt clone; restored below.
+        joined.sparkSession.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
         return joined.select(
             "click_id", "purchase_id", "c_user", "c_ts", "p_ts")
 
-    out = run_to_completion(
-        build, "q_stream_stream_join", output_mode="append")
+    try:
+        out = run_to_completion(
+            build, "q_stream_stream_join", output_mode="append")
+    finally:
+        try:
+            streaming_session(spark).conf.unset(
+                "spark.sql.streaming.noDataMicroBatches.enabled")
+        except Exception:
+            pass
     return out.orderBy("click_id", "purchase_id")
 
 
@@ -1249,7 +1312,8 @@ def stream_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         events = (
-            read_event_stream(spark, sf_dir)
+            read_event_stream(
+                spark, sf_dir, session=tws_streaming_session(spark))
             .withWatermark("ts", "10 minutes")
             .select(
                 "user_id", "value",
@@ -1330,7 +1394,7 @@ def stream_seeded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build() -> DataFrame:
-        s = streaming_session(spark)
+        s = tws_streaming_session(spark)
         from gizmosql_spark.operators.events import load_events
 
         seed = (
@@ -1343,7 +1407,7 @@ def stream_seeded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
         )
-        ev = read_event_stream(spark, sf_dir).filter(
+        ev = read_event_stream(spark, sf_dir, session=s).filter(
             F.col("event_id") >= _SEED_SPLIT_ID)
         return ev.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=_seeded_stats_processor(),

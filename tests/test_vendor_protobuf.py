@@ -235,8 +235,8 @@ class TestWorkerExport:
                 .write.mode("overwrite").parquet(tmp)
             def build():
                 from gizmosql_spark.streaming.windows import (
-                    streaming_session)
-                s = streaming_session(spark)
+                    tws_streaming_session)
+                s = tws_streaming_session(spark)
                 stream = s.readStream.schema(EVENT_SCHEMA).parquet(tmp)
                 return user_stats_tws(stream)
             out = _run_with_rocksdb(spark, build, "q_tws_ordering_pin")
