@@ -48,6 +48,9 @@ import subprocess
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve via
+#                      the function's MODULE globals (see _warmup)
+
 # Python-worker-seam sentinels: queries whose cost is dominated by the
 # pandas-UDF pool / Python DataSource runner / TWS state server rather
 # than JVM query work.  Rounds 4-6 showed these degrade with session
@@ -67,9 +70,17 @@ SEAM_SENTINELS = (
 def _warmup(spark, qs, sf_dir: str) -> None:
     """Charge one-time session costs (JVM JIT, parquet footers, Python
     UDF / DataSource / TWS worker pools, geo registration) to warmup —
-    on a real cluster all of these are long-lived session state."""
+    on a real cluster all of these are long-lived session state.
+
+    The pandas-UDF type hints are plain strings: under ``from
+    __future__ import annotations`` pyspark resolves them via the
+    function's MODULE globals, so a function-local ``import pandas as
+    pd`` + ``s: pd.Series`` raises UNSUPPORTED_SIGNATURE — which the
+    best-effort try/except in main() swallowed, silently aborting
+    every warmup step after q06 in every bench record through r6 (the
+    pandas pool, DataSource runner, TWS prewarm, and geo registration
+    were all being charged to the first query that touched them)."""
     qs["q06"](spark, sf_dir).count()
-    import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
