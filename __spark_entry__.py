@@ -105,7 +105,11 @@ _PRIORITY = [
     # training-corpus prep + sketches
     "decontaminate_ngram",
     "sequence_pack",
-    "kmeans_embeddings",
+    "semdedup_prune",       # modified r7 (pre-normalized pair join),
+                            # rotated in so the official record
+                            # re-proves changed code; kmeans_embeddings
+                            # (its shared Lloyd's core, officially green
+                            # before) moves to the repo-harness tier
     "pagerank_suppliers",    # iterative graph tier
     "triangle_count",        # graph clustering tier (round-3)
     "approx_distinct_hll",   # sketch family rep (CMS/Bloom/histogram
