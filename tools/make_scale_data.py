@@ -96,15 +96,37 @@ def main() -> None:
     # per-replica structure identical (linear scaling), which is the
     # honest perf fixture.
     ext_sql = {
-        # replica-salted text: each replica's dedup structure mirrors
-        # the original, n_chars stays = length(text)
+        # per-replica CHARACTER ROTATION (the text analog of the
+        # embedding rotation below): replica i maps letters/digits
+        # through a Caesar rotation by i. An injective character map
+        # preserves every within-replica equality — duplicate groups,
+        # shingle sets, n-gram Jaccard similarities are EXACTLY the
+        # original corpus's — while cross-replica n-grams share no
+        # alphanumeric token. The r5 fixture only PREPENDED a salt
+        # token, so all interior n-grams still matched across
+        # replicas and the n-gram/shingle dedup tiers did factor² of
+        # the original work (dedup_ngram_jaccard measured 91x for 10x
+        # data; honest replica blocking is ~10x). Lengths are
+        # preserved, so n_chars carries over unchanged.
         "documents": """
             SELECT doc_id + i * {base} AS doc_id,
                    CASE WHEN i = 0 THEN text
-                        ELSE 'r' || i || ' ' || text END AS text,
-                   lang, source,
-                   n_chars + CASE WHEN i = 0 THEN 0
-                             ELSE length('r' || i || ' ') END AS n_chars
+                        ELSE translate(text,
+                          'abcdefghijklmnopqrstuvwxyz'
+                          || 'ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789',
+                          substr('abcdefghijklmnopqrstuvwxyz',
+                                 (i % 26)::INT + 1, 26 - (i % 26)::INT)
+                          || substr('abcdefghijklmnopqrstuvwxyz',
+                                    1, (i % 26)::INT)
+                          || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    (i % 26)::INT + 1, 26 - (i % 26)::INT)
+                          || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    1, (i % 26)::INT)
+                          || substr('0123456789',
+                                    (i % 10)::INT + 1, 10 - (i % 10)::INT)
+                          || substr('0123456789', 1, (i % 10)::INT))
+                   END AS text,
+                   lang, source, n_chars
             FROM read_parquet('{src}/documents.parquet')
             CROSS JOIN range({factor}) t(i)
         """,
