@@ -126,7 +126,21 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", bucket.alias("bucket")).orderBy("vec_id")
 
 
-N_BLOCKS = 8
+# Block count trades fan-out volume against per-task GEMM footprint:
+# each vector ships to (B+1) block pairs, so fewer blocks shrink the
+# shuffle (A/B at sf0.1/2k vectors: B=4 ~1.4 s vs B=8 ~2.3 s), but a
+# block pair materializes an (n/B)² float64 matrix per task — beyond
+# ~2.5k rows/block the temporaries hit hundreds of MB and task times
+# turn erratic (measured 17-62 s swings at sf1/20k vectors with B=4).
+# _n_blocks sizes B from the corpus so both regimes get their best;
+# at real scale the same rule bounds a block pair to executor memory
+# (tasks = B(B+1)/2 grow quadratically, fan-out only linearly).
+N_BLOCKS = 4          # floor (small fixtures)
+_BLOCK_TARGET_ROWS = 2500
+
+
+def _n_blocks(n_vectors: int) -> int:
+    return max(N_BLOCKS, -(-n_vectors // _BLOCK_TARGET_ROWS))
 
 _PAIR_SCHEMA = "a_id long, b_id long, cos_sim double"
 
@@ -172,12 +186,13 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact semantics (same result as the SQL oracle); use
     ann_lsh_buckets as the blocking key to go sub-quadratic at scale."""
     e = _emb(spark, sf_dir)
+    n_blocks = _n_blocks(e.count())
     norm = F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v))")
     unit = F.expr("transform(emb, x -> x / _norm)")
     ev = (
         e.withColumn("_norm", norm)
         .withColumn("unit", unit)
-        .withColumn("blk", (F.col("vec_id") % N_BLOCKS).cast("int"))
+        .withColumn("blk", (F.col("vec_id") % n_blocks).cast("int"))
         .select("vec_id", "unit", "blk")
     )
     # fan each vector out to its block pairs with one explode (a vector
@@ -185,7 +200,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of pairs (a<=k, k)) — one pass over the data, no joins
     fan = F.expr(
         f"concat("
-        f" transform(sequence(blk, {N_BLOCKS - 1}),"
+        f" transform(sequence(blk, {n_blocks - 1}),"
         f"  b -> struct(blk AS ba, b AS bb, 0 AS side)),"
         f" transform(sequence(0, blk),"
         f"  a -> struct(a AS ba, blk AS bb, 1 AS side)))"
