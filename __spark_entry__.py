@@ -101,7 +101,11 @@ _PRIORITY = [
     # sampling / dataset splitting (weighted_sample moved to the
     # repo-harness tier in favor of the round-3 evaluation family rep)
     "dataset_split",
-    "auc_roc",              # rank-identity AUC evaluation (round-3)
+    "embedding_neardup",    # modified r7 (corpus-sized block count),
+                            # rotated in so the official record
+                            # re-proves changed code; auc_roc (eval
+                            # family rep, officially green since r3)
+                            # moves to the repo-harness tier
     # training-corpus prep + sketches
     "decontaminate_ngram",
     "sequence_pack",
