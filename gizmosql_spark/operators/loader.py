@@ -185,6 +185,28 @@ def keyed_persist(spark: SparkSession, key: str, builder) -> DataFrame:
     return df
 
 
+_ROW_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def row_count(sf_dir: str, name: str) -> int:
+    """Fixture-table row count from the parquet FOOTER (no scan, no
+    Spark job). Operators that size parameters from corpus cardinality
+    (embedding_neardup's block count, LSH rows-per-band) were paying a
+    full-scan ``count()`` per invocation — 3x per bench pass — for a
+    number the file metadata already holds. Memoized per (dir, table);
+    the fixtures are immutable for a session's lifetime (same contract
+    the plan cache above relies on)."""
+    key = (sf_dir, name)
+    n = _ROW_COUNTS.get(key)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+        _ROW_COUNTS[key] = n
+    return n
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     tune_adaptivity(spark, sf_dir)

@@ -186,7 +186,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact semantics (same result as the SQL oracle); use
     ann_lsh_buckets as the blocking key to go sub-quadratic at scale."""
     e = _emb(spark, sf_dir)
-    n_blocks = _n_blocks(e.count())
+    n_blocks = _n_blocks(loader.row_count(sf_dir, "embeddings"))
     norm = F.expr("sqrt(aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v))")
     unit = F.expr("transform(emb, x -> x / _norm)")
     ev = (
@@ -519,7 +519,7 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature projection from inlined SQL lambdas (≈6 s of Catalyst
     analysis/codegen at B=4, r=8) into one vectorized Arrow pass
     (_band_signatures — bit-identical buckets, see its docstring)."""
-    n = _t(spark, sf_dir, "embeddings").count()
+    n = loader.row_count(sf_dir, "embeddings")
     r = _lsh_planes_per_band(n)
 
     # persist the signature frame: both join branches read it, so the

@@ -247,6 +247,18 @@ def _lloyd_assign(frame: DataFrame,
 #: share it — the pipeline reality a model fit models: fit once,
 #: reuse downstream. k*d floats per entry; same session-cache pattern
 #: as the event-stream schema cache and the persisted shingle index.
+#:
+#: KEY <-> FRAME INVARIANT: a cache key must determine the input frame
+#: up to row set — callers derive the variant component from the exact
+#: filter applied to ``v`` ((sf_dir, "full") = unfiltered corpus;
+#: (sf_dir, "cap{N}") = vec_id < N), and any NEW caller with a NEW
+#: predicate must mint a NEW variant string, or it silently reuses
+#: another predicate's centroids. The cache also assumes the fixture
+#: at sf_dir is immutable for the process lifetime (the same contract
+#: loader._CACHE / loader.row_count ride on) — a fixture regenerated
+#: in place mid-session serves a stale fit. Per-query bench medians
+#: amortize the shared fit across whichever query runs first; see
+#: SCALING.md for how the official records account for this.
 _LLOYD_FIT_CACHE: dict[tuple, list[list[float]]] = {}
 
 
@@ -1754,16 +1766,23 @@ ORACLE = {
     "semdedup_prune": f"""
         WITH {_LLOYD_CTE.format(
             where=f" WHERE vec_id < {_SEMDEDUP_CAP}")},
+        -- unit-normalize ONCE per vector (mirrors the Spark side's
+        -- pre-join normalization: both engines round the same
+        -- dot(a/|a|, b/|b|) expression, so a cosine a ulp away from
+        -- the tau boundary can't flip inclusion in one engine only)
+        un AS (
+            SELECT cid, vec_id,
+                   list_transform(e, x -> x /
+                       sqrt(list_sum(list_transform(e, y -> y * y))))
+                       AS u
+            FROM a3
+        ),
         pairs AS (
             SELECT a.cid, b.vec_id AS b_id,
                    round(
                        list_sum(list_transform(range(1, {_DIM} + 1),
-                           i -> a.e[i] * b.e[i]))
-                       / (sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
-                              i -> a.e[i] * a.e[i])))
-                          * sqrt(list_sum(list_transform(range(1, {_DIM} + 1),
-                              i -> b.e[i] * b.e[i])))), 6) AS cos
-            FROM a3 a JOIN a3 b
+                           i -> a.u[i] * b.u[i])), 6) AS cos
+            FROM un a JOIN un b
               ON a.cid = b.cid AND a.vec_id < b.vec_id
         ),
         dup AS (SELECT * FROM pairs WHERE cos >= {_SEMDEDUP_TAU}),

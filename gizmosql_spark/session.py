@@ -128,4 +128,46 @@ def get_spark(
     from gizmosql_spark.vendor import export_to_spark_workers
 
     export_to_spark_workers(spark)
+    _prewarm_python_workers(spark)
     return spark
+
+
+_PREWARMED: set[int] = set()
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python worker daemon + a full pandas-UDF worker pool
+    at session-build time, so EVERY entry path (engine, CLI, tests,
+    the bench's isolated probe) gets a warmed Arrow/pandas seam — not
+    just callers that run bench.py's explicit warmup. On a cluster the
+    pool is long-lived executor state; locally the first pandas-UDF
+    query otherwise pays daemon spawn + per-worker pandas import
+    (~2-3x on embedding_neardup in fresh sessions — the round-7 seam
+    probe's isolated/in-corpus gap). Once per SparkContext; disable
+    with SPARK_GRAFT_PREWARM=0."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PREWARMED or os.environ.get("SPARK_GRAFT_PREWARM") == "0":
+        return
+    _PREWARMED.add(key)
+    try:
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        # Under ``from __future__ import annotations`` pyspark resolves
+        # the UDF's string type hints against the function's MODULE
+        # globals — a function-local ``pd`` raises UNSUPPORTED_SIGNATURE
+        # (the bug that silently aborted every bench warmup r5-r6).
+        # Export the alias to module globals before defining the UDF.
+        globals()["pd"] = pd
+
+        @F.pandas_udf("long")
+        def _warm(s: "pd.Series") -> "pd.Series":
+            import numpy  # noqa: F401 — charge the heavy imports here
+
+            return s
+
+        n = sc.defaultParallelism
+        spark.range(n, numPartitions=n).select(_warm("id")).count()
+    except Exception:  # best-effort: a failed prewarm costs nothing
+        _PREWARMED.discard(key)

@@ -62,6 +62,17 @@ def main() -> None:
         default=os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".scaledata", "sf1"))
     args = ap.parse_args()
+    # The per-replica Caesar rotation is injective only while every
+    # replica gets a distinct letter rotation: replica i with
+    # i % 26 == 0 maps letters identically to replica 0 (digit-free
+    # docs become exact cross-replica duplicates), and replicas
+    # congruent mod lcm(26, 10) = 130 collide entirely — silently
+    # reintroducing the factor² duplicate structure the rotation
+    # exists to remove. Cap factor rather than wrap the map.
+    if args.factor > 26:
+        ap.error("--factor must be <= 26: the character rotation "
+                 "repeats at 26 and the honest-fixture guarantee "
+                 "(no cross-replica n-gram matches) breaks")
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
