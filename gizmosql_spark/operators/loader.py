@@ -61,14 +61,10 @@ _AQE_DECISION: dict[str, str | None] = {}
 _AQE_SET: dict[int, str] = {}
 
 
-def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
-    """Align spark.sql.adaptive.enabled with the fixture directory's
-    total parquet bytes. The size probe is cached per dir; the conf is
-    re-aligned on EVERY table() call so the setting always tracks the
-    dir being queried — the previous once-per-(session, dir) form left
-    the conf wherever the most recently *first-seen* dir put it, so
-    one small-dir operator could park AQE off for every later query
-    on a big dir (and switching back to the first dir was a no-op)."""
+def _dir_is_small(sf_dir: str) -> bool | None:
+    """True if the fixture directory's total parquet bytes sit below
+    the adaptivity threshold; None if the probe fails. Cached via
+    _AQE_DECISION (string-typed for historical reasons)."""
     decision = _AQE_DECISION.get(sf_dir, "unset")
     if decision == "unset":
         size = None
@@ -84,6 +80,19 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
             None if size is None
             else ("true" if size >= AQE_MIN_INPUT_BYTES else "false"))
         _AQE_DECISION[sf_dir] = decision
+    return None if decision is None else decision == "false"
+
+
+def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
+    """Align spark.sql.adaptive.enabled with the fixture directory's
+    total parquet bytes. The size probe is cached per dir; the conf is
+    re-aligned on EVERY table() call so the setting always tracks the
+    dir being queried — the previous once-per-(session, dir) form left
+    the conf wherever the most recently *first-seen* dir put it, so
+    one small-dir operator could park AQE off for every later query
+    on a big dir (and switching back to the first dir was a no-op)."""
+    small = _dir_is_small(sf_dir)
+    decision = None if small is None else ("false" if small else "true")
     if decision is not None:
         try:
             cur = spark.conf.get("spark.sql.adaptive.enabled")
@@ -98,6 +107,57 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
             _AQE_SET[id(spark)] = decision
         except Exception:
             pass
+
+
+#: Shuffle width for sub-threshold inputs. Task launch + stage
+#: bookkeeping is ~1-2 ms per task even when a partition holds
+#: kilobytes; at 32-wide shuffles that is most of a small query's
+#: wall-clock (A/B over a 16-query batch sample at sf0.1: width 32 =
+#: 5.3 s, width 8 = 4.6 s, width 4 = 4.1 s). The engine keys the
+#: width off input size exactly like adaptivity above: small dirs run
+#: narrow, and at the 100 TB design point every scan crosses the
+#: threshold and shuffles at the session's full width (where AQE
+#: coalescing — enabled there — owns the reducer count anyway).
+SMALL_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_SMALL_SHUFFLE", "8"))
+
+#: Per-session width management state: session id -> (first_seen
+#: width, our last write). A session whose current width was never
+#: written by us and differs from our last write was pinned by someone
+#: else (a user SET, the bounded/streaming clones, a test probe) —
+#: explicit overrides outrank the size heuristic, matching the AQE
+#: policy above.
+_WIDTH_STATE: dict[int, tuple[str, str | None]] = {}
+
+
+def tune_shuffle_width(spark: SparkSession, sf_dir: str) -> None:
+    """Align spark.sql.shuffle.partitions with the fixture directory's
+    input size: sub-threshold dirs shuffle at SMALL_SHUFFLE_PARTITIONS,
+    big dirs restore the session's own launch-time width. Re-aligned on
+    every table() call (same reasoning as tune_adaptivity); a width the
+    session acquired any other way — clone construction, user SET — is
+    treated as pinned and never touched."""
+    small = _dir_is_small(sf_dir)
+    if small is None:
+        return
+    try:
+        cur = spark.conf.get("spark.sql.shuffle.partitions")
+        sid = id(spark)
+        state = _WIDTH_STATE.get(sid)
+        if state is None:
+            state = (cur, None)
+            _WIDTH_STATE[sid] = state
+        first_seen, last_write = state
+        if last_write is not None and cur != last_write:
+            return  # externally overridden since our last write
+        want = (
+            str(min(int(first_seen), SMALL_SHUFFLE_PARTITIONS))
+            if small else first_seen)
+        if cur != want:
+            spark.conf.set("spark.sql.shuffle.partitions", want)
+        _WIDTH_STATE[sid] = (first_seen, want)
+    except Exception:
+        pass
 
 
 _PERSISTED: dict[tuple[int, str], DataFrame] = {}
@@ -210,6 +270,7 @@ def row_count(sf_dir: str, name: str) -> int:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     tune_adaptivity(spark, sf_dir)
+    tune_shuffle_width(spark, sf_dir)
     key = (id(spark), sf_dir, name)
     df = _CACHE.get(key)
     if df is None:
