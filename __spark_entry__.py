@@ -34,55 +34,58 @@ _PRIORITY = [
     # both happened after ~45 batch queries accumulated heap/GC
     # pressure, so the stateful tier now runs before any of that.
     "stream_user_stats",     # transformWithStateInPandas over the
-                             # vendored pure-Python protobuf runtime
+                             # vendored pure-Python protobuf runtime;
+                             # modified r8 (single-RPC state get)
     "stream_tumbling",
     "stream_stream_join",
     "stream_outer_join",     # watermark-eviction-boundary oracle — the
                              # strongest streaming-semantics proof (r4)
-    "stream_timer_flush",    # event-time TIMER tier (r5): the oracle
-                             # encodes the watermark timer-fire rule
+    "stream_timer_flush",    # event-time TIMER tier (r5); modified r8
+                             # (single-RPC state get)
     "stream_session_windows",
+    # r8-modified streaming rows, rotated in so the official record
+    # re-proves changed code: running_totals moved to the wider TWS
+    # clone, seeded_stats caches its warehouse-snapshot seed, the
+    # map/list-state processors changed their unpickle import shape
+    "stream_running_totals",
+    "stream_seeded_stats",
+    "stream_user_type_matrix",
+    "stream_user_recent_events",
     # TPC-H representatives (agg pipeline, correlated subquery, top-k,
-    # exists/anti, 6-way join, pushdown filter, deep join tree, big
-    # semi/anti) — the remaining 14 TPC-H queries follow after the
-    # family representatives and stay verified by the repo harness
-    # (q04's exists/anti family is also repped by semi_anti_join below,
-    # so its slot goes to the round-3 pattern-detection family)
-    "q01", "q02", "q05", "q06", "q09", "q18",
+    # 6-way join, deep join tree, big semi/anti) — the remaining TPC-H
+    # queries (incl. q06's plan-pinned pushdown, officially green five
+    # rounds) stay verified by the repo harness
+    "q01", "q02", "q05", "q09", "q18",
     # relational families beyond TPC-H (members not listed here — the
     # top-k/pivot/set-op/semi-anti siblings — stay verified by the
     # repo harness, as in round 2)
     "range_band_join",      # theta/range join (expression-banded plan)
     "window_topk",          # window functions (+ top-k plan family)
     "grouping_sets_agg",    # grouping sets / cube / rollup family
-    "recursive_cte",        # recursive CTE
-    "lateral_join",         # LATERAL
-    "full_outer_join",      # outer joins
-    "data_quality_report",  # multi-rule validation — modified r6/r7
-                            # (qty rule on the base frame), rotated in
-                            # so the official record re-proves changed
-                            # code; skyline_parts (round-3 tier, twice
-                            # officially green) moves to the
-                            # repo-harness tier for this round
+    # (recursive_cte / lateral_join / full_outer_join / events_error_
+    # burst / events_gap_fill / data_quality_report / kneser_ney_
+    # bigram / numeric_funcs / time_interval_funcs / q06 — all
+    # officially green for 2+ rounds and untouched by r8 — move to the
+    # repo-harness tier; their slots go to the r8-modified rows and
+    # the three restorations the r7 verdict asked for)
+    "skyline_parts",        # restored per r7 verdict item 6
+    "auc_roc",              # restored per r7 verdict item 6
+    "kmeans_embeddings",    # restored per r7 verdict item 6
+    # r8-modified scale-layout rows (cross-process build-once
+    # protocol): the partitioned-events DPP pair and the bucketed
+    # co-located join re-prove the reattach/lock path officially
+    "dpp_join",
+    "partition_pruned_agg",
+    "bucketed_join",
     # scalar-function families
-    "numeric_funcs",
     "string_funcs",
-    "time_interval_funcs",  # date/time family rep: the TIME/INTERVAL
-                            # hazard query (r2 FAIL, fixed r3)
     "array_funcs",
     "json_funcs",
-    "variant_funcs",        # Spark 4 VariantType
     "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier)
     "spatial_funcs5",       # envelope set algebra + DE-9IM-lite (r3)
     # events
     "events_asof_join",
     "events_sessionize",
-    "events_error_burst",   # MATCH_RECOGNIZE-lite pattern detection
-    "events_gap_fill",      # time-series resample + LOCF (round-3)
-    # (ewma_value, events_attribution, assoc_rules moved to the
-    # repo-harness tier in r5: the events family keeps 4 official reps
-    # and the freed slots go to the streaming outer join, the LM-stats
-    # family, and the catalog-metadata query)
     # text analysis / IR / data selection (dsir_importance moved to the
     # repo-harness tier in favor of the round-3 retrieval family rep)
     "tfidf_top_terms",
@@ -101,30 +104,23 @@ _PRIORITY = [
     # sampling / dataset splitting (weighted_sample moved to the
     # repo-harness tier in favor of the round-3 evaluation family rep)
     "dataset_split",
-    "embedding_neardup",    # modified r7 (corpus-sized block count),
-                            # rotated in so the official record
-                            # re-proves changed code; auc_roc (eval
-                            # family rep, officially green since r3)
-                            # moves to the repo-harness tier
+    "embedding_neardup",    # modified r8 again (footer-metadata row
+                            # count replaces the per-call full-scan
+                            # count()), kept in the official record
+    "embedding_neardup_lsh",  # modified r8 (same row-count seam)
     # training-corpus prep + sketches
     "decontaminate_ngram",
     "sequence_pack",
-    "semdedup_prune",       # modified r7 (pre-normalized pair join),
-                            # rotated in so the official record
-                            # re-proves changed code; kmeans_embeddings
-                            # (its shared Lloyd's core, officially green
-                            # before) moves to the repo-harness tier
+    "semdedup_prune",       # modified r8 (oracle mirrors the Spark
+                            # side's pre-join unit-normalization)
     "pagerank_suppliers",    # iterative graph tier
     "triangle_count",        # graph clustering tier (round-3)
     "approx_distinct_hll",   # sketch family rep (CMS/Bloom/histogram
                              # siblings verified by the repo harness)
-    # LM-stats family rep (r4 batch; UMass coherence + co-occurrence
-    # siblings verified by the repo harness)
-    "kneser_ney_bigram",
     # catalog metadata exercised as a *query* (DoGetTables'
     # information_schema path, r5)
     "information_schema_tables",
-    # scale patterns
+    # scale patterns (r8: build-once many-file layout)
     "manyfile_scan_agg",
 ]
 
