@@ -39,6 +39,51 @@ KEY_COLS: dict[str, dict[str, str]] = {
 
 DIM_TABLES = ["region", "nation"]
 
+_ALPHANUM = ("abcdefghijklmnopqrstuvwxyz"
+             "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+
+def register_char_perms(con: duckdb.DuckDBPyConnection,
+                        factor: int) -> None:
+    """Register ``char_perms(i, tgt)``: one seeded character
+    PERMUTATION per replica (identity for replica 0), used as the
+    translate() target for the documents text.
+
+    A Caesar rotation (the r7 fixture) is injective per replica but the
+    family repeats: replica i with i % 26 == 0 maps letters identically
+    to replica 0, so any factor > 26 silently reintroduces exact
+    cross-replica duplicates — the factor² blowup the map exists to
+    remove. Seeded Fisher-Yates permutations are the same idea with a
+    practically unbounded family (26! letter maps): every permutation
+    is injective (within-replica equality structure exact), the lower-
+    and upper-case maps mirror each other (case-folding fingerprints
+    behave as under rotation), and a uniqueness check rejects the
+    astronomically unlikely seed collision outright."""
+    import random
+
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    rows: list[tuple[int, str]] = []
+    seen: set[str] = set()
+    for i in range(factor):
+        if i == 0:
+            tgt = _ALPHANUM
+        else:
+            rng = random.Random(0xC0FFEE ^ (i * 0x9E3779B1))
+            lo = list(lower)
+            rng.shuffle(lo)
+            dg = list(digits)
+            rng.shuffle(dg)
+            tgt = "".join(lo) + "".join(lo).upper() + "".join(dg)
+        if tgt in seen:
+            raise SystemExit(
+                f"seeded permutation collision at replica {i}")
+        seen.add(tgt)
+        rows.append((i, tgt))
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE char_perms (i BIGINT, tgt VARCHAR)")
+    con.executemany("INSERT INTO char_perms VALUES (?, ?)", rows)
+
 
 def key_bases(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
     """One offset base per key space = max over every column that
@@ -62,22 +107,12 @@ def main() -> None:
         default=os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".scaledata", "sf1"))
     args = ap.parse_args()
-    # The per-replica Caesar rotation is injective only while every
-    # replica gets a distinct letter rotation: replica i with
-    # i % 26 == 0 maps letters identically to replica 0 (digit-free
-    # docs become exact cross-replica duplicates), and replicas
-    # congruent mod lcm(26, 10) = 130 collide entirely — silently
-    # reintroducing the factor² duplicate structure the rotation
-    # exists to remove. Cap factor rather than wrap the map.
-    if args.factor > 26:
-        ap.error("--factor must be <= 26: the character rotation "
-                 "repeats at 26 and the honest-fixture guarantee "
-                 "(no cross-replica n-gram matches) breaks")
 
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     bases = key_bases(con, args.src)
     print("key offset bases:", bases)
+    register_char_perms(con, args.factor)
 
     for table in DIM_TABLES:
         con.execute(
@@ -107,39 +142,28 @@ def main() -> None:
     # per-replica structure identical (linear scaling), which is the
     # honest perf fixture.
     ext_sql = {
-        # per-replica CHARACTER ROTATION (the text analog of the
+        # per-replica CHARACTER PERMUTATION (the text analog of the
         # embedding rotation below): replica i maps letters/digits
-        # through a Caesar rotation by i. An injective character map
-        # preserves every within-replica equality — duplicate groups,
-        # shingle sets, n-gram Jaccard similarities are EXACTLY the
-        # original corpus's — while cross-replica n-grams share no
-        # alphanumeric token. The r5 fixture only PREPENDED a salt
-        # token, so all interior n-grams still matched across
-        # replicas and the n-gram/shingle dedup tiers did factor² of
-        # the original work (dedup_ngram_jaccard measured 91x for 10x
-        # data; honest replica blocking is ~10x). Lengths are
-        # preserved, so n_chars carries over unchanged.
-        "documents": """
-            SELECT doc_id + i * {base} AS doc_id,
+        # through a seeded permutation (see register_char_perms — the
+        # r7 Caesar rotation generalized past factor 26). An injective
+        # character map preserves every within-replica equality —
+        # duplicate groups, shingle sets, n-gram Jaccard similarities
+        # are EXACTLY the original corpus's — while cross-replica
+        # n-grams share no alphanumeric token. The r5 fixture only
+        # PREPENDED a salt token, so all interior n-grams still
+        # matched across replicas and the n-gram/shingle dedup tiers
+        # did factor² of the original work (dedup_ngram_jaccard
+        # measured 91x for 10x data; honest replica blocking is ~10x).
+        # Lengths are preserved, so n_chars carries over unchanged.
+        "documents": f"""
+            SELECT doc_id + i * {{base}} AS doc_id,
                    CASE WHEN i = 0 THEN text
-                        ELSE translate(text,
-                          'abcdefghijklmnopqrstuvwxyz'
-                          || 'ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789',
-                          substr('abcdefghijklmnopqrstuvwxyz',
-                                 (i % 26)::INT + 1, 26 - (i % 26)::INT)
-                          || substr('abcdefghijklmnopqrstuvwxyz',
-                                    1, (i % 26)::INT)
-                          || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                                    (i % 26)::INT + 1, 26 - (i % 26)::INT)
-                          || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                                    1, (i % 26)::INT)
-                          || substr('0123456789',
-                                    (i % 10)::INT + 1, 10 - (i % 10)::INT)
-                          || substr('0123456789', 1, (i % 10)::INT))
+                        ELSE translate(text, '{_ALPHANUM}', p.tgt)
                    END AS text,
                    lang, source, n_chars
-            FROM read_parquet('{src}/documents.parquet')
-            CROSS JOIN range({factor}) t(i)
+            FROM read_parquet('{{src}}/documents.parquet')
+            CROSS JOIN range({{factor}}) t(i)
+            JOIN char_perms p USING (i)
         """,
         # per-replica dimension ROTATION: an isometry, so every
         # replica's internal cosine structure equals the original's
