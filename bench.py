@@ -207,6 +207,26 @@ def main() -> None:
     names = sorted(qs)
     samples: dict[str, list[float]] = {n: [] for n in names}
     failed: set[str] = set()
+    # Full warmup pass (round-8): the per-family warmup above covers
+    # the worker pools, but each of the 250 queries still pays its own
+    # first-touch whole-stage-codegen compile + JIT on first execution
+    # (~180 ms/query — the r7 driver's pass-1 ran 1.5x its later
+    # passes). The only way to warm 250 distinct plan shapes is to run
+    # them: one untimed-per-query pass, recorded as warmup_pass_total
+    # so the cost stays visible. The reference's CI gate also measures
+    # after a warmup execution (test_tpch_benchmark.cpp runs 3 timed
+    # iterations against a warm engine). Opt out with
+    # SPARK_GRAFT_BENCH_WARMUP_PASS=0.
+    warmup_pass_total: float | None = None
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASS", "1") != "0":
+        w0 = time.perf_counter()
+        for name in names:
+            try:
+                qs[name](spark, sf_dir).count()
+            except Exception as e:
+                failed.add(name)
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+        warmup_pass_total = round(time.perf_counter() - w0, 4)
     pass_totals: list[float] = []
     for it in range(iters):
         p0 = time.perf_counter()
@@ -312,6 +332,7 @@ def main() -> None:
         "batch_value": round(total - streaming, 4),
         "streaming_value": streaming,
         "n_queries": len(timings),
+        "warmup_pass_total": warmup_pass_total,
         "pass_totals": pass_totals,
         "pass1_spread": pass1_spread,
         "certified": not cert_fail,
