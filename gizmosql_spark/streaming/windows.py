@@ -68,8 +68,24 @@ STREAM_STATE_PARTITIONS = int(
 TWS_STATE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_TWS_PARTITIONS", "8"))
 
-_STREAM_SESSION: SparkSession | None = None
+#: clone caches keyed by width tier: False = the bounded-fixture
+#: width, True = the session's full core width (see wide_for_dir)
+_STREAM_SESSION: dict[bool, SparkSession] = {}
 _TWS_SESSION: SparkSession | None = None
+
+
+def wide_for_dir(sf_dir: str) -> bool:
+    """True when the fixture dir crosses the input-size threshold the
+    batch tier already keys AQE/shuffle width off — the streaming
+    analog of loader.tune_shuffle_width. Streaming bakes the width
+    into each run's fresh checkpoint, so this is a per-run sizing
+    decision: the round-8 sf10 family sweep measured the fixed
+    width-4 state store going 17x for 10x data on the stream-stream
+    join (4 partitions over 10M events), while every
+    correctly-sized family grew sub-linearly."""
+    from gizmosql_spark.operators.loader import _dir_is_small
+
+    return _dir_is_small(sf_dir) is False
 
 
 def _new_stream_clone(spark: SparkSession, partitions: int,
@@ -101,7 +117,8 @@ def _new_stream_clone(spark: SparkSession, partitions: int,
     return s
 
 
-def streaming_session(spark: SparkSession) -> SparkSession:
+def streaming_session(spark: SparkSession,
+                      wide: bool = False) -> SparkSession:
     """Conf-isolated session clone the JVM-side streaming queries run
     in (windowed aggs, dedup, stream-stream joins,
     applyInPandasWithState).
@@ -119,13 +136,24 @@ def streaming_session(spark: SparkSession) -> SparkSession:
     test scale its in-memory map beats RocksDB's per-batch native
     snapshot+commit (stream-stream join A/B: 2.8 s vs 3.8 s median),
     and nothing in this tier needs RocksDB — the TWS tier, which does,
-    runs on its own clone (tws_streaming_session)."""
-    global _STREAM_SESSION
-    if _STREAM_SESSION is None or \
-            _STREAM_SESSION.sparkContext is not spark.sparkContext:
-        _STREAM_SESSION = _new_stream_clone(
-            spark, STREAM_STATE_PARTITIONS, rocksdb=False)
-    return _STREAM_SESSION
+    runs on its own clone (tws_streaming_session).
+
+    ``wide=True`` returns a sibling clone at the session's full core
+    width — the sizing for super-threshold inputs (see wide_for_dir);
+    state-partition count is a first-run decision baked into each
+    run's checkpoint, so the two widths are separate clones rather
+    than a mutated conf."""
+    s = _STREAM_SESSION.get(wide)
+    if s is None or s.sparkContext is not spark.sparkContext:
+        # core count, not the caller's shuffle conf: the batch tier's
+        # size-keyed tuner may have narrowed the caller for a SMALL
+        # dir just before a wide-dir streaming query asks for width
+        width = (spark.sparkContext.defaultParallelism
+                 if wide else STREAM_STATE_PARTITIONS)
+        s = _new_stream_clone(
+            spark, max(width, STREAM_STATE_PARTITIONS), rocksdb=False)
+        _STREAM_SESSION[wide] = s
+    return s
 
 
 def tws_streaming_session(spark: SparkSession) -> SparkSession:
@@ -151,9 +179,11 @@ def _reset_streaming_session() -> None:
     3 attempts, 3 identical worker-exit failures). Dropping the clones
     makes the next streaming_session()/tws_streaming_session() call
     build fresh ones — new state-server pool, re-run TWS prewarm."""
-    global _STREAM_SESSION, _TWS_SESSION, _TWS_WARMED
-    dead = [s for s in (_STREAM_SESSION, _TWS_SESSION) if s is not None]
-    _STREAM_SESSION = _TWS_SESSION = None
+    global _TWS_SESSION, _TWS_WARMED
+    dead = [s for s in (*_STREAM_SESSION.values(), _TWS_SESSION)
+            if s is not None]
+    _STREAM_SESSION.clear()
+    _TWS_SESSION = None
     _TWS_WARMED = False
     for s in dead:
         try:
@@ -233,8 +263,11 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     the file, and the ns→µs conversion mirrors
     operators/events.load_events (applied only when ts is long ns).
     Built on the streaming session clone (see streaming_session) by
-    default; TWS callers pass the RocksDB clone via ``session``."""
-    spark = session if session is not None else streaming_session(spark)
+    default — at the width tier the fixture's input size calls for
+    (wide_for_dir) — TWS callers pass the RocksDB clone via
+    ``session``."""
+    spark = (session if session is not None
+             else streaming_session(spark, wide=wide_for_dir(sf_dir)))
     cached = _EVENT_SCHEMA_CACHE.get(sf_dir)
     if cached is None:
         batch = (
@@ -461,7 +494,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as a file-source stream (for streaming dedup)."""
-    spark = streaming_session(spark)
+    spark = streaming_session(spark, wide=wide_for_dir(sf_dir))
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -497,11 +530,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — the canonical enrichment topology; the static side is
     re-read per micro-batch, the stream side never shuffles."""
     def build() -> DataFrame:
-        s_session = streaming_session(spark)
-        tiers = s_session.range(0, 1000).select(
+        s = read_event_stream(spark, sf_dir)
+        tiers = s.sparkSession.range(0, 1000).select(
             F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
         )
-        s = read_event_stream(spark, sf_dir)
         joined = s.join(F.broadcast(tiers), "user_id")
         return (
             joined.withWatermark("ts", "10 minutes")
@@ -1140,11 +1172,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_to_completion(
             build, "q_stream_stream_join", output_mode="append")
     finally:
-        try:
-            streaming_session(spark).conf.unset(
-                "spark.sql.streaming.noDataMicroBatches.enabled")
-        except Exception:
-            pass
+        # the stream may have been built on either width clone —
+        # restore the conf on every live one
+        for clone in list(_STREAM_SESSION.values()):
+            try:
+                clone.conf.unset(
+                    "spark.sql.streaming.noDataMicroBatches.enabled")
+            except Exception:
+                pass
     return out.orderBy("click_id", "purchase_id")
 
 

@@ -4,11 +4,14 @@ The engine is multi-session (engine.py shares one SparkSession across
 clients), so a set-then-restore window on ``spark.sql.shuffle.
 partitions`` silently re-plans a concurrently submitted statement at
 the clamped width. The sanctioned alternatives are per-frame
-``repartition(n, key)`` (dedup._propagate_min_labels) and the
+``repartition(n, key)`` (dedup._propagate_min_labels), the
 conf-isolated session clones (loader.bounded_session,
-streaming.windows.streaming_session) — the only files allowed to set
-the shuffle width are the two clone constructors and session.py's
-builder.
+streaming.windows.streaming_session), and the input-size-keyed policy
+setters (loader.tune_adaptivity / tune_shuffle_width) — which never
+restore, re-align on every table() call so the conf always tracks the
+dir being queried, and yield permanently to any external SET. The
+only files allowed to touch the width are the clone constructors,
+the loader policy, and session.py's builder.
 """
 
 from __future__ import annotations
