@@ -81,8 +81,12 @@ _PRIORITY = [
     "string_funcs",
     "array_funcs",
     "json_funcs",
-    "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier)
-    "spatial_funcs5",       # envelope set algebra + DE-9IM-lite (r3)
+    "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier;
+                            # spatial_funcs5, officially green since
+                            # r3, moves to the repo-harness tier — its
+                            # slot re-proves the r8-modified CMS)
+    "cms_heavy_hitters",    # modified r8: cells derived from the
+                            # wordcount rollup (one corpus pass)
     # events
     "events_asof_join",
     "events_sessionize",
@@ -113,8 +117,12 @@ _PRIORITY = [
     "sequence_pack",
     "semdedup_prune",       # modified r8 (oracle mirrors the Spark
                             # side's pre-join unit-normalization)
-    "pagerank_suppliers",    # iterative graph tier
-    "triangle_count",        # graph clustering tier (round-3)
+    "pagerank_suppliers",    # iterative graph tier (triangle_count,
+                             # officially green twice, moves to the
+                             # repo-harness tier — its slot re-proves
+                             # the r8-modified PMI)
+    "pmi_collocations",      # modified r8: corpus totals derived from
+                             # the count tables (4 scans -> 2)
     "approx_distinct_hll",   # sketch family rep (CMS/Bloom/histogram
                              # siblings verified by the repo harness)
     # catalog metadata exercised as a *query* (DoGetTables'

@@ -151,13 +151,22 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     base = _tokens(spark, sf_dir)
     toks = base.select(F.explode("ws").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    n_total = toks.count()
+    # vocabulary-sized count tables, checkpointed: each feeds both a
+    # probe join and its own total rollup below, and the corpus
+    # totals DERIVE from them (N = sum unigram counts, B = sum bigram
+    # counts) — the previous eager toks.count()/bg.count() scalars
+    # were two extra full tokenize scans per invocation
+    uni = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint())
     bg = base.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")).select(
         F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
     )
-    b_total = bg.count()
-    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cxy = (bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+           .localCheckpoint())
+    n_total_df = uni.agg(
+        F.sum("c").cast("double").alias("n_total"))
+    b_total_df = cxy.agg(
+        F.sum("c_xy").cast("double").alias("b_total"))
     scored = (
         cxy.filter(F.col("c_xy") >= 5)
         .join(
@@ -170,16 +179,18 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("c").alias("c_y"))),
             "w2",
         )
+        .crossJoin(F.broadcast(n_total_df))
+        .crossJoin(F.broadcast(b_total_df))
         .select(
             "w1",
             "w2",
             F.col("c_xy").alias("support"),
             F.round(
                 F.log(
-                    (F.col("c_xy") / F.lit(float(b_total)))
+                    (F.col("c_xy") / F.col("b_total"))
                     / (
-                        (F.col("c_x") / F.lit(float(n_total)))
-                        * (F.col("c_y") / F.lit(float(n_total)))
+                        (F.col("c_x") / F.col("n_total"))
+                        * (F.col("c_y") / F.col("n_total"))
                     )
                 ),
                 6,

@@ -245,25 +245,35 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via Count-Min: estimate = min over d row-cells;
     always >= exact (one-sided error bounded by 2N/w per row).
 
-    Scale shape: the sketch build is ONE partial-aggregatable
-    groupBy over d*w = 2048 cells — map-side combine caps shuffle at
-    O(d*w x partitions) regardless of corpus size, the same rollup
-    property as the HLL above. Estimation joins the (tiny) cell frame
-    back as a broadcast. The exact counts here exist only for the
-    differential error report; a production pipeline keeps the 2048
-    cells and skips the exact pass."""
+    Scale shape: ONE tokenize pass feeds a partial-aggregatable
+    wordcount (map-side combine; vocabulary-sized result), and BOTH
+    the sketch cells and the probe rows derive from that rollup —
+    cell count = sum of token counts hashing into the cell, exactly
+    the per-occurrence count, so the 4 md5 bucket hashes run once per
+    DISTINCT token instead of once per corpus occurrence (the
+    previous shape tokenized and hashed the corpus twice; 6.5 s →
+    ~2 s at sf1). Shuffle stays capped at O(d*w x partitions)
+    regardless of corpus size, the same rollup property as the HLL
+    above. The exact counts exist only for the differential error
+    report; a production pipeline keeps the 2048 cells and skips the
+    exact column."""
     from gizmosql_spark.operators.text import _norm
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
-    cells = (
-        toks.select(F.explode(_cms_row_buckets(F.col("tok"))).alias("rb"))
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # vocabulary-sized; localCheckpoint so the corpus tokenize runs
+    # once for the two derivations below (checkpoint blocks are freed
+    # by the ContextCleaner when the frame is GC'd)
     exact = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("exact_count"))
+        F.count(F.lit(1)).alias("exact_count")).localCheckpoint()
+    cells = (
+        exact.select(
+            F.explode(_cms_row_buckets(F.col("tok"))).alias("rb"),
+            "exact_count")
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("exact_count").alias("c"))
+    )
     probes = exact.select(
         "tok", "exact_count",
         F.explode(_cms_row_buckets(F.col("tok"))).alias("rb"))
