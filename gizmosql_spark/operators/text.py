@@ -1124,7 +1124,8 @@ def ks_test_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"))
     pooled = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("pc"))
     srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
-    total = d.count()
+    # corpus row count from the parquet footer — no scan job
+    total = loader.row_count(sf_dir, "documents")
     w_pool = Window.orderBy("n_chars")
     pooled_cum = pooled.select(
         "n_chars", F.sum("pc").over(w_pool).alias("cum_all"))
@@ -1260,7 +1261,8 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape); the rank→rank equi-join is unchanged. Integer-exact
     (floor position, no interpolation) so engines can't drift."""
     d = _t(spark, sf_dir, "documents")
-    n_total = d.count()
+    # corpus row count from the parquet footer — no scan job
+    n_total = loader.row_count(sf_dir, "documents")
     w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     w_cnt = Window.partitionBy("source")
     ranked = d.select(
