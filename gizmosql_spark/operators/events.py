@@ -53,7 +53,8 @@ def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("event_type", "k_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
         .orderBy("event_type", "k_bucket")
     )
 
@@ -64,7 +65,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -105,7 +107,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", "session_idx")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            F.round(F.sum("value"), 4).alias("total_value"),
             (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
                 "duration_sec"
             ),
@@ -464,7 +466,7 @@ def pyds_synthetic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total"),
+            F.round(F.sum("value"), 4).alias("total"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -2264,7 +2266,8 @@ ORACLE: dict[str, str] = {
                    (h % 10000) / 100.0 AS value
             FROM gen
         )
-        SELECT event_type, count(*) AS n, sum(value) AS total,
+        SELECT event_type, count(*) AS n,
+               round(sum(value), 4) AS total,
                count(DISTINCT user_id) AS n_users
         FROM ev
         GROUP BY event_type
@@ -2460,7 +2463,7 @@ ORACLE: dict[str, str] = {
         SELECT event_type,
                CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
                count(*) AS n,
-               sum(value) AS total
+               round(sum(value), 4) AS total
         FROM events
         GROUP BY event_type, k_bucket
         ORDER BY event_type, k_bucket
@@ -2469,7 +2472,7 @@ ORACLE: dict[str, str] = {
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                event_type,
                count(*) AS n,
-               sum(value) AS total
+               round(sum(value), 4) AS total
         FROM events
         GROUP BY window_start, event_type
         ORDER BY window_start, event_type
@@ -2502,7 +2505,7 @@ ORACLE: dict[str, str] = {
         )
         SELECT user_id, session_idx,
                count(*) AS n_events,
-               sum(value) AS total_value,
+               round(sum(value), 4) AS total_value,
                CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec
         FROM sessions
         GROUP BY user_id, session_idx

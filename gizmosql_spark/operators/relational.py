@@ -56,7 +56,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            F.sum("o_totalprice").over(w_frame).alias("running_spend"),
+            F.round(F.sum("o_totalprice").over(w_frame), 2).alias("running_spend"),
             F.lag("o_totalprice").over(w_lag).alias("prev_price"),
         )
         .orderBy("o_custkey", "o_orderkey")
@@ -74,7 +74,7 @@ def window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.sum("l_extendedprice").over(w).alias("rolling_price"),
+            F.round(F.sum("l_extendedprice").over(w), 2).alias("rolling_price"),
         )
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     )
@@ -130,7 +130,7 @@ def agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                count_if(o_totalprice > 100000) AS n_big,
                bool_or(o_orderstatus = 'F') AS any_f,
                bool_and(o_totalprice > 0) AS all_pos,
-               sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS open_total,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_total,
                median(o_totalprice) AS med_price,
                array_join(slice(array_sort(collect_list(CAST(o_orderkey AS STRING))), 1, 5), ',')
                    AS first_keys
@@ -185,7 +185,8 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
         .select(
             F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
@@ -207,7 +208,7 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(n_name, '(all)') AS nation,
                coalesce(r_name, '(all)') AS region,
                count(*) AS n_suppliers,
-               sum(s_acctbal) AS total_bal
+               round(sum(s_acctbal), 2) AS total_bal
         FROM gz_supplier
         JOIN gz_nation ON s_nationkey = n_nationkey
         JOIN gz_region ON n_regionkey = r_regionkey
@@ -415,7 +416,8 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.select(_band_expr(F.col("l_quantity"), _QTY_BANDS).alias("band"), "l_extendedprice")
         .where(F.col("band").isNotNull())
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total"))
         .orderBy("band")
     )
 
@@ -436,7 +438,8 @@ def range_band_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l.l_quantity >= bands.lo) & (l.l_quantity < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total"))
         .orderBy("band")
     )
 
@@ -448,10 +451,10 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.stddev_samp("l_extendedprice").alias("sd_price"),
-            F.var_samp("l_quantity").alias("var_qty"),
-            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
-            F.covar_samp("l_discount", "l_tax").alias("cov_disc_tax"),
+            F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
         )
         .orderBy("l_returnflag")
     )
@@ -1817,7 +1820,7 @@ ORACLE: dict[str, str] = {
                CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
                bool_or(o_orderstatus = 'F') AS any_f,
                bool_and(o_totalprice > 0) AS all_pos,
-               sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS open_total,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_total,
                median(o_totalprice) AS med_price,
                array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR)))[1:5], ',')
                    AS first_keys
@@ -2193,7 +2196,8 @@ ORACLE: dict[str, str] = {
         ORDER BY name
     """,
     "range_band_join": """
-        SELECT band, count(*) AS n, sum(l_extendedprice) AS total
+        SELECT band, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS total
         FROM lineitem
         JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0),
                      ('high', 30.0, 51.0)) AS b(band, lo, hi)
@@ -2272,10 +2276,10 @@ ORACLE: dict[str, str] = {
     """,
     "stats_agg": """
         SELECT l_returnflag,
-               stddev_samp(l_extendedprice) AS sd_price,
-               var_samp(l_quantity) AS var_qty,
-               corr(l_quantity, l_extendedprice) AS corr_qty_price,
-               covar_samp(l_discount, l_tax) AS cov_disc_tax
+               round(stddev_samp(l_extendedprice), 6) AS sd_price,
+               round(var_samp(l_quantity), 6) AS var_qty,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -2325,9 +2329,9 @@ ORACLE: dict[str, str] = {
     """,
     "window_running": """
         SELECT o_custkey, o_orderkey,
-               sum(o_totalprice) OVER (PARTITION BY o_custkey
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
                lag(o_totalprice) OVER (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey) AS prev_price
         FROM orders
@@ -2336,9 +2340,9 @@ ORACLE: dict[str, str] = {
     """,
     "window_frame": """
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+               round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_price
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS rolling_price
         FROM lineitem
         WHERE l_suppkey < 5
         ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -2356,7 +2360,7 @@ ORACLE: dict[str, str] = {
         SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
                coalesce(o_orderpriority, '(all)') AS orderpriority,
                count(*) AS n,
-               sum(o_totalprice) AS total
+               round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY orderstatus, orderpriority
@@ -2365,7 +2369,7 @@ ORACLE: dict[str, str] = {
         SELECT coalesce(n_name, '(all)') AS nation,
                coalesce(r_name, '(all)') AS region,
                count(*) AS n_suppliers,
-               sum(s_acctbal) AS total_bal
+               round(sum(s_acctbal), 2) AS total_bal
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey

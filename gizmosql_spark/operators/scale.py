@@ -82,14 +82,23 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("p_n"),
         )
     )
+    # money/quantity sums are DOUBLE in the fixture (FIXTURES.md rule 2):
+    # round to the declared scale so the output is hash-stable across
+    # engines regardless of floating-point addition order
     return (
         partial.groupBy("l_returnflag")
         .agg(
-            F.sum("p_qty").alias("sum_qty"),
-            F.sum("p_price").alias("sum_price"),
+            F.sum("p_qty").alias("raw_qty"),
+            F.sum("p_price").alias("raw_price"),
             F.sum("p_n").alias("n_rows"),
         )
-        .withColumn("avg_qty", F.col("sum_qty") / F.col("n_rows"))
+        .select(
+            "l_returnflag",
+            F.round("raw_qty", 2).alias("sum_qty"),
+            F.round("raw_price", 2).alias("sum_price"),
+            "n_rows",
+            F.round(F.col("raw_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -186,7 +195,8 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_price"),
+            # DOUBLE money sum → round to cents for hash stability
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -216,7 +226,8 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum("l_extendedprice").alias("total_price"),
+            # DOUBLE money sum → round to cents for hash stability
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
         .orderBy("o_orderpriority")
     )
@@ -314,7 +325,8 @@ def partition_pruned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(t)
         .filter(F.col("event_date") == "2024-01-05")
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
         .orderBy("event_type")
     )
 
@@ -577,10 +589,10 @@ ORACLE: dict[str, str] = {
     """,
     "salted_agg": """
         SELECT l_returnflag,
-               sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_price,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
                count(*) AS n_rows,
-               sum(l_quantity) / count(*) AS avg_qty
+               round(sum(l_quantity) / count(*), 6) AS avg_qty
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -588,7 +600,7 @@ ORACLE: dict[str, str] = {
     "salted_join": """
         SELECT o.o_orderpriority,
                count(*) AS n_items,
-               sum(l.l_extendedprice) AS total_price
+               round(sum(l.l_extendedprice), 2) AS total_price
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderpriority
@@ -605,7 +617,7 @@ ORACLE: dict[str, str] = {
         ORDER BY event_type
     """,
     "partition_pruned_agg": """
-        SELECT event_type, count(*) AS n, sum(value) AS total
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
         FROM events
         WHERE CAST(ts AS DATE) = DATE '2024-01-05'
         GROUP BY event_type
@@ -614,7 +626,7 @@ ORACLE: dict[str, str] = {
     "bucketed_join": """
         SELECT c.c_mktsegment,
                count(*) AS n_orders,
-               sum(o.o_totalprice) AS total_price
+               round(sum(o.o_totalprice), 2) AS total_price
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment

@@ -57,13 +57,18 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # l_quantity is integer-valued: its sum/avg are exact in
+            # double and need no rounding. The money/rate aggregates are
+            # rounded to a declared scale on BOTH engine sides so the
+            # output hash is independent of floating-point addition
+            # order (FIXTURES.md rule 2).
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(_rev()).alias("sum_disc_price"),
-            F.sum(_rev() * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (F.lit(1) + F.col("l_tax"))), 2).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -108,7 +113,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == c.c_custkey)
         .filter((F.col("o_orderdate") < "1998-03-15") & (F.col("l_shipdate") > "1998-03-15"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -156,7 +161,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -176,7 +181,9 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"))
     )
 
 
@@ -305,7 +312,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -322,10 +329,12 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     per_supp = l.groupBy("l_suppkey").agg(F.sum(_rev()).alias("supp_value"))
     total = l.agg((F.sum(_rev()) * F.lit(0.002)).alias("threshold"))
+    # the HAVING comparison stays unrounded (engine-internal, boundary-
+    # stable); only the OUTPUT column is canonicalized to cents
     return (
         per_supp.join(F.broadcast(total))
         .filter(F.col("supp_value") > F.col("threshold"))
-        .select("l_suppkey", "supp_value")
+        .select("l_suppkey", F.round("supp_value", 2).alias("supp_value"))
         .orderBy(F.desc("supp_value"), "l_suppkey")
     )
 
@@ -384,10 +393,11 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter((F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01"))
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            (
+            F.round(
                 F.lit(100.0)
                 * F.sum(F.when(F.col("p_type").like("PROMO%"), _rev()).otherwise(F.lit(0.0)))
-                / F.sum(_rev())
+                / F.sum(_rev()),
+                6,
             ).alias("promo_revenue")
         )
     )
@@ -411,7 +421,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 2).alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -459,7 +470,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#23")), l.l_partkey == p.p_partkey)
         .join(thresholds, l.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2)
+             .alias("avg_yearly"))
     )
 
 
@@ -517,7 +529,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity").between(20, 30))
         )
     )
-    return joined.filter(cond).agg(F.sum(_rev()).alias("revenue"))
+    return joined.filter(cond).agg(
+        F.round(F.sum(_rev()), 2).alias("revenue"))
 
 
 # --- q20: potential part promotion (adapted h20.sql) ------------------
@@ -606,7 +619,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(o, cust.c_custkey == o.o_custkey, "left_anti")
         .groupBy("cntrycode")
-        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")
     )
 
@@ -627,12 +641,12 @@ ORACLE: dict[str, str] = {
     "q01": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                avg(l_quantity) AS avg_qty,
-               avg(l_extendedprice) AS avg_price,
-               avg(l_discount) AS avg_disc,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= '1998-09-01'
@@ -652,7 +666,7 @@ ORACLE: dict[str, str] = {
     """,
     "q03": """
         SELECT l_orderkey,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                o_orderdate
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
@@ -673,7 +687,7 @@ ORACLE: dict[str, str] = {
         ORDER BY o_orderpriority
     """,
     "q05": """
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -684,7 +698,7 @@ ORACLE: dict[str, str] = {
         ORDER BY revenue DESC, n_name
     """,
     "q06": """
-        SELECT sum(l_extendedprice * l_discount) AS revenue
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         FROM lineitem
         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -737,7 +751,7 @@ ORACLE: dict[str, str] = {
     """,
     "q10": """
         SELECT c_custkey, c_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                c_acctbal, n_name
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -748,7 +762,7 @@ ORACLE: dict[str, str] = {
         LIMIT 20
     """,
     "q11": """
-        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS supp_value
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS supp_value
         FROM lineitem
         GROUP BY l_suppkey
         HAVING sum(l_extendedprice * (1 - l_discount)) >
@@ -778,16 +792,16 @@ ORACLE: dict[str, str] = {
         ORDER BY custdist DESC, c_count DESC
     """,
     "q14": """
-        SELECT 100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                                 THEN l_extendedprice * (1 - l_discount)
-                                 ELSE 0 END)
-               / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
         FROM lineitem, part
         WHERE l_partkey = p_partkey
           AND l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
     """,
     "q15": """
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
         FROM supplier,
              (SELECT l_suppkey AS supplier_no,
                      sum(l_extendedprice * (1 - l_discount)) AS total_revenue
@@ -816,7 +830,7 @@ ORACLE: dict[str, str] = {
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,
     "q17": """
-        SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         FROM lineitem, part
         WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -834,7 +848,7 @@ ORACLE: dict[str, str] = {
         LIMIT 100
     """,
     "q19": """
-        SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         FROM lineitem, part
         WHERE p_partkey = l_partkey
           AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -873,7 +887,8 @@ ORACLE: dict[str, str] = {
         LIMIT 100
     """,
     "q22": """
-        SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
         FROM (SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode,
                      c_acctbal, c_custkey
               FROM customer

@@ -461,7 +461,13 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: tumbling_counts(read_event_stream(spark, sf_dir)),
         "q_stream_tumbling",
     )
-    return out.orderBy("window_start", "event_type")
+    # canonicalize the float sum at the sink read (not inside the
+    # streaming plan): hash-stable vs the oracle regardless of
+    # micro-batch addition order (FIXTURES.md rule 2)
+    return out.select(
+        "window_start", "event_type", "n",
+        F.round("total", 4).alias("total"),
+    ).orderBy("window_start", "event_type")
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +478,10 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: session_windows(read_event_stream(spark, sf_dir)),
         "q_stream_session",
     )
-    return out.orderBy("user_id", "session_start")
+    return out.select(
+        "session_start", "session_end", "user_id", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    ).orderBy("user_id", "session_start")
 
 
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +498,9 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, session=tws_streaming_session(spark))),
         "q_stream_running",
     )
-    return out.orderBy("user_id")
+    return out.select(
+        "user_id", "count", F.round("total", 4).alias("total")
+    ).orderBy("user_id")
 
 
 def read_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,7 +553,11 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("value").alias("total"))
         )
 
-    return run_to_completion(build, "q_stream_static_join").orderBy("tier")
+    return (
+        run_to_completion(build, "q_stream_static_join")
+        .select("tier", "n", F.round("total", 4).alias("total"))
+        .orderBy("tier")
+    )
 
 
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,7 +763,7 @@ ORACLE: dict[str, str] = {
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                event_type,
                count(*) AS n,
-               sum(value) AS total
+               round(sum(value), 4) AS total
         FROM events
         GROUP BY window_start, event_type
         ORDER BY window_start, event_type
@@ -773,13 +788,14 @@ ORACLE: dict[str, str] = {
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                user_id,
                count(*) AS n_events,
-               sum(value) AS total_value
+               round(sum(value), 4) AS total_value
         FROM sessions
         GROUP BY user_id, session_idx
         ORDER BY user_id, session_start
     """,
     "stream_running_totals": """
-        SELECT user_id, count(*) AS count, sum(value) AS total
+        SELECT user_id, count(*) AS count,
+               round(sum(value), 4) AS total
         FROM events
         GROUP BY user_id
         ORDER BY user_id
@@ -790,7 +806,8 @@ ORACLE: dict[str, str] = {
         ORDER BY fp
     """,
     "stream_static_join": """
-        SELECT user_id % 3 AS tier, count(*) AS n, sum(value) AS total
+        SELECT user_id % 3 AS tier, count(*) AS n,
+               round(sum(value), 4) AS total
         FROM events
         WHERE user_id < 1000
         GROUP BY tier
@@ -1485,7 +1502,9 @@ def stream_seeded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = _run_with_rocksdb(spark, build, "q_stream_seeded_stats")
-    return out.orderBy("user_id")
+    return out.select(
+        "user_id", "count", F.round("total", 4).alias("total")
+    ).orderBy("user_id")
 
 
 def tws_available() -> bool:
