@@ -27,109 +27,79 @@ def entry(spark: SparkSession) -> DataFrame:
 # family; everything else follows and is still verified by the repo's
 # own differential harness (gizmosql_spark/testing.py).
 _PRIORITY = [
-    # Streaming first (includes both r2 FAILs + the session-window
-    # re-run FAIL, all fixed — kept here so the fix is officially
-    # recorded). The TWS state-server tier is most robust on a fresh
-    # JVM: the r3 AND r4 official-record crashes of stream_user_stats
-    # both happened after ~45 batch queries accumulated heap/GC
-    # pressure, so the stateful tier now runs before any of that.
-    "stream_user_stats",     # transformWithStateInPandas over the
-                             # vendored pure-Python protobuf runtime;
-                             # modified r8 (single-RPC state get)
-    "stream_tumbling",
+    # Round-9 rotation. r9 touched 37 operators (the corpus-wide
+    # float-aggregate canonicalization sweep + the long-lived TWS
+    # query path + the sink/upsert session fix) — more than 50 slots
+    # hold alongside family coverage, so the record front-loads:
+    # every touched STREAMING operator (13), every touched SCALE
+    # operator, one representative per touched batch family, and the
+    # four restorations the r8 verdict named. The remaining touched
+    # rows (q03/q10/q11/q15/q17/q19/q22, window_frame, events_json,
+    # cohort_ltv, cusum_changepoint, gini_value_concentration — all
+    # the same mechanical round()-both-sides change) are verified by
+    # the repo's full 250-query differential (CORRECTNESS_LOCAL).
+    #
+    # Streaming first: the TWS state-server tier is most robust on a
+    # fresh JVM (the r3/r4 official crashes came after ~45 batch
+    # queries of heap pressure). The five TWS rows now run through the
+    # long-lived-query path (streaming/live.py, r9) — officially
+    # re-proving that new mechanism is the point of this block.
+    "stream_user_stats",      # live path (r9)
+    "stream_tumbling",        # r9: rounded total both sides
     "stream_stream_join",
-    "stream_outer_join",     # watermark-eviction-boundary oracle — the
-                             # strongest streaming-semantics proof (r4)
-    "stream_timer_flush",    # event-time TIMER tier (r5); modified r8
-                             # (single-RPC state get)
-    "stream_session_windows",
-    # r8-modified streaming rows, rotated in so the official record
-    # re-proves changed code: running_totals moved to the wider TWS
-    # clone, seeded_stats caches its warehouse-snapshot seed, the
-    # map/list-state processors changed their unpickle import shape
-    "stream_running_totals",
-    "stream_seeded_stats",
-    "stream_user_type_matrix",
-    "stream_user_recent_events",
-    # TPC-H representatives (agg pipeline, correlated subquery, top-k,
-    # 6-way join, deep join tree, big semi/anti) — the remaining TPC-H
-    # queries (incl. q06's plan-pinned pushdown, officially green five
-    # rounds) stay verified by the repo harness
-    "q01", "q02", "q05", "q09", "q18",
-    # relational families beyond TPC-H (members not listed here — the
-    # top-k/pivot/set-op/semi-anti siblings — stay verified by the
-    # repo harness, as in round 2)
-    "range_band_join",      # theta/range join (expression-banded plan)
-    "window_topk",          # window functions (+ top-k plan family)
-    "grouping_sets_agg",    # grouping sets / cube / rollup family
-    # (recursive_cte / lateral_join / full_outer_join / events_error_
-    # burst / events_gap_fill / data_quality_report / kneser_ney_
-    # bigram / numeric_funcs / time_interval_funcs / q06 — all
-    # officially green for 2+ rounds and untouched by r8 — move to the
-    # repo-harness tier; their slots go to the r8-modified rows and
-    # the three restorations the r7 verdict asked for)
-    "skyline_parts",        # restored per r7 verdict item 6
-    "auc_roc",              # restored per r7 verdict item 6
-    "kmeans_embeddings",    # restored per r7 verdict item 6
-    # r8-modified scale-layout rows (cross-process build-once
-    # protocol): the partitioned-events DPP pair and the bucketed
-    # co-located join re-prove the reattach/lock path officially
+    "stream_outer_join",      # watermark-eviction-boundary oracle
+    "stream_timer_flush",     # live path + per-run time-shift (r9)
+    "stream_session_windows", # r9: rounded total both sides
+    "stream_running_totals",  # r9: rounded total both sides
+    "stream_seeded_stats",    # live path w/ generation-seeded initialState (r9)
+    "stream_user_type_matrix",   # live path (r9)
+    "stream_user_recent_events", # live path (r9)
+    "stream_static_join",     # r9: rounded total + width-session fix
+    "stream_sink_table",      # r9: working session from the stream frame
+    "stream_upsert_table",    # r9: working session from the stream frame
+    # TPC-H: family reps + the r9 rounding-sweep representatives
+    # (q01 8-agg pipeline, q06 pure pushdown agg, q14 rounded ratio;
+    # q02/q09/q18 keep the correlated-subquery / deep-join / top-k
+    # rows officially green)
+    "q01", "q02", "q05", "q06", "q09", "q14", "q18",
+    # scale-layout family — ALL r9-modified (the hash-stability fix
+    # that turns the r8 red row green, plus its latent salted twins)
     "dpp_join",
-    "partition_pruned_agg",
-    "bucketed_join",
-    # scalar-function families
-    "string_funcs",
-    "array_funcs",
-    "json_funcs",
-    "spatial_wkb",          # WKB GEOMETRY codec (GeoArrow wire tier;
-                            # spatial_funcs5, officially green since
-                            # r3, moves to the repo-harness tier — its
-                            # slot re-proves the r8-modified CMS)
-    "cms_heavy_hitters",    # modified r8: cells derived from the
-                            # wordcount rollup (one corpus pass)
-    # events
-    "events_asof_join",
+    "partition_pruned_agg",   # r9: rounded sum(value)
+    "bucketed_join",          # r9: rounded money sum — the r8 red row
+    "salted_agg",             # r9: rounded money sums (latent twin)
+    "salted_join",            # r9: rounded money sum (latent twin)
+    "manyfile_scan_agg",
+    # relational families, r9-modified reps
+    "range_band_join",        # theta/range join; r9 rounding
+    "grouping_sets_agg",      # grouping sets; r9 rounding
+    "cube_agg",               # cube; r9 rounding
+    "stats_agg",              # stddev/corr/covar; r9 rounding to 6dp
+    "window_running",         # window running sum; r9 rounding
+    "agg_funcs",              # FILTER-clause agg; r9 rounding
+    # events family, r9-modified reps (pyds is also the Custom Python
+    # DataSource §2D row)
     "events_sessionize",
-    # text analysis / IR / data selection (dsir_importance moved to the
-    # repo-harness tier in favor of the round-3 retrieval family rep)
-    "tfidf_top_terms",
-    "unigram_logprob",
-    "bm25_topk",            # BM25 lexical retrieval (round-3)
-    # dedup tier (simhash verified by repo harness)
+    "events_hourly",
+    "events_anomaly",
+    "pyds_synthetic_agg",
+    # restorations per r8 verdict item 4 (long-green displaced rows)
+    "spatial_funcs5",
+    "dsir_importance",
+    "triangle_count",
+    "weighted_sample",
+    # LLM-pipeline tier reps (r8-modified rows kept for a second
+    # official round: embedding_neardup pair, semdedup, CMS, PMI)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_clusters",
-    # similarity tier (ann_bruteforce_topk moved to the repo-harness
-    # tier in r5 — same SURVEY row as ann_ivf, and the freed slot goes
-    # to the new TWS timer-semantics proof)
     "ann_ivf",
-    # multimodal (meta tier verified by repo harness)
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "semdedup_prune",
+    "cms_heavy_hitters",
+    "pmi_collocations",
     "multimodal_features",
-    # sampling / dataset splitting (weighted_sample moved to the
-    # repo-harness tier in favor of the round-3 evaluation family rep)
-    "dataset_split",
-    "embedding_neardup",    # modified r8 again (footer-metadata row
-                            # count replaces the per-call full-scan
-                            # count()), kept in the official record
-    "embedding_neardup_lsh",  # modified r8 (same row-count seam)
-    # training-corpus prep + sketches
-    "decontaminate_ngram",
-    "sequence_pack",
-    "semdedup_prune",       # modified r8 (oracle mirrors the Spark
-                            # side's pre-join unit-normalization)
-    "pagerank_suppliers",    # iterative graph tier (triangle_count,
-                             # officially green twice, moves to the
-                             # repo-harness tier — its slot re-proves
-                             # the r8-modified PMI)
-    "pmi_collocations",      # modified r8: corpus totals derived from
-                             # the count tables (4 scans -> 2)
-    "approx_distinct_hll",   # sketch family rep (CMS/Bloom/histogram
-                             # siblings verified by the repo harness)
-    # catalog metadata exercised as a *query* (DoGetTables'
-    # information_schema path, r5)
     "information_schema_tables",
-    # scale patterns (r8: build-once many-file layout)
-    "manyfile_scan_agg",
 ]
 
 

@@ -11,6 +11,7 @@ fixture-path API allocation-free per query.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -57,8 +58,12 @@ _AQE_DECISION: dict[str, str | None] = {}
 #: Last value THIS policy wrote per session — when the live conf
 #: differs, someone else (a user SET, a test probe) changed it after
 #: us, and an explicit override outranks the size heuristic until the
-#: session goes away.
-_AQE_SET: dict[int, str] = {}
+#: session goes away. Weak-keyed on the session itself: an id()-keyed
+#: dict can hand a NEW session a dead session's state when CPython
+#: reuses the address (nothing here keeps sessions alive, unlike
+#: _CACHE/_PERSISTED).
+_AQE_SET: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary())
 
 
 def _dir_is_small(sf_dir: str) -> bool | None:
@@ -96,7 +101,7 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
     if decision is not None:
         try:
             cur = spark.conf.get("spark.sql.adaptive.enabled")
-            prev_set = _AQE_SET.get(id(spark))
+            prev_set = _AQE_SET.get(spark)
             if prev_set is not None and cur != prev_set:
                 # Someone set the conf after our last write — an
                 # explicit override (user SET / test probe) beats the
@@ -104,7 +109,7 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
                 return
             if cur != decision:
                 spark.conf.set("spark.sql.adaptive.enabled", decision)
-            _AQE_SET[id(spark)] = decision
+            _AQE_SET[spark] = decision
         except Exception:
             pass
 
@@ -121,13 +126,15 @@ def tune_adaptivity(spark: SparkSession, sf_dir: str) -> None:
 SMALL_SHUFFLE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_SMALL_SHUFFLE", "8"))
 
-#: Per-session width management state: session id -> (first_seen
-#: width, our last write). A session whose current width was never
-#: written by us and differs from our last write was pinned by someone
-#: else (a user SET, the bounded/streaming clones, a test probe) —
-#: explicit overrides outrank the size heuristic, matching the AQE
-#: policy above.
-_WIDTH_STATE: dict[int, tuple[str, str | None]] = {}
+#: Per-session width management state: session -> (first_seen width,
+#: our last write). A session whose current width was never written by
+#: us and differs from our last write was pinned by someone else (a
+#: user SET, the bounded/streaming clones, a test probe) — explicit
+#: overrides outrank the size heuristic, matching the AQE policy
+#: above. Weak-keyed for the same id()-reuse reason as _AQE_SET: a
+#: recycled address must not inherit a dead session's pin/width.
+_WIDTH_STATE: "weakref.WeakKeyDictionary[SparkSession, tuple[str, str | None]]" = (
+    weakref.WeakKeyDictionary())
 
 
 def tune_shuffle_width(spark: SparkSession, sf_dir: str) -> None:
@@ -142,11 +149,10 @@ def tune_shuffle_width(spark: SparkSession, sf_dir: str) -> None:
         return
     try:
         cur = spark.conf.get("spark.sql.shuffle.partitions")
-        sid = id(spark)
-        state = _WIDTH_STATE.get(sid)
+        state = _WIDTH_STATE.get(spark)
         if state is None:
             state = (cur, None)
-            _WIDTH_STATE[sid] = state
+            _WIDTH_STATE[spark] = state
         first_seen, last_write = state
         if last_write is not None and cur != last_write:
             return  # externally overridden since our last write
@@ -155,7 +161,7 @@ def tune_shuffle_width(spark: SparkSession, sf_dir: str) -> None:
             if small else first_seen)
         if cur != want:
             spark.conf.set("spark.sql.shuffle.partitions", want)
-        _WIDTH_STATE[sid] = (first_seen, want)
+        _WIDTH_STATE[spark] = (first_seen, want)
     except Exception:
         pass
 

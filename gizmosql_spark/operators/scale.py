@@ -156,8 +156,15 @@ def _ensure_bucketed(spark: SparkSession, sf_dir: str, base: str, key: str) -> s
         return t
     path = _warehouse_path(spark, t)
     with _build_lock(path):
-        # a concurrent process may have completed the build while we
-        # waited on the lock — its _SUCCESS marker re-attaches here
+        # a concurrent SAME-PROCESS caller may have built and
+        # registered the table while this thread waited on the flock —
+        # re-check the catalog under the lock BEFORE any reattach or
+        # rmtree, or we'd tear down a valid layout a sibling is
+        # mid-scan on (the round-7 race, shifted intra-process)
+        if spark.catalog.tableExists(t):
+            return t
+        # a concurrent OTHER process may have completed the build while
+        # we waited — its _SUCCESS marker re-attaches here
         if _reattach_bucketed(spark, t, key):
             return t
         # no _SUCCESS → the layout was never valid, so no reader can
@@ -297,6 +304,15 @@ def _ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     path = _warehouse_path(spark, t)
     with _build_lock(path):
         if spark.catalog.tableExists(t):
+            # a concurrent same-process caller may have registered a
+            # VALID partitioned table while we waited on the flock —
+            # re-verify under the lock and serve it rather than
+            # dropping a layout a sibling may be mid-scan on
+            if any(
+                c.name == "event_date" and c.isPartition
+                for c in spark.catalog.listColumns(t)
+            ):
+                return t
             # mis-registered in THIS session's catalog (unpartitioned
             # leftover from an interrupted write — never valid, never
             # served): drop it; reattach-or-rebuild follows under lock

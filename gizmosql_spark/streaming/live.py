@@ -1,0 +1,477 @@
+"""Long-lived transformWithState queries fed by bounded input swaps.
+
+A Structured Streaming stateful query in deployment runs for months;
+its driver-side Python pre-init worker (StreamingPythonRunner spawns a
+fresh interpreter per query START — hardcoded useDaemon=false, measured
+at ~1.0 s, not conf-reachable) and its state-store load are paid ONCE.
+The bounded driver-contract entries, by contrast, used to start a fresh
+query per invocation and pay that floor every time — ~1 s × 5 TWS
+queries × every bench iteration (SCALING.md §6 decomposition).
+
+This module keeps ONE live query per (state shape, fixture dir) and
+feeds each bounded invocation through it:
+
+- state is keyed by ``(run_id, user_id)`` so successive runs never see
+  each other's state — run N+1 starts every key fresh while run N's
+  keys idle in RocksDB (bounded: fixture keys × generation runs);
+- the input file is hard-linked (or copied) into a spool directory the
+  query watches; the rename into place is atomic, so a run's whole
+  input lands in exactly ONE micro-batch and Update mode emits exactly
+  one final row per key per run;
+- ``run_id`` is derived from the spool FILENAME at scan time
+  (input_file_name()), so the fixture parquet is fed byte-identical —
+  no rewrite per run;
+- completion is ``query.processAllAvailable()`` — the synchronous
+  barrier Structured Streaming provides for exactly this pattern;
+- the memory sink accumulates one generation of runs, then the query
+  is rebuilt (fresh spool/checkpoint/sink) — also the recycle point
+  for the seeded shape, whose initialState pre-seeds a generation of
+  run_ids up front (initialState is applied only at query start).
+
+Every entry keeps its bounded-run fallback (windows._run_with_rocksdb):
+any failure here tears the live query down and the caller re-runs the
+classic availableNow path, so correctness never depends on this cache.
+
+Reference parity: the reference engine (a batch SQL server) has no
+streaming tier; this is the Spark-native extension tier's deployment
+shape (SURVEY.md §2C streaming row).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import threading
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: runs per live-query generation: the memory sink and the idle RocksDB
+#: keys grow per run, so the query is recycled (one fresh query start)
+#: every N runs. The seeded shape's initialState covers exactly one
+#: generation of run_ids, so its generation doubles as the seed pool.
+GENERATION_RUNS = int(os.environ.get("SPARK_GRAFT_LIVE_RUNS", "64"))
+SEED_GENERATION_RUNS = int(os.environ.get("SPARK_GRAFT_LIVE_SEED_RUNS", "16"))
+
+_REGISTRY: dict[tuple[str, str], "_LiveTws"] = {}
+_LOCK = threading.RLock()
+
+
+def _event_source(session: SparkSession, sf_dir: str,
+                  spool: str) -> DataFrame:
+    """events-schema stream over the spool dir, with ``run_id`` decoded
+    from the landed filename and the ts encoding normalized exactly as
+    windows.read_event_stream does."""
+    from gizmosql_spark.streaming import windows as W
+
+    cached = W._EVENT_SCHEMA_CACHE.get(sf_dir)
+    if cached is None:
+        batch = (
+            session.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        cached = (batch.schema, dict(batch.dtypes).get("ts"))
+        W._EVENT_SCHEMA_CACHE[sf_dir] = cached
+    schema, ts_dtype = cached
+    stream = session.readStream.schema(schema).parquet(spool)
+    stream = stream.withColumn(
+        "run_id",
+        F.regexp_extract(F.input_file_name(), r"run(\d+)\.parquet", 1)
+        .cast("long"),
+    )
+    if ts_dtype == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype != "timestamp":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _with_run(schema: StructType) -> StructType:
+    return StructType([StructField("run_id", LongType())] + list(schema))
+
+
+class _Shape:
+    """One TWS state shape: how to build the keyed stream + processor
+    (run-aware: grouped by (run_id, user_id)) and, optionally, the
+    per-generation initial state."""
+
+    def __init__(
+        self,
+        name: str,
+        output_schema: StructType,
+        build: Callable[[SparkSession, DataFrame], DataFrame],
+        generation_runs: int = GENERATION_RUNS,
+        needs_seed: bool = False,
+        post: Callable[[DataFrame, int], DataFrame] | None = None,
+        expected_rows: Callable[[SparkSession, str], int] | None = None,
+    ) -> None:
+        self.name = name
+        self.output_schema = output_schema
+        self.build = build
+        self.generation_runs = generation_runs
+        self.needs_seed = needs_seed
+        #: per-run output fixup (e.g. un-shift timer timestamps)
+        self.post = post
+        #: deterministic completion barrier for shapes whose output is
+        #: produced by a TRAILING no-data batch (event-time timers fire
+        #: after the watermark advances, which processAllAvailable does
+        #: not wait for): poll the sink until the run's row count
+        #: reaches this, instead of racing the timer batch
+        self.expected_rows = expected_rows
+
+
+class _LiveTws:
+    """A live query instance (one generation at a time)."""
+
+    def __init__(self, shape: _Shape, session: SparkSession,
+                 sf_dir: str) -> None:
+        self.shape = shape
+        self.session = session
+        self.sf_dir = sf_dir
+        self.gen = 0
+        self.runs_done = 0
+        self.query = None
+        self.spool = ""
+        self.ckpt = ""
+        self._start()
+
+    @property
+    def sink(self) -> str:
+        return f"live_{self.shape.name}_g{self.gen}"
+
+    def _start(self) -> None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        self.spool = tempfile.mkdtemp(
+            prefix=f"gizmosql-live-{self.shape.name}-", dir=base)
+        self.ckpt = tempfile.mkdtemp(
+            prefix=f"gizmosql-livec-{self.shape.name}-", dir=base)
+        src = _event_source(self.session, self.sf_dir, self.spool)
+        keyed = self.shape.build(self.session, src)
+        self.query = (
+            keyed.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(self.sink)
+            .option("checkpointLocation", self.ckpt)
+            .start()
+        )
+
+    def _teardown(self) -> None:
+        try:
+            if self.query is not None:
+                self.query.stop()
+        except Exception:
+            pass
+        try:
+            self.session.catalog.dropTempView(self.sink)
+        except Exception:
+            pass
+        shutil.rmtree(self.spool, ignore_errors=True)
+        shutil.rmtree(self.ckpt, ignore_errors=True)
+        self.query = None
+
+    def _recycle(self) -> None:
+        self._teardown()
+        self.gen += 1
+        self.runs_done = 0
+        self._start()
+
+    def run(self) -> DataFrame:
+        """Feed one bounded run through the live query; return its rows
+        (run_id dropped, lineage pinned)."""
+        if self.query is None or not self.query.isActive:
+            # a stopped query consumes nothing yet processAllAvailable
+            # returns instantly — raise so the caller rebuilds instead
+            # of returning an empty frame
+            raise RuntimeError(
+                f"live {self.shape.name}: query is not active")
+        if self.runs_done >= self.shape.generation_runs:
+            self._recycle()
+        rid = self.runs_done
+        self.runs_done += 1
+        src = os.path.join(self.sf_dir, "events.parquet")
+        tmp = os.path.join(self.spool, f".run{rid}.parquet")
+        dst = os.path.join(self.spool, f"run{rid}.parquet")
+        try:
+            os.link(src, tmp)
+        except OSError:
+            shutil.copyfile(src, tmp)
+        os.rename(tmp, dst)  # atomic: the run lands in ONE micro-batch
+        self.query.processAllAvailable()
+        rows = self.session.table(self.sink).filter(F.col("run_id") == rid)
+        if self.shape.expected_rows is not None:
+            import time as _time
+
+            want = self.shape.expected_rows(self.session, self.sf_dir)
+            deadline = _time.monotonic() + 30.0
+            while rows.count() < want:
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"live {self.shape.name} run {rid}: "
+                        f"{rows.count()}/{want} rows after 30s")
+                _time.sleep(0.05)
+        if self.shape.post is not None:
+            rows = self.shape.post(rows, rid)
+        # pin the rows: the sink keeps growing with later runs and the
+        # view is dropped on recycle — the returned frame must not
+        # depend on either
+        return rows.drop("run_id").localCheckpoint(eager=True)
+
+
+# --- shape builders ----------------------------------------------------
+
+
+def _build_user_stats(session: SparkSession, src: DataFrame) -> DataFrame:
+    from gizmosql_spark.streaming import windows as W
+
+    schema = _with_run(W.USER_STATS_SCHEMA)
+    # explicit column pruning: the processor reads only `value`, and
+    # projection does not push through transformWithStateInPandas on
+    # its own — at sf0.1 this halves the Arrow volume into the worker
+    src = src.select("run_id", "user_id", "value")
+    return src.groupBy("run_id", "user_id").transformWithStateInPandas(
+        statefulProcessor=W._user_stats_processor(run_aware=True),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_TYPE_MATRIX_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _build_type_matrix(session: SparkSession, src: DataFrame) -> DataFrame:
+    from gizmosql_spark.streaming import windows as W
+
+    src = src.select("run_id", "user_id", "event_type", "value")
+    return src.groupBy("run_id", "user_id").transformWithStateInPandas(
+        statefulProcessor=W._type_matrix_processor(run_aware=True),
+        outputStructType=_with_run(_TYPE_MATRIX_SCHEMA),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_RECENT_EVENTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
+    ]
+)
+
+
+def _build_recent_events(session: SparkSession, src: DataFrame) -> DataFrame:
+    from gizmosql_spark.streaming import windows as W
+
+    events = src.select(
+        "run_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    return events.groupBy("run_id", "user_id").transformWithStateInPandas(
+        statefulProcessor=W._recent_events_processor(run_aware=True),
+        outputStructType=_with_run(_RECENT_EVENTS_SCHEMA),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+_SEEDED_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("count", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+class _SeededBuild:
+    """seeded_stats needs the fixture dir at build time: its
+    initialState (the warehouse-snapshot aggregate) is baked into the
+    query start, replicated across one generation of run_ids."""
+
+    def __init__(self, sf_dir: str) -> None:
+        self.sf_dir = sf_dir
+
+    def __call__(self, session: SparkSession, src: DataFrame) -> DataFrame:
+        from gizmosql_spark.operators import loader
+        from gizmosql_spark.operators.events import load_events
+        from gizmosql_spark.streaming import windows as W
+
+        seed_one = loader.keyed_persist(
+            session, f"streaming.seeded_stats_seed:{self.sf_dir}",
+            lambda: load_events(session, self.sf_dir)
+            .filter(F.col("event_id") < W._SEED_SPLIT_ID)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("seed_count"),
+                F.sum("value").alias("seed_total"),
+            ),
+        )
+        runs = session.range(SEED_GENERATION_RUNS).select(
+            F.col("id").alias("run_id"))
+        seed = seed_one.crossJoin(runs).groupBy("run_id", "user_id")
+        ev = src.filter(F.col("event_id") >= W._SEED_SPLIT_ID).select(
+            "run_id", "user_id", "value")
+        return ev.groupBy("run_id", "user_id").transformWithStateInPandas(
+            statefulProcessor=W._seeded_stats_processor(run_aware=True),
+            outputStructType=_with_run(_SEEDED_SCHEMA),
+            outputMode="Update",
+            timeMode="None",
+            initialState=seed,
+        )
+
+
+#: per-run event-time shift for the timer shape: each run's events are
+#: moved into their own disjoint time frame so the live query's
+#: monotonic watermark never marks a later run's (otherwise identical)
+#: timestamps late, and leftover timers from run N can't collide with
+#: run N+1 keys. 4096 h per run >> the fixture's ~31-day span; output
+#: flush timestamps are shifted back by the same constant.
+_TIMER_SHIFT_MS = 4096 * 3600 * 1000
+_TIMER_SHIFT_US = _TIMER_SHIFT_MS * 1000
+
+_TIMER_EXPECTED: dict[str, int] = {}
+
+
+def _timer_expected_rows(session: SparkSession, sf_dir: str) -> int:
+    """How many users the bounded timer query emits: those whose
+    (first event + flush interval) precedes the final watermark
+    (max ts − 10 min) — the oracle's WHERE clause, counted once per
+    fixture dir and cached."""
+    got = _TIMER_EXPECTED.get(sf_dir)
+    if got is None:
+        from gizmosql_spark.operators.events import load_events
+        from gizmosql_spark.streaming import windows as W
+
+        ev = load_events(session, sf_dir).select(
+            "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+        got = (
+            ev.groupBy("user_id")
+            .agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+            .select(F.max("hi").alias("wm_hi"),
+                    F.collect_list(F.struct("user_id", "lo")).alias("us"))
+            .select(F.explode("us").alias("u"), "wm_hi")
+            .filter(F.col("u.lo") + W._TIMER_FLUSH_MS
+                    < F.col("wm_hi") - 600000)
+            .count()
+        )
+        _TIMER_EXPECTED[sf_dir] = got
+    return got
+
+
+def _build_timer_flush(session: SparkSession, src: DataFrame) -> DataFrame:
+    from gizmosql_spark.streaming import windows as W
+
+    shifted = src.withColumn(
+        "ts_shift",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.col("run_id") * F.lit(_TIMER_SHIFT_US)),
+    )
+    events = shifted.withWatermark("ts_shift", "10 minutes").select(
+        "run_id", "user_id", "value",
+        F.unix_millis(F.col("ts_shift")).alias("ts_ms"), "ts_shift",
+    )
+    schema = _with_run(StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total", DoubleType()),
+        StructField("flush_ms", LongType()),
+    ]))
+    return events.groupBy("run_id", "user_id").transformWithStateInPandas(
+        statefulProcessor=W._timer_flush_processor(
+            W._TIMER_FLUSH_MS, run_aware=True),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
+def _timer_post(rows: DataFrame, rid: int) -> DataFrame:
+    return rows.withColumn(
+        "flush_ms", F.col("flush_ms") - F.lit(rid * _TIMER_SHIFT_MS))
+
+
+def _shapes(sf_dir: str) -> dict[str, _Shape]:
+    return {
+        "user_stats": _Shape("user_stats", None, _build_user_stats),
+        "type_matrix": _Shape("type_matrix", None, _build_type_matrix),
+        "recent_events": _Shape(
+            "recent_events", None, _build_recent_events),
+        "seeded_stats": _Shape(
+            "seeded_stats", None, _SeededBuild(sf_dir),
+            generation_runs=SEED_GENERATION_RUNS, needs_seed=True),
+        "timer_flush": _Shape(
+            "timer_flush", None, _build_timer_flush,
+            post=_timer_post, expected_rows=_timer_expected_rows),
+    }
+
+
+def run_live(spark: SparkSession, shape_name: str,
+             sf_dir: str) -> DataFrame | None:
+    """Feed one bounded run through the (created-on-demand) live query
+    for ``shape_name``. Returns None when the live path is unavailable
+    or failed — callers fall back to the bounded availableNow path."""
+    from gizmosql_spark.streaming import windows as W
+
+    if not W.tws_available():
+        return None
+    key = (shape_name, sf_dir)
+    with _LOCK:
+        session = W.tws_streaming_session(spark)
+        for attempt in (0, 1):
+            live = _REGISTRY.get(key)
+            try:
+                if live is None or live.session is not session \
+                        or live.query is None:
+                    if live is not None:
+                        live._teardown()
+                    live = _LiveTws(
+                        _shapes(sf_dir)[shape_name], session, sf_dir)
+                    _REGISTRY[key] = live
+                return live.run()
+            except Exception:
+                # first failure: drop this live query and rebuild once
+                # (covers a torn-down clone / dead worker pool);
+                # second failure: give up, caller takes the fallback
+                try:
+                    live._teardown()
+                except Exception:
+                    pass
+                _REGISTRY.pop(key, None)
+                if attempt == 1:
+                    return None
+    return None
+
+
+def reset_all() -> None:
+    """Tear down every live query (called from
+    windows._reset_streaming_session after a crash signature: the TWS
+    clone these queries are bound to is being rebuilt)."""
+    with _LOCK:
+        for live in list(_REGISTRY.values()):
+            try:
+                live._teardown()
+            except Exception:
+                pass
+        _REGISTRY.clear()

@@ -180,6 +180,9 @@ def _reset_streaming_session() -> None:
     makes the next streaming_session()/tws_streaming_session() call
     build fresh ones — new state-server pool, re-run TWS prewarm."""
     global _TWS_SESSION, _TWS_WARMED
+    from gizmosql_spark.streaming import live as _live
+
+    _live.reset_all()
     dead = [s for s in (*_STREAM_SESSION.values(), _TWS_SESSION)
             if s is not None]
     _STREAM_SESSION.clear()
@@ -592,8 +595,9 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def attempt() -> None:
         # session + stream re-derived per attempt: a crash-retry gets
         # the rebuilt streaming clone (see _retry_streaming)
-        s = streaming_session(spark)
         agg = tumbling_counts(read_event_stream(spark, sf_dir))
+        # working session = the stream's own (possibly wide) clone
+        s = agg.sparkSession
         # reset the sink per attempt so a crash-retry never double-
         # appends; a previous PROCESS may also have left the managed
         # location behind (in-memory catalog forgets tables at exit;
@@ -619,7 +623,7 @@ def stream_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the landed table stays live for the returned lazy frame; the
     # next run's leading DROP makes reruns idempotent
     return (
-        streaming_session(spark).table(table)
+        streaming_session(spark, wide=wide_for_dir(sf_dir)).table(table)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -666,12 +670,16 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # crash-retry gets the rebuilt streaming clone AND replays the
         # merge from the same initial state (the fold is associative,
         # but the seed table is mutated in place by _upsert)
-        s = streaming_session(spark)
         from gizmosql_spark.operators.events import load_events
 
+        ev = read_event_stream(spark, sf_dir).select(*cols)
+        # the working session is the one the stream was built on —
+        # read_event_stream may pick the WIDE clone for super-threshold
+        # dirs, and mixing frames from two sessions would run the seed
+        # build and per-batch merges at the wrong width (r8 advice)
+        s = ev.sparkSession
         seed = load_events(s, sf_dir).filter(
             F.col("event_id") < 100).select(*cols)
-        ev = read_event_stream(spark, sf_dir).select(*cols)
 
         def _upsert(batch_df: DataFrame, batch_id: int) -> None:
             from gizmosql_spark import dml
@@ -699,7 +707,7 @@ def stream_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _retry_streaming(attempt)
     return (
-        streaming_session(spark).table(table)
+        streaming_session(spark, wide=wide_for_dir(sf_dir)).table(table)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -819,11 +827,16 @@ ORACLE: dict[str, str] = {
 # --- transformWithStateInPandas (Spark 4 stateful processor API) -----
 
 
-def _user_stats_processor():
+def _user_stats_processor(run_aware: bool = False):
     """Per-user event statistics via the Spark 4 StatefulProcessor API
     (value state + composite types) — the successor to
     applyInPandasWithState, with explicit state variables. Built lazily
-    so importing this module never requires the API."""
+    so importing this module never requires the API.
+
+    ``run_aware=True`` is the long-lived-query form (streaming/live.py):
+    the group key is (run_id, user_id) and the emitted frame carries the
+    run_id so the feeder can slice one bounded run out of the shared
+    sink."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -855,14 +868,15 @@ def _user_stats_processor():
                 total += float(pdf["value"].sum())
                 max_v = max(max_v, float(pdf["value"].max()))
             self._state.update((count, total, max_v))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "count": [count],
-                    "total": [total],
-                    "max_value": [max_v],
-                }
-            )
+            out = {
+                "user_id": [key[-1]],
+                "count": [count],
+                "total": [total],
+                "max_value": [max_v],
+            }
+            if run_aware:
+                out = {"run_id": [key[0]], **out}
+            yield pd.DataFrame(out)
 
         def close(self) -> None:
             pass
@@ -967,12 +981,16 @@ def _run_with_rocksdb(spark: SparkSession, stream_source,
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: the StatefulProcessor pipeline driven to
     completion; final per-user stats equal the batch aggregate."""
-    out = _run_with_rocksdb(
-        spark,
-        lambda: user_stats_tws(read_event_stream(
-            spark, sf_dir, session=tws_streaming_session(spark))),
-        "q_stream_user_stats",
-    )
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "user_stats", sf_dir)
+    if out is None:  # live path unavailable/failed → bounded fallback
+        out = _run_with_rocksdb(
+            spark,
+            lambda: user_stats_tws(read_event_stream(
+                spark, sf_dir, session=tws_streaming_session(spark))),
+            "q_stream_user_stats",
+        )
     # round the float sum: pandas' per-batch accumulation order differs
     # from the oracle's, so last-bit association drift is expected
     return (
@@ -983,7 +1001,7 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _type_matrix_processor():
+def _type_matrix_processor(run_aware: bool = False):
     """MapState-backed per-user event-type matrix — exercises the map
     tier of the state protocol (getMapState, containsKey, getValue,
     updateValue, iterator incl. the requireNextFetch pagination
@@ -1027,14 +1045,15 @@ def _type_matrix_processor():
                                      prev[1] + float(row["sum"]))
                     self._counts.updateValue((etype,), merged[etype])
             cells = sorted((k, v[0], v[1]) for k, v in merged.items())
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(cells),
-                    "event_type": [c[0] for c in cells],
-                    "n": [c[1] for c in cells],
-                    "total": [round(c[2], 4) for c in cells],
-                }
-            )
+            out = {
+                "user_id": [key[-1]] * len(cells),
+                "event_type": [c[0] for c in cells],
+                "n": [c[1] for c in cells],
+                "total": [round(c[2], 4) for c in cells],
+            }
+            if run_aware:
+                out = {"run_id": [key[0]] * len(cells), **out}
+            yield pd.DataFrame(out)
 
         def close(self) -> None:
             pass
@@ -1042,7 +1061,8 @@ def _type_matrix_processor():
     return TypeMatrix()
 
 
-def _recent_events_processor(keep: int = 3):
+def _recent_events_processor(keep: int = 3,
+                             run_aware: bool = False):
     """ListState-backed per-user recent-event tracker — exercises the
     list tier (getListState, appendList, paginated get)."""
     from pyspark.sql.streaming.stateful_processor import (
@@ -1071,14 +1091,15 @@ def _recent_events_processor(keep: int = 3):
             latest = sorted(
                 self._events.get(), key=lambda t: (-t[0], -t[1])
             )[:keep]
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(latest),
-                    "rn": list(range(1, len(latest) + 1)),
-                    "ts_us": [t[0] for t in latest],
-                    "event_id": [t[1] for t in latest],
-                }
-            )
+            out = {
+                "user_id": [key[-1]] * len(latest),
+                "rn": list(range(1, len(latest) + 1)),
+                "ts_us": [t[0] for t in latest],
+                "event_id": [t[1] for t in latest],
+            }
+            if run_aware:
+                out = {"run_id": [key[0]] * len(latest), **out}
+            yield pd.DataFrame(out)
 
         def close(self) -> None:
             pass
@@ -1109,7 +1130,11 @@ def stream_user_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
 
-    out = _run_with_rocksdb(spark, build, "q_stream_user_type_matrix")
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "type_matrix", sf_dir)
+    if out is None:
+        out = _run_with_rocksdb(spark, build, "q_stream_user_type_matrix")
     return out.orderBy("user_id", "event_type")
 
 
@@ -1139,7 +1164,11 @@ def stream_user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
 
-    out = _run_with_rocksdb(spark, build, "q_stream_user_recent")
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "recent_events", sf_dir)
+    if out is None:
+        out = _run_with_rocksdb(spark, build, "q_stream_user_recent")
     return out.orderBy("user_id", "rn")
 
 
@@ -1306,7 +1335,8 @@ ORACLE["stream_outer_join"] = """
 """
 
 
-def _timer_flush_processor(flush_after_ms: int):
+def _timer_flush_processor(flush_after_ms: int,
+                           run_aware: bool = False):
     """Event-time-timer-driven flush — exercises the TIMER tier of the
     TWS state protocol (registerTimer, listTimers, handleExpiredTimer,
     ExpiredTimerInfo), the one surface value/map/list state leave
@@ -1323,6 +1353,7 @@ def _timer_flush_processor(flush_after_ms: int):
             self._handle = handle
             self._agg = handle.getValueState(
                 "agg", "count LONG, total DOUBLE, expiry LONG")
+            self._probed = False
 
         def handleInputRows(self, key, rows, timerValues):
             prev = self._agg.get()  # one RPC: None when absent
@@ -1337,7 +1368,12 @@ def _timer_flush_processor(flush_after_ms: int):
             if expiry < 0 and first_ms is not None:
                 expiry = first_ms + flush_after_ms
                 self._handle.registerTimer(expiry)
-                assert list(self._handle.listTimers())  # wire-path probe
+                if not self._probed:
+                    # listTimers wire-path probe: ONCE per partition,
+                    # not per key — it is a full state-server RPC, and
+                    # per-key it added ~1 round trip per user per batch
+                    self._probed = True
+                    assert list(self._handle.listTimers())
             self._agg.update((count, total, expiry))
             return iter(())  # timer-driven output only
 
@@ -1346,14 +1382,15 @@ def _timer_flush_processor(flush_after_ms: int):
 
             count, total, _ = self._agg.get()
             self._agg.clear()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [count],
-                    "total": [round(total, 4)],
-                    "flush_ms": [expiredTimerInfo.getExpiryTimeInMs()],
-                }
-            )
+            out = {
+                "user_id": [key[-1]],
+                "n_events": [count],
+                "total": [round(total, 4)],
+                "flush_ms": [expiredTimerInfo.getExpiryTimeInMs()],
+            }
+            if run_aware:
+                out = {"run_id": [key[0]], **out}
+            yield pd.DataFrame(out)
 
         def close(self) -> None:
             pass
@@ -1403,11 +1440,15 @@ def stream_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="EventTime",
         )
 
-    out = _run_with_rocksdb(spark, build, "q_stream_timer_flush")
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "timer_flush", sf_dir)
+    if out is None:
+        out = _run_with_rocksdb(spark, build, "q_stream_timer_flush")
     return out.orderBy("user_id")
 
 
-def _seeded_stats_processor():
+def _seeded_stats_processor(run_aware: bool = False):
     """ValueState seeded from a BATCH frame via handleInitialState —
     exercises the initial-state tier of the TWS protocol, the
     resume-from-warehouse-snapshot pattern (state bootstrapped from a
@@ -1438,13 +1479,14 @@ def _seeded_stats_processor():
                 count += len(pdf)
                 total += float(pdf["value"].sum())
             self._agg.update((count, total))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "count": [count],
-                    "total": [round(total, 4)],
-                }
-            )
+            out = {
+                "user_id": [key[-1]],
+                "count": [count],
+                "total": [round(total, 4)],
+            }
+            if run_aware:
+                out = {"run_id": [key[0]], **out}
+            yield pd.DataFrame(out)
 
         def close(self) -> None:
             pass
@@ -1501,7 +1543,11 @@ def stream_seeded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             initialState=seed,
         )
 
-    out = _run_with_rocksdb(spark, build, "q_stream_seeded_stats")
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "seeded_stats", sf_dir)
+    if out is None:
+        out = _run_with_rocksdb(spark, build, "q_stream_seeded_stats")
     return out.select(
         "user_id", "count", F.round("total", 4).alias("total")
     ).orderBy("user_id")

@@ -22,7 +22,7 @@ def clone(spark):
     into the shared test session."""
     s = spark.newSession()
     yield s
-    loader._WIDTH_STATE.pop(id(s), None)
+    loader._WIDTH_STATE.pop(s, None)
 
 
 def _fake_big_dir(name: str) -> str:
@@ -57,7 +57,7 @@ def test_prepinned_session_width_never_touched(clone):
     clones) keeps it on big dirs: first-seen width is the restore
     target."""
     clone.conf.set("spark.sql.shuffle.partitions", "4")
-    loader._WIDTH_STATE.pop(id(clone), None)
+    loader._WIDTH_STATE.pop(clone, None)
     loader.tune_shuffle_width(clone, _fake_big_dir("/fake/wpb3"))
     assert clone.conf.get("spark.sql.shuffle.partitions") == "4"
 
