@@ -143,7 +143,17 @@ def tune_shuffle_width(spark: SparkSession, sf_dir: str) -> None:
     big dirs restore the session's own launch-time width. Re-aligned on
     every table() call (same reasoning as tune_adaptivity); a width the
     session acquired any other way — clone construction, user SET — is
-    treated as pinned and never touched."""
+    treated as pinned and never touched.
+
+    SINGLE-DIR CONTRACT (r8 verdict item 6): because the policy
+    re-aligns per table() call, a query whose plan touches TWO dirs
+    executes at whichever dir was loaded LAST — load the big side last
+    (or pin the width explicitly) when mixing a small dim dir with a
+    big fact dir. Every corpus query reads one dir; the behavior is
+    pinned in tests/test_width_policy.py. At the 100 TB design point
+    the policy is inert either way: every dir crosses the threshold,
+    the session runs at launch width, and AQE owns the reducer
+    count."""
     small = _dir_is_small(sf_dir)
     if small is None:
         return

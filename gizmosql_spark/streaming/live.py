@@ -65,6 +65,12 @@ SEED_GENERATION_RUNS = int(os.environ.get("SPARK_GRAFT_LIVE_SEED_RUNS", "16"))
 _REGISTRY: dict[tuple[str, str], "_LiveTws"] = {}
 _LOCK = threading.RLock()
 
+# spool/checkpoint dirs live in tmpfs — tear everything down when the
+# process exits so repeated bench/test runs don't accumulate them
+import atexit  # noqa: E402
+
+atexit.register(lambda: reset_all())
+
 
 def _event_source(session: SparkSession, sf_dir: str,
                   spool: str) -> DataFrame:
@@ -114,6 +120,8 @@ class _Shape:
         needs_seed: bool = False,
         post: Callable[[DataFrame, int], DataFrame] | None = None,
         expected_rows: Callable[[SparkSession, str], int] | None = None,
+        mode: str = "update",
+        session_kind: str = "tws",
     ) -> None:
         self.name = name
         self.output_schema = output_schema
@@ -123,11 +131,19 @@ class _Shape:
         #: per-run output fixup (e.g. un-shift timer timestamps)
         self.post = post
         #: deterministic completion barrier for shapes whose output is
-        #: produced by a TRAILING no-data batch (event-time timers fire
-        #: after the watermark advances, which processAllAvailable does
-        #: not wait for): poll the sink until the run's row count
-        #: reaches this, instead of racing the timer batch
+        #: produced by a TRAILING no-data batch (event-time timers and
+        #: outer-join null-extensions fire after the watermark
+        #: advances, which processAllAvailable does not wait for):
+        #: poll the sink until the run's row count reaches this,
+        #: instead of racing the trailing batch
         self.expected_rows = expected_rows
+        #: sink output mode: "update" for keyed state shapes, "append"
+        #: for the join shapes
+        self.mode = mode
+        #: which session clone hosts the query: "tws" (RocksDB — the
+        #: transformWithState requirement) or "stream" (HDFS-backed
+        #: store — measured faster for the JVM-only tier)
+        self.session_kind = session_kind
 
 
 class _LiveTws:
@@ -158,7 +174,7 @@ class _LiveTws:
         src = _event_source(self.session, self.sf_dir, self.spool)
         keyed = self.shape.build(self.session, src)
         self.query = (
-            keyed.writeStream.outputMode("update")
+            keyed.writeStream.outputMode(self.shape.mode)
             .format("memory")
             .queryName(self.sink)
             .option("checkpointLocation", self.ckpt)
@@ -224,7 +240,16 @@ class _LiveTws:
         # pin the rows: the sink keeps growing with later runs and the
         # view is dropped on recycle — the returned frame must not
         # depend on either
-        return rows.drop("run_id").localCheckpoint(eager=True)
+        out = rows.drop("run_id").localCheckpoint(eager=True)
+        # the input landed as a cross-device COPY (testdata → tmpfs);
+        # the batch is committed, the source never re-reads a seen
+        # file, and the returned rows are pinned — drop the copy now
+        # rather than letting a generation of them pile up in /dev/shm
+        try:
+            os.remove(dst)
+        except OSError:
+            pass
+        return out
 
 
 # --- shape builders ----------------------------------------------------
@@ -292,6 +317,25 @@ def _build_recent_events(session: SparkSession, src: DataFrame) -> DataFrame:
         outputStructType=_with_run(_RECENT_EVENTS_SCHEMA),
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def _build_running_totals(session: SparkSession,
+                          src: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from gizmosql_spark.streaming import windows as W
+
+    return (
+        src.select("run_id", "user_id", "value")
+        .groupBy("run_id", "user_id")
+        .applyInPandasWithState(
+            W._running_totals_run_aware,
+            outputStructType=_with_run(W.RUNNING_OUTPUT_SCHEMA),
+            stateStructType=W.RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -412,18 +456,236 @@ def _timer_post(rows: DataFrame, rid: int) -> DataFrame:
         "flush_ms", F.col("flush_ms") - F.lit(rid * _TIMER_SHIFT_MS))
 
 
+# --- JVM-tier shapes (windowed aggs + stream-stream joins) -------------
+#
+# Watermarked operators filter rows older than the query's MONOTONIC
+# watermark, so every JVM-tier shape shifts each run's event times into
+# a disjoint frame (the timer shape's trick, generalized): run N+1's
+# otherwise-identical timestamps land Δ ahead of run N's watermark.
+# Δ = 4096 h is an exact multiple of every window/slide/gap in the
+# tier, so bucket boundaries stay congruent and outputs shift back by
+# exactly rid·Δ.
+
+
+def _shift(src: DataFrame) -> DataFrame:
+    return src.withColumn(
+        "ts_shift",
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.col("run_id") * F.lit(_TIMER_SHIFT_US)),
+    )
+
+
+def _unshift(col: str, rid: int) -> F.Column:
+    return F.timestamp_micros(
+        F.unix_micros(F.col(col)) - rid * _TIMER_SHIFT_US).alias(col)
+
+
+def _build_tumbling(session: SparkSession, src: DataFrame) -> DataFrame:
+    ev = _shift(src).withWatermark("ts_shift", "10 minutes")
+    return (
+        ev.groupBy("run_id", F.window("ts_shift", "1 hour").alias("w"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
+        .select("run_id", F.col("w.start").alias("window_start"),
+                "event_type", "n", "total")
+    )
+
+
+def _tumbling_post(rows: DataFrame, rid: int) -> DataFrame:
+    return rows.withColumn(
+        "window_start",
+        F.timestamp_micros(
+            F.unix_micros(F.col("window_start"))
+            - rid * _TIMER_SHIFT_US))
+
+
+def _build_sliding(session: SparkSession, src: DataFrame) -> DataFrame:
+    ev = _shift(src).withWatermark("ts_shift", "10 minutes")
+    return (
+        ev.groupBy("run_id",
+                   F.window("ts_shift", "1 hour", "15 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("run_id", F.col("w.start").alias("window_start"),
+                "event_type", "n")
+    )
+
+
+def _build_session_windows(session: SparkSession,
+                           src: DataFrame) -> DataFrame:
+    ev = _shift(src).withWatermark("ts_shift", "10 minutes")
+    return (
+        ev.groupBy("run_id",
+                   F.session_window("ts_shift", "30 minutes").alias("w"),
+                   "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "run_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+
+
+def _session_post(rows: DataFrame, rid: int) -> DataFrame:
+    return rows.withColumn(
+        "session_start",
+        F.timestamp_micros(
+            F.unix_micros(F.col("session_start")) - rid * _TIMER_SHIFT_US)
+    ).withColumn(
+        "session_end",
+        F.timestamp_micros(
+            F.unix_micros(F.col("session_end")) - rid * _TIMER_SHIFT_US))
+
+
+def _build_static_join(session: SparkSession, src: DataFrame) -> DataFrame:
+    tiers = session.range(0, 1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier"))
+    ev = _shift(src).withWatermark("ts_shift", "10 minutes")
+    return (
+        ev.join(F.broadcast(tiers), "user_id")
+        .groupBy("run_id", "tier")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+def _join_sides(src: DataFrame) -> tuple[DataFrame, DataFrame]:
+    shifted = _shift(src)
+    clicks = (
+        shifted.filter(F.col("event_type") == "click")
+        .select(
+            F.col("run_id").alias("c_run"),
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts_shift").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        shifted.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("run_id").alias("p_run"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts_shift").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    return clicks, purchases
+
+
+_JOIN_COND = None  # built inline: run equality + user + interval band
+
+
+def _build_stream_join(session: SparkSession, src: DataFrame,
+                       how: str = "inner") -> DataFrame:
+    clicks, purchases = _join_sides(src)
+    joined = clicks.join(
+        purchases,
+        (F.col("c_run") == F.col("p_run"))
+        & (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        how,
+    )
+    return joined.select(
+        F.col("c_run").alias("run_id"),
+        "click_id", "purchase_id", "c_user", "c_ts", "p_ts")
+
+
+def _join_post(rows: DataFrame, rid: int) -> DataFrame:
+    return rows.withColumn(
+        "c_ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("c_ts")) - rid * _TIMER_SHIFT_US)
+    ).withColumn(
+        "p_ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("p_ts")) - rid * _TIMER_SHIFT_US))
+
+
+_OUTER_EXPECTED: dict[str, int] = {}
+
+
+def _outer_join_expected_rows(session: SparkSession, sf_dir: str) -> int:
+    """Rows the bounded outer join emits: every interval match, plus a
+    null-extension for each unmatched click whose join window closed
+    strictly before the final watermark (Spark's eviction rule — the
+    oracle's WHERE clause). Computed once per fixture dir in batch."""
+    got = _OUTER_EXPECTED.get(sf_dir)
+    if got is None:
+        from gizmosql_spark.operators.events import load_events
+
+        ev = load_events(session, sf_dir)
+        c = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"))
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"))
+        cond = ((F.col("c_user") == F.col("p_user"))
+                & (F.col("p_ts") > F.col("c_ts"))
+                & (F.col("p_ts") <= F.col("c_ts")
+                   + F.expr("INTERVAL 1 HOUR")))
+        matched = c.join(p, cond).count()
+        wm_row = (
+            c.agg(F.max("c_ts").alias("mc")).crossJoin(
+                p.agg(F.max("p_ts").alias("mp")))
+            .select(F.least("mc", "mp").alias("wm")).collect()[0])
+        wm = wm_row["wm"]
+        evicted = (
+            c.join(p, cond, "left_anti")
+            .filter(F.col("c_ts") + F.expr("INTERVAL 1 HOUR")
+                    < F.lit(wm) - F.expr("INTERVAL 10 MINUTES"))
+            .count()
+        )
+        got = matched + evicted
+        _OUTER_EXPECTED[sf_dir] = got
+    return got
+
+
 def _shapes(sf_dir: str) -> dict[str, _Shape]:
     return {
         "user_stats": _Shape("user_stats", None, _build_user_stats),
         "type_matrix": _Shape("type_matrix", None, _build_type_matrix),
         "recent_events": _Shape(
             "recent_events", None, _build_recent_events),
+        "running_totals": _Shape(
+            "running_totals", None, _build_running_totals),
         "seeded_stats": _Shape(
             "seeded_stats", None, _SeededBuild(sf_dir),
             generation_runs=SEED_GENERATION_RUNS, needs_seed=True),
         "timer_flush": _Shape(
             "timer_flush", None, _build_timer_flush,
             post=_timer_post, expected_rows=_timer_expected_rows),
+        # JVM tier (HDFS-backed store clone; append mode for joins)
+        "tumbling": _Shape(
+            "tumbling", None, _build_tumbling,
+            post=_tumbling_post, session_kind="stream"),
+        "sliding": _Shape(
+            "sliding", None, _build_sliding,
+            post=_tumbling_post, session_kind="stream"),
+        "session_windows": _Shape(
+            "session_windows", None, _build_session_windows,
+            post=_session_post, session_kind="stream"),
+        "static_join": _Shape(
+            "static_join", None, _build_static_join,
+            session_kind="stream"),
+        "stream_join": _Shape(
+            "stream_join", None,
+            lambda sess, src: _build_stream_join(sess, src, "inner"),
+            post=_join_post, mode="append", session_kind="stream"),
+        "outer_join": _Shape(
+            "outer_join", None,
+            lambda sess, src: _build_stream_join(sess, src, "left_outer"),
+            post=_join_post, mode="append", session_kind="stream",
+            expected_rows=_outer_join_expected_rows),
     }
 
 
@@ -438,7 +700,15 @@ def run_live(spark: SparkSession, shape_name: str,
         return None
     key = (shape_name, sf_dir)
     with _LOCK:
-        session = W.tws_streaming_session(spark)
+        shapes = _shapes(sf_dir)
+        shape = shapes.get(shape_name)
+        if shape is None:
+            return None
+        if shape.session_kind == "tws":
+            session = W.tws_streaming_session(spark)
+        else:
+            session = W.streaming_session(
+                spark, wide=W.wide_for_dir(sf_dir))
         for attempt in (0, 1):
             live = _REGISTRY.get(key)
             try:
@@ -446,8 +716,7 @@ def run_live(spark: SparkSession, shape_name: str,
                         or live.query is None:
                     if live is not None:
                         live._teardown()
-                    live = _LiveTws(
-                        _shapes(sf_dir)[shape_name], session, sf_dir)
+                    live = _LiveTws(shape, session, sf_dir)
                     _REGISTRY[key] = live
                 return live.run()
             except Exception:

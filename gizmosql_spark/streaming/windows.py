@@ -366,6 +366,24 @@ def _running_totals(
     yield pd.DataFrame({"user_id": [key[0]], "count": [count], "total": [total]})
 
 
+def _running_totals_run_aware(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """_running_totals for the long-lived-query path: grouped by
+    (run_id, user_id), run_id re-emitted so the feeder can slice one
+    bounded run from the shared sink (streaming/live.py)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    count, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        count += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((count, total))
+    yield pd.DataFrame({"run_id": [key[0]], "user_id": [key[1]],
+                        "count": [count], "total": [total]})
+
+
 def running_totals(events: DataFrame) -> DataFrame:
     """Stateful per-user running totals via applyInPandasWithState."""
     return (
@@ -460,6 +478,11 @@ def _has_agg(df: DataFrame) -> bool:
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming watermarked tumbling-window counts, driven to
     completion (oracle: the batch 1-hour bucket aggregation)."""
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "tumbling", sf_dir)
+    if out is not None:
+        return out.orderBy("window_start", "event_type")
     out = run_to_completion(
         lambda: tumbling_counts(read_event_stream(spark, sf_dir)),
         "q_stream_tumbling",
@@ -477,6 +500,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming native session windows (30-minute gap), driven to
     completion (oracle: batch gaps-and-islands; session_end is the
     last event + gap by session-window definition)."""
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "session_windows", sf_dir)
+    if out is not None:
+        return out.orderBy("user_id", "session_start")
     out = run_to_completion(
         lambda: session_windows(read_event_stream(spark, sf_dir)),
         "q_stream_session",
@@ -496,11 +524,15 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is Python-bound exactly like transformWithState, so it wants
     the wider TWS_STATE_PARTITIONS (A/B at sf0.1: 1.8 s on the TWS
     clone vs 2.3 s at the JVM tier's store-bound width 4)."""
-    out = run_to_completion(
-        lambda: running_totals(read_event_stream(
-            spark, sf_dir, session=tws_streaming_session(spark))),
-        "q_stream_running",
-    )
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "running_totals", sf_dir)
+    if out is None:
+        out = run_to_completion(
+            lambda: running_totals(read_event_stream(
+                spark, sf_dir, session=tws_streaming_session(spark))),
+            "q_stream_running",
+        )
     return out.select(
         "user_id", "count", F.round("total", 4).alias("total")
     ).orderBy("user_id")
@@ -556,6 +588,11 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("value").alias("total"))
         )
 
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "static_join", sf_dir)
+    if out is not None:
+        return out.orderBy("tier")
     return (
         run_to_completion(build, "q_stream_static_join")
         .select("tier", "n", F.round("total", 4).alias("total"))
@@ -568,10 +605,14 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     slide) driven to completion — each event fans into
     window/slide = 4 buckets of state (oracle: the equivalent batch
     fan-out via generate_series)."""
-    out = run_to_completion(
-        lambda: sliding_counts(read_event_stream(spark, sf_dir)),
-        "q_stream_sliding",
-    )
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "sliding", sf_dir)
+    if out is None:
+        out = run_to_completion(
+            lambda: sliding_counts(read_event_stream(spark, sf_dir)),
+            "q_stream_sliding",
+        )
     return out.orderBy("window_start", "event_type")
 
 
@@ -1214,6 +1255,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined.select(
             "click_id", "purchase_id", "c_user", "c_ts", "p_ts")
 
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "stream_join", sf_dir)
+    if out is not None:
+        return out.orderBy("click_id", "purchase_id")
     try:
         out = run_to_completion(
             build, "q_stream_stream_join", output_mode="append")
@@ -1276,8 +1322,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined.select(
             "click_id", "purchase_id", "c_user", "c_ts", "p_ts")
 
-    out = run_to_completion(
-        build, "q_stream_outer_join", output_mode="append")
+    from gizmosql_spark.streaming import live
+
+    out = live.run_live(spark, "outer_join", sf_dir)
+    if out is None:
+        out = run_to_completion(
+            build, "q_stream_outer_join", output_mode="append")
     return out.orderBy("click_id", "purchase_id")
 
 

@@ -76,3 +76,20 @@ def test_wide_streaming_clone_width(spark):
             == max(spark.sparkContext.defaultParallelism,
                    w.STREAM_STATE_PARTITIONS))
     assert narrow is not wide
+
+
+def test_two_dir_query_runs_at_last_loaded_width(clone):
+    """The single-dir contract (r8 verdict item 6), pinned: the policy
+    re-aligns per table() load, so a plan mixing two dirs executes at
+    whichever dir was loaded LAST. Mixed-dir callers must load the big
+    side last (or pin the width); every corpus query reads one dir."""
+    launch = clone.conf.get("spark.sql.shuffle.partitions")
+    big = _fake_big_dir("/fake/wpb-two-dir")
+    # big fact loaded first, small dim last -> executes narrow
+    loader.tune_shuffle_width(clone, big)
+    loader.tune_shuffle_width(clone, SMALL)
+    assert (clone.conf.get("spark.sql.shuffle.partitions")
+            == str(loader.SMALL_SHUFFLE_PARTITIONS))
+    # small dim first, big fact last -> executes at launch width
+    loader.tune_shuffle_width(clone, big)
+    assert clone.conf.get("spark.sql.shuffle.partitions") == launch
