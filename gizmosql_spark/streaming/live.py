@@ -167,8 +167,13 @@ class _LiveTws:
 
     def _start(self) -> None:
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        # spool on the FIXTURE's filesystem (default /tmp shares the
+        # root device with the fixture dirs here) so os.link lands a
+        # zero-copy input per run — a tmpfs spool would force a full
+        # file copy every run (≈0.5 s at sf10); the checkpoint, which
+        # is write-churn not linking, stays on tmpfs
         self.spool = tempfile.mkdtemp(
-            prefix=f"gizmosql-live-{self.shape.name}-", dir=base)
+            prefix=f"gizmosql-live-{self.shape.name}-")
         self.ckpt = tempfile.mkdtemp(
             prefix=f"gizmosql-livec-{self.shape.name}-", dir=base)
         src = _event_source(self.session, self.sf_dir, self.spool)
