@@ -414,13 +414,15 @@ def _timer_expected_rows(session: SparkSession, sf_dir: str) -> int:
 
         ev = load_events(session, sf_dir).select(
             "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"))
+        per_user = ev.groupBy("user_id").agg(
+            F.min("ms").alias("lo"), F.max("ms").alias("hi"))
+        # 1-row broadcast cross join for the global max — NOT a
+        # collect_list of every user into one row (driver-side blowup
+        # once user cardinality scales with the fixture)
+        wm_hi = per_user.agg(F.max("hi").alias("wm_hi"))
         got = (
-            ev.groupBy("user_id")
-            .agg(F.min("ms").alias("lo"), F.max("ms").alias("hi"))
-            .select(F.max("hi").alias("wm_hi"),
-                    F.collect_list(F.struct("user_id", "lo")).alias("us"))
-            .select(F.explode("us").alias("u"), "wm_hi")
-            .filter(F.col("u.lo") + W._TIMER_FLUSH_MS
+            per_user.join(F.broadcast(wm_hi))
+            .filter(F.col("lo") + W._TIMER_FLUSH_MS
                     < F.col("wm_hi") - 600000)
             .count()
         )
