@@ -114,20 +114,16 @@ class _Shape:
     def __init__(
         self,
         name: str,
-        output_schema: StructType,
         build: Callable[[SparkSession, DataFrame], DataFrame],
         generation_runs: int = GENERATION_RUNS,
-        needs_seed: bool = False,
         post: Callable[[DataFrame, int], DataFrame] | None = None,
         expected_rows: Callable[[SparkSession, str], int] | None = None,
         mode: str = "update",
         session_kind: str = "tws",
     ) -> None:
         self.name = name
-        self.output_schema = output_schema
         self.build = build
         self.generation_runs = generation_runs
-        self.needs_seed = needs_seed
         #: per-run output fixup (e.g. un-shift timer timestamps)
         self.post = post
         #: deterministic completion barrier for shapes whose output is
@@ -159,6 +155,19 @@ class _LiveTws:
         self.query = None
         self.spool = ""
         self.ckpt = ""
+        #: serializes feed-and-read against THIS query (run_ids and the
+        #: spool are per-instance state); the module _LOCK only guards
+        #: the registry, so different shapes run concurrently
+        self.lock = threading.RLock()
+        #: the memory sink holds one generation of per-run output rows
+        #: on the driver; output volume scales with the fixture, so
+        #: super-threshold dirs recycle on a short generation instead
+        #: of piling ~64 runs of rows onto the heap
+        from gizmosql_spark.streaming import windows as W
+
+        self.generation_runs = (
+            min(shape.generation_runs, 8)
+            if W.wide_for_dir(sf_dir) else shape.generation_runs)
         self._start()
 
     @property
@@ -176,15 +185,21 @@ class _LiveTws:
             prefix=f"gizmosql-live-{self.shape.name}-")
         self.ckpt = tempfile.mkdtemp(
             prefix=f"gizmosql-livec-{self.shape.name}-", dir=base)
-        src = _event_source(self.session, self.sf_dir, self.spool)
-        keyed = self.shape.build(self.session, src)
-        self.query = (
-            keyed.writeStream.outputMode(self.shape.mode)
-            .format("memory")
-            .queryName(self.sink)
-            .option("checkpointLocation", self.ckpt)
-            .start()
-        )
+        try:
+            src = _event_source(self.session, self.sf_dir, self.spool)
+            keyed = self.shape.build(self.session, src)
+            self.query = (
+                keyed.writeStream.outputMode(self.shape.mode)
+                .format("memory")
+                .queryName(self.sink)
+                .option("checkpointLocation", self.ckpt)
+                .start()
+            )
+        except Exception:
+            # a failed start must not orphan the dirs it just made
+            shutil.rmtree(self.spool, ignore_errors=True)
+            shutil.rmtree(self.ckpt, ignore_errors=True)
+            raise
 
     def _teardown(self) -> None:
         try:
@@ -215,7 +230,7 @@ class _LiveTws:
             # of returning an empty frame
             raise RuntimeError(
                 f"live {self.shape.name}: query is not active")
-        if self.runs_done >= self.shape.generation_runs:
+        if self.runs_done >= self.generation_runs:
             self._recycle()
         rid = self.runs_done
         self.runs_done += 1
@@ -586,9 +601,6 @@ def _join_sides(src: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clicks, purchases
 
 
-_JOIN_COND = None  # built inline: run equality + user + interval band
-
-
 def _build_stream_join(session: SparkSession, src: DataFrame,
                        how: str = "inner") -> DataFrame:
     clicks, purchases = _join_sides(src)
@@ -659,37 +671,43 @@ def _outer_join_expected_rows(session: SparkSession, sf_dir: str) -> int:
 
 def _shapes(sf_dir: str) -> dict[str, _Shape]:
     return {
-        "user_stats": _Shape("user_stats", None, _build_user_stats),
-        "type_matrix": _Shape("type_matrix", None, _build_type_matrix),
+        "user_stats": _Shape("user_stats", _build_user_stats),
+        "type_matrix": _Shape("type_matrix", _build_type_matrix),
         "recent_events": _Shape(
-            "recent_events", None, _build_recent_events),
+            "recent_events", _build_recent_events),
         "running_totals": _Shape(
-            "running_totals", None, _build_running_totals),
+            "running_totals", _build_running_totals),
         "seeded_stats": _Shape(
-            "seeded_stats", None, _SeededBuild(sf_dir),
-            generation_runs=SEED_GENERATION_RUNS, needs_seed=True),
+            "seeded_stats", _SeededBuild(sf_dir),
+            generation_runs=SEED_GENERATION_RUNS),
         "timer_flush": _Shape(
-            "timer_flush", None, _build_timer_flush,
+            "timer_flush", _build_timer_flush,
             post=_timer_post, expected_rows=_timer_expected_rows),
         # JVM tier (HDFS-backed store clone; append mode for joins)
         "tumbling": _Shape(
-            "tumbling", None, _build_tumbling,
+            "tumbling", _build_tumbling,
             post=_tumbling_post, session_kind="stream"),
         "sliding": _Shape(
-            "sliding", None, _build_sliding,
+            "sliding", _build_sliding,
             post=_tumbling_post, session_kind="stream"),
+        # session-window streaming aggregation REJECTS update mode
+        # (STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION on Spark 4.1);
+        # complete mode re-emits every accumulated session each batch,
+        # so this shape recycles on a short generation to bound the
+        # re-emission (and the sink snapshot) to a few runs' sessions
         "session_windows": _Shape(
-            "session_windows", None, _build_session_windows,
-            post=_session_post, session_kind="stream"),
+            "session_windows", _build_session_windows,
+            post=_session_post, session_kind="stream",
+            mode="complete", generation_runs=8),
         "static_join": _Shape(
-            "static_join", None, _build_static_join,
+            "static_join", _build_static_join,
             session_kind="stream"),
         "stream_join": _Shape(
-            "stream_join", None,
+            "stream_join",
             lambda sess, src: _build_stream_join(sess, src, "inner"),
             post=_join_post, mode="append", session_kind="stream"),
         "outer_join": _Shape(
-            "outer_join", None,
+            "outer_join",
             lambda sess, src: _build_stream_join(sess, src, "left_outer"),
             post=_join_post, mode="append", session_kind="stream",
             expected_rows=_outer_join_expected_rows),
@@ -703,20 +721,27 @@ def run_live(spark: SparkSession, shape_name: str,
     or failed — callers fall back to the bounded availableNow path."""
     from gizmosql_spark.streaming import windows as W
 
-    if not W.tws_available():
+    shape = _shapes(sf_dir).get(shape_name)
+    if shape is None:
         return None
+    # the protobuf state-server runtime gates ONLY the TWS shapes —
+    # the JVM-only tier must keep its live path when it is absent
+    if shape.session_kind == "tws" and not W.tws_available():
+        return None
+    if shape.session_kind == "tws":
+        session = W.tws_streaming_session(spark)
+    else:
+        session = W.streaming_session(
+            spark, wide=W.wide_for_dir(sf_dir))
     key = (shape_name, sf_dir)
-    with _LOCK:
-        shapes = _shapes(sf_dir)
-        shape = shapes.get(shape_name)
-        if shape is None:
-            return None
-        if shape.session_kind == "tws":
-            session = W.tws_streaming_session(spark)
-        else:
-            session = W.streaming_session(
-                spark, wide=W.wide_for_dir(sf_dir))
-        for attempt in (0, 1):
+    for attempt in (0, 1):
+        # the global lock covers ONLY registry resolution/creation —
+        # holding it across a run would serialize every concurrent
+        # client's streaming query behind one slow barrier poll; each
+        # instance carries its own lock for the feed-and-read critical
+        # section (runs against one query must serialize: run_ids and
+        # the spool are per-instance state)
+        with _LOCK:
             live = _REGISTRY.get(key)
             try:
                 if live is None or live.session is not session \
@@ -725,18 +750,27 @@ def run_live(spark: SparkSession, shape_name: str,
                         live._teardown()
                     live = _LiveTws(shape, session, sf_dir)
                     _REGISTRY[key] = live
-                return live.run()
             except Exception:
-                # first failure: drop this live query and rebuild once
-                # (covers a torn-down clone / dead worker pool);
-                # second failure: give up, caller takes the fallback
+                _REGISTRY.pop(key, None)
+                if attempt == 1:
+                    return None
+                continue
+        try:
+            with live.lock:
+                return live.run()
+        except Exception:
+            # first failure: drop this live query and rebuild once
+            # (covers a torn-down clone / dead worker pool); second
+            # failure: give up, caller takes the bounded fallback
+            with _LOCK:
                 try:
                     live._teardown()
                 except Exception:
                     pass
-                _REGISTRY.pop(key, None)
-                if attempt == 1:
-                    return None
+                if _REGISTRY.get(key) is live:
+                    _REGISTRY.pop(key, None)
+            if attempt == 1:
+                return None
     return None
 
 

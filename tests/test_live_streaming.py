@@ -51,14 +51,20 @@ def test_generation_recycle_rebuilds_query(spark, sf_dir):
     key = ("user_stats", sf_dir)
     live.run_live(spark, "user_stats", sf_dir)
     inst = live._REGISTRY[key]
-    inst.shape.generation_runs = inst.runs_done  # force recycle next run
-    gen0, sink0 = inst.gen, inst.sink
-    before = live.run_live(spark, "user_stats", sf_dir)
-    n_before = before.count()
-    assert inst.gen == gen0 + 1 and inst.sink != sink0
-    after = live.run_live(spark, "user_stats", sf_dir)
-    assert after.count() == n_before
-    assert before.count() == n_before  # pinned frame survives recycle
+    saved = inst.generation_runs
+    try:
+        inst.generation_runs = inst.runs_done  # force recycle next run
+        gen0, sink0 = inst.gen, inst.sink
+        before = live.run_live(spark, "user_stats", sf_dir)
+        n_before = before.count()
+        assert inst.gen == gen0 + 1 and inst.sink != sink0
+        after = live.run_live(spark, "user_stats", sf_dir)
+        assert after.count() == n_before
+        assert before.count() == n_before  # pinned frame survives recycle
+    finally:
+        # restore: a 1-run generation left in the shared registry would
+        # force a full query rebuild on every later run this session
+        inst.generation_runs = saved
 
 
 def test_timer_runs_do_not_interfere(spark, sf_dir):

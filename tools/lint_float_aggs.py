@@ -35,8 +35,11 @@ DOUBLE_COLS = {
 UNSTABLE_FUNCS = r"(?:sum|avg|mean|stddev(?:_pop|_samp)?|var(?:iance|_pop|_samp)?|covar(?:_pop|_samp)?|corr)"
 
 # An aggregate is SAFE if wrapped (at any enclosing depth) in one of
-# these canonicalizers before reaching the output.
+# these canonicalizers before reaching the output. ``cast`` counts
+# ONLY when it lands on an integer grid (checked in _is_wrapped) — a
+# cast to DOUBLE/VARCHAR passes the value through hash-unstable.
 SAFE_WRAPPERS = r"(?:round|floor|ceil|ceiling|trunc|sign)\s*\(|cast\s*\("
+_INT_CAST = r"AS\s+(?:INT|INTEGER|BIGINT|LONG|SMALLINT|TINYINT|HUGEINT)\b"
 
 
 def _find_matching_paren(s: str, open_idx: int) -> int:
@@ -64,8 +67,15 @@ def _is_wrapped(sql: str, agg_start: int) -> bool:
     close_idx = _find_matching_paren(sql, open_idx)
     for m in re.finditer(SAFE_WRAPPERS, sql[:agg_start], re.IGNORECASE):
         w_open = sql.index("(", m.start())
-        if _find_matching_paren(sql, w_open) > close_idx:
-            return True
+        w_close = _find_matching_paren(sql, w_open)
+        if w_close <= close_idx:
+            continue  # wrapper closes before the aggregate does
+        if sql[m.start():m.start() + 4].lower() == "cast":
+            # only an integer-target cast canonicalizes the value
+            if not re.search(_INT_CAST, sql[w_open:w_close + 1],
+                             re.IGNORECASE):
+                continue
+        return True
     # cast AFTER: "sum(x)::int" or the whole expr divided then rounded
     tail = sql[close_idx + 1:close_idx + 24].lstrip()
     if tail.startswith("::int") or tail.startswith("::bigint"):
