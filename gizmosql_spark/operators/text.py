@@ -1275,14 +1275,17 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("norm_len"),
         F.row_number().over(w_pool).alias("pos"),
     )
-    # discrete quantile position: floor(p * (N-1)) + 1, p = (rk-1)/(n-1)
+    # discrete quantile position: floor(p * (N-1)) + 1, p = (rk-1)/(n-1).
+    # LONG arithmetic throughout: rk is a 32-bit row_number and the
+    # (rk-1)*(N-1) product crosses 2^31 once the corpus scales (ANSI
+    # integer-overflow error, caught live on the sf10 full-corpus run)
     pos = (
-        F.when(F.col("n_src") == 1, F.lit(1))
+        F.when(F.col("n_src") == 1, F.lit(1).cast("long"))
         .otherwise(
             F.floor(
-                (F.col("rk") - 1)
-                * F.lit(n_total - 1)
-                / (F.col("n_src") - 1)
+                (F.col("rk") - 1).cast("long")
+                * F.lit(int(n_total - 1)).cast("long")
+                / (F.col("n_src") - 1).cast("long")
             )
             + 1
         )
