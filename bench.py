@@ -67,6 +67,25 @@ SEAM_SENTINELS = (
 )
 
 
+def _quiesce(spark) -> None:
+    """Stop every long-lived streaming query (joining their execution
+    threads) before the JVM can go away — before ``spark.stop()`` AND
+    before the final summary write. Round-9 postmortem: stopping the
+    context under the live TWS queries dumped RpcEnvStoppedException
+    traces after the summary line, pushing it out of the driver's
+    bounded tail capture (BENCH_r09 `parsed: null`); live.py's atexit
+    hook runs far too late to prevent that."""
+    try:
+        from gizmosql_spark.streaming import live
+
+        leftovers = live.quiesce(spark)
+        if leftovers:
+            print(f"# quiesce: queries still active at timeout: "
+                  f"{leftovers}", file=sys.stderr)
+    except Exception as e:
+        print(f"# quiesce error: {e}", file=sys.stderr)
+
+
 def _warmup(spark, qs, sf_dir: str) -> None:
     """Charge one-time session costs (JVM JIT, parquet footers, Python
     UDF / DataSource / TWS worker pools, geo registration) to warmup —
@@ -153,6 +172,7 @@ def _isolated_main(names: list[str]) -> None:
             out[name] = round(statistics.median(runs), 4)
         except Exception as e:
             print(f"# isolated error {name}: {e}", file=sys.stderr)
+    _quiesce(spark)  # join stream threads before exit (see main)
     os.write(real_stdout, (json.dumps({"isolated": out}) + "\n").encode())
 
 
@@ -277,6 +297,9 @@ def main() -> None:
     # >1 means the 250-query session made the seam slower than a young
     # session — the aging signal that dominated the r5→r6 bench delta.
     # Disable with SPARK_GRAFT_BENCH_ISOLATED=0 (e.g. for quick loops).
+    # From here on the record must reach stdout INTACT: stop the
+    # long-lived streaming tier before anything that can tear the JVM
+    # down (see _quiesce).
     seam_ratio: dict[str, float] = {}
     isolated: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
@@ -289,6 +312,13 @@ def main() -> None:
             # process and inflates the isolated medians — understating
             # seam_degradation, the very signal the probe records. All
             # measurement on this session is complete at this point.
+            # The long-lived streaming queries MUST be stopped first
+            # (and their execution threads joined): stopping the
+            # context under them dumps RpcEnvStoppedException traces
+            # that land after the summary line and push it out of the
+            # driver's bounded tail capture — the exact failure that
+            # made BENCH_r09 `parsed: null`. atexit is far too late.
+            _quiesce(spark)
             try:
                 spark.stop()
             except Exception:
@@ -364,6 +394,11 @@ def main() -> None:
     summary = {k: v for k, v in full.items()
                if k not in ("queries", "iter_spreads",
                             "seam_degradation", "seam_isolated")}
+    # Belt-and-braces re-quiesce (idempotent, no-op when the probe
+    # path already ran it): with SPARK_GRAFT_BENCH_ISOLATED=0 the
+    # session is never stopped in main, and process-exit teardown with
+    # live stream threads is exactly the r9 record-destroyer.
+    _quiesce(spark)
     os.write(real_stdout, (json.dumps(summary) + "\n").encode())
     if cert_fail:
         print(f"# BENCH CERT FAILED: {cert_fail}", file=sys.stderr)

@@ -64,6 +64,17 @@ SEED_GENERATION_RUNS = int(os.environ.get("SPARK_GRAFT_LIVE_SEED_RUNS", "16"))
 
 _REGISTRY: dict[tuple[str, str], "_LiveTws"] = {}
 _LOCK = threading.RLock()
+#: per-(shape, sf_dir) creation locks: query START takes ~1 s (mkdtemp
+#: + StreamingPythonRunner spawn), so it must NOT run under the global
+#: _LOCK — concurrent clients creating DIFFERENT shapes would serialize
+#: behind each other's starts. _LOCK guards only these two dicts.
+_CREATE_LOCKS: dict[tuple[str, str], threading.RLock] = {}
+#: monotonically increasing instance token baked into every sink/query
+#: name: the registry keys live queries by (shape, sf_dir), so two
+#: fixture dirs running the same shape in one process need DISTINCT
+#: active query names (Spark rejects duplicate active queryName on the
+#: shared session clone) — `live_{shape}_g{gen}` alone collides.
+_INSTANCE_COUNTER = __import__("itertools").count()
 
 # spool/checkpoint dirs live in tmpfs — tear everything down when the
 # process exits so repeated bench/test runs don't accumulate them
@@ -161,6 +172,7 @@ class _LiveTws:
         self.session = session
         self.sf_dir = sf_dir
         self.gen = 0
+        self.token = next(_INSTANCE_COUNTER)
         self.runs_done = 0
         self.query = None
         self.spool = ""
@@ -182,7 +194,9 @@ class _LiveTws:
 
     @property
     def sink(self) -> str:
-        return f"live_{self.shape.name}_g{self.gen}"
+        # the instance token keeps names unique across fixture dirs
+        # sharing one session clone (and across rebuild races)
+        return f"live_{self.shape.name}_i{self.token}_g{self.gen}"
 
     def _start(self) -> None:
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -257,13 +271,23 @@ class _LiveTws:
         if self.shape.expected_rows is not None:
             import time as _time
 
+            from gizmosql_spark.streaming import windows as W
+
             want = self.shape.expected_rows(self.session, self.sf_dir)
-            deadline = _time.monotonic() + 30.0
+            # the trailing no-data batch this waits for scales with the
+            # fixture (timer_flush measured ~142 s at sf10, SCALING.md):
+            # a fixed 30 s deadline would tear down a healthy query at
+            # scale and pay a pointless full rebuild before the bounded
+            # fallback — so the budget is size-keyed (env-overridable)
+            budget = float(os.environ.get(
+                "SPARK_GRAFT_LIVE_POLL_SEC",
+                "600" if W.wide_for_dir(self.sf_dir) else "30"))
+            deadline = _time.monotonic() + budget
             while rows.count() < want:
                 if _time.monotonic() > deadline:
                     raise TimeoutError(
                         f"live {self.shape.name} run {rid}: "
-                        f"{rows.count()}/{want} rows after 30s")
+                        f"{rows.count()}/{want} rows after {budget}s")
                 _time.sleep(0.05)
         if self.shape.post is not None:
             rows = self.shape.post(rows, rid)
@@ -271,10 +295,10 @@ class _LiveTws:
         # view is dropped on recycle — the returned frame must not
         # depend on either
         out = rows.drop("run_id").localCheckpoint(eager=True)
-        # the input landed as a cross-device COPY (testdata → tmpfs);
         # the batch is committed, the source never re-reads a seen
-        # file, and the returned rows are pinned — drop the copy now
-        # rather than letting a generation of them pile up in /dev/shm
+        # file, and the returned rows are pinned — remove the spooled
+        # link/copy now so the spool holds at most one in-flight input
+        # regardless of whether os.link or the copy fallback landed it
         try:
             os.remove(dst)
         except OSError:
@@ -747,34 +771,44 @@ def run_live(spark: SparkSession, shape_name: str,
         session = W.streaming_session(
             spark, wide=W.wide_for_dir(sf_dir))
     key = (shape_name, sf_dir)
+    # the global lock covers ONLY dict lookups — query START takes ~1 s
+    # (mkdtemp + StreamingPythonRunner spawn), so creation happens under
+    # a PER-KEY lock instead: concurrent clients creating DIFFERENT
+    # shapes proceed in parallel, while two clients racing on the SAME
+    # key serialize and the loser finds the winner's instance in the
+    # registry. Each instance additionally carries its own lock for the
+    # feed-and-read critical section (runs against one query must
+    # serialize: run_ids and the spool are per-instance state).
+    with _LOCK:
+        create_lock = _CREATE_LOCKS.setdefault(key, threading.RLock())
     for attempt in (0, 1):
-        # the global lock covers ONLY registry resolution/creation —
-        # holding it across a run would serialize every concurrent
-        # client's streaming query behind one slow barrier poll; each
-        # instance carries its own lock for the feed-and-read critical
-        # section (runs against one query must serialize: run_ids and
-        # the spool are per-instance state)
-        with _LOCK:
-            live = _REGISTRY.get(key)
+        with create_lock:
+            with _LOCK:
+                live = _REGISTRY.get(key)
             try:
                 if live is None or live.session is not session \
                         or live.query is None:
                     if live is not None:
                         live._teardown()
                     live = _LiveTws(shape, session, sf_dir)
-                    _REGISTRY[key] = live
+                    with _LOCK:
+                        _REGISTRY[key] = live
             except Exception:
-                _REGISTRY.pop(key, None)
+                with _LOCK:
+                    _REGISTRY.pop(key, None)
                 if attempt == 1:
                     return None
                 continue
         try:
             with live.lock:
                 return live.run()
-        except Exception:
+        except Exception as ex:
             # first failure: drop this live query and rebuild once
             # (covers a torn-down clone / dead worker pool); second
-            # failure: give up, caller takes the bounded fallback
+            # failure: give up, caller takes the bounded fallback.
+            # A barrier-poll TIMEOUT is different: the query was
+            # healthy but slow, so a rebuilt query would just time out
+            # again — skip the retry and fall back immediately.
             with _LOCK:
                 try:
                     live._teardown()
@@ -782,7 +816,7 @@ def run_live(spark: SparkSession, shape_name: str,
                     pass
                 if _REGISTRY.get(key) is live:
                     _REGISTRY.pop(key, None)
-            if attempt == 1:
+            if attempt == 1 or isinstance(ex, TimeoutError):
                 return None
     return None
 
@@ -798,3 +832,51 @@ def reset_all() -> None:
             except Exception:
                 pass
         _REGISTRY.clear()
+
+
+def quiesce(spark: SparkSession, timeout: float = 30.0) -> list[str]:
+    """Stop every streaming query on every session clone and WAIT until
+    no stream-execution thread is active — call this immediately before
+    ``SparkSession.stop()`` / process exit, never rely on the atexit
+    hook for it.
+
+    Round-9 postmortem (VERDICT r9 item 1): bench.py called
+    ``spark.stop()`` while the live queries were still running; their
+    stream-execution threads died dumping ``RpcEnvStoppedException``
+    stack traces that landed AFTER the bench summary line and pushed it
+    out of the driver's bounded tail capture — BENCH_r09 came back
+    ``parsed: null``. ``StreamingQuery.stop()`` joins the execution
+    thread, so after this returns no streaming thread can outlive the
+    SparkContext.
+
+    Returns the names of any queries still active at timeout (empty on
+    a clean quiesce) so callers can assert/log.
+    """
+    import time as _time
+
+    reset_all()
+    from gizmosql_spark.streaming import windows as W
+
+    # streams are per-SESSION managers: the live/bounded queries run on
+    # the windows.py clones, not the base session — sweep all of them
+    sessions = [spark]
+    sessions += [s for s in W._STREAM_SESSION.values() if s is not None]
+    if W._TWS_SESSION is not None:
+        sessions.append(W._TWS_SESSION)
+    leftovers: list[str] = []
+    deadline = _time.monotonic() + timeout
+    for s in sessions:
+        try:
+            for q in s.streams.active:
+                try:
+                    q.stop()  # joins the stream-execution thread
+                except Exception:
+                    pass
+            while s.streams.active:
+                if _time.monotonic() > deadline:
+                    leftovers += [q.name or q.id for q in s.streams.active]
+                    break
+                _time.sleep(0.05)
+        except Exception:
+            pass
+    return leftovers

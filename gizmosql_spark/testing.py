@@ -71,13 +71,38 @@ def _rows_equal(a, b) -> bool:
     return True
 
 
-def compare_to_oracle(df: DataFrame, oracle_sql: str, sf_dir: str) -> None:
+def _strict_cell(v):
+    """Driver-grade canonical form: the official correctness gate hashes
+    exact value strings (after the query's own declared rounding), so a
+    cell must match at repr level — no rel-tol. This is what catches the
+    divergences the tolerance comparator is blind to: ``-0.0`` vs
+    ``0.0`` (the stats_agg r9 official red row — DuckDB's ``round()``
+    preserves the sign of a tiny negative, Spark's does not) and any
+    last-ulp drift that survives canonicalization."""
+    v = _canon_cell(v)
+    if isinstance(v, float):
+        return repr(v)  # repr('-0.0') != repr('0.0'); full 17-digit form
+    if isinstance(v, tuple):
+        return tuple(_strict_cell(x) for x in v)
+    return v
+
+
+def compare_to_oracle(df: DataFrame, oracle_sql: str, sf_dir: str,
+                      strict: bool = False) -> None:
     """Assert the Spark result matches the DuckDB oracle result.
 
     Columns are aligned by (sorted) name — the driver's compare does the
     same — so both sides must alias identically. Rows are compared
     order-insensitively unless the caller relies on LIMIT determinism,
     which each corpus query guarantees with explicit tiebreakers.
+
+    ``strict=True`` mirrors the DRIVER's hash gate instead of the
+    tolerance comparator: every float is compared as its exact repr
+    string. The r9 official record proved the two gates differ —
+    ``stats_agg`` passed the 250-query tolerance differential while
+    failing the driver hash on a ``-0.0`` vs ``0.0`` cell — so the
+    full corpus runs under strict mode before every official round
+    (differential_run.py --strict).
     """
     con = duckdb_conn(sf_dir)
     try:
@@ -94,18 +119,30 @@ def compare_to_oracle(df: DataFrame, oracle_sql: str, sf_dir: str) -> None:
     order = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
     s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
 
+    canon = _strict_cell if strict else _canon_cell
     s_rows = [
-        tuple(_canon_cell(row[i]) for i in s_order) for row in df.collect()
+        tuple(canon(row[i]) for i in s_order) for row in df.collect()
     ]
     o_rows = [
-        tuple(_canon_cell(row[i]) for i in order) for row in o_rows
+        tuple(canon(row[i]) for i in order) for row in o_rows
     ]
     assert len(s_rows) == len(o_rows), (
         f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
     )
     s_rows.sort(key=_sort_key)
     o_rows.sort(key=_sort_key)
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if not _rows_equal(a, b)
-    ]
-    assert not mismatches, f"{len(mismatches)} row mismatches; first: {mismatches[:3]}"
+    if strict:
+        mismatches = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
+        ]
+    else:
+        mismatches = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(s_rows, o_rows))
+            if not _rows_equal(a, b)
+        ]
+    assert not mismatches, (
+        f"{len(mismatches)} row mismatches"
+        f"{' (strict/hash-grade)' if strict else ''}; "
+        f"first: {mismatches[:3]}")
