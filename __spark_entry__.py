@@ -27,79 +27,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # family; everything else follows and is still verified by the repo's
 # own differential harness (gizmosql_spark/testing.py).
 _PRIORITY = [
-    # Round-9 rotation. r9 touched 37 operators (the corpus-wide
-    # float-aggregate canonicalization sweep + the long-lived TWS
-    # query path + the sink/upsert session fix) — more than 50 slots
-    # hold alongside family coverage, so the record front-loads:
-    # every touched STREAMING operator (13), every touched SCALE
-    # operator, one representative per touched batch family, and the
-    # four restorations the r8 verdict named. The remaining touched
-    # rows (q03/q10/q11/q15/q17/q19/q22, window_frame, events_json,
-    # cohort_ltv, cusum_changepoint, gini_value_concentration — all
-    # the same mechanical round()-both-sides change) are verified by
-    # the repo's full 250-query differential (CORRECTNESS_LOCAL).
+    # Round-10 rotation. r10 touched 30 operators: the 13 streaming
+    # rows (their delivery path gained the quiesce/teardown protocol,
+    # per-instance sink names, and per-key creation locks —
+    # streaming/live.py), and 17 value-affecting signed-zero /
+    # declared-rounding fixes (the `+ 0.0` normalizer sweep that turns
+    # the r9 stats_agg red row green, plus the q07/q08/q09 unrounded
+    # sums the new strict differential surfaced). All 30 are
+    # front-loaded; the remaining 20 slots restore long-green rows
+    # displaced in earlier rotations. Everything else is verified by
+    # the repo's own 250-query STRICT differential
+    # (differential_run.py --strict, hash-grade since r10).
     #
     # Streaming first: the TWS state-server tier is most robust on a
     # fresh JVM (the r3/r4 official crashes came after ~45 batch
-    # queries of heap pressure). The five TWS rows now run through the
-    # long-lived-query path (streaming/live.py, r9) — officially
-    # re-proving that new mechanism is the point of this block.
-    "stream_user_stats",      # live path (r9)
-    "stream_tumbling",        # r9: rounded total both sides
+    # queries of heap pressure). Keep all 13 official until two
+    # consecutive parseable driver bench records are inside the
+    # streaming bound (r9 verdict item 6).
+    "stream_user_stats",      # live path
+    "stream_tumbling",
     "stream_stream_join",
     "stream_outer_join",      # watermark-eviction-boundary oracle
-    "stream_timer_flush",     # live path + per-run time-shift (r9)
-    "stream_session_windows", # r9: rounded total both sides
-    "stream_running_totals",  # r9: rounded total both sides
-    "stream_seeded_stats",    # live path w/ generation-seeded initialState (r9)
-    "stream_user_type_matrix",   # live path (r9)
-    "stream_user_recent_events", # live path (r9)
-    "stream_static_join",     # r9: rounded total + width-session fix
-    "stream_sink_table",      # r9: working session from the stream frame
-    "stream_upsert_table",    # r9: working session from the stream frame
-    # TPC-H: family reps + the r9 rounding-sweep representatives
-    # (q01 8-agg pipeline, q06 pure pushdown agg, q14 rounded ratio;
-    # q02/q09/q18 keep the correlated-subquery / deep-join / top-k
-    # rows officially green)
-    "q01", "q02", "q05", "q06", "q09", "q14", "q18",
-    # scale-layout family — ALL r9-modified (the hash-stability fix
-    # that turns the r8 red row green, plus its latent salted twins)
-    "dpp_join",
-    "partition_pruned_agg",   # r9: rounded sum(value)
-    "bucketed_join",          # r9: rounded money sum — the r8 red row
-    "salted_agg",             # r9: rounded money sums (latent twin)
-    "salted_join",            # r9: rounded money sum (latent twin)
-    "manyfile_scan_agg",
-    # relational families, r9-modified reps
-    "range_band_join",        # theta/range join; r9 rounding
-    "grouping_sets_agg",      # grouping sets; r9 rounding
-    "cube_agg",               # cube; r9 rounding
-    "stats_agg",              # stddev/corr/covar; r9 rounding to 6dp
-    "window_running",         # window running sum; r9 rounding
-    "agg_funcs",              # FILTER-clause agg; r9 rounding
-    # events family, r9-modified reps (pyds is also the Custom Python
-    # DataSource §2D row)
+    "stream_timer_flush",     # live path + per-run time-shift
+    "stream_session_windows",
+    "stream_running_totals",
+    "stream_seeded_stats",    # live path w/ generation-seeded initialState
+    "stream_user_type_matrix",   # live path
+    "stream_user_recent_events", # live path
+    "stream_static_join",
+    "stream_sink_table",
+    "stream_upsert_table",
+    # r10 signed-zero sweep: the r9 red row first, then every sibling
+    # whose output gained the `+ 0.0` normalizer
+    "stats_agg",              # THE r9 red row: covar -0.0 vs +0.0
+    "regr_agg",               # slope/intercept normalized
+    "corr_matrix",            # 6 corr cells normalized
+    "theil_sen",              # median/OLS slopes normalized
+    "rolling_corr",           # windowed corr normalized
+    "spearman_corr",          # rho normalized
+    "mann_kendall",           # z_stat normalized
+    "runs_test",              # z_stat normalized
+    "acf_lags",               # autocorrelation normalized
+    "dsir_importance",        # log-ratio avg normalized
+    "pmi_collocations",       # log-ratio normalized
+    "topic_coherence_umass",  # signed log-ratio sum normalized
+    "jsd_source_drift",       # FP-tiny-negative guard
+    "dp_noisy_counts",        # count + signed Laplace noise
+    # r10 declared-rounding fixes: unrounded sums over subquery
+    # aliases that escaped the r9 lint (strict differential caught
+    # q07/q09 failing hash-grade on last-ulp summation drift)
+    "q07", "q08", "q09",
+    # TPC-H staples (long-green; q01 8-agg pipeline, q02 correlated
+    # subquery, q05 n-ary join, q06 pure pushdown, q14 rounded ratio,
+    # q18 top-k)
+    "q01", "q02", "q05", "q06", "q14", "q18",
+    # restorations: long-green rows displaced by earlier rotations
+    "range_band_join",        # theta/range join
+    "grouping_sets_agg",
+    "cube_agg",
+    "window_running",
+    "agg_funcs",
     "events_sessionize",
     "events_hourly",
     "events_anomaly",
-    "pyds_synthetic_agg",
-    # restorations per r8 verdict item 4 (long-green displaced rows)
-    "spatial_funcs5",
-    "dsir_importance",
-    "triangle_count",
-    "weighted_sample",
-    # LLM-pipeline tier reps (r8-modified rows kept for a second
-    # official round: embedding_neardup pair, semdedup, CMS, PMI)
+    "pyds_synthetic_agg",     # Custom Python DataSource §2D row
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_ivf",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
     "semdedup_prune",
-    "cms_heavy_hitters",
-    "pmi_collocations",
     "multimodal_features",
-    "information_schema_tables",
 ]
 
 

@@ -7,7 +7,14 @@ is the repo's own gate over the WHOLE corpus. Writes
 ``CORRECTNESS_LOCAL.json`` beside this file ({name: "ok" | "FAIL: …"})
 and prints a one-line summary last.
 
-Usage: ``python differential_run.py``
+Usage: ``python differential_run.py [--strict]``
+
+``--strict`` (or SPARK_GRAFT_DIFF_STRICT=1) mirrors the DRIVER's hash
+gate: floats compare as exact repr strings, no tolerance. The r9
+official record proved the tolerance gate is blind to hash-grade
+divergences (stats_agg passed the 250-query tolerance differential
+while failing the driver hash on a -0.0 vs 0.0 cell) — run the full
+corpus under --strict before every official round.
 """
 
 from __future__ import annotations
@@ -21,6 +28,8 @@ import time
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    strict = ("--strict" in sys.argv[1:]
+              or os.environ.get("SPARK_GRAFT_DIFF_STRICT", "0") == "1")
 
     import __spark_entry__ as entrymod
 
@@ -33,7 +42,8 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            testing.compare_to_oracle(fn(spark, sf_dir), oracles[name], sf_dir)
+            testing.compare_to_oracle(
+                fn(spark, sf_dir), oracles[name], sf_dir, strict=strict)
             results[name] = "ok"
         except Exception as ex:
             results[name] = f"FAIL: {str(ex)[:300]}"
@@ -44,8 +54,10 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "CORRECTNESS_LOCAL.json"), "w") as f:
         json.dump({"sf_dir": sf_dir, "total": len(results),
-                   "failed": len(bad), "results": results}, f, indent=1)
-    print(f"TOTAL {len(results)} FAILED {len(bad)} {json.dumps(bad)}")
+                   "failed": len(bad), "strict": strict,
+                   "results": results}, f, indent=1)
+    print(f"TOTAL {len(results)} FAILED {len(bad)} "
+          f"strict={strict} {json.dumps(bad)}")
     sys.exit(1 if bad else 0)
 
 

@@ -602,11 +602,13 @@ def jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source",
-            F.round(
+            # JSD is mathematically >= 0 but the FP sum can land a
+            # tiny negative for near-identical distributions -> + 0.0
+            (F.round(
                 0.5 * F.col("pkl")
                 + 0.5 * (F.col("qkl") + ln2 * (1.0 - F.col("q_mass"))),
                 6,
-            ).alias("jsd"),
+            ) + F.lit(0.0)).alias("jsd"),
         )
         .orderBy("source")
     )
@@ -880,7 +882,7 @@ ORACLE: dict[str, str] = {
                round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
                      + 0.5 * (sum(q * ln(q / ((p + q) / 2.0)))
                               + 0.6931471805599453 * (1.0 - sum(q))),
-                     6) AS jsd
+                     6) + 0.0 AS jsd
         FROM j GROUP BY source ORDER BY source
     """,
 }

@@ -634,7 +634,9 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lagged.withColumn("c", F.corr("value", "prev").over(frame))
         .filter((F.col("rn") % 25 == 0) & (F.col("rn") >= _EWMA_SPAN))
-        .select("user_id", "rn", F.round("c", 6).alias("auto_corr"))
+        .select("user_id", "rn",
+                # corr straddles zero → + 0.0 (signed-zero normalizer)
+                (F.round("c", 6) + F.lit(0.0)).alias("auto_corr"))
         .orderBy("user_id", "rn")
     )
 
@@ -723,8 +725,9 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_runs",
         F.round(exp_runs, 4).alias("expected_runs"),
-        F.round((F.col("n_runs") - exp_runs) / F.sqrt(var_runs), 4)
-        .alias("z_stat"),
+        # z straddles zero -> + 0.0 (signed-zero normalizer)
+        (F.round((F.col("n_runs") - exp_runs) / F.sqrt(var_runs), 4)
+         + F.lit(0.0)).alias("z_stat"),
     ).orderBy("event_type")
 
 
@@ -1249,8 +1252,10 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
         )
     )
+    # acf straddles zero -> + 0.0 (signed-zero normalizer)
     res = agg.select(
-        "event_type", "lag", "n_pairs", F.round(r, 6).alias("acf"))
+        "event_type", "lag", "n_pairs",
+        (F.round(r, 6) + F.lit(0.0)).alias("acf"))
     out = loader.keyed_persist(
         spark, f"events.acf:{sf_dir}", lambda: res)
     out.count()
@@ -1292,18 +1297,20 @@ def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("d2"), F.col("d1"))
         ).alias("slope"),
     )
+    # slopes straddle zero → + 0.0 normalizes DuckDB's signed-zero
+    # round() output (see relational.stats_agg)
     ts_agg = slopes.groupBy(F.col("et").alias("event_type")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.median("slope"), 6).alias("ts_slope"),
+        (F.round(F.median("slope"), 6) + F.lit(0.0)).alias("ts_slope"),
     )
     ols = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(
+        (F.round(
             F.regr_slope(
                 "m", F.datediff(F.col("d"), F.lit("2024-01-01")).cast("double")
             ),
             6,
-        ).alias("ols_slope"),
+        ) + F.lit(0.0)).alias("ols_slope"),
     )
     return (
         ts_agg.join(ols, "event_type")
@@ -1336,7 +1343,8 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, x in enumerate(names):
         for y in names[i + 1:]:
             c = f"c_{x}_{y}"
-            aggs.append(F.round(F.corr(x, y), 6).alias(c))
+            # corr straddles zero → + 0.0 kills the -0.0/+0.0 split
+            aggs.append((F.round(F.corr(x, y), 6) + F.lit(0.0)).alias(c))
             pair_cols.append((x, y, c))
     aggs.append(F.count(F.lit(1)).alias("n"))
     one = feats.agg(*aggs)
@@ -1396,7 +1404,9 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        agg.select("event_type", "n", F.round(rho, 6).alias("spearman_rho"))
+        agg.select("event_type", "n",
+                   # rho straddles zero → + 0.0 (signed-zero normalizer)
+                   (F.round(rho, 6) + F.lit(0.0)).alias("spearman_rho"))
         .orderBy("event_type")
     )
 
@@ -1454,7 +1464,8 @@ def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("var_s", F.round(var_s, 4))
         .select(
             "event_type", "n_days", "s_stat", "var_s",
-            F.round(z, 6).alias("z_stat"),
+            # z straddles zero → + 0.0 (signed-zero normalizer)
+            (F.round(z, 6) + F.lit(0.0)).alias("z_stat"),
             F.when(F.abs(F.round(z, 6)) > 1.96,
                    F.when(F.col("s_stat") > 0, "increasing")
                    .otherwise("decreasing"))
@@ -1656,12 +1667,12 @@ ORACLE: dict[str, str] = {
             FROM events
         ), one AS (
             SELECT count(*) AS n,
-                   round(corr(f_value, f_hod), 6) AS c1,
-                   round(corr(f_value, f_dow), 6) AS c2,
-                   round(corr(f_value, f_plen), 6) AS c3,
-                   round(corr(f_hod, f_dow), 6) AS c4,
-                   round(corr(f_hod, f_plen), 6) AS c5,
-                   round(corr(f_dow, f_plen), 6) AS c6
+                   round(corr(f_value, f_hod), 6) + 0.0 AS c1,
+                   round(corr(f_value, f_dow), 6) + 0.0 AS c2,
+                   round(corr(f_value, f_plen), 6) + 0.0 AS c3,
+                   round(corr(f_hod, f_dow), 6) + 0.0 AS c4,
+                   round(corr(f_hod, f_plen), 6) + 0.0 AS c5,
+                   round(corr(f_dow, f_plen), 6) + 0.0 AS c6
             FROM feats
         )
         SELECT 'f_value' AS feat_x, 'f_hod' AS feat_y, c1 AS corr, n
@@ -1697,7 +1708,8 @@ ORACLE: dict[str, str] = {
         SELECT event_type, n,
                round((n * sxy - sx * sy)
                      / sqrt((n * sxx - sx * sx)
-                            * (n * syy - sy * sy)), 6) AS spearman_rho
+                            * (n * syy - sy * sy)), 6) + 0.0
+                   AS spearman_rho
         FROM agg ORDER BY event_type
     """,
     "mann_kendall": """
@@ -1734,7 +1746,7 @@ ORACLE: dict[str, str] = {
                               THEN (s_stat - 1) / sqrt(var_s)
                               WHEN s_stat < 0
                               THEN (s_stat + 1) / sqrt(var_s)
-                              ELSE 0e0 END, 6) AS z_stat
+                              ELSE 0e0 END, 6) + 0.0 AS z_stat
             FROM v
         )
         SELECT event_type, n_days, s_stat, var_s, z_stat,
@@ -1832,7 +1844,7 @@ ORACLE: dict[str, str] = {
                n_pairs,
                round((n_pairs * sxy - sx * sy)
                      / sqrt(CAST((n_pairs * sxx - sx * sx) AS DOUBLE)
-                            * (n_pairs * syy - sy * sy)), 6) AS acf
+                            * (n_pairs * syy - sy * sy)), 6) + 0.0 AS acf
         FROM agg
         ORDER BY event_type, lag
     """,
@@ -1848,13 +1860,13 @@ ORACLE: dict[str, str] = {
             JOIN daily b ON b.event_type = a.event_type AND a.d < b.d
         ), ts_agg AS (
             SELECT event_type, count(*) AS n_pairs,
-                   round(quantile_cont(slope, 0.5), 6) AS ts_slope
+                   round(quantile_cont(slope, 0.5), 6) + 0.0 AS ts_slope
             FROM slopes GROUP BY 1
         ), ols AS (
             SELECT event_type, count(*) AS n_days,
                    round(regr_slope(
                        m, CAST(date_diff('day', DATE '2024-01-01', d)
-                               AS DOUBLE)), 6) AS ols_slope
+                               AS DOUBLE)), 6) + 0.0 AS ols_slope
             FROM daily GROUP BY 1
         )
         SELECT t.event_type, o.n_days, t.n_pairs, t.ts_slope, o.ols_slope
@@ -1953,7 +1965,7 @@ ORACLE: dict[str, str] = {
                    round(corr(value, prev) OVER (
                        PARTITION BY user_id ORDER BY rn
                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
-                   ), 6) AS auto_corr
+                   ), 6) + 0.0 AS auto_corr
             FROM lagged
         ) WHERE rn % 25 = 0 AND rn >= 20
         ORDER BY user_id, rn
@@ -2018,7 +2030,7 @@ ORACLE: dict[str, str] = {
                round((n_runs - (2 * n_pos * n_neg / (n_pos + n_neg) + 1))
                      / sqrt((2 * n_pos * n_neg / (n_pos + n_neg))
                             * (2 * n_pos * n_neg / (n_pos + n_neg) - 1)
-                            / (n_pos + n_neg - 1)), 4) AS z_stat
+                            / (n_pos + n_neg - 1)), 4) + 0.0 AS z_stat
         FROM agg
         ORDER BY event_type
     """,

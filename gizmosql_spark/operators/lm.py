@@ -173,7 +173,8 @@ def topic_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("df").alias("df_j"))), "wj")
         .groupBy("source")
         .agg(
-            F.round(
+            # signed log-ratio sum straddles zero -> + 0.0
+            (F.round(
                 F.sum(
                     F.log(
                         (F.coalesce(F.col("codf"), F.lit(0)) + 1.0)
@@ -181,7 +182,7 @@ def topic_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 6,
-            ).alias("coherence"),
+            ) + F.lit(0.0)).alias("coherence"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
         .orderBy("source")
@@ -293,7 +294,7 @@ ORACLE: dict[str, str] = {
             GROUP BY ia.tok, ib.tok
         )
         SELECT p.source,
-               round(sum(ln((coalesce(c.codf, 0) + 1.0) / d.df)), 6)
+               round(sum(ln((coalesce(c.codf, 0) + 1.0) / d.df)), 6) + 0.0
                    AS coherence,
                count(*) AS n_pairs
         FROM prs p

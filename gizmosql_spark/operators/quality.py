@@ -185,7 +185,9 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             F.col("c_xy").alias("support"),
-            F.round(
+            # PMI straddles zero → + 0.0 (signed-zero normalizer,
+            # see relational.stats_agg)
+            (F.round(
                 F.log(
                     (F.col("c_xy") / F.col("b_total"))
                     / (
@@ -194,7 +196,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 6,
-            ).alias("pmi"),
+            ) + F.lit(0.0)).alias("pmi"),
         )
     )
     return scored.orderBy(
@@ -446,7 +448,7 @@ ORACLE: dict[str, str] = {
         SELECT c.w1, c.w2, c.c_xy AS support,
                round(ln((c.c_xy / (SELECT n FROM b_total))
                         / ((ux.c / (SELECT n FROM n_total))
-                           * (uy.c / (SELECT n FROM n_total)))), 6)
+                           * (uy.c / (SELECT n FROM n_total)))), 6) + 0.0
                    AS pmi
         FROM cxy c
         JOIN uni ux ON ux.tok = c.w1

@@ -446,15 +446,24 @@ def range_band_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (§2E numeric family): stddev/variance/
-    correlation/covariance per group — all JVM-native partial aggs."""
+    correlation/covariance per group — all JVM-native partial aggs.
+
+    corr/covar straddle zero, so their rounded values are normalized
+    with ``+ 0.0``: DuckDB's round() preserves the sign of a tiny
+    negative (round(-2.45e-07, 6) = -0.0) while Spark's returns +0.0,
+    and the driver's hash gate sees the difference (the r9 official
+    red row). IEEE: -0.0 + 0.0 = +0.0, a no-op for every other value.
+    """
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
             F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
             F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_discount", "l_tax"), 6).alias("cov_disc_tax"),
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+             + F.lit(0.0)).alias("corr_qty_price"),
+            (F.round(F.covar_samp("l_discount", "l_tax"), 6)
+             + F.lit(0.0)).alias("cov_disc_tax"),
         )
         .orderBy("l_returnflag")
     )
@@ -465,14 +474,17 @@ def regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard regr_* set — slope/intercept/r²/count/mean-x/mean-y of
     price on quantity per return flag. All JVM-native partial aggs
     (one map-side-combinable shuffle); rounded to 6 decimals so the
-    engines' summation orders cannot produce last-bit drift."""
+    engines' summation orders cannot produce last-bit drift.
+    slope/intercept straddle zero → ``+ 0.0`` normalizes the signed
+    zero DuckDB's round() can emit (see stats_agg)."""
     l = _t(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.round(F.regr_slope(y, x), 6).alias("slope"),
-            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(y, x), 6)
+             + F.lit(0.0)).alias("intercept"),
             F.round(F.regr_r2(y, x), 6).alias("r2"),
             F.regr_count(y, x).alias("n"),
             F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
@@ -2278,8 +2290,8 @@ ORACLE: dict[str, str] = {
         SELECT l_returnflag,
                round(stddev_samp(l_extendedprice), 6) AS sd_price,
                round(var_samp(l_quantity), 6) AS var_qty,
-               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               round(covar_samp(l_discount, l_tax), 6) AS cov_disc_tax
+               round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+               round(covar_samp(l_discount, l_tax), 6) + 0.0 AS cov_disc_tax
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -2299,8 +2311,9 @@ ORACLE: dict[str, str] = {
     """,
     "regr_agg": """
         SELECT l_returnflag,
-               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-               round(regr_intercept(l_extendedprice, l_quantity), 6)
+               round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0
+                   AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6) + 0.0
                    AS intercept,
                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,

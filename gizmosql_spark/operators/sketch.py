@@ -490,7 +490,9 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.select(
             "event_type",
             "user_decile",
-            F.round(F.col("true_n") + noise, 4).alias("released_n"),
+            # count + signed Laplace noise straddles zero -> + 0.0
+            (F.round(F.col("true_n") + noise, 4)
+             + F.lit(0.0)).alias("released_n"),
             F.round(F.abs(noise), 4).alias("abs_noise"),
         )
         .orderBy("event_type", "user_decile")
@@ -827,7 +829,7 @@ ORACLE = {
         )
         SELECT event_type, user_decile,
                round(true_n + (-{_DP_SCALE} * sign({_DP_U_SQL})
-                     * ln(1 - 2 * abs({_DP_U_SQL}) + 1e-12)), 4)
+                     * ln(1 - 2 * abs({_DP_U_SQL}) + 1e-12)), 4) + 0.0
                    AS released_n,
                round(abs(-{_DP_SCALE} * sign({_DP_U_SQL})
                      * ln(1 - 2 * abs({_DP_U_SQL}) + 1e-12)), 4)

@@ -961,7 +961,8 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
-            F.round(F.avg(log_ratio), 6).alias("dsir_w"),
+            # log-ratio average straddles zero -> + 0.0
+            (F.round(F.avg(log_ratio), 6) + F.lit(0.0)).alias("dsir_w"),
         )
         .orderBy(F.desc("dsir_w"), "doc_id")
         .limit(25)
@@ -2009,7 +2010,7 @@ ORACLE: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_tok,
                round(avg(
                    ln((coalesce(g.ct, 0) + 1) / (n.tgt_total + n.vocab))
-                   - ln(u.c / n.raw_total)), 6) AS dsir_w
+                   - ln(u.c / n.raw_total)), 6) + 0.0 AS dsir_w
         FROM toks t
         JOIN uni u USING (tok)
         LEFT JOIN tgt g USING (tok)

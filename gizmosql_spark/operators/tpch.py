@@ -219,7 +219,10 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shipping.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        # money aggregate -> declared 2-dp scale (FIXTURES.md rule 2):
+        # the engines sum doubles in different orders, and the strict
+        # hash gate sees the last-ulp drift an unrounded sum carries
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -257,9 +260,11 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         all_nations.groupBy("o_year")
         .agg(
-            (
+            # ratio of double sums -> declared 6-dp scale (the strict
+            # hash gate sees the last-ulp drift of unrounded ratios)
+            F.round(
                 F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0)))
-                / F.sum("volume")
+                / F.sum("volume"), 6
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -291,7 +296,8 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         profit.groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        # money aggregate -> declared 2-dp scale (see q07)
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -705,7 +711,8 @@ ORACLE: dict[str, str] = {
           AND l_quantity < 24
     """,
     "q07": """
-        SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      CAST(year(l_shipdate) AS INTEGER) AS l_year,
                      l_extendedprice * (1 - l_discount) AS volume
@@ -721,8 +728,8 @@ ORACLE: dict[str, str] = {
     """,
     "q08": """
         SELECT o_year,
-               sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume) AS mkt_share
+               round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
         FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
                      l_extendedprice * (1 - l_discount) AS volume,
                      n2.n_name AS nation
@@ -738,7 +745,7 @@ ORACLE: dict[str, str] = {
         ORDER BY o_year
     """,
     "q09": """
-        SELECT nation, o_year, sum(amount) AS sum_profit
+        SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
         FROM (SELECT n_name AS nation,
                      CAST(year(o_orderdate) AS INTEGER) AS o_year,
                      l_extendedprice * (1 - l_discount) AS amount

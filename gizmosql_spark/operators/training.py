@@ -786,10 +786,12 @@ def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_nodes").over(w_all),
                 6,
             ).alias("cum_frac"),
-            F.round(
+            # slope straddles zero → + 0.0 (signed-zero normalizer,
+            # see relational.stats_agg)
+            (F.round(
                 F.expr("regr_slope(ln(n_nodes), ln(degree))").over(w_all),
                 6,
-            ).alias("loglog_slope"),
+            ) + F.lit(0.0)).alias("loglog_slope"),
         )
         .orderBy("degree")
     )
@@ -1565,7 +1567,7 @@ ORACLE = {
                                   AND CURRENT ROW)
                      / CAST(sum(n_nodes) OVER () AS DOUBLE), 6)
                    AS cum_frac,
-               round(regr_slope(ln(n_nodes), ln(degree)) OVER (), 6)
+               round(regr_slope(ln(n_nodes), ln(degree)) OVER (), 6) + 0.0
                    AS loglog_slope
         FROM hist
         ORDER BY degree

@@ -153,3 +153,38 @@ def test_distinct_setop_agree(spark, ddb, sdf, preds, col):
     got = [r["v"] for r in spark.sql(q.format(t="li_prop")).collect()]
     want = [w[0] for w in ddb.execute(q.format(t="lineitem")).fetchall()]
     assert got == want, where
+
+
+def test_strict_mode_catches_signed_zero(spark, sf_dir):
+    """The strict (driver-hash-grade) comparator must see the -0.0 vs
+    +0.0 split the tolerance comparator is blind to — the exact gap
+    that let the r9 ``stats_agg`` escape the local differential while
+    failing the official hash (VERDICT r9 item 3)."""
+    import pytest
+
+    from gizmosql_spark import testing
+
+    df = spark.sql("SELECT 0.0D AS x")  # Spark: +0.0
+    oracle = "SELECT -0.0::DOUBLE AS x"  # DuckDB: -0.0
+    # tolerance mode: equal (0.0 == -0.0 numerically)
+    testing.compare_to_oracle(df, oracle, sf_dir)
+    # strict mode: repr-level difference must fail
+    with pytest.raises(AssertionError, match="strict"):
+        testing.compare_to_oracle(df, oracle, sf_dir, strict=True)
+
+
+def test_strict_mode_catches_last_ulp_drift(spark, sf_dir):
+    """Strict mode must also see one-ulp float drift (the q07/q09
+    unrounded-sum hazard strict mode surfaced in r10)."""
+    import math
+
+    import pytest
+
+    from gizmosql_spark import testing
+
+    hi = math.nextafter(1874116.2427, math.inf)
+    df = spark.sql(f"SELECT CAST({hi!r} AS DOUBLE) AS x")
+    oracle = "SELECT 1874116.2427::DOUBLE AS x"
+    testing.compare_to_oracle(df, oracle, sf_dir)  # tolerance: passes
+    with pytest.raises(AssertionError, match="strict"):
+        testing.compare_to_oracle(df, oracle, sf_dir, strict=True)

@@ -125,9 +125,11 @@ def test_no_unrounded_float_aggregates():
     cannot absorb (the round-8 ``bucketed_join`` red row). Inner
     intermediates that a later SELECT rounds are allowlisted with
     justification in tools/lint_float_aggs.py."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     import __spark_entry__ as entry
     from tools.lint_float_aggs import ALLOWLIST, lint_sql
 
@@ -139,3 +141,49 @@ def test_no_unrounded_float_aggregates():
                 continue
             violations.append(v)
     assert not violations, "\n".join(violations)
+
+
+def test_no_signed_zero_hazards():
+    """Signed-zero lint (round-9 verdict item 2): ``round()`` is NOT a
+    terminal canonicalizer for values that straddle zero — DuckDB's
+    round() keeps the sign of a tiny negative (-0.0) while Spark's
+    returns +0.0, and the driver's exact hash sees the split (the r9
+    ``stats_agg`` red row). Every rounded corr/covar/regr-slope/log
+    expression must carry the ``+ 0.0`` normalizer or be allowlisted
+    as provably positive."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+    from tools.lint_float_aggs import (
+        SIGNED_ZERO_ALLOWLIST,
+        lint_signed_zero,
+    )
+
+    violations = []
+    for name, sql in sorted(entry.oracle_sql().items()):
+        for v in lint_signed_zero(name, sql):
+            snippet = v.split("`")[1] if "`" in v else ""
+            if (name, snippet) in SIGNED_ZERO_ALLOWLIST:
+                continue
+            violations.append(v)
+    assert not violations, "\n".join(violations)
+
+
+def test_signed_zero_lint_detects_bare_round():
+    """The lint must flag the exact r9 escape: a rounded covar with no
+    ``+ 0.0`` normalizer (the r9 lint treated round() as terminal SAFE
+    and let the signed zero sail through)."""
+    from tools.lint_float_aggs import lint_signed_zero
+
+    bad = "SELECT round(covar_samp(a, b), 6) AS c FROM t"
+    assert lint_signed_zero("demo", bad), "bare rounded covar not flagged"
+    good = "SELECT round(covar_samp(a, b), 6) + 0.0 AS c FROM t"
+    assert not lint_signed_zero("demo", good)
+    # log-ratio shape (PMI/DSIR class)
+    assert lint_signed_zero(
+        "demo", "SELECT round(avg(ln(x / y)), 6) AS w FROM t")
+    assert not lint_signed_zero(
+        "demo", "SELECT round(avg(ln(x / y)), 6) + 0.0 AS w FROM t")

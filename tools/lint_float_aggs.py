@@ -30,6 +30,11 @@ DOUBLE_COLS = {
     "l_extendedprice", "l_discount", "l_tax",
     "o_totalprice", "c_acctbal", "s_acctbal", "p_retailprice",
     "value", "quality_score", "score", "embedding", "vec",
+    # subquery aliases the TPC-H oracles give double expressions —
+    # sums over these escaped the lint until r10, when the strict
+    # differential caught q07/q09 failing the hash gate on last-ulp
+    # summation drift (`sum(volume)` / `sum(amount)` unrounded)
+    "volume", "amount", "revenue", "profit",
 }
 
 UNSTABLE_FUNCS = r"(?:sum|avg|mean|stddev(?:_pop|_samp)?|var(?:iance|_pop|_samp)?|covar(?:_pop|_samp)?|corr)"
@@ -101,6 +106,40 @@ def lint_sql(name: str, sql: str) -> list[str]:
     return violations
 
 
+# ``round()`` is NOT a terminal canonicalizer for values that can
+# straddle zero: DuckDB's round() preserves the sign of a tiny
+# negative (round(-2.45e-07, 6) = -0.0) while Spark's returns +0.0,
+# and the driver's exact-hash gate sees the difference — this is how
+# the r9 sweep turned stats_agg RED while this very lint blessed it.
+# The required normalizer is ``+ 0.0`` right after the round (IEEE:
+# -0.0 + 0.0 = +0.0; a no-op for every other value). Detectable
+# straddle-zero shapes: the signed statistical aggregates, and
+# log/log-ratio expressions (PMI, DSIR importance).
+ZERO_STRADDLING = (
+    r"\b(?:corr|covar_pop|covar_samp|regr_slope|regr_intercept|"
+    r"skewness|kurtosis|ln|log)\s*\("
+)
+
+
+def lint_signed_zero(name: str, sql: str) -> list[str]:
+    violations = []
+    stripped = re.sub(r"'[^']*'", "''", sql)
+    for m in re.finditer(r"\bround\s*\(", stripped, re.IGNORECASE):
+        open_idx = stripped.index("(", m.start())
+        close_idx = _find_matching_paren(stripped, open_idx)
+        arg = stripped[open_idx + 1:close_idx]
+        if not re.search(ZERO_STRADDLING, arg, re.IGNORECASE):
+            continue
+        tail = stripped[close_idx + 1:close_idx + 16]
+        if re.match(r"\s*\+\s*0\.0", tail):
+            continue
+        snippet = re.sub(r"\s+", " ", stripped[m.start():close_idx + 1])
+        violations.append(
+            f"{name}: signed-zero hazard — rounded straddle-zero value "
+            f"without '+ 0.0' normalizer: `{snippet[:90]}`")
+    return violations
+
+
 # Operators whose oracle intentionally carries an inner unrounded
 # aggregate that never reaches the output unrounded — either a CTE /
 # subquery intermediate that a later SELECT rounds, or a comparison
@@ -134,8 +173,61 @@ ALLOWLIST: set[tuple[str, str]] = {
 }
 
 
+# Rounded straddle-zero-LOOKING expressions verified strictly positive
+# by construction — the value can never land in round()'s signed-zero
+# window, so the `+ 0.0` normalizer is not required. Each entry is
+# hand-verified; anything not listed fails the lint. Keyed like
+# ALLOWLIST: (query_name, whitespace-normalized snippet, 90-char cap).
+SIGNED_ZERO_ALLOWLIST: set[tuple[str, str]] = {
+    # sum of 1/ln(deg) with deg >= 2 → every term > 0
+    ("adamic_adar", "round(sum(1.0 / ln(a.deg)), 6)"),
+    # HLL linear-counting estimate: m*ln(m/v) with 0 < v <= m → >= 0,
+    # and v == m (estimate 0) yields exact +0.0 (ln(1.0) = +0.0)
+    ("approx_distinct_hll",
+     "round(1024.0::DOUBLE * ln(1024.0::DOUBLE / v), 4)"),
+    ("hll_by_group",
+     "round(1024.0::DOUBLE * ln(1024.0::DOUBLE / v), 4)"),
+    ("hll_rolling_merge",
+     "round(1024.0::DOUBLE * ln(1024.0::DOUBLE / v), 4)"),
+    # BM25 term: ln(1 + x) with x > 0, times positive tf factors
+    ("bm25_topk",
+     "round( ln(1e0 + (s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * "
+     "t.tf * 2.2e0 / (t.tf + 1.2e0"),
+    ("ranking_agreement",
+     "round(sum( round( ln(1e0 + (s.n_docs - f.df + 0.5e0) / "
+     "(f.df + 0.5e0)) * t.tf * 2.2e0 / (t"),
+    ("ranking_agreement",
+     "round( ln(1e0 + (s.n_docs - f.df + 0.5e0) / (f.df + 0.5e0)) * "
+     "t.tf * 2.2e0 / (t.tf + 1.2e0"),
+    # abs() of the Laplace noise → >= 0 (released_n, which straddles,
+    # carries the + 0.0 normalizer)
+    ("dp_noisy_counts",
+     "round(abs(-2.0 * sign((( (strpos('', substr(md5(concat_ws('', "
+     "event_type, user_decile)), 1"),
+    # ln of a price column whose domain is > 1
+    ("numeric_funcs", "round(ln(l_extendedprice), 6)"),
+    # smoothed IDF: ln((n+1)/(df+1)) with df <= n → >= 0, exact +0.0
+    # at df == n; the tf factor is positive
+    ("tfidf_top_terms",
+     "round((CAST(tc.tc AS DOUBLE) / doc_len.doc_len) * "
+     "ln((n.n_docs + 1.0) / (df.df + 1.0)), 6)"),
+    # exp(...) > 0 always
+    ("udaf_geomean",
+     "round(exp(avg(ln(len(string_split( regexp_replace(trim(lower("
+     "text)), '', '', ''), ''))))),"),
+    # Gumbel key: -ln(u) with u in (0, 1) → > 0
+    ("weighted_sample",
+     "round(-ln((((strpos('', substr(h, 1, 1)) - 1) * 268435456 + "
+     "(strpos('', substr(h, 2, 1)) -"),
+}
+
+
 def main() -> int:
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    # repo root = parent of tools/ — works from any checkout location
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
 
     oracles = entry.oracle_sql()
@@ -146,12 +238,19 @@ def main() -> int:
             if (name, snippet) in ALLOWLIST:
                 continue
             all_violations.append(v)
+        for v in lint_signed_zero(name, sql):
+            snippet = v.split("`")[1] if "`" in v else ""
+            if (name, snippet) in SIGNED_ZERO_ALLOWLIST:
+                continue
+            all_violations.append(v)
     if all_violations:
-        print(f"FAIL — {len(all_violations)} unrounded float aggregate(s):")
+        print(f"FAIL — {len(all_violations)} float-canonicalization "
+              "violation(s):")
         for v in all_violations:
             print("  " + v)
         return 1
-    print(f"OK — {len(oracles)} oracle entries, no unrounded float aggregates")
+    print(f"OK — {len(oracles)} oracle entries, no unrounded float "
+          "aggregates, no signed-zero hazards")
     return 0
 
 
