@@ -90,3 +90,29 @@ def test_live_failure_falls_back(spark, sf_dir, monkeypatch):
     inst.query.stop()  # simulate a dead long-lived query
     out = live.run_live(spark, "type_matrix", sf_dir)  # rebuild attempt
     assert out is not None and out.count() > 0
+
+
+def test_jvm_tier_small_only_declines_super_threshold():
+    """small_only is PERMANENT DESIGN for the JVM-tier live shapes
+    (SCALING.md §6): a complete-mode memory sink accumulates every
+    run's state/output rows in the one local JVM (the r9 sf10 heap
+    OOM), and at super-threshold dirs per-run compute dominates the
+    ~0.3-0.5 s query-start cost the live path exists to amortize — the
+    bounded availableNow path is the proven configuration there. The
+    live path must DECLINE (return None) without attempting a query
+    start, so callers take the bounded fallback immediately."""
+    from gizmosql_spark.operators import loader
+    from gizmosql_spark.session import get_spark
+
+    spark = get_spark("gizmosql-spark-tests")
+    fake_big = "/fake/live-small-only-big"
+    loader._AQE_DECISION[fake_big] = "true"  # register as super-threshold
+    try:
+        before = dict(live._REGISTRY)
+        for shape in ("tumbling", "sliding", "session_windows",
+                      "static_join", "stream_join", "outer_join"):
+            assert live.run_live(spark, shape, fake_big) is None
+        # declined BEFORE creating any instance — no query-start paid
+        assert live._REGISTRY == before
+    finally:
+        loader._AQE_DECISION.pop(fake_big, None)
