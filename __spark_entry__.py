@@ -27,14 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # family; everything else follows and is still verified by the repo's
 # own differential harness (gizmosql_spark/testing.py).
 _PRIORITY = [
-    # Round-10 rotation. r10 touched 30 operators: the 13 streaming
+    # Round-10 rotation. r10 touched 33 operators: the 13 streaming
     # rows (their delivery path gained the quiesce/teardown protocol,
     # per-instance sink names, and per-key creation locks —
-    # streaming/live.py), and 17 value-affecting signed-zero /
+    # streaming/live.py), and 20 value-affecting signed-zero /
     # declared-rounding fixes (the `+ 0.0` normalizer sweep that turns
-    # the r9 stats_agg red row green, plus the q07/q08/q09 unrounded
-    # sums the new strict differential surfaced). All 30 are
-    # front-loaded; the remaining 20 slots restore long-green rows
+    # the r9 stats_agg red row green — 17 normalizer sites incl.
+    # degree_distribution, pca_power_iteration and ranking_agreement
+    # from the sqrt-division lint rule — plus the q07/q08/q09
+    # unrounded sums the new strict differential surfaced). All 33
+    # are front-loaded; the remaining 17 slots restore long-green rows
     # displaced in earlier rotations. Everything else is verified by
     # the repo's own 250-query STRICT differential
     # (differential_run.py --strict, hash-grade since r10).
@@ -73,6 +75,9 @@ _PRIORITY = [
     "topic_coherence_umass",  # signed log-ratio sum normalized
     "jsd_source_drift",       # FP-tiny-negative guard
     "dp_noisy_counts",        # count + signed Laplace noise
+    "degree_distribution",    # log-log slope normalized
+    "pca_power_iteration",    # projected-score mean normalized
+    "ranking_agreement",      # rank correlation normalized
     # r10 declared-rounding fixes: unrounded sums over subquery
     # aliases that escaped the r9 lint (strict differential caught
     # q07/q09 failing hash-grade on last-ulp summation drift)
@@ -83,18 +88,15 @@ _PRIORITY = [
     "q01", "q02", "q05", "q06", "q14", "q18",
     # restorations: long-green rows displaced by earlier rotations
     "range_band_join",        # theta/range join
-    "grouping_sets_agg",
-    "cube_agg",
+    "grouping_sets_agg",      # (cube_agg, same family, rotates out)
     "window_running",
     "agg_funcs",
     "events_sessionize",
-    "events_hourly",
     "events_anomaly",
     "pyds_synthetic_agg",     # Custom Python DataSource §2D row
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_ivf",
-    "semdedup_prune",
     "multimodal_features",
 ]
 

@@ -56,6 +56,17 @@ def main() -> None:
         json.dump({"sf_dir": sf_dir, "total": len(results),
                    "failed": len(bad), "strict": strict,
                    "results": results}, f, indent=1)
+    # the 13 streaming entries route through live.run_live — stop (and
+    # join) their long-lived queries BEFORE the summary print and
+    # process exit, so no stream-thread exception can land after the
+    # "one-line summary last" this file promises (same protocol as
+    # bench.py; the r9 record-destroyer — atexit is too late)
+    try:
+        from gizmosql_spark.streaming import live
+
+        live.quiesce(spark)
+    except Exception as ex:
+        print(f"# quiesce error: {ex}", file=sys.stderr)
     print(f"TOTAL {len(results)} FAILED {len(bad)} "
           f"strict={strict} {json.dumps(bad)}")
     sys.exit(1 if bad else 0)

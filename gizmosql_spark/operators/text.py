@@ -1463,7 +1463,8 @@ def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(k).alias("k"),
         F.count(F.lit(1)).alias("n_common"),
         F.round(F.count(F.lit(1)) / F.lit(float(k)), 6).alias("overlap_at_k"),
-        F.round(rho, 6).alias("rank_rho"),
+        # rank correlation straddles zero -> + 0.0
+        (F.round(rho, 6) + F.lit(0.0)).alias("rank_rho"),
     )
 
 
@@ -1705,7 +1706,7 @@ ORACLE: dict[str, str] = {
                                   - sum(rk_tf) * sum(rk_tf))
                                  * (count(*) * sum(rk_bm * rk_bm)
                                     - sum(rk_bm) * sum(rk_bm))
-                            AS DOUBLE)), 6) AS rank_rho
+                            AS DOUBLE)), 6) + 0.0 AS rank_rho
         FROM common
     """,
     "lang_confusion": f"""

@@ -875,7 +875,8 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("s"), 4).alias("mean_score"),
+            # projected-score mean straddles zero -> + 0.0
+            (F.round(F.avg("s"), 4) + F.lit(0.0)).alias("mean_score"),
             F.round(F.stddev_pop("s"), 4).alias("sd_score"),
         )
         .orderBy("label")
@@ -1351,7 +1352,7 @@ _PCA_ORACLE = f"""
         FROM c, p3 p
     )
     SELECT label, CAST(count(*) AS BIGINT) AS n,
-           round(avg(s), 4) AS mean_score,
+           round(avg(s), 4) + 0.0 AS mean_score,
            round(stddev_pop(s), 4) AS sd_score
     FROM scores GROUP BY label
     ORDER BY label

@@ -39,6 +39,7 @@ shape (SURVEY.md §2C streaming row).
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 import tempfile
@@ -74,7 +75,7 @@ _CREATE_LOCKS: dict[tuple[str, str], threading.RLock] = {}
 #: fixture dirs running the same shape in one process need DISTINCT
 #: active query names (Spark rejects duplicate active queryName on the
 #: shared session clone) — `live_{shape}_g{gen}` alone collides.
-_INSTANCE_COUNTER = __import__("itertools").count()
+_INSTANCE_COUNTER = itertools.count()
 
 # spool/checkpoint dirs live in tmpfs — tear everything down when the
 # process exits so repeated bench/test runs don't accumulate them
@@ -809,13 +810,17 @@ def run_live(spark: SparkSession, shape_name: str,
             # A barrier-poll TIMEOUT is different: the query was
             # healthy but slow, so a rebuilt query would just time out
             # again — skip the retry and fall back immediately.
+            # _LOCK covers ONLY the registry pop: _teardown() blocks on
+            # query.stop() (joins the execution thread), and holding
+            # the global lock across it would serialize every other
+            # shape — the very contention the per-key locks remove.
             with _LOCK:
-                try:
-                    live._teardown()
-                except Exception:
-                    pass
                 if _REGISTRY.get(key) is live:
                     _REGISTRY.pop(key, None)
+            try:
+                live._teardown()
+            except Exception:
+                pass
             if attempt == 1 or isinstance(ex, TimeoutError):
                 return None
     return None
@@ -867,6 +872,14 @@ def quiesce(spark: SparkSession, timeout: float = 30.0) -> list[str]:
     deadline = _time.monotonic() + timeout
     for s in sessions:
         try:
+            # stop() joins the execution thread; bound the join so a
+            # wedged query cannot hang quiesce forever (the clones set
+            # this at creation — re-assert for the base session and
+            # any externally built clone)
+            try:
+                s.conf.set("spark.sql.streaming.stopTimeout", "15000")
+            except Exception:
+                pass
             for q in s.streams.active:
                 try:
                     q.stop()  # joins the stream-execution thread

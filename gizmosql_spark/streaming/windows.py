@@ -105,6 +105,14 @@ def _new_stream_clone(spark: SparkSession, partitions: int,
     # crash reason is visible in the recorded exception.
     s.conf.set("spark.sql.execution.pyspark.udf."
                "faulthandler.enabled", "true")
+    # Bound StreamingQuery.stop(): the default stopTimeout=0 waits
+    # indefinitely for the execution thread to die, so a wedged query
+    # (e.g. blocked on a dead Python state-server socket) would hang
+    # every teardown path — quiesce, recycle, reset — forever. With a
+    # bound, stop() raises after 15 s, the caller's try/except moves
+    # on, and live.quiesce() reports the query in `leftovers` instead
+    # of never returning (which would lose the bench record outright).
+    s.conf.set("spark.sql.streaming.stopTimeout", "15000")
     from gizmosql_spark.operators.loader import ensure_session_confs
     from gizmosql_spark.vendor import export_to_spark_workers
 

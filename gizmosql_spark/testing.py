@@ -77,12 +77,23 @@ def _strict_cell(v):
     cell must match at repr level — no rel-tol. This is what catches the
     divergences the tolerance comparator is blind to: ``-0.0`` vs
     ``0.0`` (the stats_agg r9 official red row — DuckDB's ``round()``
-    preserves the sign of a tiny negative, Spark's does not) and any
-    last-ulp drift that survives canonicalization."""
-    v = _canon_cell(v)
+    preserves the sign of a tiny negative, Spark's does not), any
+    last-ulp drift that survives canonicalization, and NaN-vs-NULL
+    splits. Deliberately does NOT reuse ``_canon_cell``: that maps NaN
+    to None, which would hide a Spark-NaN vs DuckDB-NULL divergence
+    (e.g. corr() of a zero-variance group: Spark NaN, DuckDB NULL) —
+    a hash-grade difference."""
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return repr(float(v))
     if isinstance(v, float):
-        return repr(v)  # repr('-0.0') != repr('0.0'); full 17-digit form
-    if isinstance(v, tuple):
+        return repr(v)  # 'nan', '-0.0', full 17-digit form
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
         return tuple(_strict_cell(x) for x in v)
     return v
 

@@ -187,3 +187,16 @@ def test_signed_zero_lint_detects_bare_round():
         "demo", "SELECT round(avg(ln(x / y)), 6) AS w FROM t")
     assert not lint_signed_zero(
         "demo", "SELECT round(avg(ln(x / y)), 6) + 0.0 AS w FROM t")
+    # z-statistic / standardized-score shape (division by sqrt)
+    assert lint_signed_zero(
+        "demo", "SELECT round((n - e) / sqrt(v), 4) AS z FROM t")
+    assert not lint_signed_zero(
+        "demo", "SELECT round((n - e) / sqrt(v), 4) + 0.0 AS z FROM t")
+    # a line-wrapped normalizer is still a normalizer
+    assert not lint_signed_zero(
+        "demo",
+        "SELECT round(corr(a, b), 6)\n"
+        "                 + 0.0 AS c FROM t")
+    # a value-changing constant is NOT a normalizer
+    assert lint_signed_zero(
+        "demo", "SELECT round(corr(a, b), 6) + 0.05 AS c FROM t")

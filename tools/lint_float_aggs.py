@@ -113,12 +113,20 @@ def lint_sql(name: str, sql: str) -> list[str]:
 # the r9 sweep turned stats_agg RED while this very lint blessed it.
 # The required normalizer is ``+ 0.0`` right after the round (IEEE:
 # -0.0 + 0.0 = +0.0; a no-op for every other value). Detectable
-# straddle-zero shapes: the signed statistical aggregates, and
-# log/log-ratio expressions (PMI, DSIR importance).
+# straddle-zero shapes: the signed statistical aggregates,
+# log/log-ratio expressions (PMI, DSIR importance), and
+# division-by-sqrt forms (z-statistics, standardized scores, cosine
+# similarities — `x / sqrt(v)` is signed whenever x is).
 ZERO_STRADDLING = (
     r"\b(?:corr|covar_pop|covar_samp|regr_slope|regr_intercept|"
     r"skewness|kurtosis|ln|log)\s*\("
+    r"|/\s*sqrt\s*\("
 )
+
+#: the normalizer must follow the round() immediately (whitespace
+#: only, any amount — line wraps included) and must be EXACTLY +0.0:
+#: a digit after would be a value-changing constant, not a normalizer
+_NORMALIZER_RE = re.compile(r"\s*\+\s*0\.0(?![0-9])")
 
 
 def lint_signed_zero(name: str, sql: str) -> list[str]:
@@ -130,8 +138,7 @@ def lint_signed_zero(name: str, sql: str) -> list[str]:
         arg = stripped[open_idx + 1:close_idx]
         if not re.search(ZERO_STRADDLING, arg, re.IGNORECASE):
             continue
-        tail = stripped[close_idx + 1:close_idx + 16]
-        if re.match(r"\s*\+\s*0\.0", tail):
+        if _NORMALIZER_RE.match(stripped, close_idx + 1):
             continue
         snippet = re.sub(r"\s+", " ", stripped[m.start():close_idx + 1])
         violations.append(
@@ -219,6 +226,16 @@ SIGNED_ZERO_ALLOWLIST: set[tuple[str, str]] = {
     ("weighted_sample",
      "round(-ln((((strpos('', substr(h, 1, 1)) - 1) * 268435456 + "
      "(strpos('', substr(h, 2, 1)) -"),
+    # INTERMEDIATE eigenvector canonicalization, symmetric by
+    # construction: the Spark side rounds with numpy (np.round) and
+    # the oracle with DuckDB round() — BOTH preserve the sign of a
+    # rounded-to-zero component, so the two engines' downstream
+    # projections agree bit-for-bit either way. The query OUTPUT
+    # (mean_score, which does straddle zero) carries the + 0.0
+    # normalizer on both sides.
+    ("pca_power_iteration",
+     "round((CASE WHEN w.w[1] < 0 THEN -1 ELSE 1 END) * w.w[i] / "
+     "sqrt(list_aggregate( list_trans"),
 }
 
 
