@@ -766,6 +766,16 @@ def run_live(spark: SparkSession, shape_name: str,
         return None
     if shape.small_only and W.wide_for_dir(sf_dir):
         return None  # bounded path at scale (see _Shape.small_only)
+    if shape.expected_rows is not None and W.wide_for_dir(sf_dir):
+        # trailing-no-data-batch shapes (event-time timers, outer-join
+        # null flushes) decline the live path at super-threshold dirs:
+        # the barrier poll waits for a trailing batch whose cost scales
+        # with the fixture (sf10 measured ~230 s/run live vs ~47 s/run
+        # bounded for timer_flush — the r10 sf10 record read 699 s vs
+        # 142 s before this gate), while the live path's whole economy
+        # is amortizing ~1 s of query-start cost. Bounded availableNow
+        # is the proven configuration at scale.
+        return None
     if shape.session_kind == "tws":
         session = W.tws_streaming_session(spark)
     else:

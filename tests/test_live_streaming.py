@@ -112,6 +112,10 @@ def test_jvm_tier_small_only_declines_super_threshold():
         for shape in ("tumbling", "sliding", "session_windows",
                       "static_join", "stream_join", "outer_join"):
             assert live.run_live(spark, shape, fake_big) is None
+        # trailing-no-data-batch shapes also decline at scale: the
+        # barrier poll waits for a batch whose cost scales with the
+        # fixture (sf10: 699 s live vs 142 s bounded for timer_flush)
+        assert live.run_live(spark, "timer_flush", fake_big) is None
         # declined BEFORE creating any instance — no query-start paid
         assert live._REGISTRY == before
     finally:
