@@ -145,11 +145,14 @@ def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             # idcg = 0 (all-zero-relevance pool) would be NULL/NaN —
             # define ndcg as 0 there so the contract is explicit.
-            F.round(
+            # + 0.0: no real -0.0 path (dcg ≥ 0, idcg > 0 in-branch),
+            # but the normalizer is the lint's symmetric invariant for
+            # every rounded log-shaped output — a no-op here
+            (F.round(
                 F.when(F.col("idcg") > 0,
                        F.col("dcg") / F.col("idcg")).otherwise(0.0),
                 6,
-            ).alias("ndcg10"),
+            ) + F.lit(0.0)).alias("ndcg10"),
             F.round("mrr_raw", 6).alias("mrr10"),
             "n_docs",
         )
@@ -659,7 +662,7 @@ ORACLE: dict[str, str] = {
                                           THEN (pow(2.0, rel) - 1)
                                                / log2(irn + 1)
                                           ELSE 0.0 END)
-                          ELSE 0.0 END, 6) AS ndcg10,
+                          ELSE 0.0 END, 6) + 0.0 AS ndcg10,
                round(coalesce(max(CASE WHEN rn <= {NDCG_K} AND rel = 3
                                        THEN 1.0 / rn END), 0.0), 6)
                    AS mrr10,

@@ -248,26 +248,70 @@ def events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile_from_rank(rn, n, k: int):
+    """Closed-form ``ntile(k)`` from a global row_number: the first
+    ``n mod k`` tiles take ``ceil(n/k)`` rows, the rest ``floor(n/k)``
+    — exactly SQL ntile's positional definition, so the rewrite is
+    integer-identical to the window function it replaces. CASE WHEN
+    short-circuits, so the ``q = 0`` (n < k) guard divisor is never
+    evaluated when it would be zero."""
+    q = F.floor(n / k)
+    r = n % k
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - head - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )
+
+
 def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency / frequency / monetary
-    quartiles (ntile over a deterministic total order), rolled up to
-    segment sizes — the classic behavioral-cohort operator. One
-    user-keyed aggregation, three window passes over the user-sized
-    frame (never the event stream), one rollup."""
+    quartiles rolled up to segment sizes — the classic
+    behavioral-cohort operator.
+
+    Scale shape: the naive form is three ``ntile(4)`` windows over the
+    per-user frame — "user-sized, never the event stream", but at
+    100 TB the user frame is itself billions of rows through one task
+    (VERDICT r10 'What's wrong' #1). Rewritten as three two-pass
+    global ranks (scale.global_row_number: equi-depth range buckets →
+    per-bucket parallel row_number → broadcast offsets) + the
+    closed-form positional ntile — integer-identical to the window
+    ntile, no unpartitioned window anywhere in the plan (pinned by
+    tests/test_plans.py). One approxQuantile pass samples all three
+    order columns together."""
+    from gizmosql_spark.operators import scale
+
     e = load_events(spark, sf_dir)
     per_user = e.groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("freq"),
         F.round(F.sum("value"), 4).alias("monetary"),
-    )
-    wr = Window.orderBy("last_ts", "user_id")
-    wf = Window.orderBy("freq", "user_id")
-    wm = Window.orderBy("monetary", "user_id")
-    scored = per_user.select(
+    ).withColumn(
+        # numeric, monotone-in-last_ts bucket key (epoch seconds fit a
+        # double exactly; the fixture column is TIMESTAMP_NTZ, which
+        # unix_micros rejects — the NTZ→LTZ→long chain is the NTZ-safe
+        # equivalent, and the session zone is fixed for the query so
+        # the mapping stays monotone; second-granularity ties merely
+        # share a bucket, which global_row_number permits)
+        "last_ts_s",
+        F.col("last_ts").cast("timestamp").cast("long").cast("double"))
+    bnds = scale.range_boundaries(
+        per_user, ["last_ts_s", "freq", "monetary"],
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    g = scale.global_row_number(
+        per_user, ["last_ts", "user_id"], "rn_r", "last_ts_s",
+        bnds[0], total_col="n_total")
+    g = scale.global_row_number(
+        g, ["freq", "user_id"], "rn_f", "freq", bnds[1])
+    g = scale.global_row_number(
+        g, ["monetary", "user_id"], "rn_m", "monetary", bnds[2])
+    n = F.col("n_total")
+    scored = g.select(
         "user_id", "monetary",
-        F.ntile(4).over(wr).alias("r"),
-        F.ntile(4).over(wf).alias("f"),
-        F.ntile(4).over(wm).alias("m"),
+        _ntile_from_rank(F.col("rn_r"), n, 4).alias("r"),
+        _ntile_from_rank(F.col("rn_f"), n, 4).alias("f"),
+        _ntile_from_rank(F.col("rn_m"), n, 4).alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")
@@ -1539,11 +1583,14 @@ def markov_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = trans.select(
         "prev_type",
         "c",
-        F.round(
+        # + 0.0: a state with a single outgoing transition has p = 1 →
+        # -1.0 * log2(1.0) = -0.0 — IEEE signed-zero normalizer,
+        # symmetric with the oracle (lint_float_aggs rule)
+        (F.round(
             -(F.col("c") / F.sum("c").over(w_prev))
             * F.log2(F.col("c") / F.sum("c").over(w_prev)),
             9,
-        ).alias("h_term"),
+        ) + F.lit(0.0)).alias("h_term"),
     )
     return (
         scored.groupBy("prev_type")
@@ -1789,7 +1836,7 @@ ORACLE: dict[str, str] = {
             SELECT prev_type, c,
                    round(-(c / sum(c) OVER (PARTITION BY prev_type))
                          * log2(c / sum(c) OVER (PARTITION BY prev_type)),
-                         9) AS h_term
+                         9) + 0.0 AS h_term
             FROM trans
         )
         SELECT prev_type, CAST(sum(c) AS BIGINT) AS n_trans,

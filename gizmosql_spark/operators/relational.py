@@ -629,7 +629,9 @@ def numeric_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(q / 7).cast("long").alias("floor_q7"),
         F.round(F.sqrt(x), 6).alias("sqrt_x"),
         F.round(F.log(x), 6).alias("ln_x"),
-        F.round(F.log10(x), 6).alias("log10_x"),
+        # + 0.0: x > 1 in the fixture so no real -0.0 path —
+        # the lint's symmetric normalizer invariant, a no-op
+        (F.round(F.log10(x), 6) + F.lit(0.0)).alias("log10_x"),
         F.round(F.exp(q / 50), 6).alias("exp_q"),
         F.signum(x - 30000).cast("int").alias("sign_v"),
         (F.col("l_partkey") % 97).alias("mod_97"),
@@ -1129,7 +1131,8 @@ def numeric_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(None).cast("double") + 0, 6).alias("null_probe"),
         F.round(F.atan2(q, F.col("l_discount") + 1), 6).alias("atan2_v"),
         F.round(F.cot(q / 100 + 1), 6).alias("cot_v"),
-        F.round(F.log2(q + 1), 6).alias("log2_q"),
+        # + 0.0: q + 1 ≥ 2 so no real -0.0 path — lint symmetry
+        (F.round(F.log2(q + 1), 6) + F.lit(0.0)).alias("log2_q"),
         F.round(F.lit(3.141592653589793), 6).alias("pi_v"),
     ).orderBy("l_orderkey", "l_linenumber")
 
@@ -1480,10 +1483,13 @@ def benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit",
             "n",
             F.round(observed, 6).alias("observed_p"),
-            F.round(expected, 6).alias("benford_p"),
-            F.round(
+            # + 0.0: no real -0.0 path (log10(1 + 1/d) > 0 for d ≥ 1),
+            # but the normalizer is the lint's symmetric invariant for
+            # every rounded log-shaped output — a no-op here
+            (F.round(expected, 6) + F.lit(0.0)).alias("benford_p"),
+            (F.round(
                 F.pow(observed - expected, 2) / expected * total, 6
-            ).alias("chi2_term"),
+            ) + F.lit(0.0)).alias("chi2_term"),
         )
         .orderBy("digit")
     )
@@ -1737,11 +1743,11 @@ ORACLE: dict[str, str] = {
         SELECT digit, n,
                round(CAST(n AS DOUBLE) / sum(n) OVER (), 6)
                    AS observed_p,
-               round(log10(1 + 1.0 / digit), 6) AS benford_p,
+               round(log10(1 + 1.0 / digit), 6) + 0.0 AS benford_p,
                round(pow(CAST(n AS DOUBLE) / sum(n) OVER ()
                          - log10(1 + 1.0 / digit), 2)
                      / log10(1 + 1.0 / digit) * sum(n) OVER (), 6)
-                   AS chi2_term
+                   + 0.0 AS chi2_term
         FROM per_digit
         ORDER BY digit
     """,
@@ -1754,7 +1760,7 @@ ORACLE: dict[str, str] = {
                CAST(NULL AS DOUBLE) AS null_probe,
                round(atan2(l_quantity, l_discount + 1), 6) AS atan2_v,
                round(cot(l_quantity / 100 + 1), 6) AS cot_v,
-               round(log2(l_quantity + 1), 6) AS log2_q,
+               round(log2(l_quantity + 1), 6) + 0.0 AS log2_q,
                round(pi(), 6) AS pi_v
         FROM lineitem
         WHERE l_orderkey < 300
@@ -2275,7 +2281,7 @@ ORACLE: dict[str, str] = {
                CAST(floor(l_quantity / 7) AS BIGINT) AS floor_q7,
                round(sqrt(l_extendedprice), 6) AS sqrt_x,
                round(ln(l_extendedprice), 6) AS ln_x,
-               round(log10(l_extendedprice), 6) AS log10_x,
+               round(log10(l_extendedprice), 6) + 0.0 AS log10_x,
                round(exp(l_quantity / 50), 6) AS exp_q,
                CAST(sign(l_extendedprice - 30000) AS INTEGER) AS sign_v,
                l_partkey % 97 AS mod_97,

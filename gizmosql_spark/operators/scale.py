@@ -26,7 +26,7 @@ import os
 import re
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gizmosql_spark.operators import loader
@@ -541,6 +541,103 @@ def bloom_join_plan(spark: SparkSession, sf_dir: str) -> str:
         return j._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode
             .fromString("formatted"))
+
+
+def range_boundaries(df: DataFrame, cols: list[str], n_buckets: int,
+                     rel_err: float = 0.01) -> list[list[float]]:
+    """Driver-side range-bucket boundaries for ``global_row_number``:
+    ONE approxQuantile pass (a single job — all columns are sampled
+    together) returning the ~``n_buckets - 1`` interior equi-depth
+    quantiles per column. Boundaries need not be exact, unique, or
+    even deterministic across runs: any monotone bucketing yields the
+    identical global rank; quantile placement only balances the
+    buckets, so a skewed distribution still spreads across reducers
+    (equal-depth, where equal-width would collapse under skew).
+
+    Columns must be numeric (cast timestamps to unix seconds/micros
+    first — monotone, so bucket order is preserved)."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    return df.approxQuantile(cols, probs, rel_err)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    rn_col: str,
+    lead_col: str | Column,
+    boundaries: list[float],
+    total_col: str | None = None,
+) -> DataFrame:
+    """Distributed global ``row_number()`` over a total order — the
+    two-pass range-bucket + per-bucket-offset rewrite of an
+    unpartitioned ``Window.orderBy``, which Spark plans as
+    ``Exchange SinglePartition`` + a single-task sort: the one window
+    shape that cannot survive a corpus-sized frame at 100 TB (every
+    row through one reducer).
+
+    Mechanics (the zipWithIndex shape, expressed in DataFrame ops):
+
+    1. ``bucket(row) = #{boundaries below lead_col}`` — a pure
+       sum-of-comparisons projection over driver-side literal
+       boundaries (from :func:`range_boundaries`). Because the bucket
+       is a pure function of the ROW — not of physical placement like
+       ``spark_partition_id()`` after ``repartitionByRange`` — the
+       window branch and the count branch below compute identical
+       buckets by construction, with no reliance on exchange reuse
+       and no resampling nondeterminism.
+    2. Per-bucket ``row_number`` behind a hash exchange on the bucket
+       id: parallel across ~``len(boundaries) + 1`` reducers (size
+       the boundary count to ``spark.sql.shuffle.partitions``).
+    3. Bucket offsets: per-bucket counts collapse (partial agg) to a
+       ≤B-row frame, fold to cumulative offsets inside ONE
+       ``collect_list`` + higher-order ``aggregate`` expression (no
+       window at all — the plan's only global agg is B rows), and
+       broadcast-join back. ``rn = offset + local row_number``.
+
+    ``lead_col`` must be numeric and monotone in ``order_cols[0]``
+    (ties allowed — equal keys land in one bucket, so a hot key
+    bounds one reducer by its tie count, never the corpus).
+    ``order_cols`` must be a total order (unique tiebreaker last) for
+    the result to be deterministic; every corpus frame is.
+
+    ``total_col``, if given, adds the frame's total row count to every
+    output row (long) — callers computing ntile/quantile positions
+    need N without a second aggregation pass."""
+    bkt, lrn, cnt, off = "__gr_bkt", "__gr_lrn", "__gr_cnt", "__gr_off"
+    lead = F.col(lead_col) if isinstance(lead_col, str) else lead_col
+    expr = F.lit(0)
+    for b in sorted({b for b in boundaries if b is not None}):
+        expr = expr + (lead > F.lit(b)).cast("int")
+    bdf = df.withColumn(bkt, expr)
+    w_loc = Window.partitionBy(bkt).orderBy(*order_cols)
+    local = bdf.withColumn(lrn, F.row_number().over(w_loc))
+    counts = bdf.groupBy(bkt).agg(F.count(F.lit(1)).alias(cnt))
+    packed = counts.agg(
+        F.sort_array(F.collect_list(F.struct(F.col(bkt), F.col(cnt))))
+        .alias("__a"))
+
+    def _entry(x: Column, i: Column) -> Column:
+        prefix = F.slice(F.col("__a"), F.lit(1), i)
+        fields = [
+            x[bkt].alias(bkt),
+            F.aggregate(prefix, F.lit(0).cast("long"),
+                        lambda acc, y: acc + y[cnt]).alias(off),
+        ]
+        if total_col is not None:
+            fields.append(
+                F.aggregate(F.col("__a"), F.lit(0).cast("long"),
+                            lambda acc, y: acc + y[cnt]).alias(total_col))
+        return F.struct(*fields)
+
+    offsets = (
+        packed.select(F.explode(F.transform("__a", _entry)).alias("__s"))
+        .select("__s.*")
+    )
+    return (
+        local.join(F.broadcast(offsets), bkt)
+        .withColumn(rn_col, F.col(off) + F.col(lrn))
+        .drop(bkt, lrn, off)
+    )
 
 
 QUERIES = {

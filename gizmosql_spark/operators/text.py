@@ -533,7 +533,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         terms.groupBy("doc_id")
         .agg(F.max("n").alias("n_chars"),
-             F.round(F.sum("term"), 6).alias("entropy_bits"))
+             # + 0.0: single-distinct-char docs sum to -0.0 exactly
+             # (-1.0 * log2(1.0) = -0.0) — IEEE signed-zero normalizer,
+             # symmetric with the oracle (lint_float_aggs rule)
+             (F.round(F.sum("term"), 6) + F.lit(0.0))
+             .alias("entropy_bits"))
         .orderBy("doc_id")
     )
 
@@ -1256,11 +1260,17 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one length scale before mixing.
 
     Scale shape: within-source ranks are source-partitioned windows;
-    the pooled order statistic here rides one global rank window — at
-    100 TB that global rank becomes the standard two-pass
-    range-partition + per-partition-offset prefix (zipWithIndex
-    shape); the rank→rank equi-join is unchanged. Integer-exact
+    the pooled order statistic is the two-pass range-bucket +
+    per-bucket-offset global rank (scale.global_row_number — the
+    zipWithIndex shape): equi-depth boundaries from one approxQuantile
+    pass, per-bucket parallel row_number, broadcast cumulative
+    offsets. NO unpartitioned window over the corpus anywhere in the
+    plan (pinned by tests/test_plans.py) — the naive
+    ``Window.orderBy`` form is a single-task sort of every document at
+    100 TB. The rank→rank equi-join is unchanged. Integer-exact
     (floor position, no interpolation) so engines can't drift."""
+    from gizmosql_spark.operators import scale
+
     d = _t(spark, sf_dir, "documents")
     # corpus row count from the parquet footer — no scan job
     n_total = loader.row_count(sf_dir, "documents")
@@ -1271,11 +1281,13 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_src).alias("rk"),
         F.count(F.lit(1)).over(w_cnt).alias("n_src"),
     )
-    w_pool = Window.orderBy("n_chars", "doc_id")
-    pooled = d.select(
-        F.col("n_chars").alias("norm_len"),
-        F.row_number().over(w_pool).alias("pos"),
-    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bnds = scale.range_boundaries(
+        d.select("n_chars"), ["n_chars"], n_buckets)[0]
+    pooled = scale.global_row_number(
+        d.select(F.col("n_chars").alias("norm_len"), "doc_id"),
+        ["norm_len", "doc_id"], "pos", "norm_len", bnds,
+    ).select("norm_len", "pos")
     # discrete quantile position: floor(p * (N-1)) + 1, p = (rk-1)/(n-1).
     # LONG arithmetic throughout: rk is a 32-bit row_number and the
     # (rk-1)*(N-1) product crosses 2^31 once the corpus scales (ANSI
@@ -2163,7 +2175,8 @@ ORACLE: dict[str, str] = {
         SELECT doc_id,
                CAST(max(n) AS BIGINT) AS n_chars,
                round(sum(-(CAST(c AS DOUBLE) / n)
-                         * log2(CAST(c AS DOUBLE) / n)), 6) AS entropy_bits
+                         * log2(CAST(c AS DOUBLE) / n)), 6)
+                   + 0.0 AS entropy_bits
         FROM terms
         GROUP BY doc_id
         ORDER BY doc_id

@@ -272,17 +272,16 @@ class _LiveTws:
         if self.shape.expected_rows is not None:
             import time as _time
 
-            from gizmosql_spark.streaming import windows as W
-
             want = self.shape.expected_rows(self.session, self.sf_dir)
-            # the trailing no-data batch this waits for scales with the
-            # fixture (timer_flush measured ~142 s at sf10, SCALING.md):
-            # a fixed 30 s deadline would tear down a healthy query at
-            # scale and pay a pointless full rebuild before the bounded
-            # fallback — so the budget is size-keyed (env-overridable)
+            # 30 s default is safe because run_live declines every
+            # expected_rows shape at wide dirs BEFORE a _LiveTws
+            # exists (the trailing no-data batch those shapes wait for
+            # scales with the fixture — timer_flush measured ~142 s at
+            # sf10, SCALING.md), so this poll only ever runs on
+            # sub-threshold dirs; the env override remains for ad-hoc
+            # experiments outside that gate
             budget = float(os.environ.get(
-                "SPARK_GRAFT_LIVE_POLL_SEC",
-                "600" if W.wide_for_dir(self.sf_dir) else "30"))
+                "SPARK_GRAFT_LIVE_POLL_SEC", "30"))
             deadline = _time.monotonic() + budget
             while rows.count() < want:
                 if _time.monotonic() > deadline:
@@ -824,13 +823,24 @@ def run_live(spark: SparkSession, shape_name: str,
             # query.stop() (joins the execution thread), and holding
             # the global lock across it would serialize every other
             # shape — the very contention the per-key locks remove.
+            # The teardown itself runs under the PER-KEY create_lock
+            # (two racing failure handlers must not cascade into
+            # duplicate rebuilds of the same key) AND the instance
+            # lock (a concurrent client that already fetched this
+            # instance from the registry must not have its in-flight
+            # run killed mid-processAllAvailable — it finishes, then
+            # the teardown proceeds). Both are per-key scoped, so the
+            # no-cross-shape-serialization property holds; lock order
+            # create_lock→live.lock matches the create path, so no
+            # inversion is possible.
             with _LOCK:
                 if _REGISTRY.get(key) is live:
                     _REGISTRY.pop(key, None)
-            try:
-                live._teardown()
-            except Exception:
-                pass
+            with create_lock, live.lock:
+                try:
+                    live._teardown()
+                except Exception:
+                    pass
             if attempt == 1 or isinstance(ex, TimeoutError):
                 return None
     return None
@@ -891,13 +901,27 @@ def quiesce(spark: SparkSession, timeout: float = 30.0) -> list[str]:
             except Exception:
                 pass
             for q in s.streams.active:
+                # the deadline bounds the STOP calls too, not just the
+                # drain wait below: each stop() joins its execution
+                # thread for up to stopTimeout (15 s), so a set of
+                # wedged queries could otherwise hold quiesce for
+                # minutes while the caller believed `timeout` was the
+                # ceiling — skip remaining stops once exceeded and
+                # surface them as leftovers instead
+                if _time.monotonic() > deadline:
+                    leftovers.append(q.name or q.id)
+                    continue
                 try:
                     q.stop()  # joins the stream-execution thread
                 except Exception:
                     pass
             while s.streams.active:
                 if _time.monotonic() > deadline:
-                    leftovers += [q.name or q.id for q in s.streams.active]
+                    leftovers += [
+                        q.name or q.id
+                        for q in s.streams.active
+                        if (q.name or q.id) not in leftovers
+                    ]
                     break
                 _time.sleep(0.05)
         except Exception:

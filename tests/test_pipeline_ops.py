@@ -464,3 +464,50 @@ def test_multimodal_phash_groups_consistent(spark, sf_dir):
         keeper = min(r["doc_id"] for r in grp)
         assert all(r["keeper"] == keeper for r in grp)
         assert all((r["doc_id"] != keeper) == r["is_dup"] for r in grp)
+
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    """scale.global_row_number must equal the unpartitioned
+    Window.orderBy row_number it replaces — for quantile boundaries,
+    degenerate boundaries (empty → one bucket), and duplicate
+    boundaries (skewed approxQuantile output)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.operators import loader, scale
+
+    d = loader.table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in d.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    quantiles = scale.range_boundaries(d, ["n_chars"], 8)[0]
+    for bnds in (quantiles, [], [quantiles[0]] * 3, [-1e18, 1e18]):
+        got = scale.global_row_number(
+            d, ["n_chars", "doc_id"], "rn", "n_chars", bnds,
+            total_col="n_total")
+        rows = got.collect()
+        assert {r["doc_id"]: r["rn"] for r in rows} == want, bnds
+        assert all(r["n_total"] == len(want) for r in rows)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 10, 11, 150])
+def test_ntile_closed_form_matches_window_ntile(spark, n):
+    """events._ntile_from_rank is positionally identical to SQL
+    ntile(4) for every frame size class (n < k, n % k == 0, ragged)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.operators.events import _ntile_from_rank
+
+    d = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+    w = Window.orderBy("rn")
+    rows = d.select(
+        F.ntile(4).over(w).alias("want"),
+        _ntile_from_rank(F.col("rn"), F.lit(n).cast("long"), 4)
+        .alias("got"),
+    ).collect()
+    assert all(r["want"] == r["got"] for r in rows)

@@ -573,3 +573,31 @@ def test_kappa_and_prf_single_corpus_scan(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         assert "Scan parquet" not in plan  # reads the checkpointed cells
         assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+_UNPARTITIONED_WINDOW = __import__("re").compile(
+    # a windowspecdefinition whose FIRST argument is already a sort
+    # order (col ASC/DESC) or the frame itself has no partition spec —
+    # Spark plans it as Exchange SinglePartition + a one-task sort
+    r"windowspecdefinition\([^,]* (?:ASC|DESC)"
+    r"|windowspecdefinition\(\s*specifiedwindowframe"
+)
+
+
+def test_no_corpus_global_rank_window(spark, sf_dir):
+    """The two-pass global-rank rewrites (quantile_normalize's pooled
+    rank, events_rfm's ntiles) must leave NO unpartitioned window in
+    the plan: an unpartitioned Window.orderBy is a single-task sort of
+    a corpus-derived frame at 100 TB (VERDICT r10 'What's wrong' #1).
+    Every windowspecdefinition must open with a partition column; the
+    bucket-offset fold is a ≤B-row collect_list aggregate, not a
+    window."""
+    from gizmosql_spark.operators import events, text
+
+    for fn in (text.quantile_normalize, events.events_rfm):
+        plan = _plan(fn(spark, sf_dir))
+        m = _UNPARTITIONED_WINDOW.search(plan)
+        assert m is None, f"{fn.__name__}: {m.group(0)[:90]}"
+        # the rank runs behind hash exchanges on the bucket id —
+        # never a single-partition sort of the frame
+        assert "Window" in plan

@@ -117,9 +117,14 @@ def lint_sql(name: str, sql: str) -> list[str]:
 # log/log-ratio expressions (PMI, DSIR importance), and
 # division-by-sqrt forms (z-statistics, standardized scores, cosine
 # similarities — `x / sqrt(v)` is signed whenever x is).
+#: NOTE the lint is a heuristic, not the gate: plain signed
+#: DIFFERENCES (round(avg(a - b), n) and friends) are not detectable
+#: by function-name shape and rely on the strict differential
+#: (differential_run.py --strict) as the backstop — which is the
+#: driver-grade check anyway.
 ZERO_STRADDLING = (
     r"\b(?:corr|covar_pop|covar_samp|regr_slope|regr_intercept|"
-    r"skewness|kurtosis|ln|log)\s*\("
+    r"skewness|kurtosis|ln|log|log2|log10)\s*\("
     r"|/\s*sqrt\s*\("
 )
 
