@@ -879,6 +879,24 @@ def quiesce(spark: SparkSession, timeout: float = 30.0) -> list[str]:
     """
     import time as _time
 
+    # Post-measurement noise control (quiesce only ever runs at
+    # teardown, after ALL measurement is complete): stopping an IDLE
+    # streaming query unconditionally cancels its run-id job group,
+    # and the DAGScheduler answers with a benign-by-construction
+    # "Failed to cancel job group … Cannot find active jobs for it"
+    # WARN — two per query, ~30 lines between the last query line and
+    # the summary. The record protocol requires the captured tail to
+    # be clean, not merely for the summary to land last (VERDICT r10
+    # item 4) — demote that one logger to ERROR for the remainder of
+    # the process.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass
+
     reset_all()
     from gizmosql_spark.streaming import windows as W
 
@@ -926,4 +944,20 @@ def quiesce(spark: SparkSession, timeout: float = 30.0) -> list[str]:
                 _time.sleep(0.05)
         except Exception:
             pass
+    # The state-store maintenance executor is a JVM-global singleton
+    # that outlives ``spark.stop()`` by up to one maintenance interval
+    # and then dumps an ``IllegalStateException: SparkEnv already
+    # stopped`` ~10 s AFTER the summary line (the BENCH_r10 tail).
+    # Every streaming query is stopped and joined at this point, so
+    # shut the executor down explicitly — StateStore.stop() is the
+    # JVM-side teardown Spark itself runs on context shutdown, just
+    # sequenced here BEFORE the context goes away.
+    try:
+        jvm = spark._jvm
+        mod = getattr(
+            getattr(jvm.org.apache.spark.sql.execution.streaming.state,
+                    "StateStore$"), "MODULE$")
+        mod.stop()
+    except Exception:
+        pass
     return leftovers
