@@ -27,25 +27,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # family; everything else follows and is still verified by the repo's
 # own differential harness (gizmosql_spark/testing.py).
 _PRIORITY = [
-    # Round-10 rotation. r10 touched 33 operators: the 13 streaming
-    # rows (their delivery path gained the quiesce/teardown protocol,
-    # per-instance sink names, and per-key creation locks —
-    # streaming/live.py), and 20 value-affecting signed-zero /
-    # declared-rounding fixes (the `+ 0.0` normalizer sweep that turns
-    # the r9 stats_agg red row green — 17 normalizer sites incl.
-    # degree_distribution, pca_power_iteration and ranking_agreement
-    # from the sqrt-division lint rule — plus the q07/q08/q09
-    # unrounded sums the new strict differential surfaced). All 33
-    # are front-loaded; the remaining 17 slots restore long-green rows
-    # displaced in earlier rotations. Everything else is verified by
-    # the repo's own 250-query STRICT differential
-    # (differential_run.py --strict, hash-grade since r10).
+    # Round-11 rotation (VERDICT r10 item 2): 116 of 250 corpus
+    # queries had never appeared in any official CORRECTNESS_r*
+    # record after ten rounds — this round front-loads 36 of them
+    # (every family with only strict-local evidence: the spatial tier,
+    # multimodal audio/frames/phash, the evalops tier, UDTF/UDAF,
+    # plus the r11-touched operators). The official 50 =
+    # 13 streaming (HELD until two consecutive parseable driver bench
+    # records sit inside the 2x gate — BENCH_r10 at 1.60x is the
+    # first; on the second, r12 reclaims these slots too)
+    # + 1 canary (q01) + 36 never-recorded rows (ledger in
+    # COVERAGE.md). Everything else remains verified by the repo's
+    # own 250-query STRICT differential at sf0.01 AND sf0.1
+    # (differential_run.py --strict [--ordered], hash-grade).
     #
     # Streaming first: the TWS state-server tier is most robust on a
     # fresh JVM (the r3/r4 official crashes came after ~45 batch
-    # queries of heap pressure). Keep all 13 official until two
-    # consecutive parseable driver bench records are inside the
-    # streaming bound (r9 verdict item 6).
+    # queries of heap pressure).
     "stream_user_stats",      # live path
     "stream_tumbling",
     "stream_stream_join",
@@ -59,45 +57,53 @@ _PRIORITY = [
     "stream_static_join",
     "stream_sink_table",
     "stream_upsert_table",
-    # r10 signed-zero sweep: the r9 red row first, then every sibling
-    # whose output gained the `+ 0.0` normalizer
-    "stats_agg",              # THE r9 red row: covar -0.0 vs +0.0
-    "regr_agg",               # slope/intercept normalized
-    "corr_matrix",            # 6 corr cells normalized
-    "theil_sen",              # median/OLS slopes normalized
-    "rolling_corr",           # windowed corr normalized
-    "spearman_corr",          # rho normalized
-    "mann_kendall",           # z_stat normalized
-    "runs_test",              # z_stat normalized
-    "acf_lags",               # autocorrelation normalized
-    "dsir_importance",        # log-ratio avg normalized
-    "pmi_collocations",       # log-ratio normalized
-    "topic_coherence_umass",  # signed log-ratio sum normalized
-    "jsd_source_drift",       # FP-tiny-negative guard
-    "dp_noisy_counts",        # count + signed Laplace noise
-    "degree_distribution",    # log-log slope normalized
-    "pca_power_iteration",    # projected-score mean normalized
-    "ranking_agreement",      # rank correlation normalized
-    # r10 declared-rounding fixes: unrounded sums over subquery
-    # aliases that escaped the r9 lint (strict differential caught
-    # q07/q09 failing hash-grade on last-ulp summation drift)
-    "q07", "q08", "q09",
-    # TPC-H staples (long-green; q01 8-agg pipeline, q02 correlated
-    # subquery, q05 n-ary join, q06 pure pushdown, q14 rounded ratio,
-    # q18 top-k)
-    "q01", "q02", "q05", "q06", "q14", "q18",
-    # restorations: long-green rows displaced by earlier rotations
-    "range_band_join",        # theta/range join
-    "grouping_sets_agg",      # (cube_agg, same family, rotates out)
-    "window_running",
-    "agg_funcs",
-    "events_sessionize",
-    "events_anomaly",
-    "pyds_synthetic_agg",     # Custom Python DataSource §2D row
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "ann_ivf",
-    "multimodal_features",
+    # canary: the flagship staple, green in every official record
+    "q01",
+    # r11-touched, never-recorded: the two global-rank rewrites
+    # (two-pass range-bucket row_number replacing unpartitioned
+    # corpus windows) and the four log-shape signed-zero normalizers
+    "quantile_normalize",     # pooled rank -> scale.global_row_number
+    "events_rfm",             # ntile(4) x3 -> closed-form rank ntile
+    "char_entropy",           # + 0.0 normalizer (single-char -0.0)
+    "markov_transition_entropy",  # + 0.0 normalizer (p=1 -0.0 term)
+    "ndcg_mrr_eval",          # + 0.0 normalizer (lint symmetry)
+    "benford_prices",         # + 0.0 normalizer (lint symmetry)
+    # never-recorded: spatial tier (strict-local-only since r6)
+    "spatial_funcs2",
+    "spatial_funcs3",
+    "spatial_funcs4",
+    "spatial_funcs6",
+    "spatial_funcs7",
+    "spatial_extent_agg",
+    "spatial_wkb2",
+    "spatial_join",           # grid-bucketed equi-join (plan-pinned)
+    "spatial_knn_join",
+    # never-recorded: multimodal siblings of the r10-official
+    # multimodal_features row
+    "multimodal_audio",
+    "multimodal_frames",
+    "multimodal_phash_dedup",
+    # never-recorded: evalops tier
+    "kappa_agreement",
+    "class_prf_report",
+    "classifier_calibration_bins",
+    "calibration_bins",
+    "scd2_status_dim",        # gaps-and-islands SCD-2 build
+    # never-recorded: extension seams (UDTF / UDAF survey rows)
+    "udtf_chunks",
+    "udaf_geomean",
+    # never-recorded: relational / text / retrieval spread
+    "window_time_range",      # time-RANGE window frames
+    "unnest_embeddings",
+    "values_join",
+    "fuzzy_join",
+    "columns_expansion",
+    "string_funcs2",
+    "phrase_search",
+    "trimmed_stats",
+    "inverted_index",
+    "bpe_first_merges",
+    "zipf_vocab_stats",
 ]
 
 

@@ -7,7 +7,7 @@ is the repo's own gate over the WHOLE corpus. Writes
 ``CORRECTNESS_LOCAL.json`` beside this file ({name: "ok" | "FAIL: …"})
 and prints a one-line summary last.
 
-Usage: ``python differential_run.py [--strict]``
+Usage: ``python differential_run.py [--strict] [--ordered]``
 
 ``--strict`` (or SPARK_GRAFT_DIFF_STRICT=1) mirrors the DRIVER's hash
 gate: floats compare as exact repr strings, no tolerance. The r9
@@ -15,6 +15,12 @@ official record proved the tolerance gate is blind to hash-grade
 divergences (stats_agg passed the 250-query tolerance differential
 while failing the driver hash on a -0.0 vs 0.0 cell) — run the full
 corpus under --strict before every official round.
+
+``--ordered`` (or SPARK_GRAFT_DIFF_ORDERED=1) additionally compares
+rows IN RESULT ORDER for every query whose oracle declares a
+top-level ORDER BY — the one divergence class the sorted comparator
+is structurally blind to (a wrong ORDER BY that permutes rows).
+Queries without a declared result order keep the sorted compare.
 """
 
 from __future__ import annotations
@@ -30,6 +36,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     strict = ("--strict" in sys.argv[1:]
               or os.environ.get("SPARK_GRAFT_DIFF_STRICT", "0") == "1")
+    ordered = ("--ordered" in sys.argv[1:]
+               or os.environ.get("SPARK_GRAFT_DIFF_ORDERED", "0") == "1")
 
     import __spark_entry__ as entrymod
 
@@ -39,15 +47,21 @@ def main() -> None:
     spark = get_spark("gizmosql-spark-diff")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     results: dict[str, str] = {}
+    n_ordered = 0
     for name, fn in qs.items():
         t0 = time.time()
+        q_ordered = (ordered and name in oracles
+                     and testing.has_top_level_order_by(oracles[name]))
+        n_ordered += q_ordered
         try:
             testing.compare_to_oracle(
-                fn(spark, sf_dir), oracles[name], sf_dir, strict=strict)
+                fn(spark, sf_dir), oracles[name], sf_dir, strict=strict,
+                ordered=q_ordered)
             results[name] = "ok"
         except Exception as ex:
             results[name] = f"FAIL: {str(ex)[:300]}"
-        print(name, results[name], round(time.time() - t0, 1), flush=True)
+        print(name, results[name], round(time.time() - t0, 1),
+              "ordered" if q_ordered else "", flush=True)
 
     bad = {k: v for k, v in results.items() if v != "ok"}
     with open(
@@ -55,6 +69,7 @@ def main() -> None:
                      "CORRECTNESS_LOCAL.json"), "w") as f:
         json.dump({"sf_dir": sf_dir, "total": len(results),
                    "failed": len(bad), "strict": strict,
+                   "ordered": ordered, "n_ordered": n_ordered,
                    "results": results}, f, indent=1)
     # the 13 streaming entries route through live.run_live — stop (and
     # join) their long-lived queries BEFORE the summary print and
@@ -68,7 +83,8 @@ def main() -> None:
     except Exception as ex:
         print(f"# quiesce error: {ex}", file=sys.stderr)
     print(f"TOTAL {len(results)} FAILED {len(bad)} "
-          f"strict={strict} {json.dumps(bad)}")
+          f"strict={strict} ordered={ordered}/{n_ordered} "
+          f"{json.dumps(bad)}")
     sys.exit(1 if bad else 0)
 
 

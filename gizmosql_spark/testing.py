@@ -98,8 +98,29 @@ def _strict_cell(v):
     return v
 
 
+def has_top_level_order_by(sql: str) -> bool:
+    """True when the statement's FINAL result carries its own ORDER BY
+    (an ``ORDER BY`` at paren depth 0 — one inside a window spec,
+    subquery, or CTE body sorts an intermediate, not the result).
+    Gate for ``ordered=True`` comparison: only a query that DECLARES a
+    result order can be held to one."""
+    import re
+
+    s = re.sub(r"'[^']*'", "''", sql)
+    depth = 0
+    for m in re.finditer(r"[()]|\bORDER\s+BY\b", s, re.IGNORECASE):
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
+
+
 def compare_to_oracle(df: DataFrame, oracle_sql: str, sf_dir: str,
-                      strict: bool = False) -> None:
+                      strict: bool = False, ordered: bool = False) -> None:
     """Assert the Spark result matches the DuckDB oracle result.
 
     Columns are aligned by (sorted) name — the driver's compare does the
@@ -114,6 +135,13 @@ def compare_to_oracle(df: DataFrame, oracle_sql: str, sf_dir: str,
     failing the driver hash on a ``-0.0`` vs ``0.0`` cell — so the
     full corpus runs under strict mode before every official round
     (differential_run.py --strict).
+
+    ``ordered=True`` additionally compares rows IN RESULT ORDER (no
+    canonical sort on either side) — the check the sorted comparator
+    is structurally blind to: a wrong ORDER BY that merely permutes
+    rows. Only meaningful for queries that declare a result order
+    (see :func:`has_top_level_order_by`); callers gate on it
+    (differential_run.py --ordered).
     """
     con = duckdb_conn(sf_dir)
     try:
@@ -140,8 +168,9 @@ def compare_to_oracle(df: DataFrame, oracle_sql: str, sf_dir: str,
     assert len(s_rows) == len(o_rows), (
         f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
     )
-    s_rows.sort(key=_sort_key)
-    o_rows.sort(key=_sort_key)
+    if not ordered:
+        s_rows.sort(key=_sort_key)
+        o_rows.sort(key=_sort_key)
     if strict:
         mismatches = [
             (i, a, b)

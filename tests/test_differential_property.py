@@ -188,3 +188,42 @@ def test_strict_mode_catches_last_ulp_drift(spark, sf_dir):
     testing.compare_to_oracle(df, oracle, sf_dir)  # tolerance: passes
     with pytest.raises(AssertionError, match="strict"):
         testing.compare_to_oracle(df, oracle, sf_dir, strict=True)
+
+
+def test_ordered_mode_catches_row_permutation(spark, sf_dir):
+    """The sorted comparator is structurally blind to a wrong ORDER BY
+    that permutes rows; ordered mode must fail it (VERDICT r10 item
+    5). Both sides here return the same SET of rows in opposite
+    orders."""
+    import pytest
+
+    from gizmosql_spark import testing
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1), (2), (3) AS t(v) ORDER BY v ASC")
+    oracle = "SELECT * FROM (VALUES (1), (2), (3)) t(v) ORDER BY v DESC"
+    # sorted compare: identical sets, passes
+    testing.compare_to_oracle(df, oracle, sf_dir)
+    # ordered compare: permuted result order must fail
+    with pytest.raises(AssertionError, match="row mismatches"):
+        testing.compare_to_oracle(df, oracle, sf_dir, ordered=True)
+
+
+def test_has_top_level_order_by():
+    """Only a depth-0 ORDER BY declares a result order — one inside a
+    window spec, subquery, or CTE body sorts an intermediate."""
+    from gizmosql_spark import testing
+
+    assert testing.has_top_level_order_by(
+        "SELECT a FROM t ORDER BY a")
+    assert testing.has_top_level_order_by(
+        "WITH c AS (SELECT a FROM t) SELECT * FROM c ORDER BY a, b")
+    assert not testing.has_top_level_order_by(
+        "SELECT sum(a) OVER (ORDER BY b) FROM t")
+    assert not testing.has_top_level_order_by(
+        "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 3) s")
+    assert not testing.has_top_level_order_by(
+        "SELECT 'ORDER BY inside a string literal' AS v FROM t")
+    assert testing.has_top_level_order_by(
+        "WITH c AS (SELECT a FROM t ORDER BY a LIMIT 2)"
+        " SELECT * FROM c ORDER BY a")
