@@ -337,11 +337,19 @@ def test_weighted_sample_topk_single_scan(spark, sf_dir):
 
 def test_skyline_single_sort_no_join(spark, sf_dir):
     """Sort-scan skyline: the frontier comes from window maxima over
-    one price ordering — no dominance self-join, no cartesian."""
+    the price ordering — no dominance SELF-join, no cartesian. Since
+    r11 the running maxima are bucket-distributed, so the plan gains
+    exactly one BROADCAST join (the ≤B-row bucket prefix-max) — never
+    a shuffle join of the part table against itself."""
     from gizmosql_spark.operators import relational
 
     plan = _plan(relational.skyline_parts(spark, sf_dir))
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # explain(formatted) lists each operator twice (tree + detail)
+    assert plan.count("BroadcastHashJoin") == 2
     assert "Window" in plan
 
 
@@ -592,9 +600,10 @@ def test_no_corpus_global_rank_window(spark, sf_dir):
     Every windowspecdefinition must open with a partition column; the
     bucket-offset fold is a ≤B-row collect_list aggregate, not a
     window."""
-    from gizmosql_spark.operators import events, text
+    from gizmosql_spark.operators import events, relational, text
 
-    for fn in (text.quantile_normalize, events.events_rfm):
+    for fn in (text.quantile_normalize, events.events_rfm,
+               relational.skyline_parts):
         plan = _plan(fn(spark, sf_dir))
         m = _UNPARTITIONED_WINDOW.search(plan)
         assert m is None, f"{fn.__name__}: {m.group(0)[:90]}"
