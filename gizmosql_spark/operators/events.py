@@ -423,21 +423,84 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the filtered stream.
 
     Scale shape: the error filter pushes into the scan first (errors
-    are a sliver of the stream), then the islands windows run over the
-    filtered frame. The window here is globally ordered; at 100 TB the
-    same pattern runs range-partitioned by time with island stitching
-    at partition boundaries (a 2-pass: per-range islands, then merge
-    the O(ranges) boundary runs on the driver) — same device
-    documented for sequence_pack's global form."""
-    e = load_events(spark, sf_dir).filter(F.col("event_type") == "error")
-    w = Window.orderBy("ts", "event_id")
-    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ts = F.lag("ts").over(w)
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        prev_ts.cast("timestamp"))
-    is_new = F.when(prev_ts.isNull() | (gap_us > 300_000_000), 1).otherwise(0)
-    islands = e.select("user_id", "ts", "event_id") \
-        .withColumn("island", F.sum(is_new).over(w_run))
+    are a sliver of the stream), then the islands run DISTRIBUTED
+    over the filtered frame — time-range buckets (equi-depth, from
+    one approxQuantile pass over the sliver; equal timestamps never
+    span buckets) with broadcast boundary stitching: the lag at each
+    bucket's first row is the previous buckets' max timestamp, and
+    the global island id is the local flag cumsum + a prefix sum of
+    per-bucket flag counts, both ≤B-row collect_list folds. No
+    unpartitioned window anywhere (the pre-r11 form ran both windows
+    globally ordered — a single-task sort of the error stream at
+    100 TB)."""
+    from gizmosql_spark.operators import scale
+
+    e = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            "user_id", "ts", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bnds = scale.range_boundaries(e, ["ts_us"], n_buckets)[0]
+    bexpr = F.lit(0)
+    for b in sorted({v for v in bnds if v is not None}):
+        bexpr = bexpr + (F.col("ts_us") > F.lit(b)).cast("int")
+    be = e.withColumn("__bkt", bexpr)
+    w_loc = Window.partitionBy("__bkt").orderBy("ts", "event_id")
+    w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _prefix(df, val_col, out_col, fold):
+        """Broadcastable (bucket → fold of STRICTLY earlier buckets'
+        values) frame: per-bucket partial agg → one ≤B-row
+        collect_list → higher-order slice/aggregate — no window."""
+        packed = df.agg(
+            F.sort_array(F.collect_list(F.struct("__bkt", val_col)))
+            .alias("__a"))
+        return packed.select(
+            F.explode(F.transform(
+                "__a",
+                lambda x, i: F.struct(
+                    x["__bkt"].alias("__bkt"),
+                    fold(F.slice(F.col("__a"), F.lit(1), i), val_col)
+                    .alias(out_col),
+                ),
+            )).alias("__s")
+        ).select("__s.*")
+
+    # boundary lag: the previous bucket's LAST error timestamp
+    # (= max over earlier buckets — timestamps ascend across buckets)
+    pmax = _prefix(
+        be.groupBy("__bkt").agg(F.max("ts_us").alias("__m")), "__m",
+        "__pmax_us",
+        lambda arr, c: F.aggregate(
+            arr, F.lit(None).cast("long"),
+            lambda acc, y: F.greatest(acc, y[c])))
+    prev_us = F.coalesce(
+        F.lag("ts_us").over(w_loc), F.col("__pmax_us"))
+    is_new = F.when(
+        prev_us.isNull() | (F.col("ts_us") - prev_us > 300_000_000), 1
+    ).otherwise(0)
+    flagged = (
+        be.join(F.broadcast(pmax), "__bkt")
+        .withColumn("__new", is_new)
+        .withColumn("__cum_loc", F.sum("__new").over(w_run))
+    )
+    # global island id = local cumsum + count of flags in earlier
+    # buckets (second ≤B-row prefix fold, over the flagged frame)
+    pflags = _prefix(
+        flagged.groupBy("__bkt").agg(F.sum("__new").alias("__f")), "__f",
+        "__pflags",
+        lambda arr, c: F.aggregate(
+            arr, F.lit(0).cast("long"),
+            lambda acc, y: acc + y[c]))
+    islands = (
+        flagged.join(F.broadcast(pflags), "__bkt")
+        .withColumn("island", F.col("__cum_loc") + F.col("__pflags"))
+        .select("user_id", "ts", "event_id", "island")
+    )
     return (
         islands.groupBy("island")
         .agg(

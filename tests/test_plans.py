@@ -603,7 +603,7 @@ def test_no_corpus_global_rank_window(spark, sf_dir):
     from gizmosql_spark.operators import events, relational, text
 
     for fn in (text.quantile_normalize, events.events_rfm,
-               relational.skyline_parts):
+               relational.skyline_parts, events.events_error_burst):
         plan = _plan(fn(spark, sf_dir))
         m = _UNPARTITIONED_WINDOW.search(plan)
         assert m is None, f"{fn.__name__}: {m.group(0)[:90]}"
