@@ -298,7 +298,8 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_ts").cast("timestamp").cast("long").cast("double"))
     bnds = scale.range_boundaries(
         per_user, ["last_ts_s", "freq", "monetary"],
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+        cache_key=sf_dir + ":rfm_per_user")
     g = scale.global_row_number(
         per_user, ["last_ts", "user_id"], "rn_r", "last_ts_s",
         bnds[0], total_col="n_total")
@@ -444,7 +445,8 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    bnds = scale.range_boundaries(e, ["ts_us"], n_buckets)[0]
+    bnds = scale.range_boundaries(
+        e, ["ts_us"], n_buckets, cache_key=sf_dir + ":error_ts")[0]
     bexpr = F.lit(0)
     for b in sorted({v for v in bnds if v is not None}):
         bexpr = bexpr + (F.col("ts_us") > F.lit(b)).cast("int")

@@ -1452,7 +1452,9 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    bnds = scale.range_boundaries(pts, ["price_cents"], n_buckets)[0]
+    bnds = scale.range_boundaries(
+        pts, ["price_cents"], n_buckets,
+        cache_key=sf_dir + ":part_price")[0]
     bexpr = F.lit(0)
     for b in sorted({v for v in bnds if v is not None}):
         bexpr = bexpr + (F.col("price_cents") > F.lit(b)).cast("int")

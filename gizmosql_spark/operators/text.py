@@ -1283,7 +1283,8 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bnds = scale.range_boundaries(
-        d.select("n_chars"), ["n_chars"], n_buckets)[0]
+        d.select("n_chars"), ["n_chars"], n_buckets,
+        cache_key=sf_dir + ":documents")[0]
     pooled = scale.global_row_number(
         d.select(F.col("n_chars").alias("norm_len"), "doc_id"),
         ["norm_len", "doc_id"], "pos", "norm_len", bnds,
