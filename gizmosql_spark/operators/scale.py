@@ -567,6 +567,10 @@ def range_boundaries(df: DataFrame, cols: list[str], n_buckets: int,
 
     Columns must be numeric (cast timestamps to unix seconds/micros
     first — monotone, so bucket order is preserved)."""
+    if n_buckets <= 1:
+        # degenerate width (e.g. shuffle.partitions=1): one bucket,
+        # no boundaries — approxQuantile NPEs on an empty prob list
+        return [[] for _ in cols]
     key = None
     if cache_key is not None:
         key = (cache_key, tuple(cols), n_buckets)
