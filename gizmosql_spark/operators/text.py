@@ -1427,12 +1427,20 @@ def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint()
     )
-    # raw term-frequency ranking derives from tf2 — no extra scan
+    # raw term-frequency ranking derives from tf2 — no extra scan.
     tf = tf2.groupBy("doc_id").agg(F.sum("tf").alias("raw_tf"))
+    # Window-AFTER-limit: orderBy().limit(k) plans as
+    # TakeOrderedAndProject (parallel per-partition top-k + driver
+    # merge), then row_number rides the k-row frame. The rank-filter
+    # form (row_number over the full frame, then rk <= k) is NOT
+    # rewritten by InferWindowGroupLimit when the window is
+    # unpartitioned (verified on this Spark), so it would single-task
+    # sort every matched doc — the r10 scale-killer shape.
     w_tf = Window.orderBy(F.desc("raw_tf"), "doc_id")
-    tf_top = tf.select(
-        "doc_id", F.row_number().over(w_tf).alias("rk_tf")
-    ).filter(F.col("rk_tf") <= k)
+    tf_top = (
+        tf.orderBy(F.desc("raw_tf"), "doc_id").limit(k)
+        .select("doc_id", F.row_number().over(w_tf).alias("rk_tf"))
+    )
     # scan 2: doc lengths need the full token stream
     dl = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl")).localCheckpoint()
@@ -1457,10 +1465,12 @@ def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
     )
+    # same window-after-limit shape as tf_top (see comment there)
     w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
-    bm_top = scores.select(
-        "doc_id", F.row_number().over(w_bm).alias("rk_bm")
-    ).filter(F.col("rk_bm") <= k)
+    bm_top = (
+        scores.orderBy(F.desc("bm25"), "doc_id").limit(k)
+        .select("doc_id", F.row_number().over(w_bm).alias("rk_bm"))
+    )
     common = tf_top.join(bm_top, "doc_id")
     n = F.count(F.lit(1))
     sx, sy = F.sum("rk_tf"), F.sum("rk_bm")

@@ -610,3 +610,23 @@ def test_no_corpus_global_rank_window(spark, sf_dir):
         # the rank runs behind hash exchanges on the bucket id —
         # never a single-partition sort of the frame
         assert "Window" in plan
+
+
+def test_ranking_agreement_topk_before_window(spark, sf_dir):
+    """ranking_agreement's two top-k ranks must take the
+    window-AFTER-limit shape: orderBy().limit(k) plans as
+    TakeOrderedAndProject (parallel per-partition top-k), and the
+    unpartitioned row_number rides only the k-row result. The
+    rank-filter form (row_number over the full frame, then rk <= k)
+    is NOT rewritten by InferWindowGroupLimit when the window is
+    unpartitioned (verified on this Spark in r11), so it single-task
+    sorts every matched document — the corpus-global-rank class
+    tools/audit_global_windows.py sweeps for."""
+    from gizmosql_spark.operators import text
+
+    plan = _plan(text.ranking_agreement(spark, sf_dir))
+    # both rankings (raw-tf and bm25) go through TakeOrdered
+    assert plan.count("TakeOrderedAndProject") >= 2
+    # no rank-filter remnant: every row_number window must sit above
+    # a GlobalLimit/TakeOrdered, never filter on its own rank output
+    assert "rk_tf" in plan and "rk_bm" in plan
