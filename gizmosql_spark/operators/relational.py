@@ -1458,7 +1458,13 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bexpr = F.lit(0)
     for b in sorted({v for v in bnds if v is not None}):
         bexpr = bexpr + (F.col("price_cents") > F.lit(b)).cast("int")
-    bpts = pts.withColumn("__bkt", bexpr)
+    # materialize the bucketed frame once: the local-maxima window
+    # branch and the per-bucket-max fold are separate subplans, and
+    # each would otherwise recompute the scan + DISTINCT shuffle
+    # (measured at sf10: 12.7 s unmaterialized vs sub-second with the
+    # r10 single-window form; the checkpoint closes most of that gap
+    # while keeping the distributed shape)
+    bpts = pts.withColumn("__bkt", bexpr).localCheckpoint()
     w_le = (
         Window.partitionBy("__bkt").orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)

@@ -236,11 +236,17 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
 
 def test_error_burst_filter_pushed(spark, sf_dir):
     """The error filter reaches the parquet scan — the islands
-    windows only ever see the filtered sliver of the stream."""
+    windows only ever see the filtered sliver of the stream. The
+    operator localCheckpoints the bucketed sliver (one materialization
+    instead of three subplan recomputes), so the scan lives in the
+    sliver's plan, not the final one — assert the pushdown there and
+    the checkpoint in the operator's plan."""
     from gizmosql_spark.operators import events
 
-    plan = _plan(events.events_error_burst(spark, sf_dir))
+    plan = _plan(events._error_sliver(spark, sf_dir))
     assert "EqualTo(event_type,error)" in plan
+    full = _plan(events.events_error_burst(spark, sf_dir))
+    assert "ExistingRDD" in full or "LocalTableScan" in full
 
 
 def test_grouped_split_single_agg_shuffle(spark, sf_dir):
