@@ -300,13 +300,16 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user, ["last_ts_s", "freq", "monetary"],
         int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
         cache_key=sf_dir + ":rfm_per_user")
-    g = scale.global_row_number(
-        per_user, ["last_ts", "user_id"], "rn_r", "last_ts_s",
-        bnds[0], total_col="n_total")
-    g = scale.global_row_number(
-        g, ["freq", "user_id"], "rn_f", "freq", bnds[1])
-    g = scale.global_row_number(
-        g, ["monetary", "user_id"], "rn_m", "monetary", bnds[2])
+    # one materialization + ONE bounded bucket-stats job for all three
+    # ranks (r11 optimization: the stacked per-rank form paid a
+    # localCheckpoint + broadcast-offsets build PER rank — 5x the r10
+    # wall-clock at sf0.1; see scale.global_row_numbers)
+    g = scale.global_row_numbers(
+        per_user,
+        [(["last_ts", "user_id"], "rn_r", "last_ts_s", bnds[0]),
+         (["freq", "user_id"], "rn_f", "freq", bnds[1]),
+         (["monetary", "user_id"], "rn_m", "monetary", bnds[2])],
+        total_col="n_total")
     n = F.col("n_total")
     scored = g.select(
         "user_id", "monetary",
@@ -442,10 +445,12 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a sliver of the stream), then the islands run DISTRIBUTED
     over the filtered frame — time-range buckets (equi-depth, from
     one approxQuantile pass over the sliver; equal timestamps never
-    span buckets) with broadcast boundary stitching: the lag at each
-    bucket's first row is the previous buckets' max timestamp, and
-    the global island id is the local flag cumsum + a prefix sum of
-    per-bucket flag counts, both ≤B-row collect_list folds. No
+    span buckets) with literal-map boundary stitching: the lag at
+    each bucket's first row is the previous buckets' max timestamp,
+    and the global island id is the local flag cumsum + a prefix sum
+    of per-bucket flag counts — both ≤B-entry driver-side literal
+    maps from ONE bounded per-bucket stats job (B is conf-bound, the
+    centroid-pull scalar class). No
     unpartitioned window anywhere (the pre-r11 form ran both windows
     globally ordered — a single-task sort of the error stream at
     100 TB)."""
@@ -469,53 +474,61 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_loc = Window.partitionBy("__bkt").orderBy("ts", "event_id")
     w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    def _prefix(df, val_col, out_col, fold):
-        """Broadcastable (bucket → fold of STRICTLY earlier buckets'
-        values) frame: per-bucket partial agg → one ≤B-row
-        collect_list → higher-order slice/aggregate — no window."""
-        packed = df.agg(
-            F.sort_array(F.collect_list(F.struct("__bkt", val_col)))
-            .alias("__a"))
-        return packed.select(
-            F.explode(F.transform(
-                "__a",
-                lambda x, i: F.struct(
-                    x["__bkt"].alias("__bkt"),
-                    fold(F.slice(F.col("__a"), F.lit(1), i), val_col)
-                    .alias(out_col),
-                ),
-            )).alias("__s")
-        ).select("__s.*")
+    # ONE bounded stats job over the checkpointed sliver: per bucket,
+    # (min ts, max ts, count of INTRA-bucket gap flags — rows whose
+    # in-bucket lag exists and exceeds 5 min). ≤B rows collect to the
+    # driver (B is conf-bound — the centroid-pull scalar class); the
+    # boundary stitch folds in Python. r11 optimization: this replaces
+    # the r11-build's two sequential broadcast collect_list-fold
+    # subplans (each a broadcast-build job, the second re-executing
+    # the window+join lineage) with one job and two ≤B-entry literal
+    # maps — no joins left in the plan.
+    intra = F.when(
+        F.col("__prev").isNotNull()
+        & (F.col("ts_us") - F.col("__prev") > 300_000_000), 1
+    ).otherwise(0)
+    stats = sorted(
+        (r["__bkt"], r["__mn"], r["__mx"], r["__f"])
+        for r in (
+            be.withColumn("__prev", F.lag("ts_us").over(w_loc))
+            .groupBy("__bkt")
+            .agg(F.min("ts_us").alias("__mn"),
+                 F.max("ts_us").alias("__mx"),
+                 F.sum(intra).alias("__f"))
+            .collect()))
+    pmax: dict[int, int] = {}      # bucket -> max ts of earlier buckets
+    pflags: dict[int, int] = {}    # bucket -> flag count in earlier buckets
+    run_max = None
+    cum = 0
+    for b, mn, mx, f in stats:
+        if run_max is not None:
+            pmax[b] = run_max
+        first_flag = 1 if (run_max is None
+                           or mn - run_max > 300_000_000) else 0
+        pflags[b] = cum
+        cum += int(f) + first_flag
+        run_max = mx if run_max is None or mx > run_max else run_max
 
-    # boundary lag: the previous bucket's LAST error timestamp
-    # (= max over earlier buckets — timestamps ascend across buckets)
-    pmax = _prefix(
-        be.groupBy("__bkt").agg(F.max("ts_us").alias("__m")), "__m",
-        "__pmax_us",
-        lambda arr, c: F.aggregate(
-            arr, F.lit(None).cast("long"),
-            lambda acc, y: F.greatest(acc, y[c])))
-    prev_us = F.coalesce(
-        F.lag("ts_us").over(w_loc), F.col("__pmax_us"))
+    def _lmap(pairs: dict[int, int]):
+        if not pairs:
+            return F.lit(None).cast("long")
+        return F.element_at(
+            F.create_map(*[
+                x for k, v in pairs.items()
+                for x in (F.lit(int(k)), F.lit(int(v)).cast("long"))]),
+            F.col("__bkt"))
+
+    prev_us = F.coalesce(F.lag("ts_us").over(w_loc), _lmap(pmax))
     is_new = F.when(
         prev_us.isNull() | (F.col("ts_us") - prev_us > 300_000_000), 1
     ).otherwise(0)
-    flagged = (
-        be.join(F.broadcast(pmax), "__bkt")
-        .withColumn("__new", is_new)
-        .withColumn("__cum_loc", F.sum("__new").over(w_run))
-    )
-    # global island id = local cumsum + count of flags in earlier
-    # buckets (second ≤B-row prefix fold, over the flagged frame)
-    pflags = _prefix(
-        flagged.groupBy("__bkt").agg(F.sum("__new").alias("__f")), "__f",
-        "__pflags",
-        lambda arr, c: F.aggregate(
-            arr, F.lit(0).cast("long"),
-            lambda acc, y: acc + y[c]))
     islands = (
-        flagged.join(F.broadcast(pflags), "__bkt")
-        .withColumn("island", F.col("__cum_loc") + F.col("__pflags"))
+        be.withColumn("__new", is_new)
+        .withColumn("__cum_loc", F.sum("__new").over(w_run))
+        .withColumn(
+            "island",
+            F.col("__cum_loc") + F.coalesce(_lmap(pflags),
+                                            F.lit(0).cast("long")))
         .select("user_id", "ts", "event_id", "island")
     )
     return (

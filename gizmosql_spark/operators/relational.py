@@ -1437,9 +1437,9 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     approxQuantile pass (ties never span buckets, so "priced below
     me" = strictly-earlier buckets + my bucket's local RANGE frame),
     per-bucket local running maxima behind a hash exchange, and a
-    ≤B-row broadcast prefix-max per bucket folded in a collect_list
-    aggregate. No unpartitioned window anywhere (plan-pinned); no
-    joins beyond the B-row broadcast."""
+    ≤B-entry literal prefix-max map from one bounded per-bucket-max
+    collect (B is conf-bound — the centroid-pull scalar class). No
+    unpartitioned window anywhere (plan-pinned); no joins at all."""
     from gizmosql_spark.operators import scale
 
     p = _t(spark, sf_dir, "part")
@@ -1455,46 +1455,49 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bnds = scale.range_boundaries(
         pts, ["price_cents"], n_buckets,
         cache_key=sf_dir + ":part_price")[0]
-    bexpr = F.lit(0)
-    for b in sorted({v for v in bnds if v is not None}):
-        bexpr = bexpr + (F.col("price_cents") > F.lit(b)).cast("int")
     # materialize the bucketed frame once: the local-maxima window
-    # branch and the per-bucket-max fold are separate subplans, and
-    # each would otherwise recompute the scan + DISTINCT shuffle
+    # branch and the per-bucket-max stats job are separate consumers,
+    # and each would otherwise recompute the scan + DISTINCT shuffle
     # (measured at sf10: 12.7 s unmaterialized vs sub-second with the
     # r10 single-window form; the checkpoint closes most of that gap
     # while keeping the distributed shape)
-    bpts = pts.withColumn("__bkt", bexpr).localCheckpoint()
+    bpts = pts.withColumn(
+        "__bkt", scale.bucket_expr(F.col("price_cents"), bnds)
+    ).localCheckpoint()
     w_le = (
         Window.partitionBy("__bkt").orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_lt = Window.partitionBy("__bkt").orderBy("price_cents").rangeBetween(
         Window.unboundedPreceding, -1)
-    bmax = bpts.groupBy("__bkt").agg(F.max("size").alias("__bmax"))
-    packed = bmax.agg(
-        F.sort_array(F.collect_list(F.struct("__bkt", "__bmax")))
-        .alias("__a"))
-    # prefix-max of STRICTLY earlier buckets (NULL for the first —
-    # greatest() skips NULL operands, aggregate over an empty slice
-    # keeps the NULL seed)
-    prefix = packed.select(
-        F.explode(F.transform(
-            "__a",
-            lambda x, i: F.struct(
-                x["__bkt"].alias("__bkt"),
-                F.aggregate(
-                    F.slice(F.col("__a"), F.lit(1), i),
-                    F.lit(None).cast("int"),
-                    lambda acc, y: F.greatest(acc, y["__bmax"]),
-                ).alias("__pmax"),
-            ),
-        )).alias("__s")
-    ).select("__s.*")
+    # prefix-max of STRICTLY earlier buckets as a ≤B-entry literal
+    # map (NULL for the first bucket — greatest() skips NULL
+    # operands). One bounded collect replaces the r11-build's
+    # broadcast collect_list-fold + hash join: the collected frame is
+    # B rows (conf-bound), the same bounded-scalar class as the
+    # k-means centroid pull — O(B) at any scale factor.
+    bmax = sorted(
+        (r["__bkt"], r["__m"])
+        for r in bpts.groupBy("__bkt").agg(
+            F.max("size").alias("__m")).collect())
+    pmax: dict[int, int] = {}
+    cur = None
+    for b, m in bmax:
+        if cur is not None:
+            pmax[b] = cur
+        cur = m if cur is None or m > cur else cur
+    if pmax:
+        pmax_lookup = F.element_at(
+            F.create_map(*[
+                x for k, v in pmax.items()
+                for x in (F.lit(int(k)), F.lit(int(v)))]),
+            F.col("__bkt"))
+    else:
+        pmax_lookup = F.lit(None).cast("int")
     return (
         bpts.withColumn("max_le_loc", F.max("size").over(w_le))
         .withColumn("max_lt_loc", F.max("size").over(w_lt))
-        .join(F.broadcast(prefix), "__bkt")
+        .withColumn("__pmax", pmax_lookup)
         .withColumn("max_le", F.greatest("max_le_loc", "__pmax"))
         .withColumn("max_lt", F.greatest("max_lt_loc", "__pmax"))
         .filter(

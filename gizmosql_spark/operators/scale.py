@@ -584,6 +584,124 @@ def range_boundaries(df: DataFrame, cols: list[str], n_buckets: int,
     return out
 
 
+def bucket_expr(lead: Column, boundaries: list[float]) -> Column:
+    """``#{boundaries strictly below lead}`` as a pure projection over
+    driver-side literal boundaries — the range-bucket id used by the
+    two-pass global-rank family. A pure function of the ROW (never of
+    physical placement like ``spark_partition_id()``), so every branch
+    that re-evaluates it computes identical buckets by construction."""
+    expr = F.lit(0)
+    for b in sorted({b for b in boundaries if b is not None}):
+        expr = expr + (lead > F.lit(b)).cast("int")
+    return expr
+
+
+def bucket_stats(df: DataFrame, bucket_cols: list[str]) -> dict[
+        str, list[tuple[int, int]]]:
+    """ONE Spark job: per-bucket row counts for every named bucket
+    column at once (posexplode over the bucket ids → partial-agg
+    count → driver collect of ≤ ``len(bucket_cols) × B`` rows, B =
+    the conf-bounded bucket count). This is the bounded-scalar class
+    the engine already uses for k·d centroid pulls (training.py) and
+    convergence counts (dedup.py): the collected frame is sized by a
+    CONF, never by the corpus, so it is O(B) at any scale factor.
+
+    Returns ``{col: [(bucket, count), ...] sorted by bucket}``."""
+    pairs = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("i"), F.col(c).cast("int").alias("b"))
+        for i, c in enumerate(bucket_cols)])).alias("p")
+    rows = df.select(pairs).select("p.i", "p.b").groupBy("i", "b").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    out: dict[str, list[tuple[int, int]]] = {}
+    for i, c in enumerate(bucket_cols):
+        out[c] = sorted((r["b"], r["n"]) for r in rows if r["i"] == i)
+    return out
+
+
+def _literal_long_map(pairs: dict[int, int], key: Column,
+                      default=None) -> Column:
+    """``map[key]`` over a ≤B-entry driver-side literal map (long
+    values — offsets cross 2^31 once the corpus scales)."""
+    if not pairs:
+        return F.lit(default).cast("long")
+    m = F.create_map(*[
+        x for k, v in pairs.items()
+        for x in (F.lit(int(k)), F.lit(int(v)).cast("long"))])
+    looked = F.element_at(m, key.cast("int"))
+    if default is None:
+        return looked
+    return F.coalesce(looked, F.lit(int(default)).cast("long"))
+
+
+def global_row_numbers(
+    df: DataFrame,
+    specs: list[tuple[list[str], str, "str | Column", list[float]]],
+    total_col: str | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Distributed global ``row_number()`` for ONE OR MORE total
+    orders over the same frame — the two-pass range-bucket +
+    per-bucket-offset rewrite of an unpartitioned ``Window.orderBy``
+    (``Exchange SinglePartition`` + a single-task sort: the one window
+    shape that cannot survive a corpus-sized frame at 100 TB).
+
+    ``specs``: ``(order_cols, rn_col, lead_col, boundaries)`` per
+    rank. Mechanics (the zipWithIndex shape):
+
+    1. Every spec's bucket id is computed in one projection
+       (:func:`bucket_expr`) and the frame is materialized ONCE
+       (``materialize=True``): the per-bucket counts job and the
+       ranking plan are separate consumers, and each would otherwise
+       recompute the input lineage — a full corpus scan per consumer
+       at 100 TB.
+    2. ONE ≤``len(specs)×B``-row :func:`bucket_stats` job collects
+       per-bucket counts to the driver; cumulative offsets fold in
+       Python (B is conf-bounded, so this is the same bounded-scalar
+       collect as the k-means centroid pull — O(B), never O(corpus)).
+       r11 optimization: this replaces the per-spec broadcast-offsets
+       subplan (collect_list fold + broadcast hash join), which cost
+       one broadcast-build job per spec and re-executed the counts
+       lineage per spec — the profiled regression that made
+       events_rfm 5x its r10 wall-clock (OPTIMIZATION_r11.md).
+    3. Per-bucket ``row_number`` behind a hash exchange on the bucket
+       id (parallel across ~B reducers); the global rank is the
+       literal-map offset lookup + the local row number — a pure
+       projection, no join.
+
+    Each spec's ``lead_col`` must be numeric and monotone in its
+    ``order_cols[0]`` (ties allowed — equal keys land in one bucket,
+    so a hot key bounds one reducer by its tie count, never the
+    corpus). ``order_cols`` must be a total order (unique tiebreaker
+    last). ``total_col``, if given, adds the frame's total row count
+    (long) to every row."""
+    bcols: list[str] = []
+    bdf = df
+    for i, (_, _, lead_col, boundaries) in enumerate(specs):
+        lead = F.col(lead_col) if isinstance(lead_col, str) else lead_col
+        c = f"__gr_bkt{i}"
+        bdf = bdf.withColumn(c, bucket_expr(lead, boundaries))
+        bcols.append(c)
+    if materialize:
+        bdf = bdf.localCheckpoint()
+    stats = bucket_stats(bdf, bcols)
+    total = sum(n for _, n in stats[bcols[0]]) if specs else 0
+    out = bdf
+    for i, (order_cols, rn_col, _, _) in enumerate(specs):
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b, n in stats[bcols[i]]:
+            offsets[b] = acc
+            acc += n
+        w_loc = Window.partitionBy(bcols[i]).orderBy(*order_cols)
+        out = out.withColumn(
+            rn_col,
+            _literal_long_map(offsets, F.col(bcols[i]), default=0)
+            + F.row_number().over(w_loc))
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(int(total)).cast("long"))
+    return out.drop(*bcols)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -593,89 +711,11 @@ def global_row_number(
     total_col: str | None = None,
     materialize: bool = True,
 ) -> DataFrame:
-    """Distributed global ``row_number()`` over a total order — the
-    two-pass range-bucket + per-bucket-offset rewrite of an
-    unpartitioned ``Window.orderBy``, which Spark plans as
-    ``Exchange SinglePartition`` + a single-task sort: the one window
-    shape that cannot survive a corpus-sized frame at 100 TB (every
-    row through one reducer).
-
-    Mechanics (the zipWithIndex shape, expressed in DataFrame ops):
-
-    1. ``bucket(row) = #{boundaries below lead_col}`` — a pure
-       sum-of-comparisons projection over driver-side literal
-       boundaries (from :func:`range_boundaries`). Because the bucket
-       is a pure function of the ROW — not of physical placement like
-       ``spark_partition_id()`` after ``repartitionByRange`` — the
-       window branch and the count branch below compute identical
-       buckets by construction, with no reliance on exchange reuse
-       and no resampling nondeterminism.
-    2. Per-bucket ``row_number`` behind a hash exchange on the bucket
-       id: parallel across ~``len(boundaries) + 1`` reducers (size
-       the boundary count to ``spark.sql.shuffle.partitions``).
-    3. Bucket offsets: per-bucket counts collapse (partial agg) to a
-       ≤B-row frame, fold to cumulative offsets inside ONE
-       ``collect_list`` + higher-order ``aggregate`` expression (no
-       window at all — the plan's only global agg is B rows), and
-       broadcast-join back. ``rn = offset + local row_number``.
-
-    ``lead_col`` must be numeric and monotone in ``order_cols[0]``
-    (ties allowed — equal keys land in one bucket, so a hot key
-    bounds one reducer by its tie count, never the corpus).
-    ``order_cols`` must be a total order (unique tiebreaker last) for
-    the result to be deterministic; every corpus frame is.
-
-    ``total_col``, if given, adds the frame's total row count to every
-    output row (long) — callers computing ntile/quantile positions
-    need N without a second aggregation pass.
-
-    ``materialize`` (default True) localCheckpoints the bucketed frame
-    before it fans out: the window branch and the counts branch are
-    separate subplans, and without materialization EACH recomputes the
-    input lineage — for a chained caller (events_rfm stacks three
-    ranks) that doubles per level, so the corpus scan behind the frame
-    runs 2^depth times. One executor-local materialization replaces
-    all recomputes (measured at sf10: events_rfm 6.7 s → the r10-form
-    1.8 s neighborhood; at 100 TB the avoided recompute is a full
-    corpus shuffle per branch, far larger than the checkpoint write).
-    Pass False only when ``df`` is already materialized."""
-    bkt, lrn, cnt, off = "__gr_bkt", "__gr_lrn", "__gr_cnt", "__gr_off"
-    lead = F.col(lead_col) if isinstance(lead_col, str) else lead_col
-    expr = F.lit(0)
-    for b in sorted({b for b in boundaries if b is not None}):
-        expr = expr + (lead > F.lit(b)).cast("int")
-    bdf = df.withColumn(bkt, expr)
-    if materialize:
-        bdf = bdf.localCheckpoint()
-    w_loc = Window.partitionBy(bkt).orderBy(*order_cols)
-    local = bdf.withColumn(lrn, F.row_number().over(w_loc))
-    counts = bdf.groupBy(bkt).agg(F.count(F.lit(1)).alias(cnt))
-    packed = counts.agg(
-        F.sort_array(F.collect_list(F.struct(F.col(bkt), F.col(cnt))))
-        .alias("__a"))
-
-    def _entry(x: Column, i: Column) -> Column:
-        prefix = F.slice(F.col("__a"), F.lit(1), i)
-        fields = [
-            x[bkt].alias(bkt),
-            F.aggregate(prefix, F.lit(0).cast("long"),
-                        lambda acc, y: acc + y[cnt]).alias(off),
-        ]
-        if total_col is not None:
-            fields.append(
-                F.aggregate(F.col("__a"), F.lit(0).cast("long"),
-                            lambda acc, y: acc + y[cnt]).alias(total_col))
-        return F.struct(*fields)
-
-    offsets = (
-        packed.select(F.explode(F.transform("__a", _entry)).alias("__s"))
-        .select("__s.*")
-    )
-    return (
-        local.join(F.broadcast(offsets), bkt)
-        .withColumn(rn_col, F.col(off) + F.col(lrn))
-        .drop(bkt, lrn, off)
-    )
+    """Single-spec convenience wrapper over
+    :func:`global_row_numbers` — see it for mechanics and contracts."""
+    return global_row_numbers(
+        df, [(order_cols, rn_col, lead_col, boundaries)],
+        total_col=total_col, materialize=materialize)
 
 
 QUERIES = {

@@ -511,8 +511,10 @@ def hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one (day, bucket) partial agg builds the daily
     registers; the rolling max rides a bucket-partitioned window over
-    the days × m grid (bounded); the exact check joins the bounded
-    days frame back to events once."""
+    the days × m grid (bounded); the exact check collapses the stream
+    to the distinct day × user grid (partial agg), then explodes each
+    pair to its ≤3 window days — shuffle bytes scale with
+    users × days, never the event stream."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -558,14 +560,23 @@ def hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= F.lit(2.5 * _M)) & (F.col("v") > 0),
         F.lit(float(_M)) * F.log(F.lit(float(_M)) / F.col("v")),
     ).otherwise(raw)
+    # exact check: distinct (day, user) FIRST (partial-agg collapse of
+    # the corpus to the day x user grid), then explode each pair to the
+    # <= _ROLL_DAYS window days it contributes to and count-distinct
+    # per day. r11 optimization (guide §2.3/§3): the r10 form was a
+    # theta-join of the days frame against the raw event stream — a
+    # BroadcastNestedLoopJoin evaluating |days| x |events| range
+    # predicates and emitting ~_ROLL_DAYS x corpus rows into the
+    # distinct agg; this form shuffles only the deduped grid (x3
+    # explode), bytes ~ users x days, never the event stream.
+    du = e.select(day.alias("ed"), "user_id").distinct()
+    cand = du.select(
+        F.explode(F.array(*[
+            F.date_add("ed", i) for i in range(_ROLL_DAYS)])).alias("d"),
+        "user_id")
     exact = (
-        days.alias("w")
-        .join(
-            e.select(day.alias("ed"), "user_id"),
-            (F.col("ed") <= F.col("w.d"))
-            & (F.col("ed") >= F.date_sub(F.col("w.d"), _ROLL_DAYS - 1)),
-        )
-        .groupBy(F.col("w.d").alias("d"))
+        cand.join(F.broadcast(days), "d")
+        .groupBy("d")
         .agg(F.count_distinct("user_id").cast("bigint").alias("exact_roll"))
     )
     return (

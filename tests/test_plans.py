@@ -344,9 +344,10 @@ def test_weighted_sample_topk_single_scan(spark, sf_dir):
 def test_skyline_single_sort_no_join(spark, sf_dir):
     """Sort-scan skyline: the frontier comes from window maxima over
     the price ordering — no dominance SELF-join, no cartesian. Since
-    r11 the running maxima are bucket-distributed, so the plan gains
-    exactly one BROADCAST join (the ≤B-row bucket prefix-max) — never
-    a shuffle join of the part table against itself."""
+    r11 the running maxima are bucket-distributed; the cross-bucket
+    prefix-max is a ≤B-entry literal map (one bounded collect), so
+    the plan has NO join of any kind — just the bucket-hash exchange
+    feeding the two RANGE windows."""
     from gizmosql_spark.operators import relational
 
     plan = _plan(relational.skyline_parts(spark, sf_dir))
@@ -354,8 +355,7 @@ def test_skyline_single_sort_no_join(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # explain(formatted) lists each operator twice (tree + detail)
-    assert plan.count("BroadcastHashJoin") == 2
+    assert "BroadcastHashJoin" not in plan
     assert "Window" in plan
 
 
