@@ -344,38 +344,88 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-quality eval every retrieval/classification pipeline
     runs before trusting a vector store.
 
-    Scale shape: the probe shard broadcasts against the corpus scan
-    (ann_topk_batch's pattern); vote counting and the argmax ride
-    per-probe windows on the k·|probes|-sized frame. At 100 TB the
-    probe set stays sample-sized and the corpus side swaps to the IVF
-    tier — same vote/argmax tail."""
+    Scale shape: the probe matrix is a sample-sized driver constant
+    (the cap above bounds it at any corpus size); scoring runs as
+    mapInPandas over the corpus scan — whole Arrow batches against
+    the probe matrix in vectorized numpy (guide §4.2: distribution by
+    Spark, per-batch math in native code), with an exact-margin
+    per-partition top-k so only ~|partitions|·|probes|·k candidate
+    rows ever leave the scan (map-side top-k: the shuffle carries
+    candidates, never the |probes|·n pair frame). Vote counting and
+    the argmax ride per-probe windows on that candidate frame. At
+    100 TB the corpus side swaps to the IVF tier — same tail.
+
+    Float contract: the numpy accumulation walks dimensions in index
+    order (one fused vector op per dimension), reproducing the JVM
+    sequential fold BIT-EXACTLY (IEEE ops in identical order), and
+    rounding stays in Spark — so the r11-vectorized scores are
+    identical to the r10 expression-fold scores, not merely close.
+    The 1e-6 pruning margin covers round(,6)'s maximum displacement,
+    so no row that could enter the rounded top-k is ever dropped."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    # unit-normalize ONCE per side so the per-pair work is a single
-    # 64-wide dot product (the naive cosine recomputes both norms per
-    # pair — 3x the element-wise work across |probes|·n pairs;
-    # measured 6.4 s → ~2 s at sf0.1)
-    unit = F.expr(
-        "transform(emb, x -> x / sqrt(aggregate(transform(emb,"
-        " v -> v * v), 0D, (acc, v) -> acc + v)))")
-    e = _emb(spark, sf_dir).withColumn("u", unit)
-    probes = e.filter(
+    e = _emb(spark, sf_dir)
+    probe_rows = e.filter(
         (F.col("vec_id") % _KNN_PROBE_MOD == 0)
         & (F.col("vec_id") < _KNN_PROBE_CAP)
-    ).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("u").alias("q_u"),
-        F.col("label").alias("true_label"),
-    )
-    cos = F.round(
-        F.expr("aggregate(zip_with(u, q_u, (x, y) -> x * y), 0D,"
-               " (acc, v) -> acc + v)"), 6)
+    ).select("vec_id", "emb", "label").collect()  # sample-sized: ≤ cap/mod
+    q_ids = np.array([r["vec_id"] for r in probe_rows], dtype=np.int64)
+    q_mat = np.array([r["emb"] for r in probe_rows], dtype=np.float64)
+
+    def _seq_norms(m: "np.ndarray") -> "np.ndarray":
+        # sum of squares in dimension order — the JVM fold's order
+        acc = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j] * m[:, j]
+        return np.sqrt(acc)
+
+    q_unit = q_mat / _seq_norms(q_mat)[:, None]
+    n_k = _KNN_K
+
+    def _score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            emat = np.array(list(pdf["emb"]), dtype=np.float64)
+            eunit = emat / _seq_norms(emat)[:, None]
+            # dot in dimension order (bit-exact vs the zip_with fold)
+            s = np.zeros((emat.shape[0], q_unit.shape[0]))
+            for j in range(emat.shape[1]):
+                s = s + eunit[:, j][:, None] * q_unit[:, j][None, :]
+            vec_ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            frames = []
+            for pi in range(q_unit.shape[0]):
+                cand = np.flatnonzero(vec_ids != q_ids[pi])
+                if cand.size == 0:
+                    continue
+                vals = s[cand, pi]
+                k = min(n_k, cand.size)
+                kth = np.partition(vals, vals.size - k)[vals.size - k]
+                keep = cand[vals >= kth - 1e-6]
+                frames.append(pd.DataFrame({
+                    "q_id": np.full(keep.size, q_ids[pi]),
+                    "vec_id": vec_ids[keep].astype(np.int64),
+                    "label": labels[keep].astype(np.int32),
+                    "raw": s[keep, pi],
+                }))
+            if frames:
+                yield pd.concat(frames)
+
+    scored = e.select("vec_id", "label", "emb").mapInPandas(
+        _score, schema="q_id long, vec_id long, label int, raw double")
+    true_map = F.create_map(*[
+        x for r in probe_rows
+        for x in (F.lit(int(r["vec_id"])), F.lit(int(r["label"])))])
     w_rank = Window.partitionBy("q_id").orderBy(
         F.desc("cos_sim"), "vec_id")
     neighbors = (
-        e.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "true_label", "label", cos.alias("cos_sim"),
-                "vec_id")
+        scored
+        .withColumn("cos_sim", F.round("raw", 6))
+        .withColumn("true_label", F.element_at(true_map, F.col("q_id")))
+        .select("q_id", "true_label", "label", "cos_sim", "vec_id")
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= _KNN_K)
     )

@@ -368,13 +368,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (the curation knob the paper tunes is exactly keep_rate).
 
     Scale shape: this is the sub-quadratic semantic-dedup design —
-    the O(n²) cosine sweep runs per CLUSTER (an equi-join on cid),
-    never across the corpus; clusters are the blocking key the same
-    way MinHash bands are for text. At 100 TB the per-cluster sweep
-    is a blocked GEMM inside each cid partition (embedding_neardup's
-    applyInPandas device); here cluster sizes are small enough that
-    the JVM fold is the whole job. The Lloyd's fit is shared with
-    kmeans_embeddings (broadcast centroids, k·d scalars to driver)."""
+    the O(n²) cosine sweep runs per CLUSTER, never across the corpus;
+    clusters are the blocking key the same way MinHash bands are for
+    text. Since r11 the per-cluster sweep IS the blocked GEMM inside
+    each cid partition (embedding_neardup's applyInPandas device —
+    guide §4.2): one shuffle on cid, then whole clusters score in
+    vectorized numpy, and only the ≥tau-margin pairs leave the worker
+    (the r10 JVM pair-join materialized every O(cluster²) pair row
+    through interpreted zip_with folds). The Lloyd's fit is shared
+    with kmeans_embeddings (broadcast centroids, k·d scalars to
+    driver).
+
+    Float contract: the numpy accumulation walks dimensions in index
+    order, reproducing the JVM zip_with fold BIT-EXACTLY; rounding
+    and the tau filter stay in Spark, and the Python-side margin
+    (tau - 1e-6 on raw scores) over-keeps by round(,6)'s maximum
+    displacement — so the surviving pair set is identical."""
+    import numpy as np
+    import pandas as pd
+
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _SEMDEDUP_CAP)
     v = e.select(
@@ -382,40 +394,51 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double"))
         .alias("e"),
     ).persist()
-
-    def _fold_sum(col):
-        return F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x)
-
-    # Unit-normalize ONCE per vector before the pair join: the join
-    # emits O(cluster²) pairs, so folding the two norms per PAIR costs
-    # 3x the lambda evaluations of folding them per VECTOR (measured
-    # 3.5 s -> ~1.2 s on the sf0.1 pairs stage). dot/( |a||b| ) and
-    # dot(a/|a|, b/|b|) agree within float ulps — far inside the
-    # round(,6) contract the oracle comparison already rides on.
-    norm = F.sqrt(_fold_sum(F.transform(F.col("e"), lambda x: x * x)))
     assigned = (
         _lloyd_final_assign(
             v, cache_key=(sf_dir, f"cap{_SEMDEDUP_CAP}"))
-        .select("vec_id", "e", "cid")
-        .withColumn("_n", norm)
-        .withColumn(
-            "u", F.transform(F.col("e"), lambda x: x / F.col("_n")))
-        .select("vec_id", "cid", "u")
+        .select("vec_id", "cid", "e")
         .localCheckpoint()
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
 
-    dot = _fold_sum(F.zip_with(F.col("a.u"), F.col("b.u"),
-                               lambda x, y: x * y))
+    tau_floor = _SEMDEDUP_TAU - 1e-6
+
+    def _cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cid": pd.Series(dtype="int32"),
+                 "b_id": pd.Series(dtype="int64"),
+                 "raw": pd.Series(dtype="float64")})
+        pdf = pdf.sort_values("vec_id")
+        emat = np.array(list(pdf["e"]), dtype=np.float64)
+        m, d = emat.shape
+        # unit-normalize with the sequential fold order (bit-exact vs
+        # the JVM aggregate), then accumulate the Gram matrix one
+        # dimension at a time — each S[i,j] sums u_i[k]*u_j[k] in k
+        # order, the zip_with fold's order exactly
+        acc = np.zeros(m)
+        for k in range(d):
+            acc = acc + emat[:, k] * emat[:, k]
+        unit = emat / np.sqrt(acc)[:, None]
+        gram = np.zeros((m, m))
+        for k in range(d):
+            col = unit[:, k]
+            gram = gram + col[:, None] * col[None, :]
+        iu, ju = np.triu_indices(m, 1)
+        vals = gram[iu, ju]
+        keep = vals >= tau_floor
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame({
+            "cid": np.full(int(keep.sum()), pdf["cid"].iloc[0],
+                           dtype=np.int32),
+            "b_id": ids[ju[keep]].astype(np.int64),
+            "raw": vals[keep],
+        })
+
     pairs = (
-        a.join(b, (F.col("a.cid") == F.col("b.cid"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.cid").alias("cid"),
-            F.col("b.vec_id").alias("b_id"),
-            F.round(dot, 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        assigned.groupBy("cid").applyInPandas(
+            _cluster_pairs, schema="cid int, b_id long, raw double")
+        .filter(F.round("raw", 6) >= _SEMDEDUP_TAU)
         # localCheckpoint, NOT persist: the frame feeds two aggregates
         # of the lazily-returned result, so an unpersist here would be
         # premature — and a persist with no unpersist leaks cached
