@@ -825,11 +825,15 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier document? The curve every data-collection effort watches —
     when novelty flattens, more of the same source stops paying.
 
-    Scale shape: one trigram explode (wordcount-shaped), one
-    first-seen agg (min doc_id per distinct trigram — partial-agg
-    friendly), one co-keyed join back, then a deciles-sized rollup.
-    No quadratic anything: 'seen earlier' is the min-doc_id device,
-    not a self-join."""
+    Scale shape (r11): ONE trigram explode (wordcount-shaped) into a
+    (gram, doc) partial-agg count, first-seen = min(doc_id) over the
+    gram-partitioned window riding the same keying, then a
+    deciles-sized rollup. The r10 form computed first-seen as a
+    separate aggregate and JOINED it back to the gram stream — the
+    tokenize+explode lineage executed twice (once per join side) and
+    the full gram stream crossed a join shuffle; this form scans and
+    explodes once and joins nothing. 'Seen earlier' stays the
+    min-doc_id device, never a self-join."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -844,23 +848,27 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    gcounts = grams.groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    w_g = Window.partitionBy("g")
     per_doc = (
-        grams.join(first_seen, "g")
+        gcounts.withColumn("first_doc", F.min("doc_id").over(w_g))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("c").alias("n_grams"),
             F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                F.when(F.col("first_doc") == F.col("doc_id"),
+                       F.col("c")).otherwise(F.lit(0))
             ).alias("n_novel"),
         )
     )
-    n_docs_df = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # corpus row count from the parquet footer — no scan subplan
+    n_docs = float(loader.row_count(sf_dir, "documents"))
     return (
-        per_doc.crossJoin(F.broadcast(n_docs_df))
+        per_doc
         .select(
             F.least(
-                F.floor(F.col("doc_id") / (F.col("n_docs") / 10))
+                F.floor(F.col("doc_id") / F.lit(n_docs / 10))
                 .cast("int"),
                 F.lit(9),
             ).alias("decile"),
