@@ -449,11 +449,13 @@ def dedup_window_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per document: window count, cross-doc-shared window count,
     a duplicated-character estimate (shared x stride), and the flag.
 
-    100 TB shape: one explode (windows are |text|/stride rows), one
-    wordcount-shaped groupBy on the hash, one key join back — no
-    pairwise comparisons anywhere, so cost is linear in corpus size.
-    The hash frame is corpus-sized: it shuffle-joins (never
-    broadcast)."""
+    100 TB shape (r11): one explode (windows are |text|/stride
+    rows) into a (hash, doc) partial-agg count; the cross-doc count
+    is a window over the hash partition riding the same keying — no
+    join, so the window-hash explode lineage executes ONCE (the r10
+    form joined the hash stats back to the raw window stream,
+    re-running the md5 explode on both join sides). No pairwise
+    comparisons anywhere; cost is linear in corpus size."""
     d = _t(spark, sf_dir, "documents")
     w, s = _WH_WIN, _WH_STRIDE
     wins = (
@@ -471,15 +473,21 @@ def dedup_window_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wh"),
         )
     )
-    stats = wins.groupBy("wh").agg(
-        F.count_distinct("doc_id").alias("nd")
-    )
+    from pyspark.sql import Window
+
+    # (hash, doc) counts collapse duplicates map-side; nd = number of
+    # docs sharing the hash = plain count over the hash partition
+    # (the frame is distinct on (wh, doc_id) after the agg)
+    wcounts = wins.groupBy("wh", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     return (
-        wins.join(stats, "wh")
+        wcounts.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+            F.sum("c").alias("n_windows"),
+            F.sum(F.when(F.col("nd") > 1, F.col("c"))
+                  .otherwise(F.lit(0))).alias("n_shared"),
         )
         .select(
             "doc_id",
@@ -819,11 +827,14 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal char ranges a substring-dedup pass would actually excise.
     One row per (doc, span): [span_start, span_end), window count.
 
-    100 TB shape: same linear window explode + hash wordcount as
-    dedup_window_hash (no pairwise work); the span merge is two
-    windows PARTITIONED BY doc — per-doc state only, never corpus-
-    wide. The shared-hash filter is a shuffle semi-join (hash side is
-    corpus-sized — never broadcast).
+    100 TB shape (r11): same linear window explode as
+    dedup_window_hash; the shared-hash flag is a collect_set window
+    over the hash partition (doc-ids per hash — bounded by the dup
+    fan-in of one span, never the corpus), so the explode lineage
+    executes ONCE and nothing joins (the r10 form semi-joined the
+    shared-hash aggregate back to the raw window stream, re-running
+    the md5 explode on both sides). The span merge is two windows
+    PARTITIONED BY doc — per-doc state only, never corpus-wide.
     """
     d = _t(spark, sf_dir, "documents")
     w, s = _WH_WIN, _WH_STRIDE
@@ -845,13 +856,8 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("win.pos").alias("pos"),
                 F.col("win.wh").alias("wh"))
     )
-    shared = (
-        wins.groupBy("wh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("wh")
-    )
-    sw = wins.join(shared, "wh", "left_semi")
+    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("wh")))
+    sw = wins.withColumn("nd", nd).filter(F.col("nd") > 1).drop("nd")
     # islands: a window starts a new span iff it begins after every
     # earlier window's end (running max of pos + w)
     w_doc = Window.partitionBy("doc_id").orderBy("pos")

@@ -553,15 +553,19 @@ def test_bpe_pairs_topk_plan(spark, sf_dir):
 
 
 def test_span_report_no_broadcast_of_corpus_hashes(spark, sf_dir):
-    """dedup_span_report's shared-hash filter must be a shuffle
-    semi-join (the hash side is corpus-sized) and the span merge must
-    not introduce any nested-loop join."""
+    """dedup_span_report's shared-hash flag must never broadcast or
+    nested-loop the corpus-sized hash frame. Since r11 the flag is a
+    collect_set window over the hash partition (one explode pass, no
+    join at all) — assert the join-free shape and that the window
+    rides a hash exchange, not a single partition."""
     from gizmosql_spark.operators import dedup
 
     plan = _plan(dedup.dedup_span_report(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "LeftSemi" in plan
+    assert "Join" not in plan  # windowed flag replaced the semi-join
+    assert "collect_set" in plan
+    assert _UNPARTITIONED_WINDOW.search(plan) is None
 
 
 def test_shard_plan_single_scan(spark, sf_dir):
