@@ -59,7 +59,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions")), "doc_id")
         .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 3)
         .select("doc_id", F.explode(shingle_list).alias("shingle"))
@@ -144,7 +145,9 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh = loader.keyed_persist(
             spark, f"dedup.shingles:{sf_dir}",
             lambda: _shingles(spark, sf_dir))
-        bands = _minhash_bands(sh)
+        bands = loader.keyed_persist(
+            spark, f"dedup.minhash_bands:{sf_dir}",
+            lambda: _minhash_bands(sh))
         a = bands.alias("a")
         b = bands.alias("b")
         cand = (
@@ -259,11 +262,17 @@ def dedup_pair_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: shares the persisted shingle postings and the banded
     candidate join with the LSH tier; the verify join and both
-    normalizers are the same wordcount-shaped aggregations."""
+    normalizers are the same wordcount-shaped aggregations. The band
+    frame itself is persisted through the same keyed registry (r11):
+    it is doc × N_BANDS rows — orders of magnitude below the shingle
+    frame — but rebuilding it per call re-ran 8 md5 min-aggs over
+    every shingle (the dominant CPU of this query at sf0.1)."""
     sh = loader.keyed_persist(
         spark, f"dedup.shingles:{sf_dir}",
         lambda: _shingles(spark, sf_dir))
-    bands = _minhash_bands(sh)
+    bands = loader.keyed_persist(
+        spark, f"dedup.minhash_bands:{sf_dir}",
+        lambda: _minhash_bands(sh))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -321,7 +330,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tokens = (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions")), "doc_id")
         .select("doc_id", F.explode(F.array_distinct(F.split(_norm(F.col("text")), " "))).alias("tok"))
         .withColumn("h", F.substring(F.md5("tok"), 1, 16))
     )
@@ -461,7 +471,8 @@ def dedup_window_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = (
         d.select("doc_id", _norm(F.col("text")).alias("norm"))
         .filter(F.length("norm") >= w)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions")), "doc_id")
         .select(
             "doc_id",
             F.explode(
@@ -841,7 +852,8 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = (
         d.select("doc_id", _norm(F.col("text")).alias("norm"))
         .filter(F.length("norm") >= w)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions")), "doc_id")
         .select(
             "doc_id",
             F.explode(

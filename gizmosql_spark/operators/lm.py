@@ -144,9 +144,8 @@ def topic_coherence_umass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOPIC_T)
     )
     # doc-term incidence restricted to candidate terms (distinct per doc)
-    cand = top.select("tok").distinct()
     inc = (
-        d.join(F.broadcast(cand), "tok")
+        d.join(F.broadcast(top.select("tok").distinct()), "tok")
         .select("doc_id", "tok")
         .distinct()
     )
@@ -205,11 +204,15 @@ def word_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence tractable; at web scale the band tightens and a
     per-doc distinct-term cap bounds fan-out per document.
     """
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
-    )
-    inc = d.distinct()
+    # distinct (doc, token) incidence = exactly the persisted
+    # (doc, term) count frame's key set (same _norm tokenization) —
+    # r11: the explode + distinct ran three times per call here (the
+    # df aggregate and both self-join sides); all three consumers now
+    # read the shared persisted frame
+    from gizmosql_spark.operators.text import _term_counts
+
+    inc = _term_counts(spark, sf_dir).select(
+        "doc_id", F.col("term").alias("tok"))
     df_ = inc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     kept = df_.filter(
         (F.col("df") >= COOC_DF_MIN) & (F.col("df") <= COOC_DF_MAX))

@@ -211,7 +211,8 @@ def _term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tokens = (
         d.select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .repartition(int(spark.conf.get(
+            "spark.sql.shuffle.partitions")), "doc_id")
         .select("doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term"))
     )
     return loader.keyed_persist(
@@ -225,24 +226,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = term_count / doc_len; idf = ln((N + 1) / (df + 1));
     ranked by round(tfidf, 6) DESC, term ASC so tie-breaks are
-    engine-portable. One explode + two hash aggregations + a window —
-    at 100 TB the term aggregation is the classic map-side-combined
-    wordcount shuffle and the doc-count is a broadcast 1-row frame."""
-    d = _t(spark, sf_dir, "documents")
+    engine-portable. r11 shape: doc length and document frequency are
+    WINDOW sums over the (doc, term) count frame — the doc_len window
+    shares the rank window's doc_id exchange — and the doc count is a
+    parquet-footer literal, so the plan has no joins at all (the r10
+    form re-joined two aggregates of the same frame back to it: two
+    extra exchanges of the full term frame per query). Both derived
+    quantities are integer sums/counts, so the rewrite is exact."""
     tc = _term_counts(spark, sf_dir)
-    doc_len = tc.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
-    df_ = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    doc_len = F.sum("tc").over(Window.partitionBy("doc_id"))
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    n_docs = float(loader.row_count(sf_dir, "documents"))
     tfidf = F.round(
         (F.col("tc") / F.col("doc_len"))
-        * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        * F.log(F.lit(n_docs + 1.0) / (F.col("df") + F.lit(1.0))),
         6,
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
-        tc.join(doc_len, "doc_id")
-        .join(df_, "term")
-        .join(F.broadcast(n_docs))
+        tc.withColumn("df", df_)
+        .withColumn("doc_len", doc_len)
         .withColumn("tfidf", tfidf)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
