@@ -181,6 +181,8 @@ def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     average-hash bit string — pixel luminance vs the image mean, in
     row-major order. All-integer compares (n*L > total), so the bits
     are exact on any engine."""
+    import numpy as np
+
     from gizmosql_spark import imaging
 
     for pdf in it:
@@ -191,10 +193,17 @@ def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             lum = px.sum(axis=2)
             total = int(lum.sum())
             n = h * w
-            bits = "".join(
-                "1" if int(lum[y, x]) * n > total else "0"
-                for y in range(h) for x in range(w))
-            rows.append({"doc_id": int(doc_id), "phash": bits})
+            # vectorized per-pixel compare; ravel() is row-major, the
+            # same (y, x) order as the nested loop it replaces. Exact:
+            # lum entries are <= 765 (3 x 255), so lum * n stays inside
+            # int64 for any image under ~1.2e16 pixels. The bit string
+            # is built bytewise (0x30 | bit == ASCII '0'/'1'), not by
+            # joining per-element strings.
+            flat = lum.ravel() * np.int64(n) > total
+            rows.append({
+                "doc_id": int(doc_id),
+                "phash": (flat.astype(np.uint8) + 48).tobytes().decode("ascii"),
+            })
         yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
 
