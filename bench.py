@@ -143,7 +143,11 @@ def _isolated_main(names: list[str]) -> None:
     """`bench.py --isolated a,b,c`: run the named queries in a FRESH
     session (fresh JVM, fresh worker pools, same warmup) and print one
     JSON line {"isolated": {name: median_sec}} — the per-query baseline
-    the in-corpus medians are compared against for seam degradation."""
+    the in-corpus medians are compared against for seam degradation.
+    When any sentinel is a streaming query, the probe first instantiates
+    the FULL streaming tier so the fresh session carries the same live
+    background machinery as the in-corpus session it is the control for
+    (see the corpus-shaped-machinery comment below)."""
     real_stdout = os.dup(1)
     os.dup2(2, 1)
     sys.stdout = sys.stderr
@@ -159,6 +163,29 @@ def _isolated_main(names: list[str]) -> None:
         _warmup(spark, qs, sf_dir)
     except Exception as e:
         print(f"# isolated warmup error: {e}", file=sys.stderr)
+    # Corpus-shaped machinery (r11): the in-corpus medians this probe
+    # is compared against are measured in a session whose live-query
+    # registry holds EVERY stream_* query RUNNING (the bench's warmup
+    # pass instantiates all of them, and they stay up across the timed
+    # passes). A probe session carrying only the 3 streaming sentinels
+    # sees none of that background (each idle live query re-polls its
+    # file source every pollingDelay), so the ratio's denominator was
+    # bimodal — r11's closing runs measured the same sentinel's
+    # isolated median anywhere between 0.3 s (bare warm query) and
+    # 4.5 s, flipping seam_degradation between 7.1 and 0.56 against a
+    # 2.0 certification threshold. Instantiate the full streaming tier
+    # first so both sides of the ratio see the same machinery; the
+    # timed runs below then measure warm runs, exactly like the
+    # in-corpus passes (instantiation happened in the warmup pass
+    # there). Costs ~60 s once, well inside the probe's 900 s budget.
+    if any(n.startswith("stream") for n in names):
+        for name in sorted(qs):
+            if name.startswith("stream"):
+                try:
+                    qs[name](spark, sf_dir).count()
+                except Exception as e:
+                    print(f"# isolated prepopulate error {name}: {e}",
+                          file=sys.stderr)
     out: dict[str, float] = {}
     for name in names:
         if name not in qs:

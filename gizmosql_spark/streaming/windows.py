@@ -113,6 +113,24 @@ def _new_stream_clone(spark: SparkSession, partitions: int,
     # on, and live.quiesce() reports the query in `leftovers` instead
     # of never returning (which would lose the bench record outright).
     s.conf.set("spark.sql.streaming.stopTimeout", "15000")
+    # Idle no-data poll cadence for every streaming query on this clone
+    # (spark.sql.streaming.pollingDelay, upstream default 10 ms). The
+    # live tier keeps ~15 queries RUNNING concurrently while other
+    # queries execute, so at the default each idle query re-lists its
+    # file source ~100x/s — ~1,500 no-data source-poll cycles/s of
+    # driver+source churn competing with the measured queries. Raising
+    # the cadence trades ≤delay of file-pickup latency per run for a
+    # 25x churn cut; the r11 A/B at sf0.1 (full live registry running,
+    # 3 interleaved passes) measured the streaming tier at 32.85/33.04 s
+    # (two baseline runs) vs 29.42 s at 100 ms and 28.28 s at 250 ms,
+    # with the per-run-dominated shapes (seeded_stats, running_totals,
+    # outer_join) improving 25-45% and none regressing beyond noise.
+    # At the 100 TB design point runs are minutes long, so the added
+    # pickup latency stays negligible while churn still scales with
+    # the number of co-hosted live queries. Env-overridable so the
+    # latency/churn trade stays a deploy-time decision.
+    s.conf.set("spark.sql.streaming.pollingDelay",
+               os.environ.get("SPARK_GRAFT_STREAM_POLLING_DELAY", "250ms"))
     from gizmosql_spark.operators.loader import ensure_session_confs
     from gizmosql_spark.vendor import export_to_spark_workers
 

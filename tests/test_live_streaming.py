@@ -120,3 +120,21 @@ def test_jvm_tier_small_only_declines_super_threshold():
         assert live._REGISTRY == before
     finally:
         loader._AQE_DECISION.pop(fake_big, None)
+
+
+def test_stream_clones_raise_idle_polling_cadence():
+    """Both streaming session clones must carry the raised no-data
+    pollingDelay (r11: ~15 concurrently RUNNING live queries at the
+    upstream 10 ms default cost ~1,500 no-data source-poll cycles/s of
+    churn; the A/B measured the tier 10-14% faster at 100-250 ms with
+    no shape regressing beyond noise). Env-overridable: the deploy-time
+    latency/churn trade (SPARK_GRAFT_STREAM_POLLING_DELAY)."""
+    import os
+
+    from gizmosql_spark.session import get_spark
+
+    spark = get_spark("gizmosql-spark-tests")
+    want = os.environ.get("SPARK_GRAFT_STREAM_POLLING_DELAY", "250ms")
+    for clone in (windows.streaming_session(spark),
+                  windows.tws_streaming_session(spark)):
+        assert clone.conf.get("spark.sql.streaming.pollingDelay") == want
