@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from gizmosql_spark.operators import loader
 from gizmosql_spark.operators.dedup import _SIMHASH_CTES
-from gizmosql_spark.operators.text import _norm
+from gizmosql_spark.operators.text import _norm, _term_counts
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -150,13 +150,18 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort materializes.
     """
     base = _tokens(spark, sf_dir)
-    toks = base.select(F.explode("ws").alias("tok"))
     # vocabulary-sized count tables, checkpointed: each feeds both a
     # probe join and its own total rollup below, and the corpus
     # totals DERIVE from them (N = sum unigram counts, B = sum bigram
     # counts) — the previous eager toks.count()/bg.count() scalars
-    # were two extra full tokenize scans per invocation
-    uni = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # were two extra full tokenize scans per invocation. Unigram
+    # counts roll up the shared persisted (doc, term, tc) frame
+    # (same _norm tokenization, integer sum of integer counts — exact)
+    # instead of a second tokenize scan of the corpus; only the bigram
+    # side still needs the raw token arrays.
+    uni = (_term_counts(spark, sf_dir)
+           .groupBy(F.col("term").alias("tok"))
+           .agg(F.sum("tc").alias("c"))
            .localCheckpoint())
     bg = base.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")).select(
         F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")

@@ -159,6 +159,18 @@ def test_pmi_broadcasts_vocabulary_and_topk(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_pmi_unigrams_reuse_shared_term_counts(spark, sf_dir):
+    """PMI's unigram counts must roll up the shared persisted
+    (doc, term) frame rather than run a second tokenize scan of the
+    corpus — after r11 the bigram pass is pmi's only corpus scan."""
+    from gizmosql_spark.operators import loader, quality
+
+    key = (id(spark), f"text.term_counts:{sf_dir}")
+    loader._PERSISTED.pop(key, None)
+    quality.pmi_collocations(spark, sf_dir)
+    assert key in loader._PERSISTED
+
+
 def test_winnowing_is_shuffle_free_scan(spark, sf_dir):
     """The winnowing sketch is per-row array arithmetic: the only
     exchange in the plan is the final presentation order-by."""
