@@ -21,6 +21,11 @@ rows IN RESULT ORDER for every query whose oracle declares a
 top-level ORDER BY — the one divergence class the sorted comparator
 is structurally blind to (a wrong ORDER BY that permutes rows).
 Queries without a declared result order keep the sorted compare.
+
+``--only a,b,c`` restricts the run to the named queries (targeted
+re-verification after touching an operator; CORRECTNESS_LOCAL.json is
+NOT written in that mode so the committed full-corpus record is never
+clobbered by a partial run).
 """
 
 from __future__ import annotations
@@ -39,6 +44,11 @@ def main() -> None:
     ordered = ("--ordered" in sys.argv[1:]
                or os.environ.get("SPARK_GRAFT_DIFF_ORDERED", "0") == "1")
 
+    only: set[str] | None = None
+    argv = sys.argv[1:]
+    if "--only" in argv:
+        only = {n for n in argv[argv.index("--only") + 1].split(",") if n}
+
     import __spark_entry__ as entrymod
 
     from gizmosql_spark import testing
@@ -46,6 +56,8 @@ def main() -> None:
 
     spark = get_spark("gizmosql-spark-diff")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        qs = {n: f for n, f in qs.items() if n in only}
     results: dict[str, str] = {}
     n_ordered = 0
     for name, fn in qs.items():
@@ -64,13 +76,14 @@ def main() -> None:
               "ordered" if q_ordered else "", flush=True)
 
     bad = {k: v for k, v in results.items() if v != "ok"}
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "CORRECTNESS_LOCAL.json"), "w") as f:
-        json.dump({"sf_dir": sf_dir, "total": len(results),
-                   "failed": len(bad), "strict": strict,
-                   "ordered": ordered, "n_ordered": n_ordered,
-                   "results": results}, f, indent=1)
+    if only is None:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "CORRECTNESS_LOCAL.json"), "w") as f:
+            json.dump({"sf_dir": sf_dir, "total": len(results),
+                       "failed": len(bad), "strict": strict,
+                       "ordered": ordered, "n_ordered": n_ordered,
+                       "results": results}, f, indent=1)
     # the 13 streaming entries route through live.run_live — stop (and
     # join) their long-lived queries BEFORE the summary print and
     # process exit, so no stream-thread exception can land after the
