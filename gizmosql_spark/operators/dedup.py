@@ -838,14 +838,21 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximal char ranges a substring-dedup pass would actually excise.
     One row per (doc, span): [span_start, span_end), window count.
 
-    100 TB shape (r11): same linear window explode as
-    dedup_window_hash; the shared-hash flag is a collect_set window
-    over the hash partition (doc-ids per hash — bounded by the dup
-    fan-in of one span, never the corpus), so the explode lineage
-    executes ONCE and nothing joins (the r10 form semi-joined the
-    shared-hash aggregate back to the raw window stream, re-running
-    the md5 explode on both sides). The span merge is two windows
-    PARTITIONED BY doc — per-doc state only, never corpus-wide.
+    100 TB shape (r12, ADVICE r11): same linear window explode as
+    dedup_window_hash; the shared-hash flag is two COUNT windows —
+    ``count() over (wh)`` vs ``count() over (wh, doc_id)`` (strictly
+    greater ⟺ another document carries the hash, exactly the old
+    ``size(collect_set(doc_id)) > 1``). The r11 collect_set form held
+    every distinct doc_id of a hash in one window buffer: for a
+    BOILERPLATE hash shared by much of the corpus that set (and its
+    single window partition) is corpus-sized, not bounded — a memory
+    hazard the plain counts do not have (O(1) state per row). The
+    ``wh`` window partition itself still concentrates a hot hash's
+    rows in one task — the honest residual of the join-free form; the
+    counts are established on ONE ``wh`` hash exchange (the composite
+    window reuses it: hash(wh) satisfies clustering on (wh, doc_id)),
+    so the explode lineage executes ONCE and nothing joins. The span
+    merge is two windows PARTITIONED BY doc — per-doc state only.
     """
     d = _t(spark, sf_dir, "documents")
     w, s = _WH_WIN, _WH_STRIDE
@@ -868,8 +875,14 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("win.pos").alias("pos"),
                 F.col("win.wh").alias("wh"))
     )
-    nd = F.size(F.collect_set("doc_id").over(Window.partitionBy("wh")))
-    sw = wins.withColumn("nd", nd).filter(F.col("nd") > 1).drop("nd")
+    n_wh = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    n_wh_doc = F.count(F.lit(1)).over(Window.partitionBy("wh", "doc_id"))
+    sw = (
+        wins.withColumn("n_wh", n_wh)          # inner window: hash(wh)
+        .withColumn("n_wd", n_wh_doc)          # reuses the wh exchange
+        .filter(F.col("n_wh") > F.col("n_wd"))
+        .drop("n_wh", "n_wd")
+    )
     # islands: a window starts a new span iff it begins after every
     # earlier window's end (running max of pos + w)
     w_doc = Window.partitionBy("doc_id").orderBy("pos")

@@ -226,16 +226,22 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = term_count / doc_len; idf = ln((N + 1) / (df + 1));
     ranked by round(tfidf, 6) DESC, term ASC so tie-breaks are
-    engine-portable. r11 shape: doc length and document frequency are
-    WINDOW sums over the (doc, term) count frame — the doc_len window
-    shares the rank window's doc_id exchange — and the doc count is a
-    parquet-footer literal, so the plan has no joins at all (the r10
-    form re-joined two aggregates of the same frame back to it: two
-    extra exchanges of the full term frame per query). Both derived
-    quantities are integer sums/counts, so the rewrite is exact."""
+    engine-portable. r11 shape: doc length is a WINDOW sum sharing the
+    rank window's doc_id exchange; the doc count is a parquet-footer
+    literal. r12 (VERDICT r11 item 4): document frequency moved OFF
+    the term-partitioned window — ``count() over (partition by term)``
+    put every posting of a hot term (a stopword's whole posting set at
+    100 TB) through ONE reducer task with no partial aggregation and
+    no AQE skew-split (AQE splits joins, not window exchanges). Now df
+    is a partial-agg ``groupBy(term).count()`` (map-side combined, so
+    a hot term contributes one row per map partition) broadcast-joined
+    back — the build side is VOCAB-sized by construction, the same
+    bounded broadcast class as bm25's postings stats. Both sides read
+    the keyed-persisted (doc, term) frame, so the corpus lineage still
+    executes once. Integer counts — exact."""
     tc = _term_counts(spark, sf_dir)
     doc_len = F.sum("tc").over(Window.partitionBy("doc_id"))
-    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    df_tbl = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = float(loader.row_count(sf_dir, "documents"))
     tfidf = F.round(
         (F.col("tc") / F.col("doc_len"))
@@ -244,7 +250,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
-        tc.withColumn("df", df_)
+        tc.join(F.broadcast(df_tbl), "term")
         .withColumn("doc_len", doc_len)
         .withColumn("tfidf", tfidf)
         .withColumn("rank", F.row_number().over(w))
@@ -455,7 +461,16 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     are built per token partition (sort_array over collect_list), and
     only the 10-element head is presented — at 100 TB the full lists
     would be written straight to a posting store, never collected.
-    Top-20 frequent tokens keeps the presented result bounded."""
+    Top-20 frequent tokens keeps the presented result bounded.
+
+    ``posting_head`` is presented as a comma-joined STRING (r12): the
+    official driver's canonicalizer (pandas ``sort_values``) raises
+    ``unhashable type: 'list'`` on array-valued columns — the one red
+    row of CORRECTNESS_r11. The sort still happens on the numeric
+    doc_ids BEFORE stringification, and the oracle is changed
+    symmetrically (``array_to_string``), so the value content is
+    integer-exact and unchanged — only the presentation type moves
+    from array<long> to string (FIXTURES.md rule 6)."""
     d = _t(spark, sf_dir, "documents")
     tok_docs = d.select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
@@ -466,8 +481,11 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("tf_total"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
-            .alias("posting_head"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+                .cast("array<string>"),
+            ).alias("posting_head"),
         )
         .select(F.col("tok").alias("token"), "df", "tf_total", "posting_head")
         .orderBy(F.desc("df"), F.desc("tf_total"), "token")
@@ -828,15 +846,20 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier document? The curve every data-collection effort watches —
     when novelty flattens, more of the same source stops paying.
 
-    Scale shape (r11): ONE trigram explode (wordcount-shaped) into a
-    (gram, doc) partial-agg count, first-seen = min(doc_id) over the
-    gram-partitioned window riding the same keying, then a
-    deciles-sized rollup. The r10 form computed first-seen as a
-    separate aggregate and JOINED it back to the gram stream — the
-    tokenize+explode lineage executed twice (once per join side) and
-    the full gram stream crossed a join shuffle; this form scans and
-    explodes once and joins nothing. 'Seen earlier' stays the
-    min-doc_id device, never a self-join."""
+    Scale shape (r12, VERDICT r11 item 4): ONE trigram explode
+    (wordcount-shaped) into a (gram, doc) partial-agg count; then two
+    PARTIAL-AGG rollups of that frame — per-doc totals, and per-gram
+    ``min(doc_id)`` + ``min_by(c, doc_id)`` (the novel count lives
+    only in each gram's first document, so the gram rollup carries it
+    out and no row-level first-seen flag is ever needed) — joined
+    doc-to-doc (unique keys on both sides, no hot key possible). The
+    r11 form computed first-seen as ``min(doc_id) OVER (PARTITION BY
+    g)``: single-lineage, but a hot trigram's entire posting set went
+    through ONE window reducer with no partial aggregation and no AQE
+    split. Both rollups hang off the same (g, doc) aggregate exchange,
+    which Spark reuses (ReusedExchange — verified in the plan), so the
+    corpus explode still executes ONCE and every gram-keyed operator
+    is map-side combined. Integer counts — exact."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -853,18 +876,16 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gcounts = grams.groupBy("g", "doc_id").agg(
         F.count(F.lit(1)).alias("c"))
-    w_g = Window.partitionBy("g")
-    per_doc = (
-        gcounts.withColumn("first_doc", F.min("doc_id").over(w_g))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"),
-                       F.col("c")).otherwise(F.lit(0))
-            ).alias("n_novel"),
-        )
-    )
+    totals = gcounts.groupBy("doc_id").agg(F.sum("c").alias("n_grams"))
+    # (g, doc) is unique in gcounts, so min_by has no ties: the pair
+    # (first_doc, nc) is exactly the window form's first-seen row
+    firsts = gcounts.groupBy("g").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("c", "doc_id").alias("nc"))
+    novel = firsts.groupBy("doc_id").agg(F.sum("nc").alias("n_novel"))
+    per_doc = totals.join(novel, "doc_id", "left").select(
+        "doc_id", "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"))
     # corpus row count from the parquet footer — no scan subplan
     n_docs = float(loader.row_count(sf_dir, "documents"))
     return (
@@ -2234,7 +2255,8 @@ ORACLE: dict[str, str] = {
         SELECT tok AS token,
                CAST(count(*) AS BIGINT) AS df,
                CAST(sum(tf) AS BIGINT) AS tf_total,
-               list_sort(list(doc_id))[1:10] AS posting_head
+               array_to_string(list_sort(list(doc_id))[1:10], ',')
+                   AS posting_head
         FROM per_doc
         GROUP BY tok
         ORDER BY df DESC, tf_total DESC, token

@@ -215,7 +215,11 @@ def test_inverted_index_postings_sorted(spark, sf_dir):
     from gizmosql_spark.operators import text
 
     for r in text.inverted_index(spark, sf_dir).collect():
-        head = r["posting_head"]
+        # posting_head is a comma-joined string since r12 (the driver
+        # comparator cannot canonicalize array columns) — parse it
+        # back to ints and assert the numeric sort order survived
+        # stringification
+        head = [int(x) for x in r["posting_head"].split(",") if x != ""]
         assert head == sorted(head)
         assert len(head) <= 10
         assert r["df"] >= r["tf_total"] // 10_000 and r["df"] > 0

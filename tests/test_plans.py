@@ -566,17 +566,19 @@ def test_bpe_pairs_topk_plan(spark, sf_dir):
 
 def test_span_report_no_broadcast_of_corpus_hashes(spark, sf_dir):
     """dedup_span_report's shared-hash flag must never broadcast or
-    nested-loop the corpus-sized hash frame. Since r11 the flag is a
-    collect_set window over the hash partition (one explode pass, no
-    join at all) — assert the join-free shape and that the window
-    rides a hash exchange, not a single partition."""
+    nested-loop the corpus-sized hash frame, and (r12) must never
+    hold a per-hash doc-id SET in window state — a boilerplate hash
+    shared corpus-wide makes that set unbounded (ADVICE r11). The
+    flag is two count windows ((wh) vs (wh, doc_id)) sharing one wh
+    hash exchange — assert the join-free, set-free shape and that no
+    window is unpartitioned."""
     from gizmosql_spark.operators import dedup
 
     plan = _plan(dedup.dedup_span_report(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # windowed flag replaced the semi-join
-    assert "collect_set" in plan
+    assert "collect_set" not in plan  # O(1) counts, not a doc-id set
     assert _UNPARTITIONED_WINDOW.search(plan) is None
 
 
