@@ -384,7 +384,41 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_unit = q_mat / _seq_norms(q_mat)[:, None]
     n_k = _KNN_K
 
+    def _topk_frames(vec_ids, labels, vals_by_probe):
+        # per-probe exact-margin top-k over whatever rows are passed
+        # in; the margin keeps every row that could enter the ROUNDED
+        # top-k (1e-6 = round(,6)'s max displacement) — over-keeping
+        # only, never dropping a potential member
+        frames = []
+        for pi in range(q_unit.shape[0]):
+            cand = np.flatnonzero(vec_ids != q_ids[pi])
+            if cand.size == 0:
+                continue
+            vals = vals_by_probe[cand, pi]
+            k = min(n_k, cand.size)
+            kth = np.partition(vals, vals.size - k)[vals.size - k]
+            keep = cand[vals >= kth - 1e-6]
+            frames.append(pd.DataFrame({
+                "q_id": np.full(keep.size, q_ids[pi]),
+                "vec_id": vec_ids[keep].astype(np.int64),
+                "label": labels[keep].astype(np.int32),
+                "raw": vals_by_probe[keep, pi],
+            }))
+        return frames
+
     def _score(batches):
+        # r12 (ADVICE r11): accumulate the per-BATCH top-k supersets
+        # and emit ONE per-PARTITION top-k at generator end, so the
+        # shuffle carries ~|partitions|·|probes|·k rows as the
+        # docstring claims (the r11 form emitted per batch — larger by
+        # the batches-per-partition factor). Exactness: a partition
+        # top-k row beats all but k-1 rows of its own batch, so it
+        # survives the batch filter (batch kth ≤ partition kth ⇒ the
+        # batch margin keeps a superset); re-applying the same margin
+        # logic on the merged superset yields the per-partition
+        # margin-top-k. Memory: the accumulator holds ≤|batches|·
+        # |probes|·(k+ties) pruned rows, not raw batches.
+        acc = []
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -394,25 +428,26 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = np.zeros((emat.shape[0], q_unit.shape[0]))
             for j in range(emat.shape[1]):
                 s = s + eunit[:, j][:, None] * q_unit[:, j][None, :]
-            vec_ids = pdf["vec_id"].to_numpy()
-            labels = pdf["label"].to_numpy()
-            frames = []
-            for pi in range(q_unit.shape[0]):
-                cand = np.flatnonzero(vec_ids != q_ids[pi])
-                if cand.size == 0:
-                    continue
-                vals = s[cand, pi]
-                k = min(n_k, cand.size)
-                kth = np.partition(vals, vals.size - k)[vals.size - k]
-                keep = cand[vals >= kth - 1e-6]
-                frames.append(pd.DataFrame({
-                    "q_id": np.full(keep.size, q_ids[pi]),
-                    "vec_id": vec_ids[keep].astype(np.int64),
-                    "label": labels[keep].astype(np.int32),
-                    "raw": s[keep, pi],
-                }))
+            frames = _topk_frames(
+                pdf["vec_id"].to_numpy(), pdf["label"].to_numpy(), s)
             if frames:
-                yield pd.concat(frames)
+                acc.append(pd.concat(frames))
+        if not acc:
+            return
+        merged = pd.concat(acc, ignore_index=True)
+        # rebuild a rows×probes value matrix view of the pruned rows:
+        # group by probe and re-apply the same kth-margin filter
+        out = []
+        for pi in range(q_unit.shape[0]):
+            sub = merged[merged["q_id"] == q_ids[pi]]
+            if sub.empty:
+                continue
+            vals = sub["raw"].to_numpy()
+            k = min(n_k, vals.size)
+            kth = np.partition(vals, vals.size - k)[vals.size - k]
+            out.append(sub[vals >= kth - 1e-6])
+        if out:
+            yield pd.concat(out, ignore_index=True)
 
     scored = e.select("vec_id", "label", "emb").mapInPandas(
         _score, schema="q_id long, vec_id long, label int, raw double")
