@@ -612,10 +612,34 @@ def bucket_stats(df: DataFrame, bucket_cols: list[str]) -> dict[
         for i, c in enumerate(bucket_cols)])).alias("p")
     rows = df.select(pairs).select("p.i", "p.b").groupBy("i", "b").agg(
         F.count(F.lit(1)).alias("n")).collect()
+    # Non-null lead contract (r12, ADVICE r11): a NULL lead value
+    # yields a NULL bucket id (NULL > boundary is NULL through
+    # bucket_expr's sum), which would either crash the sort below
+    # (None vs int) or — worse — silently give every null-bucket row
+    # offset 0 and duplicate global row numbers. Every current caller
+    # derives its lead from non-null aggregates (max(ts), count(),
+    # sum() over non-null columns); fail loudly if that ever changes.
+    for r in rows:
+        if r["b"] is None:
+            raise ValueError(
+                f"bucket_stats: NULL bucket id in "
+                f"{bucket_cols[r['i']]} — global_row_number requires a "
+                f"non-null lead column (coalesce the lead to a "
+                f"sentinel before ranking)")
     out: dict[str, list[tuple[int, int]]] = {}
     for i, c in enumerate(bucket_cols):
         out[c] = sorted((r["b"], r["n"]) for r in rows if r["i"] == i)
     return out
+
+
+#: Above this many entries the per-rank offsets stop being embedded as
+#: a create_map literal and ride a broadcast hash join instead (r12,
+#: ADVICE r11): B tracks spark.sql.shuffle.partitions, and at
+#: production widths (thousands of partitions, times one map per rank)
+#: a literal expression tree of thousands of pairs bloats plan
+#: serialization and risks codegen fallback. 256 keeps every local
+#: width on the cheap pure-projection path.
+MAX_LITERAL_MAP = int(os.environ.get("SPARK_GRAFT_MAX_LITERAL_MAP", "256"))
 
 
 def _literal_long_map(pairs: dict[int, int], key: Column,
@@ -693,10 +717,26 @@ def global_row_numbers(
             offsets[b] = acc
             acc += n
         w_loc = Window.partitionBy(bcols[i]).orderBy(*order_cols)
-        out = out.withColumn(
-            rn_col,
-            _literal_long_map(offsets, F.col(bcols[i]), default=0)
-            + F.row_number().over(w_loc))
+        if len(offsets) <= MAX_LITERAL_MAP:
+            out = out.withColumn(
+                rn_col,
+                _literal_long_map(offsets, F.col(bcols[i]), default=0)
+                + F.row_number().over(w_loc))
+        else:
+            # wide-width fallback (ADVICE r11): offsets as a bounded
+            # broadcast hash join — O(B) rows on the build side, no
+            # thousand-literal expression tree in the plan
+            off_name = f"__gr_off{i}"
+            off_df = df.sparkSession.createDataFrame(
+                [(int(b), int(o)) for b, o in offsets.items()],
+                f"{bcols[i]} int, {off_name} long")
+            out = (
+                out.join(F.broadcast(off_df), bcols[i], "left")
+                .withColumn(
+                    rn_col,
+                    F.coalesce(F.col(off_name), F.lit(0).cast("long"))
+                    + F.row_number().over(w_loc))
+                .drop(off_name))
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(int(total)).cast("long"))
     return out.drop(*bcols)

@@ -200,3 +200,61 @@ def test_signed_zero_lint_detects_bare_round():
     # a value-changing constant is NOT a normalizer
     assert lint_signed_zero(
         "demo", "SELECT round(corr(a, b), 6) + 0.05 AS c FROM t")
+
+
+def test_bucket_stats_rejects_null_lead(spark):
+    """ADVICE r11: a NULL lead yields a NULL bucket id, which used to
+    crash the driver-side sort (None vs int) — or worse, could hand
+    null-bucket rows offset 0 and duplicate global row numbers. The
+    contract is non-null leads; bucket_stats must say so loudly."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "lead double"
+    ).withColumn("__b", scale.bucket_expr(F.col("lead"), [2.0]))
+    with pytest.raises(ValueError, match="non-null lead"):
+        scale.bucket_stats(df, ["__b"])
+
+
+def test_global_row_number_broadcast_fallback(spark, monkeypatch):
+    """ADVICE r11: above MAX_LITERAL_MAP buckets the offsets must ride
+    a broadcast join, not a thousand-literal create_map — and the rank
+    must be identical either way."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        (F.col("id") * 7 % 101).alias("v"), "id")
+    bnds = [float(b) for b in range(5, 100, 5)]  # 19 boundaries -> 20 buckets
+    literal = scale.global_row_number(
+        df, ["v", "id"], "rn", "v", bnds).orderBy("v", "id")
+    monkeypatch.setattr(scale, "MAX_LITERAL_MAP", 4)
+    joined = scale.global_row_number(
+        df, ["v", "id"], "rn", "v", bnds).orderBy("v", "id")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert [r["rn"] for r in literal.collect()] == \
+        [r["rn"] for r in joined.collect()]
+
+
+def test_ntile_from_rank_matches_window_ntile(spark):
+    """VERDICT r11 item 6: the closed-form positional ntile must equal
+    ``F.ntile`` on adversarial n % k cases (n < k, n == k, n % k != 0,
+    ties in the order column broken by id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gizmosql_spark.operators.events import _ntile_from_rank
+
+    for n, k in [(1, 4), (2, 4), (3, 4), (4, 4), (5, 4), (7, 4),
+                 (8, 3), (10, 4), (13, 5), (100, 7)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") % 3).alias("v"))
+        w = Window.orderBy("v", "id")
+        expect = df.select(
+            "id", F.ntile(k).over(w).alias("t")).orderBy("id").collect()
+        got = df.select(
+            "id",
+            _ntile_from_rank(
+                F.row_number().over(w), F.lit(n), k).alias("t"),
+        ).orderBy("id").collect()
+        assert [r["t"] for r in got] == [r["t"] for r in expect], (n, k)
