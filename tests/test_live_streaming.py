@@ -126,15 +126,19 @@ def test_stream_clones_raise_idle_polling_cadence():
     """Both streaming session clones must carry the raised no-data
     pollingDelay (r11: ~15 concurrently RUNNING live queries at the
     upstream 10 ms default cost ~1,500 no-data source-poll cycles/s of
-    churn; the A/B measured the tier 10-14% faster at 100-250 ms with
-    no shape regressing beyond noise). Env-overridable: the deploy-time
-    latency/churn trade (SPARK_GRAFT_STREAM_POLLING_DELAY)."""
+    churn). r12 dropped the default 250 ms -> 50 ms on cold-per-run
+    evidence (VERDICT r11 item 3): the phase-instrumented sweep
+    measured the 250 ms pickup latency at ~1.1-1.5 s over the tier per
+    timed run while 50 ms keeps a 5x churn cut vs 10 ms
+    (tools/bench_stream_tier.py, OPTIMIZATION_r12.md §3).
+    Env-overridable: the deploy-time latency/churn trade
+    (SPARK_GRAFT_STREAM_POLLING_DELAY)."""
     import os
 
     from gizmosql_spark.session import get_spark
 
     spark = get_spark("gizmosql-spark-tests")
-    want = os.environ.get("SPARK_GRAFT_STREAM_POLLING_DELAY", "250ms")
+    want = os.environ.get("SPARK_GRAFT_STREAM_POLLING_DELAY", "50ms")
     for clone in (windows.streaming_session(spark),
                   windows.tws_streaming_session(spark)):
         assert clone.conf.get("spark.sql.streaming.pollingDelay") == want
