@@ -41,22 +41,31 @@ _PRIORITY = [
     # own 250-query STRICT differential at sf0.01 AND sf0.1
     # (differential_run.py --strict [--ordered], hash-grade).
     #
-    # Streaming first: the TWS state-server tier is most robust on a
-    # fresh JVM (the r3/r4 official crashes came after ~45 batch
-    # queries of heap pressure).
-    "stream_user_stats",      # live path
-    "stream_tumbling",
-    "stream_stream_join",
-    "stream_outer_join",      # watermark-eviction-boundary oracle
-    "stream_timer_flush",     # live path + per-run time-shift
-    "stream_session_windows",
-    "stream_running_totals",
-    "stream_seeded_stats",    # live path w/ generation-seeded initialState
-    "stream_user_type_matrix",   # live path
-    "stream_user_recent_events", # live path
-    "stream_static_join",
-    "stream_sink_table",
-    "stream_upsert_table",
+    # r12 rotation (VERDICT r11 item 7): the 13 streaming slots are
+    # RELEASED — the hold criterion ("two consecutive parseable driver
+    # bench records inside the 2x gate") is met by BENCH_r10 (1.60x)
+    # and BENCH_r11 (1.91x). All 13 stream_* rows have official green
+    # records (r10 AND r11) and stay fully verified by pytest + the
+    # 250-query strict differential every round. Their slots go to 13
+    # never-recorded rows (80 remained after r11 — ledger in
+    # COVERAGE.md), weighted toward the r11/r12-rewritten operators so
+    # the official record carries the rewrites, plus one row per
+    # still-uncovered family. All 13 are comparator-safe (scalar
+    # output columns only — FIXTURES.md rule 6, audited by
+    # tools/audit_output_shapes.py).
+    "ngram_novelty",          # r12 de-skew rewrite (min_by rollups)
+    "dedup_span_report",      # r12 de-skew rewrite (count windows)
+    "dedup_window_hash",      # r11 single-pass window-hash rewrite
+    "knn_label_eval",         # r11 Arrow GEMM + r12 per-partition topk
+    "word_cooccurrence",      # r11 shared term-frame rewrite
+    "dedup_pair_classify",    # r11 keyed-persist band frame
+    "hll_rolling_merge",      # r11 BNLJ->bounded-grid join fix
+    "bfs_suppliers",          # r11 long-node-id rewrite; graph family
+    "runtime_bloom_join",     # scale-pattern family, never recorded
+    "histogram_quantiles",    # stats family spread
+    "pipeline_clean_corpus",  # composed-pipeline family
+    "gopher_quality",         # text-quality family
+    "holt_forecast",          # time-series family
     # canary: the flagship staple, green in every official record
     "q01",
     # r11-touched, never-recorded: the two global-rank rewrites
