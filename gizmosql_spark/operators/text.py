@@ -1320,6 +1320,9 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = scale.global_row_number(
         d.select(F.col("n_chars").alias("norm_len"), "doc_id"),
         ["norm_len", "doc_id"], "pos", "norm_len", bnds,
+        # r12: deterministic per fixture dir — keyed-persist + stats
+        # cache (scale._GRN_STATS_CACHE contract), one job when warm
+        cache_key=sf_dir + ":qnorm_pooled",
     ).select("norm_len", "pos")
     # discrete quantile position: floor(p * (N-1)) + 1, p = (rk-1)/(n-1).
     # LONG arithmetic throughout: rk is a 32-bit row_number and the

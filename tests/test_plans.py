@@ -248,17 +248,18 @@ def test_vocab_oov_broadcasts_vocabulary(spark, sf_dir):
 
 def test_error_burst_filter_pushed(spark, sf_dir):
     """The error filter reaches the parquet scan — the islands
-    windows only ever see the filtered sliver of the stream. The
-    operator localCheckpoints the bucketed sliver (one materialization
-    instead of three subplan recomputes), so the scan lives in the
-    sliver's plan, not the final one — assert the pushdown there and
-    the checkpoint in the operator's plan."""
+    windows only ever see the filtered sliver of the stream. Since r12
+    the bucketed sliver rides the keyed-persist registry (one
+    materialization per session instead of a localCheckpoint per
+    call), so the final plan reads the cached relation — assert the
+    pushdown on the sliver's plan and the in-memory scan in the
+    operator's plan."""
     from gizmosql_spark.operators import events
 
     plan = _plan(events._error_sliver(spark, sf_dir))
     assert "EqualTo(event_type,error)" in plan
     full = _plan(events.events_error_burst(spark, sf_dir))
-    assert "ExistingRDD" in full or "LocalTableScan" in full
+    assert "InMemoryTableScan" in full
 
 
 def test_grouped_split_single_agg_shuffle(spark, sf_dir):

@@ -258,3 +258,30 @@ def test_ntile_from_rank_matches_window_ntile(spark):
                 F.row_number().over(w), F.lit(n), k).alias("t"),
         ).orderBy("id").collect()
         assert [r["t"] for r in got] == [r["t"] for r in expect], (n, k)
+
+
+def test_keyed_frame_scalars_memoizes(spark):
+    """r12: the two-pass global-order family's bounded collects ride a
+    per-session cache computed from the keyed-persisted frame itself —
+    a second invocation must reuse both (no new collect job), and the
+    scalars must describe the persisted rows."""
+    from pyspark.sql import functions as F
+
+    calls = []
+
+    def build():
+        return spark.range(100).select(
+            F.col("id"), (F.col("id") % 5).alias("b"))
+
+    def collect_fn(bdf):
+        calls.append(1)
+        return sorted((r["b"], r["n"]) for r in bdf.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n")).collect())
+
+    f1, s1 = scale.keyed_frame_scalars(
+        spark, "test:kfs_memo", build(), collect_fn)
+    f2, s2 = scale.keyed_frame_scalars(
+        spark, "test:kfs_memo", build(), collect_fn)
+    assert len(calls) == 1
+    assert f1 is f2 and s1 is s2
+    assert s1 == [(i, 20) for i in range(5)]
