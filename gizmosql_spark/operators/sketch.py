@@ -520,19 +520,39 @@ def hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     day = F.to_date(F.col("ts").cast("timestamp"))
     bucket, rho = _bucket_rho(F.col("user_id"))
-    # days × m register frame, localCheckpoint'ed: days/buckets/grid
-    # all derive from it, and without the checkpoint each derivation
-    # replays the corpus scan (r5 scan audit: 5 events scans where 2
-    # suffice — this build + the deliberate exact-check re-scan)
-    daily = (
-        e.select(day.alias("d"), bucket.alias("bucket"), rho.alias("rho"))
+    # days × m register frame: days/buckets/grid all derive from it,
+    # and without a materialization each derivation replays the corpus
+    # scan (r5 scan audit: 5 events scans where 2 suffice — this build
+    # + the deliberate exact-check re-scan). r12: the frame is
+    # deterministic per fixture dir and days×m-bounded, so it rides
+    # the keyed-persist registry (the r11 band-frame pattern) instead
+    # of a per-call localCheckpoint — warm invocations skip the
+    # register-build scan entirely.
+    daily = loader.keyed_persist(
+        spark, f"sketch.hll_daily:{sf_dir}",
+        lambda: e.select(
+            day.alias("d"), bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("d", "bucket")
-        .agg(F.max("rho").alias("m_j"))
-        .localCheckpoint()
+        .agg(F.max("rho").alias("m_j")),
     )
-    days = daily.select("d").distinct()
-    buckets = daily.select("bucket").distinct()
-    grid = days.crossJoin(buckets).join(daily, ["d", "bucket"], "left")
+    # r12: the day list is |days|-bounded (the centroid-pull scalar
+    # class) — collect it once per session from the cached registers
+    # and build the grid axes as LOCAL relations: the two distinct
+    # jobs and the exact-side broadcast-join build disappear from
+    # every invocation. Buckets are simply range(_M): a register never
+    # observed on any day joins NULL and is filtered before the fold,
+    # exactly like a bucket absent from the observed-distinct frame —
+    # identical n_present/s by construction.
+    from gizmosql_spark.operators import scale as _scale
+
+    daily, day_list = _scale.keyed_frame_scalars(
+        spark, f"hll_days:{sf_dir}", daily,
+        lambda bdf: sorted(
+            r["d"] for r in bdf.select("d").distinct().collect()))
+    days_local = spark.createDataFrame([(d,) for d in day_list], "d date")
+    buckets_local = spark.range(_M).select(F.col("id").alias("bucket"))
+    grid = days_local.crossJoin(buckets_local).join(
+        F.broadcast(daily), ["d", "bucket"], "left")
     w_roll = (
         Window.partitionBy("bucket")
         .orderBy(F.datediff(F.col("d"), F.lit("2024-01-01")))
@@ -569,13 +589,23 @@ def hll_rolling_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # predicates and emitting ~_ROLL_DAYS x corpus rows into the
     # distinct agg; this form shuffles only the deduped grid (x3
     # explode), bytes ~ users x days, never the event stream.
-    du = e.select(day.alias("ed"), "user_id").distinct()
+    # users×days-bounded and fixture-deterministic — same registry
+    # (the exact-check tier is a verification device; at 100 TB the
+    # sketch side alone ships, as the docstring says)
+    du = loader.keyed_persist(
+        spark, f"sketch.hll_day_user:{sf_dir}",
+        lambda: e.select(day.alias("ed"), "user_id").distinct())
     cand = du.select(
         F.explode(F.array(*[
             F.date_add("ed", i) for i in range(_ROLL_DAYS)])).alias("d"),
         "user_id")
+    # no days pre-join needed (r12): date_add only lands on days the
+    # final inner join with `folded` keeps or drops anyway, so the
+    # per-day distinct counts for surviving days are identical — the
+    # broadcast build job existed only to discard ≤_ROLL_DAYS-1
+    # trailing day groups early
     exact = (
-        cand.join(F.broadcast(days), "d")
+        cand
         .groupBy("d")
         .agg(F.count_distinct("user_id").cast("bigint").alias("exact_roll"))
     )
