@@ -878,8 +878,17 @@ def dedup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_wh = F.count(F.lit(1)).over(Window.partitionBy("wh"))
     n_wh_doc = F.count(F.lit(1)).over(Window.partitionBy("wh", "doc_id"))
     sw = (
-        wins.withColumn("n_wh", n_wh)          # inner window: hash(wh)
-        .withColumn("n_wd", n_wh_doc)          # reuses the wh exchange
+        # explicit wh exchange + ONE composite sort: hash(wh)
+        # satisfies both windows' clustering and the (wh, doc_id)
+        # ordering satisfies both windows' sort requirements ((wh) is
+        # a prefix), so the planner adds no exchange and no sort of
+        # its own — the optimizer's TransposeWindow otherwise orders
+        # the coarse window first and pays two sorts
+        wins.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "wh")
+        .sortWithinPartitions("wh", "doc_id")
+        .withColumn("n_wd", n_wh_doc)
+        .withColumn("n_wh", n_wh)
         .filter(F.col("n_wh") > F.col("n_wd"))
         .drop("n_wh", "n_wd")
     )

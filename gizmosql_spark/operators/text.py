@@ -241,7 +241,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     executes once. Integer counts — exact."""
     tc = _term_counts(spark, sf_dir)
     doc_len = F.sum("tc").over(Window.partitionBy("doc_id"))
-    df_tbl = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # the vocab df frame is derived from the persisted tc frame and
+    # deterministic per fixture dir — persist it too, so the vocab
+    # rollup shuffles once per session, not per invocation
+    df_tbl = loader.keyed_persist(
+        spark, f"text.term_df:{sf_dir}",
+        lambda: tc.groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     n_docs = float(loader.row_count(sf_dir, "documents"))
     tfidf = F.round(
         (F.col("tc") / F.col("doc_len"))
