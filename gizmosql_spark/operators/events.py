@@ -496,7 +496,7 @@ def events_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scale.keyed_frame_scalars) replaces the per-call
     # localCheckpoint + collect, so warm invocations run one job
     be, stats = scale.keyed_frame_scalars(
-        spark, sf_dir + ":error_burst_sliver",
+        spark, f"{sf_dir}:error_burst_sliver:{scale._boundary_sig([bnds])}",
         e.withColumn("__bkt", bexpr),
         lambda bdf: sorted(
             (r["__bkt"], r["__mn"], r["__mx"], r["__f"])

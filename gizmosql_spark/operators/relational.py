@@ -1466,7 +1466,7 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (scale.keyed_frame_scalars) replaces the per-call
     # localCheckpoint + collect, so warm invocations run one job
     bpts, bmax = scale.keyed_frame_scalars(
-        spark, sf_dir + ":skyline_pts",
+        spark, f"{sf_dir}:skyline_pts:{scale._boundary_sig([bnds])}",
         pts.withColumn(
             "__bkt", scale.bucket_expr(F.col("price_cents"), bnds)),
         lambda bdf: sorted(

@@ -678,6 +678,19 @@ _GRN_STATS_CACHE: dict[tuple, dict[str, list[tuple[int, int]]]] = {}
 _KEYED_SCALARS: dict[tuple, object] = {}
 
 
+def _boundary_sig(boundary_lists: list[list[float]]) -> str:
+    """Stable short signature of the range-boundary sets baked into a
+    cached bucketed frame. Part of every session-cache key so that
+    calls under different shuffle widths (different bucket counts —
+    e.g. the width-1 parallelism-invariance runs) do not share a
+    materialization: a zero-boundary frame's bucket column is the
+    foldable literal 0, and leaking it into a normal-width call turns
+    the bucket windows into plan-level unpartitioned windows."""
+    import hashlib
+
+    return hashlib.md5(repr(boundary_lists).encode()).hexdigest()[:10]
+
+
 def keyed_frame_scalars(spark: SparkSession, cache_key: str,
                         frame: DataFrame, collect_fn):
     """Keyed-persist ``frame`` and memoize ``collect_fn(frame)`` — the
@@ -756,10 +769,18 @@ def global_row_numbers(
         # (the ranking windows over the cached frame). Cold runs pay
         # the build in the stats job itself (persist is lazy), so
         # even the cold path drops a job vs eager localCheckpoint.
+        # The BOUNDARY SETS join the key: a caller running at a
+        # different shuffle width (e.g. the parallelism-invariance
+        # suite at width 1) buckets the same frame differently, and a
+        # degenerate zero-boundary frame cached under the bare key
+        # would hand every later call a constant-foldable bucket
+        # column — a plan-level unpartitioned window (caught by
+        # test_no_corpus_global_rank_window the first time).
+        bsig = _boundary_sig([b for _, _, _, b in specs])
         frame = bdf
         bdf = loader.keyed_persist(
-            df.sparkSession, f"grn:{cache_key}", lambda: frame)
-        skey = (id(df.sparkSession), cache_key)
+            df.sparkSession, f"grn:{cache_key}:{bsig}", lambda: frame)
+        skey = (id(df.sparkSession), cache_key, bsig)
         stats = _GRN_STATS_CACHE.get(skey)
         if stats is None:
             stats = bucket_stats(bdf, bcols)
