@@ -112,8 +112,18 @@ def with_image_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # Fan the Python-boundary work out before the encode stage: the
+    # documents scan is 2 tasks at bounded scale, so the pure-Python
+    # PNG/BMP encode+decode chain above it ran 2-wide on a 32-core box
+    # (profiled r12: features 1.04 s wall vs 0.05 s executor CPU — the
+    # codec time lives in the Python workers, invisible to stage CPU).
+    # The shuffled payload is doc_id alone (8 B/row); width rides the
+    # session conf, which loader.table keys off input size (8 at
+    # bounded dirs, launch width at scale) — same idiom as the r11
+    # tokenize fanout (text._term_counts).
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    return d.mapInPandas(_encode, schema)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return d.repartition(width, "doc_id").mapInPandas(_encode, schema)
 
 
 FEATURE_SCHEMA = StructType(

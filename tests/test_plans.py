@@ -655,3 +655,26 @@ def test_ranking_agreement_topk_before_window(spark, sf_dir):
     # no rank-filter remnant: every row_number window must sit above
     # a GlobalLimit/TakeOrdered, never filter on its own rank output
     assert "rk_tf" in plan and "rk_bm" in plan
+
+
+def test_image_blob_fanout_before_python_stage(spark, sf_dir):
+    """with_image_blob must repartition the doc_id scan before the
+    encode mapInPandas: the documents scan is ~2 tasks at bounded
+    scale, so without the fanout the pure-Python PNG/BMP codec chain
+    (encode, then decode in the consumer's second mapInPandas) runs
+    2-wide regardless of core count — invisible to executor-CPU
+    metrics because the time is spent in the Python workers (r12
+    profile: 1.04 s wall vs 0.05 s stage CPU). The exchange carries
+    doc_id alone, and its width rides the session conf (size-keyed by
+    loader.tune_shuffle_width), not a local constant."""
+    from gizmosql_spark.operators import multimodal
+
+    plan = _plan(multimodal.multimodal_features(spark, sf_dir))
+    # the fanout is an explicit repartition on doc_id...
+    assert "hashpartitioning(doc_id" in plan and "REPARTITION_BY_NUM" in plan
+    # ...and it sits BETWEEN the scan and the Python stages: in the
+    # top-down tree the last (deepest) MapInPandas is followed by an
+    # Exchange before the parquet scan
+    tree = plan.split("\n\n")[0]
+    deepest_py = tree.rindex("MapInPandas")
+    assert "Exchange" in tree[deepest_py:tree.index("Scan parquet")], tree
