@@ -678,3 +678,27 @@ def test_image_blob_fanout_before_python_stage(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     deepest_py = tree.rindex("MapInPandas")
     assert "Exchange" in tree[deepest_py:tree.index("Scan parquet")], tree
+
+
+def test_ann_ivf_single_scan_no_fanout(spark, sf_dir):
+    """ann_ivf's nearest-cell assignment must be the inline
+    literal-centroid argmax (r12): the old shape broadcast-joined the
+    corpus against the 8-centroid table (x8 row fanout), ran an
+    unpartitioned-per-vec row_number window over the fanout, and
+    joined the corpus back to itself on vec_id — at 100 TB that
+    shuffles |corpus|x8 rows of 64-dim arrays twice. The bounded
+    8-vector model is exactly what a sampled k-means fit ships as a
+    broadcast table, so the assignment belongs in the row expression:
+    ONE corpus scan, zero exchanges below the final top-k."""
+    from gizmosql_spark.operators import similarity
+
+    plan = _plan(similarity.ann_ivf(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window",
+               "Exchange hashpartitioning"):
+        assert op not in plan, op
+    # exactly one scan of the embeddings fixture (formatted mode lists
+    # each operator twice: tree header + detail section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
