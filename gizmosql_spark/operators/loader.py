@@ -247,16 +247,25 @@ def bounded_session(spark: SparkSession) -> SparkSession:
     return s
 
 
-def keyed_persist(spark: SparkSession, key: str, builder) -> DataFrame:
+def keyed_persist(spark: SparkSession, key: str, builder,
+                  materialize: bool = False) -> DataFrame:
     """Persist-once registry for intermediate frames shared across
     queries (shingle postings, LSH buckets, term counts). Repeated
     calls reuse the one cached frame instead of stacking a new
     ``persist()`` per call — a long-lived session would otherwise
-    accumulate cached partitions without bound."""
+    accumulate cached partitions without bound.
+
+    ``materialize=True`` runs the pinning ``count()`` on the FIRST
+    build only: callers that need the frame materialized inside a
+    specific conf scope (e.g. the graph-width bounded session) used to
+    call ``.count()`` on every invocation — a redundant cached-scan
+    job per call once the frame is warm (r12)."""
     k = (id(spark), key)
     df = _PERSISTED.get(k)
     if df is None:
         df = builder().persist()
+        if materialize:
+            df.count()
         _PERSISTED[k] = df
     return df
 

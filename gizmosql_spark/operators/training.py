@@ -564,10 +564,17 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1 - _PR_DAMPING)
                     + F.lit(_PR_DAMPING) * F.col("inflow"), 6)
             .alias("pr"),
-        # per-round lineage truncation: without it round N's
-        # broadcast build re-evaluates rounds 1..N-1 (quadratic
-        # re-execution) — the standard iterative-Spark device
-        ).localCheckpoint()
+        # No per-round lineage truncation (r12): with one consuming
+        # action and each round feeding the next through a single
+        # nested broadcast, the DAG evaluates every round exactly once
+        # — the quadratic re-execution the old per-round
+        # localCheckpoint() guarded against needs a SECOND consumer of
+        # an intermediate round (e.g. a convergence check per round),
+        # which this fixed-3-round unroll never has. The three eager
+        # checkpoint jobs were ~0.3 s/call of pure scheduling at sf0.1
+        # (A/B medians 1.16 -> 0.79 s); at unbounded depth or with
+        # per-round convergence tests, restore the truncation.
+        )
     node_str = F.when(
         F.col("src") % 2 == 0,
         F.concat(F.lit("c"), (F.col("src") / 2).cast("long"))
@@ -710,11 +717,13 @@ def bfs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
             )
         ),
+        # materialize the shared edge frame inside the graph-sized
+        # shuffle scope (keyed_persist is lazy; without this the build
+        # would run corpus-width at the caller's first action). First
+        # build only — the old per-call trade.count() re-scanned the
+        # warm cache on every invocation (r12)
+        materialize=True,
     )
-    # materialize the shared edge frame inside the graph-sized
-    # shuffle scope (keyed_persist is lazy; without this the build
-    # would run corpus-width at the caller's first action)
-    trade.count()
     source = l.agg(F.min("l_suppkey").alias("m")).select(
         (F.col("m").cast("long") * 2 + 1).alias("node"))
     # bipartite levels alternate supplier/customer sides, so each
