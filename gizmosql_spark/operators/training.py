@@ -187,13 +187,18 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     specific group-sum association order cannot drift the next round.
     """
     e = _t(spark, sf_dir, "embeddings")
-    v = (
-        e.select(
-            "vec_id",
-            F.transform(F.col("embedding"),
-                        lambda x: x.cast("double")).alias("e"),
-        )
-    ).persist()
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("e"),
+    )
+    # persist v only while the fit itself runs (4+ scans); with the
+    # fit cached the scoring pass is v's ONLY consumer, and a per-call
+    # persist/unpersist just writes the corpus into the block store
+    # for a single read (r12)
+    fitting = (sf_dir, "full") not in _LLOYD_FIT_CACHE
+    if fitting:
+        v = v.persist()
     out = (
         _lloyd_final_assign(v, cache_key=(sf_dir, "full"))
         .groupBy("cid")
@@ -203,7 +208,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
-    v.unpersist()
+    if fitting:
+        out = out.localCheckpoint()
+        v.unpersist()
     return out
 
 
@@ -317,13 +324,16 @@ def silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE scan with the k x d centroid literal folded into the
     expression (no joins), then a k-row partial agg."""
     e = _t(spark, sf_dir, "embeddings")
-    v = (
-        e.select(
-            "vec_id",
-            F.transform(F.col("embedding"),
-                        lambda x: x.cast("double")).alias("e"),
-        )
-    ).persist()
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("e"),
+    )
+    # same warm-path rule as kmeans_embeddings: persist only while
+    # the shared fit actually runs; scoring alone is a single scan
+    fitting = (sf_dir, "full") not in _LLOYD_FIT_CACHE
+    if fitting:
+        v = v.persist()
     centroids = _lloyd_centroids(v, cache_key=(sf_dir, "full"))
     scored = v.select(
         "vec_id",
@@ -351,8 +361,9 @@ def silhouette_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
-    out = out.localCheckpoint()
-    v.unpersist()
+    if fitting:
+        out = out.localCheckpoint()
+        v.unpersist()
     return out
 
 
@@ -393,13 +404,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double"))
         .alias("e"),
-    ).persist()
+    )
+    # warm-path rule (r12): with the fit cached, v's only consumer is
+    # the assignment checkpoint below — one scan, nothing to persist
+    fitting = (sf_dir, f"cap{_SEMDEDUP_CAP}") not in _LLOYD_FIT_CACHE
+    if fitting:
+        v = v.persist()
     assigned = (
         _lloyd_final_assign(
             v, cache_key=(sf_dir, f"cap{_SEMDEDUP_CAP}"))
         .select("vec_id", "cid", "e")
         .localCheckpoint()
     )
+    if fitting:
+        v.unpersist()
 
     tau_floor = _SEMDEDUP_TAU - 1e-6
 
@@ -468,7 +486,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
-    v.unpersist()
     return out
 
 
