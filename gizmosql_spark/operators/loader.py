@@ -292,6 +292,42 @@ def row_count(sf_dir: str, name: str) -> int:
     return n
 
 
+_COL_STATS: dict[tuple[str, str, str], tuple | None] = {}
+
+
+def column_minmax(sf_dir: str, name: str, col: str) -> tuple | None:
+    """(min, max) of a fixture column from the parquet FOOTER
+    statistics (no scan, no Spark job) — the same §6 metadata class as
+    row_count: at 100 TB these are the table-level column stats every
+    warehouse keeps. Returns None (callers fall back to a scan) when
+    any row group lacks min/max stats. Footer stats exclude nulls,
+    exactly like F.min/F.max. Memoized per (dir, table, column); the
+    fixtures are immutable for a session's lifetime."""
+    key = (sf_dir, name, col)
+    if key in _COL_STATS:
+        return _COL_STATS[key]
+    got = None
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet"))
+        idx = f.schema_arrow.names.index(col)
+        lo = hi = None
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            got = (lo, hi)
+    except Exception:
+        got = None
+    _COL_STATS[key] = got
+    return got
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     tune_adaptivity(spark, sf_dir)

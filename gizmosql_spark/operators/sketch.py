@@ -385,11 +385,22 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = _t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").cast("double").alias("x"))
-    # 1-row min/max, checkpointed: it feeds both the binning pass and
-    # the interpolation edges (r5 audit: each crossJoin use replayed
-    # the scan)
-    rng = l.agg(
-        F.min("x").alias("lo"), F.max("x").alias("hi")).localCheckpoint()
+    # 1-row min/max feeding both the binning pass and the
+    # interpolation edges (r5 audit: each crossJoin use replayed the
+    # scan). r12: the edges come from the parquet FOOTER column
+    # statistics when present (guide §6 — "bin edges come from known
+    # column stats" is the docstring's own design point; the column
+    # is physically double, so the footer doubles ARE the scan's
+    # F.min/F.max values, nulls excluded identically). The old
+    # min/max pass remains the fallback for statless files.
+    mm = loader.column_minmax(sf_dir, "lineitem", "l_extendedprice")
+    if mm is not None:
+        rng = spark.range(1).select(
+            F.lit(float(mm[0])).alias("lo"), F.lit(float(mm[1])).alias("hi"))
+    else:
+        rng = l.agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi")).localCheckpoint()
     binned = (
         l.crossJoin(F.broadcast(rng))
         .select(
