@@ -1072,20 +1072,23 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k. No corpus-×-corpus joins anywhere.
     Both small derived frames are localCheckpoint'ed so the stats/df
     branches don't replay the scans (r5 audit: 4 scans where 2
-    suffice)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    suffice). r12: both frames now roll up the shared persisted
+    (doc, term, tc) frame — the same _norm tokenization, so
+    dl = sum(tc) per doc and tf = tc of the query terms are the
+    IDENTICAL integers the two per-call tokenize scans produced
+    (the pmi/tfidf/oov reuse class); bm25's per-call corpus scans
+    drop from 2 to 0."""
+    tc = _term_counts(spark, sf_dir)
+    dl = tc.groupBy("doc_id").agg(
+        F.sum("tc").alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        tc.filter(F.col("term").isin(*_BM25_TERMS))
+        .select("doc_id", F.col("term").alias("tok"),
+                F.col("tc").alias("tf"))
         .localCheckpoint()
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
