@@ -1457,17 +1457,18 @@ def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers. r5: TWO corpus scans total — the matched-term counts
     (tf2) and the doc-length table (dl) each need one explode pass;
     everything else (raw-tf ranking, df, stats) derives from those
-    two checkpointed frames (was 5 scans)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"))
+    two checkpointed frames (was 5 scans). r12: both frames roll up
+    the shared persisted (doc, term, tc) frame exactly like
+    bm25_topk (same _norm tokenization, identical integers) — ZERO
+    per-call corpus scans."""
+    tc = _term_counts(spark, sf_dir)
     k = 20
-    # scan 1: per-(doc, matched-term) counts — query-term filter
-    # collapses this to a tiny frame
+    # per-(doc, matched-term) counts — query-term filter on the
+    # persisted frame, no shuffle at all
     tf2 = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        tc.filter(F.col("term").isin(*_BM25_TERMS))
+        .select("doc_id", F.col("term").alias("tok"),
+                F.col("tc").alias("tf"))
         .localCheckpoint()
     )
     # raw term-frequency ranking derives from tf2 — no extra scan.
@@ -1484,9 +1485,9 @@ def ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.orderBy(F.desc("raw_tf"), "doc_id").limit(k)
         .select("doc_id", F.row_number().over(w_tf).alias("rk_tf"))
     )
-    # scan 2: doc lengths need the full token stream
-    dl = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    # doc lengths: sum of the persisted per-term counts
+    dl = tc.groupBy("doc_id").agg(
+        F.sum("tc").alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
