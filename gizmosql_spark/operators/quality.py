@@ -159,10 +159,17 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same _norm tokenization, integer sum of integer counts — exact)
     # instead of a second tokenize scan of the corpus; only the bigram
     # side still needs the raw token arrays.
-    uni = (_term_counts(spark, sf_dir)
-           .groupBy(F.col("term").alias("tok"))
-           .agg(F.sum("tc").alias("c"))
-           .localCheckpoint())
+    # vocab rollup rides the persist registry (r12): the per-call
+    # localCheckpoint re-ran this rollup + a materialization job every
+    # invocation for a frame that is vocabulary-sized and
+    # deterministic per fixture dir — the same bounded class as
+    # tfidf's df frame (r12 §9)
+    uni = loader.keyed_persist(
+        spark, f"quality.pmi_unigrams:{sf_dir}",
+        lambda: _term_counts(spark, sf_dir)
+        .groupBy(F.col("term").alias("tok"))
+        .agg(F.sum("tc").alias("c")),
+        materialize=True)
     bg = base.select(F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")).select(
         F.split("bg", " ")[0].alias("w1"), F.split("bg", " ")[1].alias("w2")
     )

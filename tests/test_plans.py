@@ -166,6 +166,10 @@ def test_pmi_unigrams_reuse_shared_term_counts(spark, sf_dir):
     from gizmosql_spark.operators import loader, quality
 
     key = (id(spark), f"text.term_counts:{sf_dir}")
+    # the unigram rollup itself is registry-cached since r12 — drop it
+    # too, or a warm cache legitimately skips the term_counts rebuild
+    loader._PERSISTED.pop((id(spark), f"quality.pmi_unigrams:{sf_dir}"),
+                          None)
     loader._PERSISTED.pop(key, None)
     quality.pmi_collocations(spark, sf_dir)
     assert key in loader._PERSISTED
